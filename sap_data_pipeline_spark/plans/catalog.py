@@ -1,0 +1,455 @@
+"""Query catalog — the driver-facing surface (__spark_entry__ delegates here).
+
+Every implemented operator from SURVEY §2 is registered as a named query:
+a ``(spark, sf_dir) -> DataFrame`` builder plus (where SQL-expressible) a
+DuckDB oracle string over the same parquet views.  Column names/aliases
+are kept identical on both sides — the driver sorts columns by name and
+hashes values.
+
+Portability rules used throughout (see plans.star_mapping docstring):
+double math stays IEEE; sums go through DECIMAL(18,6); outputs cast back
+to double; hashes are md5-based (bit-identical in DuckDB).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sap_data_pipeline_spark.functions import cleaning as C
+from sap_data_pipeline_spark.operators import relational as R
+from sap_data_pipeline_spark.plans import star_mapping as sm
+from sap_data_pipeline_spark.plans.store_rp import store_rp_oracle, store_rp_report
+from sap_data_pipeline_spark.plans.weekly_sales import weekly_sales, weekly_sales_oracle
+from sap_data_pipeline_spark.sources.readers import Star, load_star
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: Callable[[Star], DataFrame]):
+        def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(load_star(spark, sf_dir))
+
+        QUERIES[name] = runner
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship analytical queries (SURVEY §3.2, §3.3)
+# ---------------------------------------------------------------------------
+
+register("weekly_sales", weekly_sales_oracle())(lambda star: weekly_sales(star))
+
+# Stability gate scaled to this data's density (~3 active weeks per
+# (article, site) pair vs the reference's 38-of-52 window intent).
+register("store_rp_report", store_rp_oracle(wks_gate=2))(
+    lambda star: store_rp_report(star, wks_gate=2)
+)
+
+
+# ---------------------------------------------------------------------------
+# A1: movement aggregation to PK grain (etl_zmb51.py:76-80) — sum + unit
+# (reference uses pandas `first`; both sides use MIN for determinism,
+#  SURVEY §7.4).  F13 sign inversion included (etl_zmb51.py:73-74).
+# ---------------------------------------------------------------------------
+
+@register(
+    "movements_daily_agg",
+    f"""
+    SELECT Article, Site, strftime(Date, '%Y-%m-%d') AS Date,
+           CAST(SUM(CAST(-Quantity AS DECIMAL(18,6))) AS DOUBLE) AS Quantity,
+           CAST(SUM(CAST(-Cost AS DECIMAL(18,6))) AS DOUBLE) AS Cost,
+           MIN(BUn) AS BUn
+    FROM ({sm.MOVEMENTS_SQL}) m
+    GROUP BY 1, 2, 3
+    """,
+)
+def movements_daily_agg(star: Star) -> DataFrame:
+    m = sm.movements(star)
+    return m.groupBy("Article", "Site", C.format_iso_date("Date").alias("Date")).agg(
+        sm.dec_sum(C.negate(F.col("Quantity")), "Quantity"),
+        sm.dec_sum(C.negate(F.col("Cost")), "Cost"),
+        F.min("BUn").alias("BUn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2: dedup keep-last on a composite key with explicit ordering
+# (etl_zmmidr_oun.py:72-76; order column = event_id stands in for
+#  file-read order).  Latest event per (user_id, event_type).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_keep_last",
+    """
+    SELECT user_id, event_type, event_id, value
+    FROM (SELECT user_id, event_type, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_last_q(star: Star) -> DataFrame:
+    return R.dedup_keep_last(
+        star.events.select("user_id", "event_type", "event_id", "value"),
+        ["user_id", "event_type"],
+        [F.col("event_id")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7/J4: left-anti new-key detection (etl_zmachk.py:113-117):
+# parts that never shipped.
+# ---------------------------------------------------------------------------
+
+@register(
+    "new_articles_anti_join",
+    """
+    SELECT p.p_partkey, p.p_name
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey
+                        AND CAST(l.l_shipdate AS DATE) >= DATE '2001-01-01')
+    ORDER BY p.p_partkey
+    """,
+)
+def new_articles_anti_join(star: Star) -> DataFrame:
+    recent = star.lineitem.filter(
+        F.col("l_shipdate").cast("date") >= F.lit("2001-01-01")
+    ).select(F.col("l_partkey").alias("p_partkey"))
+    return R.left_anti(
+        star.part.select("p_partkey", "p_name"), recent, ["p_partkey"]
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# A5: duplicate counting (etl_zmmidr_bun.py:63-64)
+# ---------------------------------------------------------------------------
+
+@register(
+    "duplicate_order_lines",
+    """
+    SELECT l_orderkey, l_partkey, CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM lineitem GROUP BY l_orderkey, l_partkey HAVING COUNT(*) > 1
+    """,
+)
+def duplicate_order_lines(star: Star) -> DataFrame:
+    return R.duplicate_keys(star.lineitem, ["l_orderkey", "l_partkey"])
+
+
+# ---------------------------------------------------------------------------
+# A2/U2: region-merge aggregation (etl_zmmidr_oun.py:142-171): map sites
+# into region groups, sum stocks per article within group, surrogate key.
+# F7 surrogate key included.
+# ---------------------------------------------------------------------------
+
+@register(
+    "region_merge_inventory",
+    f"""
+    SELECT DC, Article,
+           CAST(SUM(CAST(Quantity AS DECIMAL(18,6))) AS DOUBLE) AS Quantity,
+           DC || Article AS Article_NoDC
+    FROM (SELECT CASE WHEN Site IN ('0','1','2') THEN '0'
+                      WHEN Site IN ('3','4') THEN '3'
+                      ELSE Site END AS DC,
+                 Article, Quantity
+          FROM ({sm.MOVEMENTS_SQL}))
+    GROUP BY DC, Article
+    """,
+)
+def region_merge_inventory(star: Star) -> DataFrame:
+    m = sm.movements(star).withColumnRenamed("Site", "DC")
+    return (
+        m.withColumn(
+            "DC",
+            F.when(F.col("DC").isin("0", "1", "2"), "0")
+            .when(F.col("DC").isin("3", "4"), "3")
+            .otherwise(F.col("DC")),
+        )
+        .groupBy("DC", "Article")
+        .agg(sm.dec_sum(F.col("Quantity"), "Quantity"))
+        .withColumn("Article_NoDC", C.surrogate_key("DC", "Article"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5/P6/P9/P11: filter battery — equality, IN-list, BETWEEN, date equality
+# (etl_zrssale.py:107; etl_zmmidr_oun.py:142; etl_weekly_sales.py:26)
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_battery",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1997-12-31'
+      AND o_totalprice > 1000.0
+    ORDER BY o_orderkey
+    """,
+)
+def filter_battery(star: Star) -> DataFrame:
+    return (
+        star.orders.filter(
+            (F.col("o_orderstatus") == "F")
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_orderdate").cast("date").between("1995-01-01", "1997-12-31")
+            & (F.col("o_totalprice") > 1000.0)
+        )
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            C.format_iso_date(F.col("o_orderdate").cast("date")).alias("o_orderdate"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: conditional aggregation (etl_StoreRP.py:125-134)
+# ---------------------------------------------------------------------------
+
+@register(
+    "conditional_agg",
+    """
+    SELECT o_custkey,
+           COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS big_orders,
+           ROUND(CAST(SUM(CASE WHEN o_totalprice > 100000
+                               THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END), 0) , 1)
+               AS avg_big_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def conditional_agg(star: Star) -> DataFrame:
+    big = F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice"))
+    cnt = F.count(big)
+    return star.orders.groupBy("o_custkey").agg(
+        cnt.alias("big_orders"),
+        F.round(
+            F.sum(big.cast(sm.DEC)).cast("double") / F.nullif(cnt, F.lit(0)).cast("double"), 1
+        ).alias("avg_big_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: max-string-length profiling (etl_zrssale.py:66-69)
+# ---------------------------------------------------------------------------
+
+@register(
+    "column_length_profile",
+    """
+    SELECT MAX(length(CAST(o_orderkey AS VARCHAR))) AS o_orderkey,
+           MAX(length(CAST(o_orderstatus AS VARCHAR))) AS o_orderstatus,
+           MAX(length(CAST(o_orderpriority AS VARCHAR))) AS o_orderpriority
+    FROM orders
+    """,
+)
+def column_length_profile(star: Star) -> DataFrame:
+    return R.column_max_lengths(star.orders, ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+
+
+# ---------------------------------------------------------------------------
+# U1/U2: union of heterogeneous branches then aggregate
+# (pd.concat shapes, etl_zmb51.py:60; etl_zmmidr_oun.py:170)
+# ---------------------------------------------------------------------------
+
+@register(
+    "union_branches",
+    """
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM (
+        SELECT 'low' AS src, o_totalprice AS price FROM orders WHERE o_totalprice < 50000
+        UNION ALL
+        SELECT 'high' AS src, o_totalprice AS price FROM orders WHERE o_totalprice >= 50000
+    ) GROUP BY src
+    """,
+)
+def union_branches(star: Star) -> DataFrame:
+    low = star.orders.filter(F.col("o_totalprice") < 50000).select(
+        F.lit("low").alias("src"), F.col("o_totalprice").alias("price")
+    )
+    high = star.orders.filter(F.col("o_totalprice") >= 50000).select(
+        F.lit("high").alias("src"), F.col("o_totalprice").alias("price")
+    )
+    return R.union_all([low, high]).groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"), sm.dec_sum(F.col("price"), "total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1-F11: SAP cleaning battery — dirty strings synthesized from real
+# values, cleaned with the native expression library, round-tripped.
+# (etl_utils.py:18-34; etl_zmmidr_oun.py:29; etl_zmachk.py:78-80)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sap_cleaning_roundtrip",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CASE WHEN dirty_qty LIKE '%-'
+                     THEN '-' || substr(dirty_qty, 1, length(dirty_qty) - 1)
+                     ELSE dirty_qty END AS DOUBLE) AS clean_qty,
+           CASE WHEN length(regexp_replace(dirty_article, '^0+', '')) = 0 THEN '0'
+                ELSE regexp_replace(dirty_article, '^0+', '') END AS clean_article,
+           CAST(NULLIF(dirty_flag, '-') AS VARCHAR) AS clean_flag,
+           strftime(CAST(strptime(dirty_date, '%m/%d/%Y') AS DATE), '%Y-%m-%d') AS clean_date
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_linenumber % 2 = 0
+                    THEN CAST(l_quantity AS VARCHAR) || '-'
+                    ELSE CAST(l_quantity AS VARCHAR) END AS dirty_qty,
+               lpad(CAST(l_partkey AS VARCHAR), 10, '0') AS dirty_article,
+               CASE WHEN l_linenumber % 3 = 0 THEN '-' ELSE l_returnflag END AS dirty_flag,
+               strftime(l_shipdate, '%m/%d/%Y') AS dirty_date
+        FROM lineitem
+    )
+    """,
+)
+def sap_cleaning_roundtrip(star: Star) -> DataFrame:
+    li = star.lineitem
+    dirty = li.select(
+        "l_orderkey", "l_linenumber",
+        F.when(
+            F.col("l_linenumber") % 2 == 0,
+            F.concat(F.col("l_quantity").cast("string"), F.lit("-")),
+        ).otherwise(F.col("l_quantity").cast("string")).alias("dirty_qty"),
+        F.lpad(F.col("l_partkey").cast("string"), 10, "0").alias("dirty_article"),
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit("-"))
+        .otherwise(F.col("l_returnflag")).alias("dirty_flag"),
+        F.date_format("l_shipdate", "MM/dd/yyyy").alias("dirty_date"),
+    )
+    return dirty.select(
+        "l_orderkey", "l_linenumber",
+        C.fast_numeric("dirty_qty", "double").alias("clean_qty"),
+        C.strip_leading_zeros("dirty_article").alias("clean_article"),
+        C.dash_to_null("dirty_flag").alias("clean_flag"),
+        C.format_iso_date(C.parse_sap_date("dirty_date")).alias("clean_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F20: week-range generator (sap_utils.py:201-232) — sequence + explode
+# ---------------------------------------------------------------------------
+
+@register(
+    "week_range_generator",
+    """
+    SELECT strftime(CAST(wk AS DATE), '%Y-%m-%d') AS week_start,
+           CAST(wk AS DATE) + INTERVAL 6 DAY AS week_end_ts
+    FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31',
+                                        INTERVAL 7 DAY)) AS wk)
+    """,
+)
+def week_range_generator(star: Star) -> DataFrame:
+    spark = star.lineitem.sparkSession
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("1995-01-01").cast("date"),
+                    F.lit("1995-12-31").cast("date"),
+                    F.expr("interval 7 days"),
+                )
+            ).alias("week_start")
+        )
+        .select(
+            C.format_iso_date("week_start").alias("week_start"),
+            (F.col("week_start").cast("timestamp") + F.expr("interval 6 days")).alias("week_end_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming batch-analog: hourly tumbling window over events
+# (the idiomatic upgrade of the watch-folder weekly rollup, SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly_window",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_window(star: Star) -> DataFrame:
+    return (
+        star.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            sm.dec_sum(F.col("value"), "total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 + top-k: order-by-limit (absent in reference; SURVEY §2.6 notes) —
+# Spark TakeOrderedAndProject at scale.
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_customers_by_revenue",
+    """
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_custkey
+    ORDER BY revenue DESC, o_custkey ASC LIMIT 10
+    """,
+)
+def topk_customers_by_revenue(star: Star) -> DataFrame:
+    return (
+        star.orders.groupBy("o_custkey")
+        .agg(sm.dec_sum(F.col("o_totalprice"), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1-J3 composite: star join — customer orders enriched through
+# nation/region dims (broadcast), aggregated per region.
+# ---------------------------------------------------------------------------
+
+@register(
+    "star_join_revenue_by_region",
+    """
+    SELECT r.r_name AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def star_join_revenue_by_region(star: Star) -> DataFrame:
+    return (
+        star.orders.join(F.broadcast(star.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(star.nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(star.region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sm.dec_sum(F.col("o_totalprice"), "revenue"),
+        )
+    )

@@ -1,0 +1,348 @@
+"""Extension query catalog: training-data-pipeline operators.
+
+Registers the dedup / similarity-search / text-analysis / multimodal
+queries into the same driver-facing registry as the core catalog.
+Oracles use only portable constructs (md5-derived hashing, explicit
+list ops) so DuckDB computes bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sap_data_pipeline_spark.functions import text as X
+from sap_data_pipeline_spark.operators import dedup as D
+from sap_data_pipeline_spark.operators import multimodal as MM
+from sap_data_pipeline_spark.operators import similarity as S
+from sap_data_pipeline_spark.plans.catalog import register
+from sap_data_pipeline_spark.sources.readers import Star
+
+# --- shared SQL fragments (DuckDB) -----------------------------------------
+
+NORM_SQL = "trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+TOKENS_SQL = (
+    "list_distinct(list_filter("
+    "string_split_regex(" + NORM_SQL + ", '[^\\p{{L}}\\p{{N}}]+'), t -> t <> ''))"
+)
+
+
+def _hash64_sql(expr: str, seed: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('s{seed}:', {expr})), 1, 15)) AS BIGINT)"
+    )
+
+
+_TOKS_CTE = f"""
+    toks AS (
+        SELECT doc_id, unnest({TOKENS_SQL.format(col='text')}) AS tok
+        FROM documents
+    )
+"""
+
+_MINHASH_COLS = ",\n               ".join(
+    f"MIN({_hash64_sql('tok', s)}) AS mh{s}" for s in range(D.NUM_PERM)
+)
+
+_SIG_CTE = f"""
+    {_TOKS_CTE},
+    sig AS (
+        SELECT doc_id,
+               {_MINHASH_COLS}
+        FROM toks GROUP BY doc_id
+    )
+"""
+
+_BAND_SELECTS = "\n        UNION ALL\n".join(
+    f"        SELECT doc_id, {b} AS band, "
+    f"concat_ws('_', {', '.join(f'CAST(mh{i} AS VARCHAR)' for i in range(b, b + D.BAND_SIZE))}) AS bkey "
+    f"FROM sig"
+    for b in range(0, D.NUM_PERM, D.BAND_SIZE)
+)
+
+_CAND_CTE = f"""
+    {_SIG_CTE},
+    bands AS (
+{_BAND_SELECTS}
+    ),
+    cands AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey
+        WHERE l.doc_id < r.doc_id
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_dedup_documents",
+    f"""
+    SELECT md5({NORM_SQL.format(col='text')}) AS fingerprint,
+           MIN(doc_id) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def exact_dedup_documents(star: Star) -> DataFrame:
+    return D.exact_dedup(star.documents).select("fingerprint", "doc_id", "group_size")
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH {_SIG_CTE}
+    SELECT * FROM sig
+    """,
+)
+def minhash_signatures(star: Star) -> DataFrame:
+    return D.minhash_signature(star.documents)
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH {_CAND_CTE}
+    SELECT id_a, id_b FROM cands
+    """,
+)
+def minhash_lsh_pairs(star: Star) -> DataFrame:
+    return D.minhash_dedup_pairs(star.documents)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_CAND_CTE},
+    doctoks AS (
+        SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM documents
+    )
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6)
+               AS jaccard
+    FROM cands c
+    JOIN doctoks a ON a.doc_id = c.id_a
+    JOIN doctoks b ON b.doc_id = c.id_b
+    WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) >= 0.7
+    """,
+)
+def ngram_jaccard_pairs_q(star: Star) -> DataFrame:
+    return D.ngram_jaccard_pairs(star.documents, threshold=0.7)
+
+
+_SIMHASH_BITS = 16
+_SIMHASH_SUMS = ",\n               ".join(
+    f"SUM(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_SKETCH = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "simhash_sketches",
+    f"""
+    WITH {_TOKS_CTE},
+    hashed AS (
+        SELECT doc_id, {_hash64_sql('tok', 0)} AS h FROM toks
+    ),
+    bitsums AS (
+        SELECT doc_id,
+               {_SIMHASH_SUMS}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_SIMHASH_SKETCH} AS BIGINT) AS simhash
+    FROM bitsums
+    """,
+)
+def simhash_sketches(star: Star) -> DataFrame:
+    return D.simhash(star.documents, bits=_SIMHASH_BITS)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    # CAST(... AS DOUBLE[]): DuckDB's list_dot_product on FLOAT[] computes
+    # in float32; Spark-side folds are double — cast for bit parity.
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM e a
+    JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    """,
+)
+def embedding_near_dup_pairs_q(star: Star) -> DataFrame:
+    # 0.3 threshold: testdata embeddings are near-uniform random (cosine
+    # concentrates near 0 in 64-dim), so a production-style 0.95 gate
+    # matches nothing; 0.3 keeps the operator's output non-degenerate.
+    return D.embedding_near_dup_pairs(star.embeddings, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_brute_force_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.qv, c.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+        FROM q CROSS JOIN e c
+        WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_brute_force_topk(star: Star) -> DataFrame:
+    queries = star.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk(
+        star.embeddings, queries, k=5, query_id_col="query_id"
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+# LSH-bucketed ANN: approximate by construction — no SQL twin; the driver
+# records a rows-only check, and tests/test_similarity.py checks recall
+# against the brute-force baseline instead.
+@register("ann_lsh_topk")
+def ann_lsh_topk(star: Star) -> DataFrame:
+    queries = star.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_topk(star.embeddings, queries, k=5, dim=64, query_id_col="query_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({TOKENS_SQL.format(col='text')}) AS INT) AS n_distinct_tokens,
+           CAST(len(list_filter(string_split_regex({NORM_SQL.format(col='text')},
+                '[^\\p{{L}}\\p{{N}}]+'), t -> t <> '')) AS INT) AS n_tokens,
+           length(text) AS n_chars_raw,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
+           CAST(len(regexp_extract_all(text, '[^ a-zA-Z0-9]')) AS INT) AS n_punct
+    FROM documents
+    """,
+)
+def text_stats(star: Star) -> DataFrame:
+    d = star.documents
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(X.tokens("text"))).alias("n_distinct_tokens"),
+        F.size(X.tokens("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.regexp_count("text", F.lit("[0-9]")).alias("n_digits"),
+        F.regexp_count("text", F.lit("[^ a-zA-Z0-9]")).alias("n_punct"),
+    )
+
+
+_SW = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "den"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "une", "pour"],
+    "es": ["el", "la", "los", "de", "que", "es", "en", "una", "por", "con"],
+}
+
+
+def _sw_hits_sql(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in _SW[lang])
+    return (
+        f"len(list_filter(list_filter(string_split_regex({NORM_SQL.format(col='text')},"
+        f" '[^\\p{{L}}\\p{{N}}]+'), t -> t <> ''), t -> list_contains([{arr}], t)))"
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS labeled_lang,
+               {" , ".join(f"CAST({_sw_hits_sql(lang)} AS INT) AS hits_{lang}" for lang in _SW)}
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, labeled_lang,
+               (SELECT max({{'hits': h, 'lang': l}})
+                FROM (VALUES (hits_en, 'en'), (hits_de, 'de'),
+                             (hits_fr, 'fr'), (hits_es, 'es')) AS t(h, l)) AS best
+        FROM scored
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS detected_lang
+    FROM ranked
+    """,
+)
+def lang_id_heuristic(star: Star) -> DataFrame:
+    # NOTE: Spark detect_lang takes max over structs (hits, lang) — ties
+    # resolve to the lexicographically larger lang on equal hits, matching
+    # the SQL max() over structs above.
+    return star.documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.detect_lang("text").alias("detected_lang"),
+    )
+
+
+@register(
+    "quality_scores",
+    None,  # composite score formula kept Spark-side; verified by unit tests
+)
+def quality_scores(star: Star) -> DataFrame:
+    return star.documents.select(
+        "doc_id", X.quality_score("text").alias("quality")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id,
+           substr(md5({NORM_SQL.format(col='text')}), 1, 16) AS fp16,
+           {_hash64_sql(NORM_SQL.format(col='text'), 7)} AS fp_long
+    FROM documents
+    """,
+)
+def doc_fingerprints(star: Star) -> DataFrame:
+    return star.documents.select(
+        "doc_id",
+        F.substring(X.md5_fingerprint("text"), 1, 16).alias("fp16"),
+        X.hash64(X.normalize_text("text"), seed=7).alias("fp_long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed; Spark-side schema/batching real).
+# mapInPandas is not SQL-expressible — rows-only driver check; exact
+# per-value tests live in tests/test_multimodal.py.
+# ---------------------------------------------------------------------------
+
+@register("multimodal_features")
+def multimodal_features(star: Star) -> DataFrame:
+    media = MM.synth_media(star.documents)
+    return MM.extract_features(media)

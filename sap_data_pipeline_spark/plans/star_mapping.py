@@ -1,0 +1,157 @@
+"""Semantic mapping: reference SAP tables → the driver's TPC-H-ish star.
+
+The reference's warehouse tables don't physically exist here; the driver
+provides a deterministic star schema (TESTDATA.md).  This module derives
+the reference's logical tables from it, so every §2 operator/query runs on
+real data and has a DuckDB-expressible definition:
+
+    ZMB51 movements   ← lineitem   (Article=l_partkey, Site=l_suppkey,
+                                    Date=l_shipdate, Quantity, Cost)
+    ZSTPROMO billing  ← lineitem rows with promo discount (l_discount>=.04)
+    dim_Calendar      ← derived fiscal calendar (7-day AcctWk blocks
+                        anchored 1995-01-01 — a dim join, NOT weekofyear,
+                        per SURVEY §4.3)
+    fact_Store_RP     ← part × supplier (deterministic RP parameters)
+
+Decimal discipline (hash-parity with the DuckDB oracle, SURVEY §7.4):
+measures are computed in IEEE double (bit-identical across engines), cast
+to DECIMAL(18,6) before aggregation (exact, order-independent sums), and
+cast back to double on output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sap_data_pipeline_spark.sources.readers import Star
+
+FISCAL_EPOCH = "1995-01-01"
+PROMO_DISCOUNT_MIN = 0.04
+# Site = l_suppkey % 10: ten "stores", dense (article, site) pairs at every
+# SF — matches the reference's store-count-vs-article-count shape.  The
+# CAST(Site AS INT) < 5999 gate (etl_weekly_sales.py:49) becomes < 8.
+SITE_MOD = 10
+SITE_MAX = 8
+
+DEC = "decimal(18,6)"
+
+
+def dec_sum(c: Column, alias: str) -> Column:
+    """Order-independent, engine-portable sum: decimal-cast then sum then
+    back to double (see module docstring)."""
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def acct_wk(date_col: Column) -> Column:
+    """Fiscal week id: 7-day blocks since FISCAL_EPOCH (integer).
+
+    DuckDB oracle equivalent:
+    ``CAST(floor(date_diff('day', DATE '1995-01-01', CAST(x AS DATE)) / 7) AS INT)``
+    """
+    return F.floor(F.datediff(date_col.cast("date"), F.lit(FISCAL_EPOCH)) / 7).cast("int")
+
+
+ACCT_WK_SQL = "CAST(floor(date_diff('day', DATE '1995-01-01', CAST({col} AS DATE)) / 7) AS INT)"
+
+
+def calendar_dim(star: Star) -> DataFrame:
+    """dim_Calendar: one row per distinct ship date with its fiscal AcctWk
+    (reference dim loaded from Excel, ``pipelines/etl_upload_excel.py:13-27``).
+    Broadcast-sized (≤ ~2500 rows for 7 years of dates) at any SF."""
+    return (
+        star.lineitem.select(F.col("l_shipdate").cast("date").alias("Date"))
+        .distinct()
+        .withColumn("AcctWk", acct_wk(F.col("Date")))
+        .withColumn("Year", F.year("Date"))
+    )
+
+
+def movements(star: Star) -> DataFrame:
+    """ZMB51-shaped goods movements (``pipelines/etl_zmb51.py:51-80``):
+    line-grain rows keyed (Article, Site, Date) with Quantity and Cost.
+    Cost is a deterministic 60% of extended price (stand-in for Amount LC).
+    """
+    li = star.lineitem
+    return li.select(
+        F.col("l_partkey").cast("string").alias("Article"),
+        F.pmod(F.col("l_suppkey"), F.lit(SITE_MOD)).cast("string").alias("Site"),
+        F.col("l_shipdate").cast("date").alias("Date"),
+        F.col("l_quantity").alias("Quantity"),
+        (F.col("l_extendedprice") * F.lit(0.6)).alias("Cost"),
+        F.col("l_linestatus").alias("BUn"),
+    )
+
+
+def billing(star: Star) -> DataFrame:
+    """ZSTPROMO-shaped promo billing (``pipelines/etl_zstpromo.py:36-62``):
+    the discounted subset of lines, Amt = extendedprice*(1-discount)."""
+    li = star.lineitem.filter(F.col("l_discount") >= F.lit(PROMO_DISCOUNT_MIN))
+    return li.select(
+        F.col("l_partkey").cast("string").alias("Article"),
+        F.pmod(F.col("l_suppkey"), F.lit(SITE_MOD)).cast("string").alias("Site"),
+        F.col("l_shipdate").cast("date").alias("Date"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("Amt"),
+    )
+
+
+def store_rp_params(star: Star) -> DataFrame:
+    """fact_Store_RP snapshot (FIXTURES §6): reorder-point parameters per
+    (Article, Site), derived deterministically from part × supplier.
+
+    supplier is broadcast (tiny vs part at every SF), so this is a
+    broadcast nested-loop-free cross of two dims — fine at scale because
+    |part|×|supplier| stays dimension-sized relative to the facts.
+    """
+    p = star.part.select(
+        F.col("p_partkey").cast("string").alias("Article"),
+        F.col("p_size").cast("double").alias("Reorder"),
+        (F.pmod(F.col("p_partkey"), F.lit(5)) + F.lit(1)).cast("double").alias("Rounding"),
+        (F.col("p_size") * F.lit(2)).cast("double").alias("Target"),
+        F.col("p_brand").alias("Stock_Planner"),
+    )
+    s = (
+        star.supplier.select(
+            F.pmod(F.col("s_suppkey"), F.lit(SITE_MOD)).cast("string").alias("Site")
+        ).distinct()
+    )
+    return p.crossJoin(F.broadcast(s)).withColumn("RP_Type", F.lit("ZM"))
+
+
+# DuckDB-SQL mirrors of the derived tables (used as CTE bodies in oracles).
+MOVEMENTS_SQL = f"""
+    SELECT CAST(l_partkey AS VARCHAR) AS Article,
+           CAST(l_suppkey % {SITE_MOD} AS VARCHAR) AS Site,
+           CAST(l_shipdate AS DATE)   AS Date,
+           l_quantity                 AS Quantity,
+           l_extendedprice * 0.6      AS Cost,
+           l_linestatus               AS BUn
+    FROM lineitem
+"""
+
+BILLING_SQL = f"""
+    SELECT CAST(l_partkey AS VARCHAR) AS Article,
+           CAST(l_suppkey % {SITE_MOD} AS VARCHAR) AS Site,
+           CAST(l_shipdate AS DATE)   AS Date,
+           l_extendedprice * (1.0 - l_discount) AS Amt
+    FROM lineitem
+    WHERE l_discount >= {PROMO_DISCOUNT_MIN}
+"""
+
+CALENDAR_SQL = f"""
+    SELECT Date, {ACCT_WK_SQL.format(col="Date")} AS AcctWk, year(Date) AS Year
+    FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS Date FROM lineitem)
+"""
+
+STORE_RP_SQL = f"""
+    SELECT CAST(p.p_partkey AS VARCHAR) AS Article,
+           s.Site,
+           CAST(p.p_size AS DOUBLE) AS Reorder,
+           CAST(p.p_partkey % 5 + 1 AS DOUBLE) AS Rounding,
+           CAST(p.p_size * 2 AS DOUBLE) AS Target,
+           p.p_brand AS Stock_Planner,
+           'ZM' AS RP_Type
+    FROM part p
+    CROSS JOIN (SELECT DISTINCT CAST(s_suppkey % {SITE_MOD} AS VARCHAR) AS Site
+                FROM supplier) s
+"""

@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Defaults are chosen for the driver's local[32] test box but are
+cluster-honest: AQE on (runtime shuffle-partition coalescing, skew-join
+splitting), broadcast threshold high enough to broadcast every dimension
+table in the star schema, Arrow enabled for the few pandas-UDF paths.
+
+At 100 TB the same config holds: AQE re-plans per-stage from runtime
+statistics, so the static ``shuffle.partitions`` value is only an upper
+bound before coalescing; partition sizing is governed by
+``files.maxPartitionBytes`` (128 MB splits of the parquet scan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "sap-data-pipeline-spark", *, cpus: str | int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or get) a SparkSession with scale-honest defaults.
+
+    Parameters mirror the knobs the bench driver controls: core count via
+    $SPARK_GRAFT_CPUS, everything else fixed.
+    """
+    cpus = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime coalescing of shuffle partitions, skew-join handling.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Upper bound pre-AQE; AQE coalesces down from here.
+        .config("spark.sql.shuffle.partitions", cpus)
+        # Dims in this schema are KB-MB; broadcast them all.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for pandas_udf / toPandas boundaries.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Timestamps in testdata are wall-clock; avoid TZ surprises vs DuckDB.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Testdata parquet carries TIMESTAMP(NANOS) which the Spark reader
+        # rejects; read as long and convert in load_star (integer DIV — ns
+        # since epoch exceeds double's 2^53 mantissa).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,158 @@
+"""Sources: star-schema Parquet loader and the SAP-export text reader.
+
+The reference ingests two file shapes (SURVEY §2.1):
+
+* tab-delimited T-code exports with 2 banner rows, an empty first column
+  and (for Excel exports) a trailing totals row
+  (reference ``pipelines/etl_zmb51.py:50-57``,
+  ``pipelines/etl_zmmidr_oun.py:26-33``);
+* the warehouse star schema, here Parquet instead of SQL Server.
+
+Scale notes: the Parquet loader is a thin ``spark.read.parquet`` so
+Catalyst gets pushdown/pruning for free; ``read_sap_export`` does its
+banner-row surgery with per-file window functions, not driver loops, so a
+10k-file landing zone is still a single distributed job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@dataclass
+class Star:
+    """All testdata tables as DataFrames (lazy plans, nothing cached)."""
+
+    region: DataFrame
+    nation: DataFrame
+    customer: DataFrame
+    supplier: DataFrame
+    part: DataFrame
+    orders: DataFrame
+    lineitem: DataFrame
+    events: DataFrame
+    documents: DataFrame
+    embeddings: DataFrame
+    sf_dir: str = field(default="")
+
+    def register_views(self) -> None:
+        for f in fields(self):
+            if f.name == "sf_dir":
+                continue
+            getattr(self, f.name).createOrReplaceTempView(f.name)
+
+
+# Columns stored as TIMESTAMP(NANOS) in the testdata parquet.  Spark's
+# reader (with spark.sql.legacy.parquet.nanosAsLong=true) surfaces them as
+# LongType nanoseconds; convert via integer DIV (ns values ~1e18 overflow
+# double's 2^53 mantissa, so no floating-point division).
+_NANO_TS_COLS = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
+
+def _restore_timestamps(df: DataFrame, table: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    for c in _NANO_TS_COLS.get(table, []):
+        field = df.schema[c] if c in df.columns else None
+        if field is not None and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def load_star(spark: SparkSession, sf_dir: str) -> Star:
+    """Load the star schema from ``{sf_dir}/{table}.parquet``.
+
+    Self-configures the nanos-timestamp read path so it works on any
+    caller-provided session (the driver builds its own).
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # non-settable at runtime → session factory already set it
+    return Star(
+        **{
+            t: _restore_timestamps(spark.read.parquet(f"{sf_dir}/{t}.parquet"), t)
+            for t in TABLES
+        },
+        sf_dir=sf_dir,
+    )
+
+
+def read_sap_export(
+    spark: SparkSession,
+    path: str,
+    *,
+    sep: str = "\t",
+    banner_rows: int = 2,
+    drop_first_column: bool = True,
+    drop_trailing_totals: bool = False,
+) -> DataFrame:
+    """Read a SAP T-code export directory/glob as a string-typed DataFrame.
+
+    Reproduces the reference's file surgery (``pipelines/etl_zmb51.py:50-57``:
+    ``skiprows=2`` + ``.iloc[:, 1:]``; trailing totals row drop
+    ``pipelines/etl_zmmidr_oun.py:28``) distributively:
+
+    1. read as ``text`` with ``input_file_name()`` + a per-file line number
+       (first/last lines located via per-file min/max over a window);
+    2. drop the banner rows, take the header from the first surviving line;
+    3. split the remaining lines on ``sep`` into the header's columns —
+       everything stays a string, exactly like the reference's
+       ``dtype=str`` reads; casting is a separate, schema-driven step
+       (functions.cleaning.cast_to_schema).
+
+    All columns come back as nullable strings; empty fields become NULL to
+    match pandas' NaN for empty cells.
+    """
+    from pyspark.sql.window import Window
+
+    raw = (
+        spark.read.text(path)
+        .select(
+            F.col("value"),
+            F.input_file_name().alias("_file"),
+        )
+        # monotonically_increasing_id is ordered within a partition and
+        # partitions follow file order for the text source, giving a
+        # faithful per-file line number after the window below.
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    w = Window.partitionBy("_file").orderBy("_mid")
+    lines = raw.withColumn("_ln", F.row_number().over(w))
+    if drop_trailing_totals:
+        wmax = Window.partitionBy("_file")
+        lines = lines.withColumn("_maxln", F.max("_ln").over(wmax)).filter(
+            F.col("_ln") < F.col("_maxln")
+        )
+
+    header_line = (
+        lines.filter(F.col("_ln") == banner_rows + 1)
+        .select("value")
+        .limit(1)
+        .collect()
+    )
+    if not header_line:
+        raise ValueError(f"no header line found in {path!r} after {banner_rows} banner rows")
+    header = header_line[0][0].split(sep)
+    start = 1 if drop_first_column else 0
+    names = [c.strip() or f"_c{i}" for i, c in enumerate(header)][start:]
+
+    body = lines.filter(F.col("_ln") > banner_rows + 1)
+    parts = F.split(F.col("value"), sep)
+    cols: list[Column] = [
+        F.nullif(F.trim(parts.getItem(i + start)), F.lit("")).alias(name)
+        for i, name in enumerate(names)
+    ]
+    return body.select(*cols, F.col("_file").alias("_source_file"), F.col("_ln").alias("_source_line"))

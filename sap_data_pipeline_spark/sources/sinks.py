@@ -1,0 +1,58 @@
+"""Sinks: Parquet writers with the reference's operational guarantees.
+
+The reference's sinks are SQL Server tables written via append / replace /
+staged-MERGE with before/after row-count audits and retries
+(``common/loader.py:10-38,41-153``).  Here the warehouse is Parquet
+directories; the MERGE operator itself lives in ``operators.merge``.
+``write_parquet_atomic`` provides the transactional "replace" the
+reference got from ``engine.begin()``: write to a temp dir, fsync-free
+atomic rename swap.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet_atomic(df: DataFrame, target_dir: str, *, partition_by: list[str] | None = None) -> int:
+    """Overwrite ``target_dir`` with ``df`` atomically; return rows written.
+
+    Equivalent of the reference's transactional replace
+    (``common/loader.py:83`` ``engine.begin()``): readers never observe a
+    half-written table — the swap is a directory rename.
+    """
+    tmp = f"{target_dir}.__tmp__{uuid.uuid4().hex[:8]}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    old = f"{target_dir}.__old__{uuid.uuid4().hex[:8]}"
+    if os.path.exists(target_dir):
+        os.rename(target_dir, old)
+    os.rename(tmp, target_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    # Row-count audit, mirroring loader.py's before/after counts.
+    return df.sparkSession.read.parquet(target_dir).count()
+
+
+def append_parquet(df: DataFrame, target_dir: str, *, partition_by: list[str] | None = None) -> None:
+    """Append (reference ``upload_to_sql(..., if_exists='append')``)."""
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(target_dir)
+
+
+def export_csv(df: DataFrame, path: str, *, header: bool = True) -> None:
+    """File export sink (reference ``df.to_csv``/``to_excel``,
+    ``pipelines/etl_weekly_sales.py:69``, ``etl_StoreRP.py:213``).
+
+    Excel is a driver-side concern for small result sets; CSV covers the
+    engine's export surface.
+    """
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)

@@ -1,0 +1,91 @@
+"""Dedup + similarity operator semantics on controlled fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sap_data_pipeline_spark.operators import dedup as D
+from sap_data_pipeline_spark.operators import similarity as S
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(spark, ["Hello  World", "hello world", "other text"])
+    out = D.exact_dedup(df).collect()
+    groups = {r["fingerprint"]: (r["doc_id"], r["group_size"]) for r in out}
+    assert len(groups) == 2
+    assert (0, 2) in groups.values()  # normalized duplicates collapse, min id kept
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = _docs(spark, ["alpha beta gamma", "alpha beta gamma", "delta epsilon zeta"])
+    sig = D.minhash_signature(df).collect()
+    by_id = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(D.NUM_PERM)) for r in sig}
+    assert by_id[0] == by_id[1]
+    assert by_id[0] != by_id[2]
+
+
+def test_lsh_pairs_find_duplicates(spark):
+    df = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta", "unrelated words here now"])
+    pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_dedup_pairs(df).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_ngram_jaccard_exact_on_candidates(spark):
+    df = _docs(spark, ["a b c d", "a b c x", "q r s t"])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           D.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    if (0, 1) in out:  # candidate survival depends on LSH banding
+        assert abs(out[(0, 1)] - 3 / 5) < 1e-9
+
+
+def test_simhash_similar_docs_close(spark):
+    df = _docs(spark, ["the quick brown fox jumps", "the quick brown fox leaps", "zzz yyy xxx www vvv"])
+    rows = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(rows[0], rows[1]) < hamming(rows[0], rows[2])
+
+
+def test_brute_force_topk_self_similarity(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.brute_force_topk(emb, q, k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_lsh_topk_recall_against_brute_force(spark, star):
+    queries = star.embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(star.embeddings, queries, k=5)
+    approx = S.lsh_topk(star.embeddings, queries, k=5, dim=64)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # random 64-dim data + 4 hyperplanes: bucket holds ~1/16 of corpus;
+    # loose floor just guards against a broken bucketing join
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+def test_embedding_near_dup_blocks(spark):
+    emb = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (1, 0, [1.0, 0.001]), (2, 1, [1.0, 0.0])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.embedding_near_dup_pairs(emb, threshold=0.9).collect()}
+    assert pairs == {(0, 1)}  # cross-label pair (0,2) blocked out

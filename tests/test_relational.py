@@ -1,0 +1,71 @@
+"""Core relational operator tests (SURVEY §2.2-§2.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sap_data_pipeline_spark.operators import relational as R
+
+
+def test_dedup_keep_last_explicit_order(spark):
+    df = spark.createDataFrame(
+        [("k1", "f1", 1, "old"), ("k1", "f2", 1, "new"), ("k2", "f1", 2, "only")],
+        "k string, file string, line int, v string",
+    )
+    out = R.dedup_keep_last(df, ["k"], [F.col("file"), F.col("line")])
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {"k1": "new", "k2": "only"}
+
+
+def test_dedup_keep_first_with_order(spark):
+    df = spark.createDataFrame(
+        [("k1", 2, "later"), ("k1", 1, "first")], "k string, seq int, v string"
+    )
+    out = R.dedup_keep_first(df, ["k"], [F.col("seq")])
+    assert out.collect()[0]["v"] == "first"
+
+
+def test_union_all_by_name(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, v string")
+    b = spark.createDataFrame([("y", 2)], "v string, id int")
+    out = R.union_all([a, b]).orderBy("id").collect()
+    assert [(r["id"], r["v"]) for r in out] == [(1, "x"), (2, "y")]
+
+
+def test_left_anti(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    existing = spark.createDataFrame([("a",), ("a",)], "k string")
+    out = R.left_anti(df, existing, ["k"]).collect()
+    assert [r["k"] for r in out] == ["b"]
+
+
+def test_duplicate_keys(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, v int")
+    out = R.duplicate_keys(df, ["k"]).collect()
+    assert len(out) == 1 and out[0]["k"] == "a" and out[0]["dup_count"] == 2
+
+
+def test_region_merge_single_pass(spark):
+    df = spark.createDataFrame(
+        [("9891", "A", 1.0), ("9801", "A", 2.0), ("9900", "A", 5.0)],
+        "DC string, Article string, stock double",
+    )
+    out = R.region_merge(
+        df, dc_col="DC", groups={"9891": ["9891", "9801"]}, sum_cols=["stock"]
+    )
+    rows = {r["DC"]: r["stock"] for r in out.collect()}
+    assert rows == {"9891": 3.0, "9900": 5.0}
+
+
+def test_full_outer_coalesce(spark):
+    l = spark.createDataFrame([("k1", 1.0), ("k2", 2.0)], "k string, qty double")
+    r = spark.createDataFrame([("k2", 20.0), ("k3", 30.0)], "k string, amt double")
+    out = R.full_outer_coalesce(l, r, ["k"], fill={"qty": 0.0, "amt": 0.0})
+    rows = {x["k"]: (x["qty"], x["amt"]) for x in out.collect()}
+    assert rows == {"k1": (1.0, 0.0), "k2": (2.0, 20.0), "k3": (0.0, 30.0)}
+
+
+def test_column_max_lengths(spark):
+    df = spark.createDataFrame([("abc", 1), ("a", 22)], "s string, n int")
+    row = R.column_max_lengths(df).collect()[0]
+    assert row["s"] == 3 and row["n"] == 2
