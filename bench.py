@@ -48,8 +48,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
-    # Warmup: JVM + codegen paths on the tiny SF.
-    for name in HEADLINE[:3]:
+    # Warmup: run every headline plan once on the tiny SF so JVM JIT +
+    # whole-stage codegen compilation is paid before timing.
+    for name in HEADLINE:
         queries[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()

@@ -25,6 +25,7 @@ from sap_data_pipeline_spark.functions import vectors as V
 
 NUM_PERM = 8  # minhash permutations
 BAND_SIZE = 2  # rows per LSH band → 4 bands
+SHINGLE_N = 3  # word n-gram shingle width
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -45,16 +46,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      num_perm: int = NUM_PERM) -> DataFrame:
+                      num_perm: int = NUM_PERM, shingle_n: int = SHINGLE_N) -> DataFrame:
     """Per-document minhash signature columns mh0..mh{P-1}.
 
-    Shingles = word tokens (unigram; word_ngrams(n) slots in for larger
-    shingles).  Explode → per-seed min — a single groupBy(doc) shuffle of
-    the token stream; at 100 TB you'd pre-project to (id, token) to keep
-    shuffle rows narrow, which is exactly what this does.
+    Shingles = word n-grams (n=3): unigram tokens over a small shared
+    vocabulary make *every* pair collide (measured: 10.5M candidate pairs
+    from 5k docs), turning the LSH band join quadratic; 3-gram shingles
+    restore discrimination.  Explode → per-seed min — a single
+    groupBy(doc) shuffle of narrow (id, shingle-hash) rows.
     """
     toks = df.select(
-        F.col(id_col), F.explode(F.array_distinct(X.tokens(text_col))).alias("tok")
+        F.col(id_col),
+        F.explode(F.array_distinct(X.word_ngrams(text_col, shingle_n))).alias("tok"),
     )
     aggs = [
         F.min(X.hash64(F.col("tok"), seed=s)).alias(f"mh{s}") for s in range(num_perm)
@@ -99,6 +102,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     array_union on JVM arrays); emits (id_a, id_b, jaccard) ≥ threshold.
     """
     cands = minhash_dedup_pairs(df, text_col, id_col)
+    # Jaccard itself stays on token sets (finer-grained than the shingles
+    # used for candidate generation).
     toks = df.select(F.col(id_col), F.array_distinct(X.tokens(text_col)).alias("toks"))
     a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))

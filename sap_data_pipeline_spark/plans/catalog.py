@@ -75,11 +75,17 @@ register("store_rp_report", store_rp_oracle(wks_gate=2))(
     """,
 )
 def movements_daily_agg(star: Star) -> DataFrame:
+    # Group on the native date (4-byte key in the shuffle), format to the
+    # ISO string only on the post-agg rows.
     m = sm.movements(star)
-    return m.groupBy("Article", "Site", C.format_iso_date("Date").alias("Date")).agg(
-        sm.dec_sum(C.negate(F.col("Quantity")), "Quantity"),
-        sm.dec_sum(C.negate(F.col("Cost")), "Cost"),
-        F.min("BUn").alias("BUn"),
+    return (
+        m.groupBy("Article", "Site", "Date")
+        .agg(
+            sm.dec_sum(C.negate(F.col("Quantity")), "Quantity"),
+            sm.dec_sum(C.negate(F.col("Cost")), "Cost"),
+            F.min("BUn").alias("BUn"),
+        )
+        .withColumn("Date", C.format_iso_date("Date"))
     )
 
 

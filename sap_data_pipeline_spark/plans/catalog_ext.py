@@ -21,10 +21,12 @@ from sap_data_pipeline_spark.sources.readers import Star
 # --- shared SQL fragments (DuckDB) -----------------------------------------
 
 NORM_SQL = "trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
-TOKENS_SQL = (
-    "list_distinct(list_filter("
-    "string_split_regex(" + NORM_SQL + ", '[^\\p{{L}}\\p{{N}}]+'), t -> t <> ''))"
+# Raw token sequence (order + duplicates preserved — required for shingling)
+TOKSEQ_SQL = (
+    "list_filter("
+    "string_split_regex(" + NORM_SQL + ", '[^\\p{{L}}\\p{{N}}]+'), t -> t <> '')"
 )
+TOKENS_SQL = "list_distinct(" + TOKSEQ_SQL + ")"
 
 
 def _hash64_sql(expr: str, seed: int) -> str:
@@ -40,16 +42,35 @@ _TOKS_CTE = f"""
     )
 """
 
+# Word 3-gram shingles (matches operators.dedup.SHINGLE_N): tokens t →
+# t[i]||' '||t[i+1]||' '||t[i+2] for i in 1..len-2 (1-based list indexing).
+_SHINGLE_CONCAT = " || ' ' || ".join(
+    f"t[i + {j}]" if j else "t[i]" for j in range(D.SHINGLE_N)
+)
+
+_SHINGLES_CTE = f"""
+    doctoklists AS (
+        SELECT doc_id, {TOKSEQ_SQL.format(col='text')} AS t FROM documents
+    ),
+    shingles AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - {D.SHINGLE_N - 1}, 0)),
+                   i -> {_SHINGLE_CONCAT}))) AS tok
+        FROM doctoklists
+    )
+"""
+
 _MINHASH_COLS = ",\n               ".join(
     f"MIN({_hash64_sql('tok', s)}) AS mh{s}" for s in range(D.NUM_PERM)
 )
 
 _SIG_CTE = f"""
-    {_TOKS_CTE},
+    {_SHINGLES_CTE},
     sig AS (
         SELECT doc_id,
                {_MINHASH_COLS}
-        FROM toks GROUP BY doc_id
+        FROM shingles GROUP BY doc_id
     )
 """
 
@@ -99,6 +120,8 @@ def exact_dedup_documents(star: Star) -> DataFrame:
     """,
 )
 def minhash_signatures(star: Star) -> DataFrame:
+    # Docs with < SHINGLE_N tokens produce no shingles and drop out on
+    # both sides (SQL inner unnest does the same).
     return D.minhash_signature(star.documents)
 
 

@@ -29,12 +29,13 @@ def store_rp_report(
     wks_gate: int = 38,
     diff_threshold: float = 2.0,
 ) -> DataFrame:
-    # Step 1: Base — week-grain re-agg of the weekly fact
-    base = (
-        weekly_sales(star, start_wk, end_wk)
-        .groupBy("Article", "Site", "AcctWk")
-        .agg(sm.dec_sum(F.col("Qty"), "Qty"))
-    )
+    # Step 1: Base — the reference re-aggregates fact_TawaSales_Weekly to
+    # week grain (etl_StoreRP.py:114-123) because its fact accumulates
+    # over loads; our weekly_sales output is already unique at
+    # (AcctWk, Article, Site), so the re-agg would shuffle 100% of the
+    # rows to reproduce them — skipped (oracle keeps the literal re-agg;
+    # summing a single row per key yields identical values).
+    base = weekly_sales(star, start_wk, end_wk).select("Article", "Site", "AcctWk", "Qty")
     # Step 2: Sales — weeks with sales + average over positive weeks
     pos = F.when(F.col("Qty") > 0, F.col("Qty"))
     sales = base.groupBy("Article", "Site").agg(
