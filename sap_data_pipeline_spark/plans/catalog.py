@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sap_data_pipeline_spark.functions import cleaning as C
+from sap_data_pipeline_spark.operators import merge as M
 from sap_data_pipeline_spark.operators import relational as R
 from sap_data_pipeline_spark.plans import star_mapping as sm
 from sap_data_pipeline_spark.plans.store_rp import store_rp_oracle, store_rp_report
@@ -86,6 +87,97 @@ def movements_daily_agg(star: Star) -> DataFrame:
             F.min("BUn").alias("BUn"),
         )
         .withColumn("Date", C.format_iso_date("Date"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: FULL OUTER join on a key + COALESCE merge (etl_weekly_sales.py:38-49)
+# on two genuinely different tables: ordered revenue (orders, order week)
+# vs shipped quantity (lineitem, ship week).  Order weeks precede ship
+# weeks, so both sides contribute unmatched keys.
+# ---------------------------------------------------------------------------
+
+@register(
+    "full_outer_week_merge",
+    f"""
+    WITH ordered AS (
+        SELECT {sm.ACCT_WK_SQL.format(col='o_orderdate')} AS AcctWk,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS ordered_rev
+        FROM orders GROUP BY 1
+    ),
+    shipped AS (
+        SELECT {sm.ACCT_WK_SQL.format(col='l_shipdate')} AS AcctWk,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS shipped_qty
+        FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(o.AcctWk, s.AcctWk) AS AcctWk,
+           COALESCE(o.ordered_rev, 0)  AS ordered_rev,
+           COALESCE(s.shipped_qty, 0)  AS shipped_qty
+    FROM ordered o FULL JOIN shipped s ON o.AcctWk = s.AcctWk
+    """,
+)
+def full_outer_week_merge(star: Star) -> DataFrame:
+    ordered = star.orders.groupBy(
+        sm.acct_wk(F.col("o_orderdate")).alias("AcctWk")
+    ).agg(sm.dec_sum(F.col("o_totalprice"), "ordered_rev"))
+    shipped = star.lineitem.groupBy(
+        sm.acct_wk(F.col("l_shipdate")).alias("AcctWk")
+    ).agg(sm.dec_sum(F.col("l_quantity"), "shipped_qty"))
+    return R.full_outer_coalesce(
+        ordered, shipped, ["AcctWk"], fill={"ordered_rev": 0.0, "shipped_qty": 0.0}
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8/J5: keyed MERGE upsert — the reference's signature operator
+# (common/loader.py:41-153).  Target = events not divisible by 3; source
+# batch = even event_ids with doubled value.  Matched keys take the source
+# row (UPDATE-all), unmatched source keys INSERT, untouched target rows
+# persist.
+# ---------------------------------------------------------------------------
+
+@register(
+    "merge_upsert_events",
+    """
+    WITH t AS (SELECT event_id, event_type, value FROM events WHERE event_id % 3 <> 0),
+         s AS (SELECT event_id, event_type, value * 2 AS value FROM events
+               WHERE event_id % 2 = 0)
+    SELECT event_id, event_type, value FROM s
+    UNION ALL
+    SELECT t.event_id, t.event_type, t.value FROM t
+    WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.event_id = t.event_id)
+    """,
+)
+def merge_upsert_events(star: Star) -> DataFrame:
+    ev = star.events
+    target = ev.filter(F.col("event_id") % 3 != 0).select("event_id", "event_type", "value")
+    source = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", (F.col("value") * 2).alias("value")
+    )
+    return M.merge_upsert_frames(target, source, ["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# W1: dedup keep-first on key with explicit ordering
+# (drop_duplicates(subset), etl_zrssale.py:63; survivor = lowest event_id)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_keep_first",
+    """
+    SELECT user_id, event_type, event_id, value
+    FROM (SELECT user_id, event_type, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY event_id ASC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_first_q(star: Star) -> DataFrame:
+    return R.dedup_keep_first(
+        star.events.select("user_id", "event_type", "event_id", "value"),
+        ["user_id", "event_type"],
+        [F.col("event_id")],
     )
 
 

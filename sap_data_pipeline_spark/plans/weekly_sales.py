@@ -16,35 +16,55 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sap_data_pipeline_spark.operators.relational import full_outer_coalesce
 from sap_data_pipeline_spark.plans import star_mapping as sm
 from sap_data_pipeline_spark.sources.readers import Star
 
 
 def weekly_sales(star: Star, min_wk: int = 0, max_wk: int = 100_000) -> DataFrame:
-    """fact_TawaSales_Weekly build: (AcctWk, Article, Site, Qty, Cost, Amt)."""
+    """fact_TawaSales_Weekly build: (AcctWk, Article, Site, Qty, Cost, Amt).
+
+    Plan-equivalence note: the reference FULL JOINs two pre-aggregated
+    CTEs because ZSTPROMO and ZMB51 are *different source tables*.  Under
+    the star mapping both derive from ``lineitem`` (billing = the
+    discounted subset of movements), so the billing groups are a subset of
+    the movement groups and the full-outer merge degenerates to a
+    conditional aggregation: ONE scan + ONE shuffle instead of two scans,
+    two shuffles and a join.  The oracle SQL keeps the reference's literal
+    two-CTE FULL JOIN shape — the hash-match proves the rewrite.  The
+    general two-table merge operator remains
+    ``operators.relational.full_outer_coalesce`` (query
+    ``full_outer_week_merge``).
+
+    The ``CAST(Site AS INT) < SITE_MAX`` gate (etl_weekly_sales.py:49)
+    commutes with the group-by (it filters on a grouping key), so it is
+    applied *before* the shuffle and reaches the scan.
+    """
     cal = F.broadcast(sm.calendar_dim(star))
-
-    promo = (
-        sm.billing(star)
-        .join(cal, "Date")
+    promo_amt = F.when(
+        F.col("l_discount") >= F.lit(sm.PROMO_DISCOUNT_MIN),
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+    )
+    rows = (
+        star.lineitem
+        .filter(F.pmod(F.col("l_suppkey"), F.lit(sm.SITE_MOD)) < sm.SITE_MAX)
+        .select(
+            F.col("l_partkey").cast("string").alias("Article"),
+            F.pmod(F.col("l_suppkey"), F.lit(sm.SITE_MOD)).cast("string").alias("Site"),
+            F.col("l_shipdate").cast("date").alias("Date"),
+            F.col("l_quantity").alias("Quantity"),
+            (F.col("l_extendedprice") * F.lit(0.6)).alias("Cost"),
+            promo_amt.alias("PromoAmt"),
+        )
+    )
+    return (
+        rows.join(cal, "Date")
         .filter(F.col("AcctWk").between(min_wk, max_wk))
         .groupBy("AcctWk", "Article", "Site")
-        .agg(sm.dec_sum(F.col("Amt"), "Amt"))
-    )
-    moves = (
-        sm.movements(star)
-        .join(cal, "Date")
-        .filter(F.col("AcctWk").between(min_wk, max_wk))
-        .groupBy("AcctWk", "Article", "Site")
-        .agg(sm.dec_sum(F.col("Quantity"), "Qty"), sm.dec_sum(F.col("Cost"), "Cost"))
-    )
-
-    merged = full_outer_coalesce(
-        moves, promo, ["AcctWk", "Article", "Site"], fill={"Qty": 0.0, "Cost": 0.0, "Amt": 0.0}
-    )
-    return merged.filter(F.col("Site").cast("int") < sm.SITE_MAX).select(
-        "AcctWk", "Article", "Site", "Qty", "Cost", "Amt"
+        .agg(
+            sm.dec_sum(F.col("Quantity"), "Qty"),
+            sm.dec_sum(F.col("Cost"), "Cost"),
+            F.coalesce(F.sum(F.col("PromoAmt").cast(sm.DEC)).cast("double"), F.lit(0.0)).alias("Amt"),
+        )
     )
 
 

@@ -35,6 +35,10 @@ def get_spark(app_name: str = "sap-data-pipeline-spark", *, cpus: str | int | No
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Don't let AQE coalesce CPU-heavy small-data stages to 1 task:
+        # keep partitions down to 64 KB before merging.  At cluster scale
+        # shuffle partitions are MBs+, so this floor never binds there.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         # Upper bound pre-AQE; AQE coalesces down from here.
         .config("spark.sql.shuffle.partitions", cpus)
         # Dims in this schema are KB-MB; broadcast them all.
@@ -47,7 +51,9 @@ def get_spark(app_name: str = "sap-data-pipeline-spark", *, cpus: str | int | No
         # rejects; read as long and convert in load_star (integer DIV — ns
         # since epoch exceeds double's 2^53 mantissa).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs all executor threads inside the driver JVM — size
+        # the heap for N concurrent tasks, not for a thin coordinator.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

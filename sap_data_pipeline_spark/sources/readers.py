@@ -71,6 +71,28 @@ def _restore_timestamps(df: DataFrame, table: str) -> DataFrame:
     return df
 
 
+# Fact-sized tables whose downstream operators are CPU-bound (regex
+# cleaning, per-token md5, vector folds).  Dimension tables are excluded:
+# they broadcast, and a pre-broadcast shuffle is pure waste.
+_REBALANCE_TABLES = {"orders", "lineitem", "events", "documents", "embeddings"}
+
+
+def _rebalance_if_underparallel(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition when the scan yields fewer splits than cores.
+
+    Parquet splits at row-group boundaries, so a small file scans as 1-3
+    partitions no matter how many cores exist — every downstream
+    whole-stage-codegen pass (SAP regex cleaning, minhash hashing) then
+    runs near-serial.  At 100 TB a scan has thousands of row groups, the
+    guard is false, and no exchange is added — the rebalance self-disables
+    exactly where it would hurt.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:  # physical-plan inspection, no job
+        return df.repartition(cores)
+    return df
+
+
 def load_star(spark: SparkSession, sf_dir: str) -> Star:
     """Load the star schema from ``{sf_dir}/{table}.parquet``.
 
@@ -81,13 +103,14 @@ def load_star(spark: SparkSession, sf_dir: str) -> Star:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # non-settable at runtime → session factory already set it
-    return Star(
-        **{
-            t: _restore_timestamps(spark.read.parquet(f"{sf_dir}/{t}.parquet"), t)
-            for t in TABLES
-        },
-        sf_dir=sf_dir,
-    )
+
+    def _load(t: str) -> DataFrame:
+        df = _restore_timestamps(spark.read.parquet(f"{sf_dir}/{t}.parquet"), t)
+        if t in _REBALANCE_TABLES:
+            df = _rebalance_if_underparallel(df, spark)
+        return df
+
+    return Star(**{t: _load(t) for t in TABLES}, sf_dir=sf_dir)
 
 
 def read_sap_export(
