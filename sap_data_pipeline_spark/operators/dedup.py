@@ -54,15 +54,27 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     from 5k docs), turning the LSH band join quadratic; 3-gram shingles
     restore discrimination.  Explode → per-seed min — a single
     groupBy(doc) shuffle of narrow (id, shingle-hash) rows.
+
+    Permutations are Carter-Wegman: ONE md5 per shingle yields
+    (h1: 60 bits, h2: 52 bits); permutation s = h1 + s*h2 (no int64
+    overflow for s < 2^8).  Hashing is the dominant scan cost of minhash
+    at corpus scale, and this computes 1 digest instead of P.
     """
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(X.word_ngrams(text_col, shingle_n))).alias("tok"),
     )
+    h = F.md5(F.concat(F.lit("mh:"), F.col("tok")))
+    hashed = toks.select(
+        F.col(id_col),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 16, 13), 16, 10).cast("long").alias("h2"),
+    )
     aggs = [
-        F.min(X.hash64(F.col("tok"), seed=s)).alias(f"mh{s}") for s in range(num_perm)
+        F.min(F.col("h1") + F.lit(s) * F.col("h2")).alias(f"mh{s}")
+        for s in range(num_perm)
     ]
-    return toks.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",

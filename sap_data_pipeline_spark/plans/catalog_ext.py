@@ -61,16 +61,24 @@ _SHINGLES_CTE = f"""
     )
 """
 
+# Carter-Wegman minhash (matches operators.dedup.minhash_signature): one
+# md5 per shingle → (h1: 15 hex chars, h2: 13 hex chars); perm s = h1+s*h2.
 _MINHASH_COLS = ",\n               ".join(
-    f"MIN({_hash64_sql('tok', s)}) AS mh{s}" for s in range(D.NUM_PERM)
+    f"MIN(h1 + {s} * h2) AS mh{s}" for s in range(D.NUM_PERM)
 )
 
 _SIG_CTE = f"""
     {_SHINGLES_CTE},
+    shingle_hashes AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(concat('mh:', tok)), 1, 15)) AS BIGINT) AS h1,
+               CAST(concat('0x', substr(md5(concat('mh:', tok)), 16, 13)) AS BIGINT) AS h2
+        FROM shingles
+    ),
     sig AS (
         SELECT doc_id,
                {_MINHASH_COLS}
-        FROM shingles GROUP BY doc_id
+        FROM shingle_hashes GROUP BY doc_id
     )
 """
 
