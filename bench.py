@@ -29,6 +29,7 @@ HEADLINE = [
     "sap_cleaning_roundtrip",
     "star_join_revenue_by_region",
     "events_hourly_window",
+    "events_sessionize",
     "dedup_keep_last",
     "exact_dedup_documents",
     "minhash_lsh_pairs",

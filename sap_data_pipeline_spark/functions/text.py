@@ -135,6 +135,30 @@ def quality_score(c: ColumnOrName) -> Column:
     return F.round((len_ok + sw_ok + punct_ok + digit_ok + mwl_ok) / F.lit(5.0), 4)
 
 
+ROLLING_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+ROLLING_BASE = 31
+
+
+def rolling_fingerprint(c: ColumnOrName) -> Column:
+    """Polynomial rolling-hash fingerprint of the normalized text:
+    ``h = (h*31 + codepoint) mod (2^31-1)`` over the characters.
+
+    Pure JVM fold (``transform`` + ``aggregate``), no UDF; the DuckDB twin
+    (``list_reduce`` over the same codepoints) is bit-identical — the
+    intermediate never exceeds 2^36, so both engines stay in exact int64.
+    """
+    s = normalize_text(c)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(s)), lambda i: F.ascii(s.substr(i, F.lit(1)))
+    )
+    folded = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(ROLLING_BASE) + x) % F.lit(ROLLING_MOD),
+    )
+    return F.when(F.length(s) == 0, F.lit(0).cast("long")).otherwise(folded)
+
+
 def md5_fingerprint(c: ColumnOrName) -> Column:
     """Exact-dup fingerprint: md5 of the normalized text (portable — the
     DuckDB oracle computes the identical value)."""

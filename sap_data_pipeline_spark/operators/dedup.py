@@ -80,16 +80,25 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
                         num_perm: int = NUM_PERM, band_size: int = BAND_SIZE) -> DataFrame:
     """LSH banding: documents sharing any band signature become candidate
-    pairs (a < b).  Self-join per band on the band key — shuffle keys are
-    band hashes (uniform); bands unioned then distinct-ed.
+    pairs (a < b).  Self-join on the band key — shuffle keys are band
+    hashes (uniform); distinct-ed after.
+
+    Band rows come from ONE explode over an array of (band, bkey) structs
+    — a per-band union would replicate the whole signature sub-plan once
+    per band (4× the scan+shuffle unless exchange reuse saves it).
     """
-    bands = []
-    for b in range(0, num_perm, band_size):
-        key = F.concat_ws("_", *[F.col(f"mh{i}").cast("string") for i in range(b, b + band_size)])
-        bands.append(sig.select(F.col(id_col), F.lit(b).alias("band"), key.alias("bkey")))
-    exploded = bands[0]
-    for extra in bands[1:]:
-        exploded = exploded.unionByName(extra)
+    entries = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh{i}").cast("string") for i in range(b, b + band_size)]
+            ).alias("bkey"),
+        )
+        for b in range(0, num_perm, band_size)
+    ])
+    exploded = sig.select(F.col(id_col), F.explode(entries).alias("e")).select(
+        F.col(id_col), F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
+    )
     l = exploded.alias("l")
     r = exploded.alias("r")
     pairs = (

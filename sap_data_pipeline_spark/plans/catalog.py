@@ -500,6 +500,45 @@ def events_hourly_window(star: Star) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stateful-streaming analog: session windows per user (native
+# F.session_window; streaming adds a watermark — streaming.ingest.sessionize).
+# Oracle = the classic gaps-and-islands formulation; new session when the
+# gap >= 6h, session_end = last event + gap (Spark's window.end).
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_sessionize",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 6 HOUR AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def events_sessionize(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.streaming.ingest import sessionize
+
+    return sessionize(
+        star.events, gap="6 hours", value_agg=sm.dec_sum(F.col("value"), "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # O1 + top-k: order-by-limit (absent in reference; SURVEY §2.6 notes) —
 # Spark TakeOrderedAndProject at scale.
 # ---------------------------------------------------------------------------

@@ -387,12 +387,24 @@ def quality_scores(star: Star) -> DataFrame:
     )
 
 
+# Rolling-hash SQL twin (functions.text.rolling_fingerprint): fold
+# (acc*31 + codepoint) % (2^31-1) over the normalized characters.
+# list_reduce has no initial-accumulator form, so 0 is prepended.
+_ROLLING_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, length({norm})), "
+    "i -> CAST(ascii(substr({norm}, CAST(i AS INT), 1)) AS BIGINT))), "
+    f"(acc, x) -> (acc * {X.ROLLING_BASE} + x) % {X.ROLLING_MOD})"
+)
+
+
 @register(
     "doc_fingerprints",
     f"""
     SELECT doc_id,
            substr(md5({NORM_SQL.format(col='text')}), 1, 16) AS fp16,
-           {_hash64_sql(NORM_SQL.format(col='text'), 7)} AS fp_long
+           {_hash64_sql(NORM_SQL.format(col='text'), 7)} AS fp_long,
+           {_ROLLING_SQL.format(norm=NORM_SQL.format(col='text'))} AS fp_rolling
     FROM documents
     """,
 )
@@ -401,6 +413,7 @@ def doc_fingerprints(star: Star) -> DataFrame:
         "doc_id",
         F.substring(X.md5_fingerprint("text"), 1, 16).alias("fp16"),
         X.hash64(X.normalize_text("text"), seed=7).alias("fp_long"),
+        X.rolling_fingerprint("text").alias("fp_rolling"),
     )
 
 

@@ -75,6 +75,40 @@ def stream_merge_sink(
     return writer.start()
 
 
+def sessionize(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    gap: str = "6 hours",
+    user_col: str = "user_id",
+    watermark: str | None = None,
+    value_agg: F.Column | None = None,
+) -> DataFrame:
+    """Session-window aggregation per user — Spark's native stateful
+    session operator (``F.session_window``), no custom state UDF needed.
+
+    A session extends while consecutive events arrive within ``gap``;
+    ``session_end`` = last event + gap (Spark's window.end).  Batch and
+    streaming share this plan; pass ``watermark`` for a live stream so
+    state for quiet users is eventually evicted — without it a streaming
+    session-window agg would hold state forever.
+    """
+    df = events.withWatermark(ts_col, watermark) if watermark else events
+    if value_agg is None:
+        value_agg = F.sum("value").alias("total_value")
+    return (
+        df.groupBy(F.col(user_col), F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), value_agg)
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def windowed_event_agg(
     events: DataFrame,
     *,

@@ -89,3 +89,24 @@ def test_embedding_near_dup_blocks(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              D.embedding_near_dup_pairs(emb, threshold=0.9).collect()}
     assert pairs == {(0, 1)}  # cross-label pair (0,2) blocked out
+
+
+def test_rolling_fingerprint_values(spark):
+    """Known-value check of the polynomial rolling hash, plus invariance
+    to the whitespace/case normalization."""
+    from sap_data_pipeline_spark.functions import text as X
+
+    def poly(s):
+        h = 0
+        for ch in s:
+            h = (h * X.ROLLING_BASE + ord(ch)) % X.ROLLING_MOD
+        return h
+
+    df = spark.createDataFrame(
+        [("abc",), ("  ABC ",), ("",), ("hello world",)], ["text"]
+    )
+    got = [r[0] for r in df.select(X.rolling_fingerprint("text")).collect()]
+    assert got[0] == poly("abc")
+    assert got[1] == poly("abc")  # normalization: trim + lowercase
+    assert got[2] == 0
+    assert got[3] == poly("hello world")

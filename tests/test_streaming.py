@@ -10,6 +10,7 @@ from pyspark.sql import types as T
 
 from sap_data_pipeline_spark.operators.merge import ParquetMergeTable
 from sap_data_pipeline_spark.streaming.ingest import (
+    sessionize,
     stream_file_source,
     stream_merge_sink,
     windowed_event_agg,
@@ -67,6 +68,51 @@ def test_windowed_event_agg_batch_parity(spark, star):
         .count()
     )
     assert streamed_shape.count() == expected
+
+
+def test_sessionize_semantics(spark):
+    """Events within the gap chain into one session; a gap >= 6h splits.
+    session_end = last event + gap."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 03:00:00", 2.0),   # +3h → same session
+        (1, "2024-01-01 10:00:00", 4.0),   # +7h → new session
+        (2, "2024-01-01 00:00:00", 8.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        (r["user_id"], str(r["session_start"])): r
+        for r in sessionize(df, gap="6 hours").collect()
+    }
+    s1 = out[(1, "2024-01-01 00:00:00")]
+    assert s1["n_events"] == 2 and s1["total_value"] == 3.0
+    assert str(s1["session_end"]) == "2024-01-01 09:00:00"
+    s2 = out[(1, "2024-01-01 10:00:00")]
+    assert s2["n_events"] == 1
+    assert len(out) == 3
+
+
+def test_sessionize_on_stream_with_watermark(spark, star, tmp_path):
+    """sessionize runs as a real streaming query with a watermark."""
+    src = tmp_path / "sess_src"
+    star.events.limit(300).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize(stream, gap="6 hours", watermark="12 hours")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) AS n FROM sessions").collect()[0]["n"] > 0
 
 
 def test_windowed_event_agg_on_stream(spark, star, tmp_path):
