@@ -113,6 +113,45 @@ def load_star(spark: SparkSession, sf_dir: str) -> Star:
     return Star(**{t: _load(t) for t in TABLES}, sf_dir=sf_dir)
 
 
+def read_dim_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    drop_trailing_totals: bool = False,
+) -> DataFrame:
+    """Dimension-workbook loader (SURVEY §2.1 S2: ``pd.read_excel`` dims,
+    ``pipelines/etl_upload_excel.py:143``, ``etl_zmmidr_oun.py:26-33``).
+
+    Dimensions are driver-sized by definition (the reference maintains
+    them as Excel workbooks), so this reads with pandas on the driver and
+    distributes via ``createDataFrame`` — never a distributed concern.
+    ``.xlsx`` needs an Excel engine (openpyxl, import-guarded — absent in
+    this environment); ``.csv`` is always available.  Everything loads as
+    nullable strings (the reference's ``dtype=str``); casting is the
+    separate schema-driven step (``functions.cleaning.cast_to_schema``).
+    """
+    import pandas as pd
+
+    if path.endswith((".xlsx", ".xls")):
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "Excel dims need openpyxl; land the workbook as CSV instead"
+            ) from exc
+        pdf = pd.read_excel(path, dtype=str)
+    else:
+        pdf = pd.read_csv(path, dtype=str)
+    if drop_trailing_totals and len(pdf):
+        # SAP Excel exports end with a totals row (etl_zmmidr_oun.py:28)
+        pdf = pdf.iloc[:-1]
+    pdf = pdf.where(pd.notna(pdf), None)
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField(str(c), T.StringType()) for c in pdf.columns])
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def read_sap_export(
     spark: SparkSession,
     path: str,

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from sap_data_pipeline_spark.sources.readers import read_sap_export
+from sap_data_pipeline_spark.sources.readers import read_dim_table, read_sap_export
 
 SAP_FILE = (
     "Dynamic List Display\n"
@@ -45,3 +45,15 @@ def test_read_sap_export_empty_fields_null(spark, tmp_path):
     p.write_text("x\n\n\tA\tB\n\t\tv\n")
     row = read_sap_export(spark, str(p)).collect()[0]
     assert row["A"] is None and row["B"] == "v"
+
+
+def test_read_dim_table_csv(spark, tmp_path):
+    """Dim loader: driver-side pandas → all-string DataFrame; totals row
+    dropped; empty cells become NULL."""
+    p = tmp_path / "dim_store.csv"
+    p.write_text("Site,Name,Qty\n0001,Store A,5\n0002,,7\nTotal,,12\n")
+    df = read_dim_table(spark, str(p), drop_trailing_totals=True)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string"] * 3
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[0]["Site"] == "0001" and rows[1]["Name"] is None
