@@ -1,0 +1,79 @@
+"""Physical-plan regression tests — the 100 TB contract.
+
+Correctness says what a query returns; these tests pin HOW: filters must
+reach the parquet scan, dims must broadcast, and the flagship plans must
+not grow extra shuffles.  A regression here is invisible at sf0.01 and
+catastrophic at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from sap_data_pipeline_spark.plans.catalog import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _explain_formatted(df: DataFrame) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_battery_pushes_predicates_to_scan(spark):
+    """Equality/IN/range predicates must appear as PushedFilters on the
+    parquet scan — through the rebalance exchange."""
+    plan = _explain_formatted(QUERIES["filter_battery"](spark, SF_DIR))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, "no PushedFilters in scan"
+    joined = " ".join(pushed)
+    assert "o_orderstatus" in joined and "o_totalprice" in joined
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    """customer/nation/region sides must be broadcast — no shuffle join
+    for dimension tables."""
+    plan = _plan(QUERIES["star_join_revenue_by_region"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_weekly_sales_single_shuffle(spark):
+    """The flagship rewrite's contract: one scan of lineitem, one hash
+    exchange (the group-by), calendar joined by broadcast."""
+    df = QUERIES["weekly_sales"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan  # calendar dim
+    # hashpartitioning exchanges: the groupBy only (the rebalance
+    # round-robin exchange is RoundRobinPartitioning, not hash).
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges == 1, f"expected 1 hash exchange, plan:\n{plan}"
+    opt = _optimized(df)
+    assert opt.count("Relation") == 1, "lineitem must be scanned exactly once"
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 3-column projection must not read the full lineitem schema."""
+    plan = _explain_formatted(QUERIES["movements_daily_agg"](spark, SF_DIR))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, "no ReadSchema in scan"
+    line = read_schema[0]
+    assert "l_comment" not in line and "l_shipinstruct" not in line
+
+
+def test_topk_uses_take_ordered(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject, not a full
+    sort of the aggregate."""
+    plan = _plan(QUERIES["topk_customers_by_revenue"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,101 @@
+"""Property-based tests (SURVEY §5.4): hypothesis generates the inputs,
+Spark evaluates, invariants must hold for every example.
+
+Spark-job-per-example is expensive, so examples are capped and deadlines
+disabled; the properties target the three contracts SURVEY calls out:
+MERGE idempotency, fast_numeric round-trip, and group-by distributivity
+over unions.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sap_data_pipeline_spark.functions.cleaning import fast_numeric
+from sap_data_pipeline_spark.operators.merge import merge_upsert_frames
+from sap_data_pipeline_spark.operators.relational import union_all
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_keys = st.integers(min_value=0, max_value=9)
+_rows = st.lists(
+    st.tuples(_keys, st.integers(min_value=-1000, max_value=1000)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@PROP
+@given(target=_rows, source=_rows)
+def test_merge_idempotent_and_source_wins(spark, target, source):
+    """Replaying a MERGE changes nothing; every source key holds the
+    source value; target-only keys persist untouched."""
+    t = spark.createDataFrame(target, ["k", "v"])
+    s = spark.createDataFrame(source, ["k", "v"]).dropDuplicates(["k"])
+
+    once = merge_upsert_frames(t, s, ["k"])
+    twice = merge_upsert_frames(once, s, ["k"])
+    got_once = sorted(map(tuple, once.collect()))
+    assert got_once == sorted(map(tuple, twice.collect()))
+
+    src = dict(s.collect())
+    tgt_keys = {k for k, _ in target}
+    merged_by_key: dict[int, list[int]] = {}
+    for k, v in got_once:
+        merged_by_key.setdefault(k, []).append(v)
+    for k, v in src.items():
+        assert v in merged_by_key[k]
+    assert set(merged_by_key) == tgt_keys | set(src)
+
+
+@PROP
+@given(
+    nums=st.lists(
+        st.decimals(
+            min_value=Decimal("0"), max_value=Decimal("999999999"), places=3
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fast_numeric_trailing_minus_roundtrip(spark, nums):
+    """str(n) + '-' parses to exactly -n (SAP trailing-minus contract),
+    with or without thousands separators."""
+    rows = [(f"{n}-", f"{n:,}-", float(n)) for n in nums]
+    df = spark.createDataFrame(rows, ["plain", "grouped", "expected"])
+    out = df.select(
+        fast_numeric("plain", "double").alias("p"),
+        fast_numeric("grouped", "double").alias("g"),
+        "expected",
+    ).collect()
+    for r in out:
+        assert r["p"] == -r["expected"]
+        assert r["g"] == -r["expected"]
+
+
+@PROP
+@given(parts=st.lists(_rows, min_size=2, max_size=4))
+def test_group_union_distributivity(spark, parts):
+    """sum-group-by over a union == union of per-part groups, re-grouped
+    (the map-side partial-aggregation identity Spark relies on)."""
+    dfs = [spark.createDataFrame(p, ["k", "v"]) for p in parts]
+    direct = {
+        (r["k"]): r["s"]
+        for r in union_all(dfs).groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    partials = union_all(
+        [d.groupBy("k").agg(F.sum("v").alias("v")) for d in dfs]
+    )
+    regrouped = {
+        (r["k"]): r["s"]
+        for r in partials.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    assert direct == regrouped
