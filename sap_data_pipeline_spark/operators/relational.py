@@ -105,6 +105,32 @@ def region_merge(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the big side gets a random salt appended to
+    the key, the small side is replicated once per salt value.
+
+    For the hot-key case AQE's skew-join can't fix (a single key too
+    large for any post-shuffle split, or a broadcast-ineligible small
+    side): one key's rows spread over ``salt`` reducers instead of one.
+    Cost = small side duplicated ``salt``× — keep ``salt`` modest.
+    Results are row-identical to the plain join (salt never leaves the
+    join).
+    """
+    keys = list(keys)
+    b = big.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return b.join(s, [*keys, "_salt"], how).drop("_salt")
+
+
 def full_outer_coalesce(
     left: DataFrame,
     right: DataFrame,

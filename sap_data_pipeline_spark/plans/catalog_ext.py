@@ -254,14 +254,26 @@ def ann_brute_force_topk(star: Star) -> DataFrame:
 
 
 # LSH-bucketed ANN: approximate by construction — no SQL twin; the driver
-# records a rows-only check, and tests/test_similarity.py checks recall
-# against the brute-force baseline instead.
+# records a rows-only check, and tests/test_dedup_similarity.py checks
+# recall against the brute-force baseline instead.
 @register("ann_lsh_topk")
 def ann_lsh_topk(star: Star) -> DataFrame:
     queries = star.embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.lsh_topk(star.embeddings, queries, k=5, dim=64, query_id_col="query_id")
+
+
+# IVF ANN (KMeans coarse quantizer + nprobe cell probing): training is
+# iterative → no SQL twin; rows-only check + recall test vs brute force.
+@register("ann_ivf_topk")
+def ann_ivf_topk(star: Star) -> DataFrame:
+    queries = star.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(
+        star.embeddings, queries, k=5, n_cells=8, nprobe=3, query_id_col="query_id"
+    )
 
 
 # ---------------------------------------------------------------------------

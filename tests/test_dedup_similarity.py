@@ -110,3 +110,17 @@ def test_rolling_fingerprint_values(spark):
     assert got[1] == poly("abc")  # normalization: trim + lowercase
     assert got[2] == 0
     assert got[3] == poly("hello world")
+
+
+def test_ivf_topk_recall_against_brute_force(spark, star):
+    queries = star.embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(star.embeddings, queries, k=5)
+    approx = S.ivf_topk(star.embeddings, queries, k=5, n_cells=8, nprobe=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # random uniform 64-dim data is the worst case for IVF (no cluster
+    # structure); 3/8 cells probed still must beat random-subset recall
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"

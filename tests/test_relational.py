@@ -69,3 +69,16 @@ def test_column_max_lengths(spark):
     df = spark.createDataFrame([("abc", 1), ("a", 22)], "s string, n int")
     row = R.column_max_lengths(df).collect()[0]
     assert row["s"] == 3 and row["n"] == 2
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting never changes results — only the shuffle distribution."""
+    from sap_data_pipeline_spark.operators.relational import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 3, i) for i in range(300)], ["k", "v"]  # key 0/1/2, skewed-ish
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (9, "z")], ["k", "name"])
+    plain = sorted(map(tuple, big.join(small, ["k"]).collect()))
+    salted = sorted(map(tuple, salted_join(big, small, ["k"], salt=4).collect()))
+    assert salted == plain

@@ -135,3 +135,48 @@ def test_windowed_event_agg_on_stream(spark, star, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) AS n FROM win_agg").collect()[0]["n"]
     assert got > 0
+
+
+def test_running_totals_stateful(spark, star, tmp_path):
+    """applyInPandasWithState running totals: streaming result equals the
+    batch groupBy over the same input."""
+    from sap_data_pipeline_spark.streaming.stateful import running_totals
+
+    src = tmp_path / "rt_src"
+    sample = star.events.select("user_id", "ts", "value").limit(400)
+    sample.write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # update-mode memory sink appends every emitted update; the final
+    # state per key is the last emission — compare against batch truth
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY n_events DESC) AS rn FROM running_totals)
+               WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in spark.read.parquet(str(src))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
