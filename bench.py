@@ -59,9 +59,11 @@ def main() -> None:
     # Best of 2: a single-JVM local[32] run has multi-second GC/JIT noise;
     # the min is the steady-state cost of the plan itself.
     timings: dict[str, float] = {}
+    jvm_gc = spark.sparkContext._jvm.System.gc
     for name in HEADLINE:
         best = float("inf")
         for _ in range(2):
+            jvm_gc()  # don't bill query N for query N-1's garbage
             t0 = time.time()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

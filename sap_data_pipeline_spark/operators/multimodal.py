@@ -105,3 +105,56 @@ def synth_media(documents: DataFrame) -> DataFrame:
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_payload", T.BinaryType(), True),
+])
+
+
+def sample_frames(media: DataFrame, *, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video payloads — the 1→N mapInPandas shape.
+
+    A real kernel seeks N keyframes via ffmpeg; the stub slices the
+    payload into N equal byte windows (deterministic).  The Spark
+    contract is the point: one input batch yields a *longer* output
+    batch (row explosion inside Arrow, never per-row Python calls), and
+    downstream stages see plain (media_id, frame_idx, bytes) rows they
+    can repartition/decode independently.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                step = max(len(payload) // n_frames, 1)
+                for i in range(min(n_frames, len(payload))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * step:(i + 1) * step]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_stub(media: DataFrame, *, width: int, height: int) -> DataFrame:
+    """Resize stage — decode-dependent, so fully gated in this container.
+
+    The schema contract (payload in → payload out, meta.width/height
+    updated) is what a PIL/opencv kernel would slot into.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "resize requires an image decode library (PIL/opencv), "
+            "not installed in this container"
+        )
+        yield  # pragma: no cover
+
+    return media.mapInPandas(run, schema=media.schema)

@@ -289,7 +289,9 @@ def ann_ivf_topk(star: Star) -> DataFrame:
                 '[^\\p{{L}}\\p{{N}}]+'), t -> t <> '')) AS INT) AS n_tokens,
            length(text) AS n_chars_raw,
            CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
-           CAST(len(regexp_extract_all(text, '[^ a-zA-Z0-9]')) AS INT) AS n_punct
+           CAST(len(regexp_extract_all(text, '[^ a-zA-Z0-9]')) AS INT) AS n_punct,
+           CAST(len(regexp_extract_all(text, '\\p{{L}}+|\\p{{N}}|[^\\s\\p{{L}}\\p{{N}}]'))
+                + floor(length(text) / 16) AS BIGINT) AS n_bpe_ish
     FROM documents
     """,
 )
@@ -302,6 +304,7 @@ def text_stats(star: Star) -> DataFrame:
         F.length("text").cast("long").alias("n_chars_raw"),
         F.regexp_count("text", F.lit("[0-9]")).alias("n_digits"),
         F.regexp_count("text", F.lit("[^ a-zA-Z0-9]")).alias("n_punct"),
+        X.bpe_ish_token_count("text").alias("n_bpe_ish"),
     )
 
 

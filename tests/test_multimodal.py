@@ -34,3 +34,17 @@ def test_fake_decoder_deterministic():
 def test_real_decode_gated():
     with pytest.raises(NotImplementedError):
         MM.real_decode(b"payload")
+
+
+def test_sample_frames_shape(spark, star):
+    from sap_data_pipeline_spark.operators.multimodal import sample_frames, synth_media
+
+    media = synth_media(star.documents.limit(20))
+    frames = sample_frames(media, n_frames=4)
+    rows = frames.collect()
+    assert {r["frame_idx"] for r in rows} <= {0, 1, 2, 3}
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r["media_id"], []).append(r)
+        assert isinstance(r["frame_payload"], (bytes, bytearray))
+    assert all(len(v) == 4 for v in per_media.values())  # texts are >4 bytes
