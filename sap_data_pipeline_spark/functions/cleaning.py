@@ -34,9 +34,17 @@ def clean_numeric_str(c: ColumnOrName) -> Column:
 
     Strips thousands commas and rewrites the SAP trailing-minus form
     ``"1234.5-"`` to ``"-1234.5"`` (reference ``pipelines/etl_utils.py:29-34``).
+
+    String ops, not regex: ``translate`` + slice are branch-free codegen;
+    the reference's regex (``^([\\d.]+)-$``) only gates which strings get
+    the minus moved — strings it rejects fail the downstream numeric cast
+    either way, so sliced-rewrite-then-try_cast yields identical nulls.
     """
-    no_commas = F.regexp_replace(_c(c), ",", "")
-    return F.regexp_replace(no_commas, r"^([\d.]+)-$", r"-$1")
+    no_commas = F.translate(_c(c), ",", "")
+    flipped = F.concat(
+        F.lit("-"), no_commas.substr(F.lit(1), F.length(no_commas) - 1)
+    )
+    return F.when(no_commas.endswith("-"), flipped).otherwise(no_commas)
 
 
 def fast_numeric(c: ColumnOrName, dtype: str = "decimal(18,6)") -> Column:

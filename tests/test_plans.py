@@ -77,3 +77,28 @@ def test_topk_uses_take_ordered(spark):
     sort of the aggregate."""
     plan = _plan(QUERIES["topk_customers_by_revenue"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_partitioned_fact_prunes_at_scan(spark, tmp_path):
+    """A date-partitioned fact written through the merge sink must prune
+    partitions for an equality filter — the scan reads one directory,
+    not the table."""
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.operators.merge import ParquetMergeTable
+    from sap_data_pipeline_spark.plans.star_mapping import movements
+    from sap_data_pipeline_spark.sources.readers import load_star
+
+    star = load_star(spark, SF_DIR)
+    fact = movements(star).withColumn("Date", F.col("Date").cast("string"))
+    table = ParquetMergeTable(
+        spark, str(tmp_path / "fact_mv"), keys=["Article", "Site", "Date"],
+        partition_by=["Date"],
+    )
+    table.merge(fact)
+
+    one_day = fact.select("Date").first()["Date"]
+    q = table.read().filter(F.col("Date") == one_day)
+    plan = _explain_formatted(q)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "Date" in pf[0], f"no partition filters:\n{plan}"
