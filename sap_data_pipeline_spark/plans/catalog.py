@@ -539,6 +539,32 @@ def events_sessionize(star: Star) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JSON property extraction (extension — the reference has no JSON, SURVEY
+# §2.8 notes; the events stream carries a JSON props column).
+# get_json_object stays JVM-side; the cast-or-null contract matches
+# DuckDB's json_extract + TRY_CAST.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(star: Star) -> DataFrame:
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return star.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # O1 + top-k: order-by-limit (absent in reference; SURVEY §2.6 notes) —
 # Spark TakeOrderedAndProject at scale.
 # ---------------------------------------------------------------------------

@@ -253,15 +253,63 @@ def ann_brute_force_topk(star: Star) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
-# LSH-bucketed ANN: approximate by construction — no SQL twin; the driver
-# records a rows-only check, and tests/test_dedup_similarity.py checks
-# recall against the brute-force baseline instead.
-@register("ann_lsh_topk")
+# LSH-bucketed ANN: approximate w.r.t. brute force but fully DETERMINISTIC
+# (hyperplanes are md5-derived constants), so the oracle replays the exact
+# bucketing with the same plane literals.  Recall vs brute force is gated
+# separately in tests/test_dedup_similarity.py.
+_LSH_PLANES, _LSH_TABLES, _LSH_DIM, _LSH_K = 4, 8, 64, 5
+
+
+def _lsh_bucket_sql(vcol: str, t: int) -> str:
+    bits = []
+    for p in range(_LSH_PLANES):
+        w = S._hyperplane(_LSH_DIM, t * _LSH_PLANES + p)
+        arr = "[" + ", ".join(repr(x) for x in w) + "]"
+        bits.append(
+            f"CASE WHEN list_dot_product({vcol}, {arr}) >= 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+_LSH_TABLES_SQL = "\n        UNION ALL\n".join(
+    f"        SELECT vec_id, {t} AS tbl, {_lsh_bucket_sql('v', t)} AS bucket, v FROM e"
+    for t in range(_LSH_TABLES)
+)
+
+_LSH_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+{_LSH_TABLES_SQL}
+    ),
+    q AS (SELECT vec_id AS query_id, tbl, bucket, v AS qv FROM b WHERE vec_id < 5),
+    cands AS (
+        SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id, q.qv, b.v AS cv
+        FROM q JOIN b ON q.tbl = b.tbl AND q.bucket = b.bucket
+        WHERE q.query_id <> b.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+        FROM cands
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored QUALIFY rank <= {_LSH_K}
+"""
+
+
+@register("ann_lsh_topk", _LSH_ORACLE)
 def ann_lsh_topk(star: Star) -> DataFrame:
     queries = star.embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.lsh_topk(star.embeddings, queries, k=5, dim=64, query_id_col="query_id")
+    return S.lsh_topk(
+        star.embeddings, queries, k=_LSH_K, dim=_LSH_DIM, query_id_col="query_id",
+        n_planes=_LSH_PLANES, n_tables=_LSH_TABLES,
+    ).withColumn("rank", F.col("rank").cast("int"))
 
 
 # IVF ANN (KMeans coarse quantizer + nprobe cell probing): training is
