@@ -59,12 +59,16 @@ class ParquetMergeTable:
     """
 
     def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
-                 partition_by: Sequence[str] | None = None) -> None:
+                 partition_by: Sequence[str] | None = None,
+                 retries: int = 3, retry_delay_s: float = 5.0) -> None:
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.partition_by = list(partition_by or [])
         self.history: list[dict] = []
+        # write retry policy mirrors upsert_batch (common/loader.py:81,150)
+        self.retries = retries
+        self.retry_delay_s = retry_delay_s
 
     def exists(self) -> bool:
         return os.path.exists(self.path)
@@ -93,8 +97,14 @@ class ParquetMergeTable:
             before = target.count()
             merged = merge_upsert_frames(target, source, self.keys)
 
-        after = write_parquet_atomic(
-            merged, self.path, partition_by=self.partition_by or None
+        from sap_data_pipeline_spark.utils import retry_call
+
+        after = retry_call(
+            lambda: write_parquet_atomic(
+                merged, self.path, partition_by=self.partition_by or None
+            ),
+            attempts=self.retries,
+            delay_s=self.retry_delay_s,
         )
         audit = {"op": "merge", "rows_before": before, "rows_after": after,
                  "inserted": after - before}
