@@ -1,0 +1,132 @@
+"""End-to-end ETL pipelines — the reference's per-T-code flows, Spark-shaped.
+
+Each pipeline composes the same stages the reference runs per watch-folder
+batch (``run_all_template.py:23-67`` → ``pipelines/etl_zmb51.py`` etc.):
+
+    discover files (ledger-filtered, sorted)      S3/S6
+    → read_sap_export (banner/totals surgery)     S1, P1, P13
+    → rename to canonical names                   P3/P4
+    → schema-driven clean & cast                  F1-F11 (cast_to_schema)
+    → aggregate to the PK grain                   A1
+    → MERGE into the keyed fact                   S8
+    → record the ledger                           S6
+
+Everything between read and MERGE is one lazy plan — no per-file pandas
+loops; a 10k-file backlog is a single distributed job.  Fixture schemas:
+FIXTURES.md §1 (zmb51) and §4 (zmmidr).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sap_data_pipeline_spark.functions import cleaning as C
+from sap_data_pipeline_spark.operators.merge import ParquetMergeTable
+from sap_data_pipeline_spark.operators.relational import dedup_keep_last
+from sap_data_pipeline_spark.sources.ledger import ProcessedLedger
+from sap_data_pipeline_spark.sources.readers import read_sap_export
+
+DEC18 = T.DecimalType(18, 6)
+
+ZMB51_RENAMES = {"Pstng Date": "Date", "Quantity i": "Quantity", "Amount LC": "Cost"}
+ZMB51_SCHEMA = T.StructType([
+    T.StructField("Article", T.StringType()),
+    T.StructField("Site", T.StringType()),
+    T.StructField("Date", T.DateType()),
+    T.StructField("Quantity", DEC18),
+    T.StructField("Cost", DEC18),
+    T.StructField("BUn", T.StringType()),
+])
+
+ZMMIDR_RENAMES = {"Article No": "Article", "Unrestricted-Use Stock": "Stock"}
+ZMMIDR_SCHEMA = T.StructType([
+    T.StructField("Article", T.StringType()),
+    T.StructField("MCH", T.StringType()),
+    T.StructField("Stock", T.DecimalType(14, 6)),
+])
+
+
+def _discover(watch_glob: str, ledger: ProcessedLedger | None) -> list[str]:
+    files = sorted(_glob.glob(watch_glob))
+    return ledger.filter_new(files) if ledger else files
+
+
+def etl_movements(
+    spark: SparkSession,
+    watch_glob: str,
+    table: ParquetMergeTable,
+    *,
+    ledger: ProcessedLedger | None = None,
+) -> dict:
+    """ZMB51-shaped goods-movement ETL (``pipelines/etl_zmb51.py:21-115``).
+
+    Sign inversion (movement types 251/252 are issues, ``:73-74``) and the
+    sum-to-PK-grain aggregation (``:76-80``) happen before the MERGE, so
+    re-delivered files upsert the same grain idempotently.
+    """
+    files = _discover(watch_glob, ledger)
+    if not files:
+        return {"files": 0}
+    raw = read_sap_export(spark, files)
+    typed = C.cast_to_schema(C.rename_canonical(raw, ZMB51_RENAMES), ZMB51_SCHEMA)
+    agg = (
+        typed.withColumn("Article", C.strip_leading_zeros("Article"))
+        .groupBy("Article", "Site", "Date")
+        .agg(
+            F.sum(C.negate(F.col("Quantity"))).alias("Quantity"),
+            F.sum(C.negate(F.col("Cost"))).alias("Cost"),
+            F.min("BUn").alias("BUn"),
+        )
+    )
+    audit = table.merge(agg)
+    if ledger:
+        ledger.record_all(files)
+    return {"files": len(files), **audit}
+
+
+def etl_inventory_snapshot(
+    spark: SparkSession,
+    watch_glob: str,
+    table: ParquetMergeTable,
+    *,
+    dc: str,
+    ledger: ProcessedLedger | None = None,
+) -> dict:
+    """ZMMIDR-shaped DC inventory snapshot (``pipelines/etl_zmmidr_oun.py``).
+
+    Trailing totals row dropped at read (``:28``); DC stamped from the
+    extraction context (``:31``), Date = load date (``:70``); keep-LAST
+    dedup on (Date, DC, Article) with the explicit file/line order the
+    reference gets implicitly from read order (``:72-76``).
+    """
+    files = _discover(watch_glob, ledger)
+    if not files:
+        return {"files": 0}
+    raw = read_sap_export(spark, files, drop_trailing_totals=True)
+    # Cleaned columns selected explicitly (not via cast_to_schema, which
+    # projects the target schema only — the _source_file/_source_line
+    # order columns must survive until the keep-last dedup).
+    renamed = C.rename_canonical(raw, ZMMIDR_RENAMES)
+    keep_order = renamed.select(
+        C.strip_leading_zeros(F.trim(F.col("Article"))).alias("Article"),
+        F.trim(F.col("MCH")).alias("MCH"),
+        C.fast_numeric("Stock", "decimal(14,6)").alias("Stock"),
+        F.col("_source_file"),
+        F.col("_source_line"),
+    ).withColumns({
+        "DC": F.lit(dc),
+        "Date": F.current_date(),
+    })
+    deduped = dedup_keep_last(
+        keep_order,
+        ["Date", "DC", "Article"],
+        [F.col("_source_file"), F.col("_source_line")],
+    ).drop("_source_file", "_source_line")
+    audit = table.merge(deduped)
+    if ledger:
+        ledger.record_all(files)
+    return {"files": len(files), **audit}

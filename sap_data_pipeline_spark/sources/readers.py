@@ -154,7 +154,7 @@ def read_dim_table(
 
 def read_sap_export(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     *,
     sep: str = "\t",
     banner_rows: int = 2,

@@ -1,0 +1,96 @@
+"""End-to-end pipeline replays (SURVEY §5.2): dirty SAP export fixtures →
+read → clean → aggregate → MERGE → re-MERGE idempotency; ledger gives
+batch exactly-once."""
+
+from __future__ import annotations
+
+from sap_data_pipeline_spark.etl import etl_inventory_snapshot, etl_movements
+from sap_data_pipeline_spark.operators.merge import ParquetMergeTable
+from sap_data_pipeline_spark.sources.ledger import ProcessedLedger
+
+BANNER = "ZMB51 export\t\t\t\t\t\t\n13.08.2026 some banner\t\t\t\t\t\t\n"
+
+
+def _zmb51_file(path, rows):
+    """Tab export: 2 banner rows, empty first column, dirty values."""
+    header = "\tArticle\tSite\tPstng Date\tQuantity i\tAmount LC\tBUn\n"
+    body = "".join(
+        "\t" + "\t".join(r) + "\n" for r in rows
+    )
+    path.write_text(BANNER + header + body)
+
+
+def test_etl_movements_end_to_end(spark, tmp_path):
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    # file 1: one article over two lines (sums), trailing-minus + commas
+    _zmb51_file(watch / "ZMB51_001.txt", [
+        ("0001234", "1000", "01/15/2024", "1,000.5-", "200-", "EA"),
+        ("0001234", "1000", "01/15/2024", "500-", "100-", "EA"),
+        ("0009999", "2000", "01/16/2024", "10", "5", "CS"),
+    ])
+    table = ParquetMergeTable(
+        spark, str(tmp_path / "fact_mv"), keys=["Article", "Site", "Date"],
+        retry_delay_s=0.0,
+    )
+    ledger = ProcessedLedger(str(tmp_path / "zmb51_done.txt"))
+
+    audit = etl_movements(spark, str(watch / "ZMB51_*.txt"), table, ledger=ledger)
+    assert audit["files"] == 1
+
+    rows = {(r["Article"], r["Site"]): r for r in table.read().collect()}
+    got = rows[("1234", "1000")]  # leading zeros stripped
+    # trailing-minus parsed, commas stripped, sign inverted, summed:
+    # -(-1000.5) + -(-500) = 1500.5 ; cost -(-200)+-(-100) = 300
+    assert float(got["Quantity"]) == 1500.5
+    assert float(got["Cost"]) == 300.0
+    assert str(got["Date"]) == "2024-01-15"
+    assert float(rows[("9999", "2000")]["Quantity"]) == -10.0  # issues negate
+
+    # re-run: ledger skips everything, table unchanged
+    assert etl_movements(spark, str(watch / "ZMB51_*.txt"), table, ledger=ledger) == {"files": 0}
+
+    # re-delivery WITHOUT ledger (re-downloaded file): MERGE is idempotent
+    before = sorted(map(tuple, table.read().collect()))
+    etl_movements(spark, str(watch / "ZMB51_*.txt"), table)
+    assert sorted(map(tuple, table.read().collect())) == before
+
+    # late file arrives: only it is processed, new key upserts
+    _zmb51_file(watch / "ZMB51_002.txt", [
+        ("0001234", "1000", "01/15/2024", "2,000-", "400-", "EA"),
+    ])
+    audit = etl_movements(spark, str(watch / "ZMB51_*.txt"), table, ledger=ledger)
+    assert audit["files"] == 1
+    got = {(r["Article"], r["Site"]): r for r in table.read().collect()}[("1234", "1000")]
+    assert float(got["Quantity"]) == 2000.0  # matched key UPDATEd to new batch
+
+
+def _zmmidr_file(path, rows, totals=("Total", "", "99,999")):
+    header = "\tArticle No\tMCH\tUnrestricted-Use Stock\n"
+    body = "".join("\t" + "\t".join(r) + "\n" for r in list(rows) + [totals])
+    path.write_text(BANNER + header + body)
+
+
+def test_etl_inventory_snapshot_keep_last(spark, tmp_path):
+    watch = tmp_path / "idr"
+    watch.mkdir()
+    # same article twice within the file: LAST line wins (file order);
+    # totals row must be dropped
+    _zmmidr_file(watch / "ZMMIDR_001.txt", [
+        ("0777", "106AB", "1,5"),
+        ("0777", "106AB", "42"),
+        ("0888", "107CD", "7-"),
+    ])
+    table = ParquetMergeTable(
+        spark, str(tmp_path / "fact_idr"), keys=["Date", "DC", "Article"],
+        retry_delay_s=0.0,
+    )
+    audit = etl_inventory_snapshot(
+        spark, str(watch / "ZMMIDR_*.txt"), table, dc="9891"
+    )
+    assert audit["files"] == 1
+    rows = {r["Article"]: r for r in table.read().collect()}
+    assert set(rows) == {"777", "888"}          # totals row gone, zeros stripped
+    assert float(rows["777"]["Stock"]) == 42.0  # keep-last survivor
+    assert float(rows["888"]["Stock"]) == -7.0  # trailing minus
+    assert rows["777"]["DC"] == "9891"
