@@ -539,6 +539,43 @@ def events_sessionize(star: Star) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hypertable-style rollup re-aggregation: day grain served from an hourly
+# pre-aggregate (operators.rollup).  Oracle aggregates the raw events at
+# day grain directly — matching hashes prove hour→day re-aggregation is
+# lossless (decimal sums stay decimal between grains; only the final
+# output casts to double).
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_daily_from_hourly_rollup",
+    """
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_daily_from_hourly_rollup(star: Star) -> DataFrame:
+    hourly = (
+        star.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(sm.DEC)).alias("dec_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "dec_value")
+    )
+    return (
+        hourly.groupBy(F.window("hour_start", "1 day").alias("w"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("dec_value").cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # JSON property extraction (extension — the reference has no JSON, SURVEY
 # §2.8 notes; the events stream carries a JSON props column).
 # get_json_object stays JVM-side; the cast-or-null contract matches
