@@ -404,7 +404,9 @@ def union_branches(star: Star) -> DataFrame:
            CASE WHEN length(regexp_replace(dirty_article, '^0+', '')) = 0 THEN '0'
                 ELSE regexp_replace(dirty_article, '^0+', '') END AS clean_article,
            CAST(NULLIF(dirty_flag, '-') AS VARCHAR) AS clean_flag,
-           strftime(CAST(strptime(dirty_date, '%m/%d/%Y') AS DATE), '%Y-%m-%d') AS clean_date
+           strftime(CAST(strptime(dirty_date, '%m/%d/%Y') AS DATE), '%Y-%m-%d') AS clean_date,
+           substr(dirty_mch, 1, 3) AS clean_dept,
+           regexp_replace(dirty_float_id, '\\.0$', '') AS clean_id
     FROM (
         SELECT l_orderkey, l_linenumber,
                CASE WHEN l_linenumber % 2 = 0
@@ -412,7 +414,9 @@ def union_branches(star: Star) -> DataFrame:
                     ELSE CAST(l_quantity AS VARCHAR) END AS dirty_qty,
                lpad(CAST(l_partkey AS VARCHAR), 10, '0') AS dirty_article,
                CASE WHEN l_linenumber % 3 = 0 THEN '-' ELSE l_returnflag END AS dirty_flag,
-               strftime(l_shipdate, '%m/%d/%Y') AS dirty_date
+               strftime(l_shipdate, '%m/%d/%Y') AS dirty_date,
+               lpad(CAST(l_suppkey AS VARCHAR), 6, '0') AS dirty_mch,
+               CAST(l_partkey AS VARCHAR) || '.0' AS dirty_float_id
         FROM lineitem
     )
     """,
@@ -429,6 +433,8 @@ def sap_cleaning_roundtrip(star: Star) -> DataFrame:
         F.when(F.col("l_linenumber") % 3 == 0, F.lit("-"))
         .otherwise(F.col("l_returnflag")).alias("dirty_flag"),
         F.date_format("l_shipdate", "MM/dd/yyyy").alias("dirty_date"),
+        F.lpad(F.col("l_suppkey").cast("string"), 6, "0").alias("dirty_mch"),
+        F.concat(F.col("l_partkey").cast("string"), F.lit(".0")).alias("dirty_float_id"),
     )
     return dirty.select(
         "l_orderkey", "l_linenumber",
@@ -436,6 +442,10 @@ def sap_cleaning_roundtrip(star: Star) -> DataFrame:
         C.strip_leading_zeros("dirty_article").alias("clean_article"),
         C.dash_to_null("dirty_flag").alias("clean_flag"),
         C.format_iso_date(C.parse_sap_date("dirty_date")).alias("clean_date"),
+        # F6: dept = first 3 of MCH (etl_zmmidr_dry.py:27)
+        F.substring("dirty_mch", 1, 3).alias("clean_dept"),
+        # F8: '.0' float-artifact suffix strip, end-anchored (etl_zin_mch.py:26)
+        C.strip_dot_zero_suffix("dirty_float_id").alias("clean_id"),
     )
 
 
