@@ -130,3 +130,102 @@ def etl_inventory_snapshot(
     if ledger:
         ledger.record_all(files)
     return {"files": len(files), **audit}
+
+
+ZRSSALE_RENAMES = {
+    "Bill.Doc.": "Bill_Doc", "Bill. Date": "Date", "MTyp": "Article_Type",
+    "Sales Amou": "Amt", "Bill.qty": "Quantity",
+}
+ZRSSALE_SCHEMA = T.StructType([
+    T.StructField("Bill_Doc", T.StringType()),
+    T.StructField("Item", T.StringType()),
+    T.StructField("Article", T.StringType()),
+    T.StructField("Date", T.DateType()),
+    T.StructField("Article_Type", T.StringType()),
+    T.StructField("Quantity", DEC18),
+    T.StructField("Amt", DEC18),
+])
+
+
+def etl_billing_lines(
+    spark: SparkSession,
+    watch_glob: str,
+    table: ParquetMergeTable,
+    *,
+    ledger: ProcessedLedger | None = None,
+) -> dict:
+    """ZRSSALE-shaped wholesale billing lines (``pipelines/etl_zrssale.py``).
+
+    Line-grain (no aggregation): filter ``Article_Type == 'ZTTG'``
+    (``:107``), then MERGE on the document PK (Bill_Doc, Item) (``:219``)
+    — re-delivered documents update in place.
+    """
+    files = _discover(watch_glob, ledger)
+    if not files:
+        return {"files": 0}
+    raw = read_sap_export(spark, files)
+    typed = C.cast_to_schema(
+        C.rename_canonical(raw, ZRSSALE_RENAMES), ZRSSALE_SCHEMA,
+        keep=["_source_file", "_source_line"],
+    )
+    lines = typed.filter(F.col("Article_Type") == "ZTTG").withColumn(
+        "Article", C.strip_leading_zeros("Article")
+    )
+    # A document re-billed within the same batch: the LAST file wins
+    # (the reference's one-file-per-batch loop gives this implicitly).
+    lines = dedup_keep_last(
+        lines, ["Bill_Doc", "Item"], [F.col("_source_file"), F.col("_source_line")]
+    ).drop("_source_file", "_source_line")
+    audit = table.merge(lines)
+    if ledger:
+        ledger.record_all(files)
+    return {"files": len(files), **audit}
+
+
+ZMACHK_RENAMES = {"Article Description": "Article_Description",
+                  "Merchandise Category": "MCH", "Valid-From Date": "Valid_From_Date",
+                  "DOH Target": "DOH_Target"}
+ZMACHK_SCHEMA = T.StructType([
+    T.StructField("Article", T.StringType()),
+    T.StructField("Article_Description", T.StringType()),
+    T.StructField("MCH", T.StringType()),
+    T.StructField("Valid_From_Date", T.DateType()),
+    T.StructField("DOH_Target", T.DecimalType(10, 4)),
+])
+
+
+def etl_article_master(
+    spark: SparkSession,
+    watch_glob: str,
+    table: ParquetMergeTable,
+    *,
+    only_new: bool = False,
+    ledger: ProcessedLedger | None = None,
+) -> dict:
+    """ZMACHK-shaped article-master load (``pipelines/etl_zmachk.py``).
+
+    ``Status == 'Y'`` gate then column dropped (``:32-34``); ``'-'``→NULL
+    on numerics (``:79-80``); dedup keep-first on Article (``:37``);
+    ``only_new=True`` reproduces the new-article anti-join mode
+    (``:113-117``) — existing keys are untouched instead of updated.
+    """
+    from sap_data_pipeline_spark.operators.relational import dedup_keep_first, left_anti
+
+    files = _discover(watch_glob, ledger)
+    if not files:
+        return {"files": 0}
+    raw = read_sap_export(spark, files)
+    renamed = C.rename_canonical(raw, ZMACHK_RENAMES)
+    gated = renamed.filter(F.col("Status") == "Y").drop("Status")
+    # '-'-as-NULL on numerics (etl_zmachk.py:79-80) is subsumed by
+    # cast_to_schema: clean-then-try_cast sends '-' to NULL.
+    typed = C.cast_to_schema(gated, ZMACHK_SCHEMA).withColumn(
+        "Article", C.strip_leading_zeros("Article")
+    )
+    articles = dedup_keep_first(typed, ["Article"])
+    if only_new and table.exists():
+        articles = left_anti(articles, table.read(), ["Article"])
+    audit = table.merge(articles)
+    if ledger:
+        ledger.record_all(files)
+    return {"files": len(files), **audit}

@@ -122,16 +122,20 @@ def week_range(start: ColumnOrName, stop: ColumnOrName) -> Column:
     return F.sequence(_c(start), _c(stop), F.expr("interval 7 days"))
 
 
-def cast_to_schema(df: DataFrame, schema: T.StructType, *, strict: bool = False) -> DataFrame:
+def cast_to_schema(df: DataFrame, schema: T.StructType, *, strict: bool = False,
+                   keep: Iterable[str] = ()) -> DataFrame:
     """Coerce a string-typed DataFrame to a declared schema.
 
     Spark-side equivalent of ``clean_df_by_sql_schema``
     (``pipelines/etl_utils.py:86-142``): for each target field, numeric
     types go through the SAP numeric cleaner, dates through the SAP date
     parser (ISO accepted too), strings are trimmed.  Columns missing from
-    ``df`` become NULL (or raise if ``strict``); extra columns drop.
+    ``df`` become NULL (or raise if ``strict``); extra columns drop —
+    except ``keep`` columns, passed through untouched (e.g. the
+    ``_source_file``/``_source_line`` ordering columns a downstream
+    keep-last dedup needs).
     """
-    out: list[Column] = []
+    out: list[Column] = [F.col(k) for k in keep]
     for f in schema.fields:
         if f.name not in df.columns:
             if strict:

@@ -94,3 +94,79 @@ def test_etl_inventory_snapshot_keep_last(spark, tmp_path):
     assert float(rows["777"]["Stock"]) == 42.0  # keep-last survivor
     assert float(rows["888"]["Stock"]) == -7.0  # trailing minus
     assert rows["777"]["DC"] == "9891"
+
+
+def _zrssale_file(path, rows):
+    header = "\tBill.Doc.\tItem\tArticle\tBill. Date\tMTyp\tBill.qty\tSales Amou\n"
+    body = "".join("\t" + "\t".join(r) + "\n" for r in rows)
+    path.write_text(BANNER + header + body)
+
+
+def test_etl_billing_lines_filter_and_doc_pk(spark, tmp_path):
+    from sap_data_pipeline_spark.etl import etl_billing_lines
+
+    watch = tmp_path / "zrs"
+    watch.mkdir()
+    _zrssale_file(watch / "ZRSSALE_001.txt", [
+        ("900001", "10", "0123", "02/01/2024", "ZTTG", "5", "1,000.5"),
+        ("900001", "20", "0456", "02/01/2024", "ZXXX", "1", "10"),   # filtered
+        ("900002", "10", "0123", "02/02/2024", "ZTTG", "2-", "50-"),
+    ])
+    table = ParquetMergeTable(
+        spark, str(tmp_path / "fact_zrs"), keys=["Bill_Doc", "Item"],
+        retry_delay_s=0.0,
+    )
+    audit = etl_billing_lines(spark, str(watch / "ZRSSALE_*.txt"), table)
+    rows = {(r["Bill_Doc"], r["Item"]): r for r in table.read().collect()}
+    assert set(rows) == {("900001", "10"), ("900002", "10")}  # ZXXX gone
+    assert float(rows[("900002", "10")]["Quantity"]) == -2.0
+    assert float(rows[("900001", "10")]["Amt"]) == 1000.5
+    assert audit["rows_after"] == 2
+
+    # corrected re-billing of doc 900001/10 updates in place
+    _zrssale_file(watch / "ZRSSALE_002.txt", [
+        ("900001", "10", "0123", "02/01/2024", "ZTTG", "7", "1,400"),
+    ])
+    etl_billing_lines(spark, str(watch / "ZRSSALE_*.txt"), table)
+    rows = {(r["Bill_Doc"], r["Item"]): r for r in table.read().collect()}
+    assert float(rows[("900001", "10")]["Quantity"]) == 7.0
+    assert len(rows) == 2
+
+
+def _zmachk_file(path, rows):
+    header = ("\tStatus\tArticle\tArticle Description\tMerchandise Category"
+              "\tValid-From Date\tDOH Target\n")
+    body = "".join("\t" + "\t".join(r) + "\n" for r in rows)
+    path.write_text(BANNER + header + body)
+
+
+def test_etl_article_master_only_new(spark, tmp_path):
+    from sap_data_pipeline_spark.etl import etl_article_master
+
+    watch = tmp_path / "machk"
+    watch.mkdir()
+    _zmachk_file(watch / "ZMACHK_001.txt", [
+        ("Y", "0100", "Rice 5kg", "101AA", "01/01/2024", "14"),
+        ("N", "0200", "Inactive", "101AA", "01/01/2024", "7"),   # gated
+        ("Y", "0300", "Soy Sauce", "102BB", "01/05/2024", "-"),  # '-' → NULL
+        ("Y", "0100", "Rice 5kg DUP", "101AA", "01/01/2024", "14"),  # dedup
+    ])
+    table = ParquetMergeTable(
+        spark, str(tmp_path / "dim_article"), keys=["Article"], retry_delay_s=0.0,
+    )
+    etl_article_master(spark, str(watch / "ZMACHK_*.txt"), table)
+    rows = {r["Article"]: r for r in table.read().collect()}
+    assert set(rows) == {"100", "300"}
+    assert rows["300"]["DOH_Target"] is None
+    assert str(rows["100"]["Valid_From_Date"]) == "2024-01-01"
+
+    # only_new mode: existing 100 keeps its description, 400 inserts
+    _zmachk_file(watch / "ZMACHK_002.txt", [
+        ("Y", "0100", "Rice RENAMED", "101AA", "01/01/2024", "14"),
+        ("Y", "0400", "New Article", "103CC", "03/01/2024", "3"),
+    ])
+    etl_article_master(spark, str(watch / "ZMACHK_*.txt"), table, only_new=True)
+    rows = {r["Article"]: r for r in table.read().collect()}
+    assert set(rows) == {"100", "300", "400"}
+    assert rows["100"]["Article_Description"] == "Rice 5kg"  # untouched
+    assert rows["400"]["Article_Description"] == "New Article"
