@@ -194,6 +194,61 @@ ZMACHK_SCHEMA = T.StructType([
 ])
 
 
+def etl_weekly_sales(
+    spark: SparkSession,
+    sf_dir: str,
+    table: ParquetMergeTable,
+    *,
+    min_wk: int = 0,
+    max_wk: int = 100_000,
+    export_csv_path: str | None = None,
+) -> dict:
+    """Derived-fact build: ``run_etl_weekly_sales``
+    (``pipelines/etl_weekly_sales.py:14-93``, SURVEY §3.2).
+
+    Query the week-grain rollup for the requested window, optionally
+    export a CSV copy (``:63-72``), then MERGE into the accumulating
+    fact keyed (Article, AcctWk, Site) (``:88-93``) — re-running a
+    window replaces its rows in place, so backfills are idempotent.
+    """
+    from sap_data_pipeline_spark.plans.weekly_sales import weekly_sales
+    from sap_data_pipeline_spark.sources.readers import load_star
+
+    result = weekly_sales(load_star(spark, sf_dir), min_wk, max_wk)
+    if export_csv_path:
+        from sap_data_pipeline_spark.sources.sinks import export_csv
+
+        export_csv(result, export_csv_path)
+    return table.merge(result)
+
+
+def etl_store_rp_export(
+    spark: SparkSession,
+    sf_dir: str,
+    output_path: str,
+    *,
+    start_wk: int = 0,
+    end_wk: int = 100_000,
+) -> dict:
+    """Analytical report export: ``export_store_rp_report``
+    (``pipelines/etl_StoreRP.py:105-219``, SURVEY §3.3).
+
+    Six-stage reorder-point review → changed rows only → file sink
+    (the reference writes Excel on a network share, ``:204-213``; the
+    engine-side sink is CSV — Excel is a driver-side ``toPandas``
+    concern, SURVEY §7.4).
+    """
+    from sap_data_pipeline_spark.plans.store_rp import store_rp_report
+    from sap_data_pipeline_spark.sources.readers import load_star
+    from sap_data_pipeline_spark.sources.sinks import export_csv
+
+    report = store_rp_report(load_star(spark, sf_dir), start_wk, end_wk)
+    export_csv(report, output_path)
+    # audit the written files, not a recompute of the plan
+    written = spark.read.option("header", "true").csv(output_path)
+    return {"rows": written.count()}
+
+
 ZSTPROMO_RENAMES = {
     "Payer": "Site", "Bill.qty": "Quantity", "Bill. Date": "Date",
     "Sales Amou": "Amt", "SU": "SUn",

@@ -248,3 +248,32 @@ def test_etl_load_dims_config_driven(spark, tmp_path):
         str(tmp_path / "warehouse" / "dim_Calendar")).collect()}
     assert cal["2024-01-02"]["Wkday"] == "Tue"  # keep-first survivor
     assert results["Map_Division"]["rows_after"] == 2
+
+
+def test_etl_weekly_sales_build_and_backfill(spark, tmp_path):
+    from sap_data_pipeline_spark.etl import etl_weekly_sales
+
+    sf = "/root/testdata/sf0.001"
+    table = ParquetMergeTable(
+        spark, str(tmp_path / "fact_weekly"), keys=["Article", "AcctWk", "Site"],
+        retry_delay_s=0.0,
+    )
+    csv_out = str(tmp_path / "weekly.csv")
+    audit = etl_weekly_sales(spark, sf, table, export_csv_path=csv_out)
+    assert audit["rows_after"] > 0
+    exported = spark.read.option("header", "true").csv(csv_out)
+    assert exported.count() == audit["rows_after"]
+
+    # backfilling a window replaces in place: full re-run adds nothing
+    audit2 = etl_weekly_sales(spark, sf, table)
+    assert audit2["rows_after"] == audit["rows_after"]
+
+
+def test_etl_store_rp_export(spark, tmp_path):
+    from sap_data_pipeline_spark.etl import etl_store_rp_export
+
+    out = str(tmp_path / "store_rp.csv")
+    audit = etl_store_rp_export(spark, "/root/testdata/sf0.001", out)
+    written = spark.read.option("header", "true").csv(out)
+    assert written.count() == audit["rows"]
+    assert "Change" in written.columns and "New_ReOdr" in written.columns
