@@ -79,8 +79,11 @@ def etl_movements(
         .agg(
             F.sum(C.negate(F.col("Quantity"))).alias("Quantity"),
             F.sum(C.negate(F.col("Cost"))).alias("Cost"),
-            F.min("BUn").alias("BUn"),
+            # packed min keeps the hash aggregate (see pack_ascii8)
+            F.min(C.pack_ascii8("BUn")).alias("_BUn"),
         )
+        .withColumn("BUn", C.unpack_ascii8("_BUn"))
+        .drop("_BUn")
     )
     audit = table.merge(agg)
     if ledger:
@@ -286,11 +289,17 @@ def etl_promo_billing(
     typed = C.cast_to_schema(renamed, ZSTPROMO_SCHEMA).na.drop(
         subset=["Article", "Site", "Date"]
     )
-    agg = typed.groupBy("Article", "Site", "Date").agg(
-        F.sum("Amt").alias("Amt"),
-        F.sum("Quantity").alias("Quantity"),
-        F.sum("Cost").alias("Cost"),
-        F.min("SUn").alias("SUn"),
+    agg = (
+        typed.groupBy("Article", "Site", "Date")
+        .agg(
+            F.sum("Amt").alias("Amt"),
+            F.sum("Quantity").alias("Quantity"),
+            F.sum("Cost").alias("Cost"),
+            # packed min keeps the hash aggregate (see pack_ascii8)
+            F.min(C.pack_ascii8("SUn")).alias("_SUn"),
+        )
+        .withColumn("SUn", C.unpack_ascii8("_SUn"))
+        .drop("_SUn")
     )
     audit = table.merge(agg)
     if ledger:

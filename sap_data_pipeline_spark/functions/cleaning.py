@@ -122,6 +122,34 @@ def week_range(start: ColumnOrName, stop: ColumnOrName) -> Column:
     return F.sequence(_c(start), _c(stop), F.expr("interval 7 days"))
 
 
+def pack_ascii8(c: ColumnOrName) -> Column:
+    """Order-preserving BIGINT encoding of a short ASCII string.
+
+    Big-endian packs the first 8 bytes (NUL right-padded) so that signed
+    64-bit numeric order == lexicographic string order.  Contract: ASCII
+    (≤ 0x7F) input — the first byte then never sets the sign bit; strings
+    longer than 8 chars compare by their first 8 only.
+
+    Why: Spark's ``HashAggregateExec`` requires mutable fixed-width
+    aggregation buffers, so ``min(<string>)`` silently downgrades the
+    whole aggregate to ``SortAggregate`` — an O(n log n) sort of the full
+    scan *before* the partial agg.  ``min(pack_ascii8(c))`` keeps the
+    streaming hash aggregate; ``unpack_ascii8`` restores the string after
+    the agg.  Unit-of-measure codes (BUn/SUn/OUn, NVARCHAR(10) of ASCII,
+    ≤ 3 chars in practice) satisfy the contract exactly.
+    """
+    col = _c(c)
+    return F.conv(F.hex(F.rpad(col, 8, "\x00")), 16, 10).cast("long")
+
+
+def unpack_ascii8(c: ColumnOrName) -> Column:
+    """Inverse of :func:`pack_ascii8` (post-aggregation decode)."""
+    col = _c(c)
+    return F.regexp_replace(
+        F.decode(F.unhex(F.lpad(F.hex(col), 16, "0")), "UTF-8"), "\x00+$", ""
+    )
+
+
 def cast_to_schema(df: DataFrame, schema: T.StructType, *, strict: bool = False,
                    keep: Iterable[str] = ()) -> DataFrame:
     """Coerce a string-typed DataFrame to a declared schema.

@@ -77,16 +77,22 @@ register("store_rp_report", store_rp_oracle(wks_gate=2))(
 )
 def movements_daily_agg(star: Star) -> DataFrame:
     # Group on the native date (4-byte key in the shuffle), format to the
-    # ISO string only on the post-agg rows.
+    # ISO string only on the post-agg rows.  min(BUn) goes through the
+    # order-preserving BIGINT packing: a bare min(<string>) has no
+    # fixed-width buffer and downgrades the whole aggregate to
+    # SortAggregate (full-scan sort before the partial agg); packed, the
+    # plan stays a streaming HashAggregate.
     m = sm.movements(star)
     return (
         m.groupBy("Article", "Site", "Date")
         .agg(
             sm.dec_sum(C.negate(F.col("Quantity")), "Quantity"),
             sm.dec_sum(C.negate(F.col("Cost")), "Cost"),
-            F.min("BUn").alias("BUn"),
+            F.min(C.pack_ascii8("BUn")).alias("_BUn"),
         )
-        .withColumn("Date", C.format_iso_date("Date"))
+        .withColumns({"Date": C.format_iso_date("Date"),
+                      "BUn": C.unpack_ascii8("_BUn")})
+        .drop("_BUn")
     )
 
 

@@ -102,3 +102,12 @@ def test_partitioned_fact_prunes_at_scan(spark, tmp_path):
     plan = _explain_formatted(q)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "Date" in pf[0], f"no partition filters:\n{plan}"
+
+
+def test_movements_min_unit_stays_hash_aggregate(spark):
+    """min(BUn) must not downgrade the daily agg to SortAggregate — the
+    packed-bigint encoding keeps a streaming hash partial agg (no
+    full-scan sort before the shuffle)."""
+    plan = _plan(QUERIES["movements_daily_agg"](spark, SF_DIR))
+    assert "SortAggregate" not in plan, plan
+    assert "HashAggregate" in plan

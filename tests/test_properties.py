@@ -99,3 +99,26 @@ def test_group_union_distributivity(spark, parts):
         for r in partials.groupBy("k").agg(F.sum("v").alias("s")).collect()
     }
     assert direct == regrouped
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    strs=st.lists(
+        st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=127), max_size=8),
+        min_size=1, max_size=8, unique=True,
+    )
+)
+def test_pack_ascii8_order_and_roundtrip(spark, strs):
+    """pack_ascii8 is order-preserving and invertible on ≤8-char ASCII —
+    the contract that lets min(<unit code>) stay a HashAggregate."""
+    from sap_data_pipeline_spark.functions.cleaning import pack_ascii8, unpack_ascii8
+
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    rows = df.select("s", pack_ascii8("s").alias("p")).withColumn(
+        "u", unpack_ascii8(F.col("p"))
+    ).collect()
+    for r in rows:
+        assert r["u"] == r["s"], (r["s"], r["p"], r["u"])
+    by_str = sorted(rows, key=lambda r: r["s"])
+    by_num = sorted(rows, key=lambda r: r["p"])
+    assert [r["s"] for r in by_str] == [r["s"] for r in by_num]
