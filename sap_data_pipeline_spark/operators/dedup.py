@@ -99,12 +99,30 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
     exploded = sig.select(F.col(id_col), F.explode(entries).alias("e")).select(
         F.col(id_col), F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
     )
-    l = exploded.alias("l")
-    r = exploded.alias("r")
+    # Bucket-then-expand instead of a self-join: a self-join on the band
+    # key re-executes the whole signature sub-plan (scan + digest +
+    # shingle shuffle) once per side — measured, no ReusedExchange saves
+    # it.  Grouping collects each bucket's sorted id list in ONE pass and
+    # emits the a<b pairs map-side from the array.  Memory note: a
+    # bucket's id list must fit in one aggregation buffer — true when
+    # bands discriminate (tune NUM_PERM/BAND_SIZE); a degenerate bucket
+    # is quadratic under either strategy.
+    buckets = (
+        exploded.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     pairs = (
-        l.join(r, ["band", "bkey"])
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "b -> struct(a AS id_a, b AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     return pairs
