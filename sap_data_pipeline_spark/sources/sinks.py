@@ -56,3 +56,35 @@ def export_csv(df: DataFrame, path: str, *, header: bool = True) -> None:
     engine's export surface.
     """
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    *,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Hash-bucketed table write for co-located joins/aggs (SCALE.md layout).
+
+    Two facts bucketed by the same keys into the same bucket count join
+    WITHOUT a shuffle: the bucketed scan already satisfies the join's
+    hash-distribution requirement, so at 100 TB the recurring
+    fact-×-fact joins (movements × billing on Article, events × events
+    on user) pay the shuffle ONCE at write time instead of per query.
+    ``sort_by`` additionally pre-sorts within buckets so sort-merge
+    joins skip their sort.  The table registers in the session catalog
+    (external, data at ``path``); read back with ``spark.table(name)``.
+    Pinned by ``tests/test_plans.py::test_bucketed_join_has_no_exchange``.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table_name)

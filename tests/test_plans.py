@@ -111,3 +111,39 @@ def test_movements_min_unit_stays_hash_aggregate(spark):
     plan = _plan(QUERIES["movements_daily_agg"](spark, SF_DIR))
     assert "SortAggregate" not in plan, plan
     assert "HashAggregate" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located bucketed facts must join shuffle-free: the pre-paid
+    write-time bucketing replaces the per-query exchange on both sides."""
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.sources.sinks import write_bucketed
+
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("Article"), (F.col("id") % 7).alias("qty")
+    )
+    right = spark.range(0, 5_000).select(
+        F.col("id").alias("Article"), (F.col("id") % 3).alias("cost")
+    )
+    write_bucketed(left, "fact_l", str(tmp_path / "l"),
+                   bucket_by=["Article"], num_buckets=8, sort_by=["Article"])
+    write_bucketed(right, "fact_r", str(tmp_path / "r"),
+                   bucket_by=["Article"], num_buckets=8, sort_by=["Article"])
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the fact-×-fact (sort-merge) path the bucketing targets —
+        # at real scale neither side broadcasts
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("fact_l").join(spark.table("fact_r"), "Article")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 5_000
+        # a group-by on the bucket key rides the same distribution
+        agg = spark.table("fact_l").groupBy("Article").count()
+        assert "Exchange" not in _plan(agg), _plan(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS fact_l")
+        spark.sql("DROP TABLE IF EXISTS fact_r")
