@@ -490,3 +490,42 @@ def doc_fingerprints(star: Star) -> DataFrame:
 def multimodal_features(star: Star) -> DataFrame:
     media = MM.synth_media(star.documents)
     return MM.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Corpus stats at multiple grains in ONE pass: ROLLUP (lang, source) →
+# per-(lang, source), per-lang, and grand-total rows from a single scan
+# and a single shuffle — the multi-grain reporting shape a 100 TB corpus
+# audit needs (running three separate group-bys re-scans the corpus
+# three times).  grouping_id disambiguates subtotal rows; NULL group
+# keys are labeled '(all)'.
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_stats_rollup",
+    """
+    SELECT coalesce(lang, '(all)') AS lang,
+           coalesce(source, '(all)') AS source,
+           CAST(GROUPING(lang, source) AS INT) AS gid,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+)
+def corpus_stats_rollup(star: Star) -> DataFrame:
+    return (
+        star.documents.rollup("lang", "source")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            "gid", "n_docs", "total_chars", "max_chars",
+        )
+    )
