@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -88,16 +89,56 @@ class ParquetMergeTable:
         else:
             source = source.dropDuplicates(self.keys)
 
+        from sap_data_pipeline_spark.utils import retry_call
+
         if not self.exists():
             # auto-CREATE TABLE if missing (common/loader.py:85-102)
             before = 0
             merged = source
+        elif self.partition_by:
+            # Partition-pruned MERGE: only the partitions the source
+            # touches are read, merged, and rewritten — a daily batch
+            # against a years-deep fact rewrites 1-2 date partitions,
+            # not the table.  The touched-partition list is collected
+            # driver-side (bounded by partitions-per-batch, not data).
+            target = self.read()
+            before = target.count()
+            pvals = source.select(*self.partition_by).distinct().collect()
+            pred = reduce(
+                Column.__or__,
+                [
+                    reduce(
+                        Column.__and__,
+                        [F.col(c).eqNullSafe(F.lit(r[c])) for c in self.partition_by],
+                    )
+                    for r in pvals
+                ],
+            )
+            affected = target.filter(pred)  # partition pruning at the scan
+            merged = merge_upsert_frames(affected, source, self.keys)
+            # Dynamic partition overwrite replaces exactly the partitions
+            # present in `merged`.  Tradeoff vs the unpartitioned rename
+            # swap: atomic per partition, not across partitions; a retry
+            # rewrites the same partitions, so replay is idempotent.
+            retry_call(
+                lambda: (
+                    merged.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(*self.partition_by)
+                    .parquet(self.path)
+                ),
+                attempts=self.retries,
+                delay_s=self.retry_delay_s,
+            )
+            after = self.read().count()  # footer-only count (audit parity)
+            audit = {"op": "merge", "rows_before": before, "rows_after": after,
+                     "inserted": after - before}
+            self.history.append(audit)
+            return audit
         else:
             target = self.read()
             before = target.count()
             merged = merge_upsert_frames(target, source, self.keys)
-
-        from sap_data_pipeline_spark.utils import retry_call
 
         after = retry_call(
             lambda: write_parquet_atomic(

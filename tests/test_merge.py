@@ -60,3 +60,57 @@ def test_update_from(spark, tmp_path):
     t.update_from(dim, set_cols=["mch"])
     rows = {r["k"]: r["mch"] for r in t.read().collect()}
     assert rows == {"a": "M1", "b": None}
+
+
+def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """A batch touching one Date partition must leave every other
+    partition's files physically untouched (the 100 TB contract: daily
+    MERGE cost scales with the batch, not the table)."""
+    import os
+    from pathlib import Path
+
+    from sap_data_pipeline_spark.operators.merge import ParquetMergeTable
+
+    path = str(tmp_path / "fact_part")
+    table = ParquetMergeTable(
+        spark, path, keys=["Article", "Date"], partition_by=["Date"],
+        retry_delay_s=0.0,
+    )
+    base = spark.createDataFrame(
+        [("A", "2024-01-01", 1.0), ("B", "2024-01-01", 2.0),
+         ("A", "2024-01-02", 3.0), ("C", "2024-01-03", 4.0)],
+        "Article string, Date string, Qty double",
+    )
+    table.merge(base)
+
+    def files_in(p):
+        return {
+            str(f): os.stat(f).st_mtime_ns
+            for f in Path(p).rglob("*.parquet")
+        }
+
+    untouched_before = {k: v for k, v in files_in(path).items()
+                        if "Date=2024-01-02" not in k and "Date=2024-01-01" in k
+                        or "Date=2024-01-03" in k}
+
+    # batch updates A@01-02 and inserts D@01-02: only that partition moves
+    batch = spark.createDataFrame(
+        [("A", "2024-01-02", 30.0), ("D", "2024-01-02", 5.0)],
+        "Article string, Date string, Qty double",
+    )
+    audit = table.merge(batch)
+    assert audit["rows_before"] == 4 and audit["rows_after"] == 5
+
+    after = files_in(path)
+    for f, mtime in untouched_before.items():
+        assert f in after and after[f] == mtime, f"partition file rewritten: {f}"
+
+    rows = {(r["Article"], str(r["Date"])): r["Qty"] for r in table.read().collect()}
+    assert rows[("A", "2024-01-02")] == 30.0   # matched key updated
+    assert rows[("D", "2024-01-02")] == 5.0    # new key inserted
+    assert rows[("A", "2024-01-01")] == 1.0    # untouched partition intact
+    assert rows[("C", "2024-01-03")] == 4.0
+
+    # idempotent replay
+    audit2 = table.merge(batch)
+    assert audit2["rows_after"] == 5
