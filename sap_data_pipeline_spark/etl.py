@@ -382,3 +382,50 @@ def etl_article_master(
     if ledger:
         ledger.record_all(files)
     return {"files": len(files), **audit}
+
+
+def curate_corpus(
+    documents,
+    out_path: str,
+    *,
+    min_quality: float = 0.3,
+    near_dedup: bool = True,
+) -> dict:
+    """Training-corpus curation flow: the extension operators composed
+    into the pipeline they exist for.
+
+        quality gate → exact dedup (canonical = min doc_id per
+        fingerprint) → MinHash+LSH near-dup removal (drop the higher id
+        of each candidate pair) → atomic write
+
+    Scale shape: two content-keyed shuffles (fingerprint group-by, LSH
+    band group-by) + one id anti-join — no driver collects, no Python
+    row UDFs.  Returns per-stage row counts so the curation loss is
+    auditable (a silent 90% drop is a pipeline bug, not a success).
+    """
+    from sap_data_pipeline_spark.functions import text as X
+    from sap_data_pipeline_spark.operators.dedup import exact_dedup, minhash_dedup_pairs
+    from sap_data_pipeline_spark.operators.relational import left_anti
+    from sap_data_pipeline_spark.sources.sinks import write_parquet_atomic
+
+    n_raw = documents.count()
+    gated = documents.filter(X.quality_score("text") >= min_quality)
+    n_gated = gated.count()
+
+    canonical = exact_dedup(gated).select("doc_id")
+    exact_kept = gated.join(canonical, "doc_id", "semi")
+    n_exact = exact_kept.count()
+
+    if near_dedup:
+        pairs = minhash_dedup_pairs(exact_kept)
+        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        curated = left_anti(exact_kept, losers, ["doc_id"])
+    else:
+        curated = exact_kept
+    n_final = write_parquet_atomic(curated, out_path)
+    return {
+        "rows_raw": n_raw,
+        "rows_after_quality": n_gated,
+        "rows_after_exact_dedup": n_exact,
+        "rows_final": n_final,
+    }

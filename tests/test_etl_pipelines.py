@@ -277,3 +277,28 @@ def test_etl_store_rp_export(spark, tmp_path):
     written = spark.read.option("header", "true").csv(out)
     assert written.count() == audit["rows"]
     assert "Change" in written.columns and "New_ReOdr" in written.columns
+
+
+def test_curate_corpus_flow(spark, tmp_path):
+    from sap_data_pipeline_spark.etl import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup
+            (3, "the quick brown fox jumps over the lazy dog near the river edge"),  # near dup
+            (4, "completely different text about machine learning and data with many words"),
+            (5, "!!!! ???? ...."),  # low quality
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "curated")
+    audit = curate_corpus(docs, out, min_quality=0.5)
+    assert audit["rows_raw"] == 5
+    assert audit["rows_after_quality"] == 4           # junk gated
+    assert audit["rows_after_exact_dedup"] == 3       # dup 2 collapsed into 1
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 4 in kept and 1 in kept
+    assert 2 not in kept                              # exact dup loser
+    assert 5 not in kept                              # quality loser
+    assert audit["rows_final"] == len(kept)
