@@ -88,3 +88,29 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table_name)
+
+
+def export_excel(df: DataFrame, path: str, *, max_rows: int = 1_000_000) -> int:
+    """Excel export for small report results (reference ``df.to_excel``,
+    ``pipelines/etl_StoreRP.py:204-213``, ``etl_zmmidr_oun.py:78-79``).
+
+    Driver-side by design (SURVEY §7.4): Excel is a human-report format,
+    never a distributed concern.  ``max_rows`` guards against collecting
+    a fact table to the driver by accident; the engine-side export path
+    for big results is :func:`export_csv`.  Needs openpyxl
+    (import-guarded — absent in this container).
+    """
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "Excel export needs openpyxl; use export_csv instead"
+        ) from exc
+    head = df.limit(max_rows + 1).toPandas()
+    if len(head) > max_rows:
+        raise ValueError(
+            f"refusing driver-side Excel export of >{max_rows} rows; "
+            "use export_csv for engine-scale results"
+        )
+    head.to_excel(path, index=False)
+    return len(head)

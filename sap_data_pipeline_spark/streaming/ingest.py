@@ -136,3 +136,26 @@ def windowed_event_agg(
             "total_value",
         )
     )
+
+
+def dedup_stream_within_watermark(
+    stream: DataFrame,
+    keys: Sequence[str],
+    *,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once on a business key with bounded state.
+
+    The reference gets re-delivery idempotency from the keyed MERGE at
+    the sink (``common/loader.py:69-78``); for append-only streaming
+    sinks (no upsert), duplicates must die *before* the sink instead.
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes — state is bounded by (keys arriving within the
+    watermark window), not by stream history, which is what makes this
+    run forever at 100 TB/day where a plain ``dropDuplicates`` on a
+    stream grows state without bound.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -114,3 +114,21 @@ def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
     # idempotent replay
     audit2 = table.merge(batch)
     assert audit2["rows_after"] == 5
+
+
+def test_export_excel_guard(spark, tmp_path):
+    """Excel export is driver-side and import-guarded; without openpyxl it
+    must fail loudly with the CSV alternative named, never half-write."""
+    import pytest
+
+    from sap_data_pipeline_spark.sources.sinks import export_excel
+
+    df = spark.range(3).toDF("x")
+    target = str(tmp_path / "out.xlsx")
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="export_csv"):
+            export_excel(df, target)
+        return
+    assert export_excel(df, target) == 3  # pragma: no cover - env-dependent

@@ -180,3 +180,45 @@ def test_running_totals_stateful(spark, star, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Re-delivered event ids within the watermark window must reach an
+    append-only sink exactly once; state stays bounded by the watermark."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from sap_data_pipeline_spark.streaming.ingest import dedup_stream_within_watermark
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T10:01:00", "value": 2.0},
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "value": 1.0},  # dup
+        {"event_id": 3, "ts": "2024-01-01T10:05:00", "value": 3.0},
+        {"event_id": 2, "ts": "2024-01-01T10:01:00", "value": 2.0},  # dup
+    ]
+    (src / "batch.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.format("json").schema(schema).load(str(src))
+    )
+    deduped = dedup_stream_within_watermark(stream, ["event_id"])
+    out = tmp_path / "events_out"
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.read.parquet(str(out)).collect())
+    assert got == [1, 2, 3]
