@@ -36,6 +36,9 @@ HEADLINE = [
     "simhash_sketches",
     "ann_brute_force_topk",
     "text_stats",
+    "asof_join_purchase_prior_click",
+    "weekly_site_sales_analytics",
+    "pii_scrub",
 ]
 
 

@@ -159,6 +159,37 @@ def rolling_fingerprint(c: ColumnOrName) -> Column:
     return F.when(F.length(s) == 0, F.lit(0).cast("long")).otherwise(folded)
 
 
+# PII patterns — deliberately limited to syntax both Java regex (Spark)
+# and RE2 (DuckDB oracle) interpret identically: character classes, \d,
+# \b, bounded quantifiers; no lookarounds or backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def redact_pii(c: ColumnOrName) -> Column:
+    """Redact emails / SSNs / US phone numbers with typed placeholders.
+
+    Pure chained ``regexp_replace`` (JVM-side, replaces all matches) —
+    the corpus-scrub pass a training-data pipeline runs over every
+    document, so it must stay in whole-stage codegen.  SSN before phone:
+    the patterns are disjoint (2- vs 3-digit middle group) but ordering
+    makes the contract explicit.
+    """
+    out = F.regexp_replace(_c(c), EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, SSN_RE, "<SSN>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(c: ColumnOrName) -> list[Column]:
+    """Match counts per PII class (audit columns for the scrub pass)."""
+    return [
+        F.regexp_count(_c(c), F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(_c(c), F.lit(SSN_RE)).alias("n_ssn"),
+        F.regexp_count(_c(c), F.lit(PHONE_RE)).alias("n_phones"),
+    ]
+
+
 def md5_fingerprint(c: ColumnOrName) -> Column:
     """Exact-dup fingerprint: md5 of the normalized text (portable — the
     DuckDB oracle computes the identical value)."""

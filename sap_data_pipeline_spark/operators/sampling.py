@@ -1,0 +1,92 @@
+"""Dataset split and sequence-packing operators (training-data pipeline).
+
+Both are pure column-expression / window formulations — no driver
+collects, no Python in the hot path — so they run at scan speed over a
+100 TB corpus:
+
+* **hash_split** — deterministic train/val/test assignment by hashing a
+  stable key.  Content-addressed (re-runs and late-arriving shards land
+  in the same split), no ``rand()`` (which would reshuffle membership on
+  every retry/recompute — Spark task retries re-evaluate ``rand``).
+
+* **pack_by_offset** — assign documents to fixed-token-budget training
+  bins by cumulative offset within a shard.  A true greedy packer is a
+  sequential recurrence (bin boundary depends on every prior row), which
+  cannot scale beyond one partition; offset packing is the standard
+  distributed approximation: partition the corpus into shards, order
+  deterministically within shard, and cut bins every ``budget`` tokens
+  of cumulative size.  One shuffle (on the shard key), one window pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sap_data_pipeline_spark.functions import text as X
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    *,
+    weights: dict[str, int] | None = None,
+    seed: int = 11,
+    bucket_col: str = "bucket",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic percentage split: bucket = md5-hash(key) mod 100,
+    split label by cumulative weight band.  ``weights`` values must sum
+    to 100 (default 80/10/10 train/val/test).
+
+    The hash is the portable md5-based ``functions.text.hash64`` so an
+    external system (or the DuckDB oracle) can reproduce the exact
+    assignment — splits are a *contract*, not a sample.
+    """
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"weights must sum to 100: {weights}")
+    bucket = F.pmod(X.hash64(F.col(key).cast("string"), seed=seed), F.lit(100))
+    out = df.withColumn(bucket_col, bucket)
+    label: Column | None = None
+    hi = 0
+    *head, (last_name, _) = list(weights.items())
+    for name, w in head:
+        hi += w
+        cond = F.col(bucket_col) < hi
+        label = F.when(cond, name) if label is None else label.when(cond, name)
+    label = F.lit(last_name) if label is None else label.otherwise(last_name)
+    return out.withColumn(split_col, label)
+
+
+def pack_by_offset(
+    df: DataFrame,
+    size_col: str,
+    *,
+    budget: int,
+    shard_col: str,
+    order_by: Sequence[str],
+    offset_col: str = "start_offset",
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Assign each row a (shard-local) byte/token ``start_offset`` and a
+    training ``bin`` id = floor(start_offset / budget).
+
+    Every bin holds ~``budget`` units of cumulative size; a document
+    whose start offset falls in bin k belongs to bin k (documents may
+    straddle a boundary — the sequence writer handles the carry, exactly
+    like fixed-size context-window packing).  Deterministic given the
+    (shard, order_by) contract.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.sum(size_col).over(w) - F.col(size_col)
+    return df.withColumn(offset_col, offset.cast("long")).withColumn(
+        bin_col, F.floor(F.col(offset_col) / F.lit(budget)).cast("long")
+    )

@@ -1,0 +1,131 @@
+"""Temporal join operators: as-of join and bounded range join.
+
+The reference has only equi-joins (SURVEY §2.3), but a time-series
+warehouse built on its data model (snapshot inventory, event streams)
+needs two more join shapes that Spark lacks as primitives:
+
+* **as-of join** — for each probe row, the single most recent build row
+  at-or-before the probe timestamp (per key).  Implemented as
+  union + running ``last(ignorenulls)`` window — ONE shuffle keyed on the
+  join key and a per-partition sort, versus the naive range-join which
+  explodes to O(probe × build) rows per key before picking the max.
+  At 100 TB the window formulation is the only one that survives: state
+  per row is a single carried struct, AQE handles key skew on the
+  shuffle, and nothing is broadcast or replicated.
+
+* **bounded range join** — probe timestamps against fixed-width window
+  intervals.  Implemented as explode-to-equi-join: each event emits its
+  (bounded, small) set of candidate window starts, then an equi-join
+  against the window dim.  This keeps Catalyst in hash-join land; a
+  naive ``ts BETWEEN start AND end`` join would fall back to
+  BroadcastNestedLoopJoin and scan every (row × window) pair.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: Sequence[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    strict: bool = False,
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join: for each probe row, attach the build row with
+    the greatest ``right_ts`` <= ``left_ts`` (``<`` when ``strict``) for
+    the same ``on`` key; build columns are NULL when no such row exists
+    (``how="left"``) or the probe row is dropped (``how="inner"``).
+
+    Matches DuckDB ``ASOF LEFT JOIN ... ON p.k = b.k AND p.ts >= b.ts``.
+
+    Column contract: probe and build must not share non-key column names
+    (rename the build timestamp, e.g. ``click_ts``).  When several build
+    rows share (key, right_ts), the survivor is the one with the
+    greatest payload struct (deterministic lexicographic tiebreak).
+
+    Plan shape: union the two sides tagged with a side marker, shuffle
+    once on ``on``, sort each partition by (ts, side), and carry the
+    last non-null build payload forward.  No join node at all.
+    """
+    on = list(on)
+    p_payload = [c for c in probe.columns if c not in on]
+    b_payload = [c for c in build.columns if c not in on]
+    overlap = set(p_payload) & set(b_payload)
+    if overlap:
+        raise ValueError(f"probe/build column collision: {sorted(overlap)}")
+
+    p_struct = F.struct(*[F.col(c) for c in p_payload])
+    b_struct = F.struct(*[F.col(c) for c in b_payload])
+    p_type = probe.select(p_struct.alias("_p")).schema["_p"].dataType
+    b_type = build.select(b_struct.alias("_b")).schema["_b"].dataType
+
+    pu = probe.select(
+        *on,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        p_struct.alias("_p"),
+        F.lit(None).cast(b_type).alias("_b"),
+    )
+    bu = build.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(p_type).alias("_p"),
+        b_struct.alias("_b"),
+    )
+    # Tie order at equal timestamps decides >= vs >: build-before-probe
+    # makes an equal-ts build row visible (>=); probe-first hides it (>).
+    tie = F.col("_side").desc() if strict else F.col("_side").asc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ats").asc(), tie, F.col("_b").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        pu.unionByName(bu)
+        .withColumn("_bm", F.last("_b", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("_bm").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    return matched.select(
+        *on,
+        *[F.col(f"_p.{c}").alias(c) for c in p_payload],
+        *[F.col(f"_bm.{c}").alias(c) for c in b_payload],
+    )
+
+
+def explode_to_date_windows(
+    df: DataFrame,
+    ts_col: str,
+    windows: DataFrame,
+    *,
+    window_days: int,
+    start_col: str = "win_start",
+) -> DataFrame:
+    """Bounded range join: rows × sliding date windows of ``window_days``
+    length (one window per start date in ``windows[start_col]``); a row
+    with timestamp t matches every window where
+    ``start <= t < start + window_days``.
+
+    Each row explodes to its ``window_days`` candidate start dates, then
+    equi-joins the window dim — fan-out is bounded by the window width,
+    the join stays a (broadcastable) hash join, and zero-match windows
+    drop out exactly like the inequality-join formulation.
+    """
+    d = F.col(ts_col).cast("date")
+    candidates = F.sequence(F.date_sub(d, window_days - 1), d)
+    return df.withColumn(start_col, F.explode(candidates)).join(
+        F.broadcast(windows), start_col, "inner"
+    )

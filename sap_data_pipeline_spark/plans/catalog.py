@@ -17,10 +17,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sap_data_pipeline_spark.functions import cleaning as C
 from sap_data_pipeline_spark.operators import merge as M
 from sap_data_pipeline_spark.operators import relational as R
+from sap_data_pipeline_spark.operators import temporal as T
 from sap_data_pipeline_spark.plans import star_mapping as sm
 from sap_data_pipeline_spark.plans.store_rp import store_rp_oracle, store_rp_report
 from sap_data_pipeline_spark.plans.weekly_sales import weekly_sales, weekly_sales_oracle
@@ -668,4 +670,132 @@ def star_join_revenue_by_region(star: Star) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             sm.dec_sum(F.col("o_totalprice"), "revenue"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operators.temporal.asof_join): for each purchase event, the
+# user's most recent click at-or-before it.  Absent in the reference (all
+# joins equi, SURVEY §2.3) and absent as a Spark primitive — implemented
+# as union + running-last window (one shuffle, no row explosion); the
+# oracle is DuckDB's native ASOF LEFT JOIN, so a hash match proves the
+# window formulation reproduces real as-of semantics including unmatched
+# probes.
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_join_purchase_prior_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts AS click_ts, value AS click_value
+                    FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def asof_join_purchase_prior_click(star: Star) -> DataFrame:
+    ev = star.events
+    probe = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    build = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    return T.asof_join(probe, build, on=["user_id"], left_ts="ts", right_ts="click_ts")
+
+
+# ---------------------------------------------------------------------------
+# Bounded range join (operators.temporal.explode_to_date_windows): events
+# against 7-day sliding windows stepping 1 day.  Not expressible as an
+# equi-join directly; the explode-to-equi-join keeps it a hash join
+# (the inequality-join oracle would be a nested-loop at scale).
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_sliding_7d_windows",
+    """
+    WITH w AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                                  INTERVAL 1 DAY)) AS DATE) AS win_start)
+    SELECT strftime(w.win_start, '%Y-%m-%d') AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM w JOIN events e
+      ON e.ts >= CAST(w.win_start AS TIMESTAMP)
+     AND e.ts <  CAST(w.win_start AS TIMESTAMP) + INTERVAL 7 DAY
+    GROUP BY 1
+    """,
+)
+def events_sliding_7d_windows(star: Star) -> DataFrame:
+    spark = star.events.sparkSession
+    windows = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("win_start")
+    )
+    joined = T.explode_to_date_windows(star.events, "ts", windows, window_days=7)
+    return (
+        joined.groupBy("win_start")
+        .agg(F.count(F.lit(1)).alias("n_events"), sm.dec_sum(F.col("value"), "total_value"))
+        .select(
+            C.format_iso_date("win_start").alias("win_start"), "n_events", "total_value"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window battery: lag / moving average / running total / exact
+# distinct-agg over the weekly site revenue series.  The reference has
+# ZERO `OVER` clauses and no distinct aggregates (SURVEY §2.4-2.5) —
+# this query demonstrates the full analytic surface Spark adds.  All
+# window arithmetic stays on DECIMAL sums (order-independent) and casts
+# to double only on output, so the oracle hash-matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@register(
+    "weekly_site_sales_analytics",
+    f"""
+    WITH wk AS (
+        SELECT Site, {sm.ACCT_WK_SQL.format(col='Date')} AS AcctWk,
+               SUM(CAST(Cost AS DECIMAL(18,6))) AS dec_rev,
+               COUNT(DISTINCT Article) AS n_articles
+        FROM ({sm.MOVEMENTS_SQL}) GROUP BY 1, 2
+    )
+    SELECT Site, AcctWk,
+           CAST(dec_rev AS DOUBLE) AS revenue,
+           CAST(n_articles AS BIGINT) AS n_articles,
+           CAST(lag(dec_rev) OVER w AS DOUBLE) AS prev_revenue,
+           CAST(SUM(dec_rev) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(COUNT(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS mov_avg_4wk,
+           CAST(SUM(dec_rev) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_revenue
+    FROM wk
+    WINDOW w AS (PARTITION BY Site ORDER BY AcctWk)
+    """,
+)
+def weekly_site_sales_analytics(star: Star) -> DataFrame:
+    wk = (
+        sm.movements(star)
+        .groupBy("Site", sm.acct_wk(F.col("Date")).alias("AcctWk"))
+        .agg(
+            F.sum(F.col("Cost").cast(sm.DEC)).alias("dec_rev"),
+            F.countDistinct("Article").alias("n_articles"),
+        )
+    )
+    w = Window.partitionBy("Site").orderBy("AcctWk")
+    w4 = w.rowsBetween(-3, Window.currentRow)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return wk.select(
+        "Site",
+        "AcctWk",
+        F.col("dec_rev").cast("double").alias("revenue"),
+        F.col("n_articles").cast("long").alias("n_articles"),
+        F.lag("dec_rev").over(w).cast("double").alias("prev_revenue"),
+        (
+            F.sum("dec_rev").over(w4).cast("double")
+            / F.count(F.lit(1)).over(w4).cast("double")
+        ).alias("mov_avg_4wk"),
+        F.sum("dec_rev").over(wcum).cast("double").alias("cum_revenue"),
     )

@@ -501,6 +501,113 @@ def multimodal_features(star: Star) -> DataFrame:
 # keys are labeled '(all)'.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (operators.sampling.hash_split):
+# content-addressed md5 bucketing, not rand() — assignment is a stable
+# contract that survives retries, re-runs, and late-arriving shards.
+# ---------------------------------------------------------------------------
+
+@register(
+    "train_test_split",
+    f"""
+    SELECT doc_id,
+           CAST({_hash64_sql('CAST(doc_id AS VARCHAR)', 11)} % 100 AS BIGINT) AS bucket,
+           CASE WHEN {_hash64_sql('CAST(doc_id AS VARCHAR)', 11)} % 100 < 80 THEN 'train'
+                WHEN {_hash64_sql('CAST(doc_id AS VARCHAR)', 11)} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def train_test_split(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import hash_split
+
+    return hash_split(star.documents, "doc_id", seed=11).select("doc_id", "bucket", "split")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing (operators.sampling.pack_by_offset):
+# shard → deterministic order → cumulative offset → fixed-budget bin id.
+# The distributed form of context-window packing; one window pass.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET, _PACK_SHARDS = 2048, 8
+
+@register(
+    "doc_pack_offset",
+    f"""
+    SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard, n_chars,
+           CAST(SUM(n_chars) OVER w - n_chars AS BIGINT) AS start_offset,
+           CAST(floor((SUM(n_chars) OVER w - n_chars) / {_PACK_BUDGET}) AS BIGINT) AS bin
+    FROM documents
+    WINDOW w AS (PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def doc_pack_offset(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import pack_by_offset
+
+    sized = star.documents.select(
+        "doc_id", F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).alias("shard"), "n_chars"
+    )
+    return pack_by_offset(
+        sized, "n_chars", budget=_PACK_BUDGET, shard_col="shard", order_by=["doc_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (functions.text.redact_pii): emails / SSNs / phone numbers
+# redacted with typed placeholders, plus per-class audit counts.  PII is
+# injected deterministically from doc_id so both engines scrub the same
+# dirty text; chained regexp_replace stays in whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+_PII_DIRTY_SQL = """
+    SELECT doc_id,
+           text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or 555-'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' SSN 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS t
+    FROM documents
+"""
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH dirty AS ({_PII_DIRTY_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{X.EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{X.SSN_RE}')) AS INT) AS n_ssn,
+           CAST(len(regexp_extract_all(t, '{X.PHONE_RE}')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '{X.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{X.SSN_RE}', '<SSN>', 'g'),
+               '{X.PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM dirty
+    """,
+)
+def pii_scrub(star: Star) -> DataFrame:
+    dirty = star.documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(1000)).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" SSN 987-65-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return dirty.select(
+        "doc_id", *X.pii_counts("t"), X.redact_pii("t").alias("redacted")
+    )
+
+
 @register(
     "corpus_stats_rollup",
     """

@@ -1,0 +1,179 @@
+"""Tests for temporal joins (as-of, range) and sampling/packing/PII ops."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from sap_data_pipeline_spark.functions import text as X
+from sap_data_pipeline_spark.operators import temporal as T
+from sap_data_pipeline_spark.operators.sampling import hash_split, pack_by_offset
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def _asof_fixture(spark):
+    probe = spark.createDataFrame(
+        [
+            ("u1", 10, "p1"),   # matches b@5
+            ("u1", 20, "p2"),   # matches b@20 (equal ts, non-strict)
+            ("u1", 3, "p3"),    # before any build row -> null
+            ("u2", 50, "p4"),   # u2 has no build rows -> null
+        ],
+        "user string, ts long, pid string",
+    )
+    build = spark.createDataFrame(
+        [("u1", 5, 1.0), ("u1", 20, 2.0), ("u1", 30, 3.0)],
+        "user string, bts long, bval double",
+    )
+    return probe, build
+
+
+def test_asof_join_backward_semantics(spark):
+    probe, build = _asof_fixture(spark)
+    out = T.asof_join(probe, build, on=["user"], left_ts="ts", right_ts="bts")
+    rows = {r["pid"]: (r["bts"], r["bval"]) for r in out.collect()}
+    assert rows == {
+        "p1": (5, 1.0),
+        "p2": (20, 2.0),   # >= matches the equal-ts build row
+        "p3": (None, None),
+        "p4": (None, None),
+    }
+
+
+def test_asof_join_strict_excludes_equal_ts(spark):
+    probe, build = _asof_fixture(spark)
+    out = T.asof_join(probe, build, on=["user"], left_ts="ts", right_ts="bts", strict=True)
+    rows = {r["pid"]: r["bts"] for r in out.collect()}
+    assert rows["p2"] == 5  # equal-ts row invisible under strict <
+
+
+def test_asof_join_inner_drops_unmatched(spark):
+    probe, build = _asof_fixture(spark)
+    out = T.asof_join(probe, build, on=["user"], left_ts="ts", right_ts="bts", how="inner")
+    assert {r["pid"] for r in out.collect()} == {"p1", "p2"}
+
+
+def test_asof_join_rejects_column_collision(spark):
+    probe, build = _asof_fixture(spark)
+    try:
+        T.asof_join(probe, build.withColumnRenamed("bts", "ts"), on=["user"])
+    except ValueError as e:
+        assert "collision" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
+def test_asof_join_no_join_node_in_plan(spark):
+    """The scalable property: the plan is shuffle+window, not a join."""
+    probe, build = _asof_fixture(spark)
+    plan = T.asof_join(probe, build, on=["user"], left_ts="ts", right_ts="bts")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+# ---------------------------------------------------------------------------
+# bounded range join
+# ---------------------------------------------------------------------------
+
+
+def test_explode_to_date_windows_matches_bruteforce(spark):
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-03 12:00:00"), (3, "2024-01-09 23:59:59")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    windows = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-10").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("win_start")
+    )
+    fast = T.explode_to_date_windows(events, "ts", windows, window_days=3)
+    brute = events.crossJoin(windows).filter(
+        (F.col("ts") >= F.col("win_start").cast("timestamp"))
+        & (F.col("ts") < F.col("win_start").cast("timestamp") + F.expr("interval 3 days"))
+    )
+    got = {(r["id"], str(r["win_start"])) for r in fast.collect()}
+    want = {(r["id"], str(r["win_start"])) for r in brute.collect()}
+    assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# hash split
+# ---------------------------------------------------------------------------
+
+
+def test_hash_split_deterministic_and_complete(star):
+    a = hash_split(star.documents, "doc_id").select("doc_id", "split")
+    b = hash_split(star.documents, "doc_id").select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == star.documents.count()
+    # 80/10/10 within a loose tolerance on 500 docs
+    assert counts["train"] / total > 0.7
+    assert 0 < counts.get("val", 0) < total * 0.2
+    assert 0 < counts.get("test", 0) < total * 0.2
+
+
+def test_hash_split_rejects_bad_weights(star):
+    try:
+        hash_split(star.documents, "doc_id", weights={"a": 50, "b": 49})
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError")
+
+
+# ---------------------------------------------------------------------------
+# offset packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_by_offset_invariants(spark):
+    df = spark.createDataFrame(
+        [(i, i % 2, 100 + i) for i in range(20)], "doc_id long, shard long, sz long"
+    )
+    out = pack_by_offset(df, "sz", budget=300, shard_col="shard", order_by=["doc_id"]).collect()
+    for r in out:
+        assert r["start_offset"] >= 0
+        assert r["bin"] == r["start_offset"] // 300
+    # offsets within a shard are the exclusive prefix sums in doc_id order
+    for shard in (0, 1):
+        rows = sorted((r for r in out if r["shard"] == shard), key=lambda r: r["doc_id"])
+        acc = 0
+        for r in rows:
+            assert r["start_offset"] == acc
+            acc += r["sz"]
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_removes_all_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "mail me at jo.doe+x@sub.example.org now"),
+            ("b", "ssn 123-45-6789 phone 415-555-0199"),
+            ("c", "clean text with no pii at all"),
+            ("d", "two mails a@b.co and c@d.io plus 212-555-0000"),
+        ],
+        "id string, t string",
+    )
+    out = df.select("id", X.redact_pii("t").alias("r"), *X.pii_counts("t")).collect()
+    by_id = {r["id"]: r for r in out}
+    for r in out:
+        for pat in (X.EMAIL_RE, X.SSN_RE, X.PHONE_RE):
+            assert re.search(pat, r["r"]) is None, (r["id"], r["r"])
+    assert by_id["a"]["n_emails"] == 1 and "<EMAIL>" in by_id["a"]["r"]
+    assert by_id["b"]["n_ssn"] == 1 and by_id["b"]["n_phones"] == 1
+    assert by_id["c"]["r"] == "clean text with no pii at all"
+    assert by_id["d"]["n_emails"] == 2 and by_id["d"]["r"].count("<EMAIL>") == 2
