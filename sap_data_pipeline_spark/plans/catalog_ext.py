@@ -502,6 +502,55 @@ def multimodal_features(star: Star) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# Exact quantiles (corpus length profiling): interpolated percentiles per
+# language.  Spark `percentile` and DuckDB `quantile_cont` both compute
+# the linear-interpolation estimate over the sorted values — verified
+# bit-identical, so this gets a full hash oracle.  At 100 TB exact
+# percentiles need a global sort per group; this query is the exact
+# companion to `approx_corpus_profile` (the scale path).
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_length_quantiles",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           quantile_cont(n_chars, 0.25) AS p25,
+           quantile_cont(n_chars, 0.5)  AS p50,
+           quantile_cont(n_chars, 0.9)  AS p90
+    FROM documents GROUP BY lang
+    """,
+)
+def corpus_length_quantiles(star: Star) -> DataFrame:
+    return star.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(n_chars, 0.25)").alias("p25"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates — the 100 TB path for distinct counts and
+# quantiles: HyperLogLog++ (approx_count_distinct) and KLL-style sketch
+# (approx_percentile) are single-pass, mergeable, fixed-memory sketches;
+# exact distinct/percentile need a shuffle of every distinct value / a
+# per-group sort.  Sketch internals are engine-specific → no SQL twin
+# (rows-only driver check); the error bound vs the exact companions is
+# gated in tests/test_temporal_sampling.py.
+# ---------------------------------------------------------------------------
+
+@register("approx_corpus_profile")
+def approx_corpus_profile(star: Star) -> DataFrame:
+    return star.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_count_distinct("text", rsd=0.02).alias("approx_distinct_texts"),
+        F.percentile_approx("n_chars", 0.5, 10_000).alias("approx_p50_chars"),
+        F.percentile_approx("n_chars", 0.9, 10_000).alias("approx_p90_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic train/val/test split (operators.sampling.hash_split):
 # content-addressed md5 bucketing, not rand() — assignment is a stable
 # contract that survives retries, re-runs, and late-arriving shards.

@@ -90,6 +90,66 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def compact_parquet_table(
+    spark,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> tuple[int, int]:
+    """Bin-pack a Parquet directory's small files into ~``target_file_bytes``
+    files; returns (files_before, files_after).
+
+    Incremental sinks (streaming ``foreachBatch``, per-batch MERGE,
+    frequent appends) accrete small files; at 100 TB that turns every
+    scan into millions of file opens and starves the scheduler with
+    tiny tasks.  Compaction = read + ``repartition(ceil(bytes/target))``
+    + atomic swap (readers never see a half-compacted table).  No-op
+    when the table is already within budget, so it's safe to run on a
+    schedule after ingest — the pattern OPTIMIZE/bin-packing implements
+    in table formats, expressed on plain Parquet.
+    """
+    import math
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, math.ceil(total_bytes / target_file_bytes))
+    if len(files) < max(min_files_to_compact, n_target + 1):
+        return len(files), len(files)
+    df = spark.read.parquet(path).repartition(n_target)
+    write_parquet_atomic(df, path)
+    after = sum(
+        1 for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    return len(files), after
+
+
+def write_clustered(
+    df: DataFrame,
+    target_dir: str,
+    *,
+    cluster_by: list[str],
+    partition_by: list[str] | None = None,
+) -> int:
+    """Range-cluster rows by ``cluster_by`` before writing so each file
+    covers a narrow key range (CLUSTER BY / Z-order-lite on one axis).
+
+    Parquet footers record per-file min/max; a clustered layout makes
+    those statistics selective, so point/range predicates on the
+    cluster keys skip whole files at planning time instead of reading
+    100 TB to filter it.  ``repartitionByRange`` + ``sortWithinPartitions``
+    keeps it one shuffle; the atomic-swap writer preserves reader
+    isolation.
+    """
+    clustered = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
+    return write_parquet_atomic(clustered, target_dir, partition_by=partition_by)
+
+
 def export_excel(df: DataFrame, path: str, *, max_rows: int = 1_000_000) -> int:
     """Excel export for small report results (reference ``df.to_excel``,
     ``pipelines/etl_StoreRP.py:204-213``, ``etl_zmmidr_oun.py:78-79``).

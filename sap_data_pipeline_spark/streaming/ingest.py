@@ -138,6 +138,58 @@ def windowed_event_agg(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    left_watermark: str = "2 hours",
+    right_watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: rows pair when their keys
+    match and the right event happened within ``within`` *before* the
+    left event (``left_ts - within <= right_ts <= left_ts``).
+
+    The time bound is what makes this run forever: with watermarks on
+    BOTH inputs and the join condition constraining both event times,
+    Spark can prove when a buffered row can never match again and evicts
+    it — state is bounded by (rate × (watermark + within)), independent
+    of stream age.  An unbounded equi-join of two streams would buffer
+    both in full.  Works identically on batch frames (watermarks no-op),
+    which is how tests compare it to ground truth.
+    """
+    l, r = left.alias("l"), right.alias("r")
+    lw = l.withWatermark(left_ts, left_watermark)
+    rw = r.withWatermark(right_ts, right_watermark)
+    key_cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in on]
+    time_cond = [
+        F.col(f"r.{right_ts}")
+        >= F.col(f"l.{left_ts}") - F.expr(f"interval {within}"),
+        F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"),
+    ]
+    cond = key_cond + time_cond
+    joined = lw.join(rw, reduce_and(cond), how)
+    # project: keys once, then both payloads
+    lcols = [c for c in left.columns if c not in on]
+    rcols = [c for c in right.columns if c not in on]
+    return joined.select(
+        *[F.col(f"l.{k}").alias(k) for k in on],
+        *[F.col(f"l.{c}").alias(c) for c in lcols],
+        *[F.col(f"r.{c}").alias(c) for c in rcols],
+    )
+
+
+def reduce_and(conds: Sequence[F.Column]) -> F.Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
 def dedup_stream_within_watermark(
     stream: DataFrame,
     keys: Sequence[str],

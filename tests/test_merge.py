@@ -132,3 +132,55 @@ def test_export_excel_guard(spark, tmp_path):
             export_excel(df, target)
         return
     assert export_excel(df, target) == 3  # pragma: no cover - env-dependent
+
+
+def test_compact_parquet_table(spark, tmp_path):
+    """Many small files bin-pack into few; values survive; re-run no-ops."""
+    from sap_data_pipeline_spark.sources.sinks import compact_parquet_table
+
+    path = str(tmp_path / "smallfiles")
+    # 16 appends of 16 partitions each -> hundreds of tiny files
+    for i in range(16):
+        spark.range(i * 100, (i + 1) * 100).repartition(16).write.mode("append").parquet(path)
+    want = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    before, after = compact_parquet_table(spark, path, target_file_bytes=1 << 20)
+    assert before > 100 and after <= 4
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == want
+
+    b2, a2 = compact_parquet_table(spark, path, target_file_bytes=1 << 20)
+    assert (b2, a2) == (after, after)  # already compact -> no rewrite
+
+
+def test_write_clustered_file_pruning(spark, tmp_path):
+    """Clustered layout: each file covers a narrow id range, so footer
+    min/max stats are selective for range predicates."""
+    import pyarrow.parquet as pq
+
+    from sap_data_pipeline_spark.sources.sinks import write_clustered
+
+    df = spark.range(100_000).toDF("id").withColumn(
+        "payload", F.col("id").cast("string")
+    ).repartition(8)  # scatter ids across partitions first
+    path = str(tmp_path / "clustered")
+    n = write_clustered(df, path, cluster_by=["id"])
+    assert n == 100_000
+
+    import os as _os
+    files = [
+        _os.path.join(path, f) for f in _os.listdir(path) if f.endswith(".parquet")
+    ]
+    assert len(files) > 1
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        maxs = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        spans.append((mins, maxs))
+    spans.sort()
+    # narrow, non-overlapping ranges: total span per file ~ N/files, and
+    # each file's range must not cover the whole table
+    for lo, hi in spans:
+        assert hi - lo < 100_000 / len(files) * 1.5
+    for (_, hi), (lo2, _) in zip(spans, spans[1:]):
+        assert hi <= lo2  # disjoint

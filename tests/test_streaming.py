@@ -182,6 +182,50 @@ def test_running_totals_stateful(spark, star, tmp_path):
     assert got == want
 
 
+def test_stream_interval_join_matches_batch(spark, star, tmp_path):
+    """Stream-stream interval join (purchases × prior clicks within 1h)
+    equals the same join run as a plain batch query."""
+    from sap_data_pipeline_spark.streaming.ingest import stream_interval_join
+
+    ev = star.events.select("event_id", "user_id", "ts", "event_type", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    psrc, csrc = tmp_path / "p_src", tmp_path / "c_src"
+    purchases.write.parquet(str(psrc))
+    clicks.write.parquet(str(csrc))
+
+    pstream = spark.readStream.schema(purchases.schema).parquet(str(psrc))
+    cstream = spark.readStream.schema(clicks.schema).parquet(str(csrc))
+    joined = stream_interval_join(
+        pstream, cstream, ["user_id"], left_ts="p_ts", right_ts="c_ts", within="1 hour"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["p_id"], r["c_id"])
+        for r in spark.sql("SELECT p_id, c_id FROM ssjoin").collect()
+    }
+    want = {
+        (r["p_id"], r["c_id"])
+        for r in stream_interval_join(
+            purchases, clicks, ["user_id"], left_ts="p_ts", right_ts="c_ts", within="1 hour"
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
 def test_dedup_stream_within_watermark(spark, tmp_path):
     """Re-delivered event ids within the watermark window must reach an
     append-only sink exactly once; state stays bounded by the watermark."""

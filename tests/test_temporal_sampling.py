@@ -154,6 +154,35 @@ def test_pack_by_offset_invariants(spark):
 
 
 # ---------------------------------------------------------------------------
+# approximate aggregates: error bound vs exact companions
+# ---------------------------------------------------------------------------
+
+
+def test_approx_profile_error_bounds(spark, star):
+    from sap_data_pipeline_spark.plans import catalog_ext  # noqa: F401  (registers)
+    from sap_data_pipeline_spark.plans.catalog import QUERIES
+
+    approx = {
+        r["source"]: r
+        for r in QUERIES["approx_corpus_profile"](spark, "/root/testdata/sf0.001").collect()
+    }
+    exact = {
+        r["source"]: r
+        for r in star.documents.groupBy("source")
+        .agg(
+            F.countDistinct("text").alias("nd"),
+            F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for src, e in exact.items():
+        a = approx[src]
+        assert abs(a["approx_distinct_texts"] - e["nd"]) <= max(2, 0.05 * e["nd"])
+        assert abs(a["approx_p50_chars"] - e["p50"]) <= max(5, 0.05 * e["p50"])
+
+
+# ---------------------------------------------------------------------------
 # PII scrub
 # ---------------------------------------------------------------------------
 
