@@ -502,6 +502,45 @@ def multimodal_features(star: Star) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# Embedding centroids per label, in long format (label, pos, mean_val):
+# posexplode → groupBy(label, pos) → exact decimal mean.  The long-format
+# formulation is the scale path for vector aggregation — it uses the
+# stock shuffle/agg machinery (partial aggregation, AQE) instead of a
+# UDAF holding a dim-width buffer, and reassembling with
+# array_agg-sorted-by-pos is a cheap follow-up when an array is wanted.
+# Means divide a decimal-exact sum in double, so both engines compute
+# bit-identically (modulo half-up/half-even casting ties ~1e-12, far
+# below the gate's 6-decimal hash rounding).
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_centroids",
+    """
+    SELECT label, pos,
+           CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_val,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+                 generate_subscripts(embedding, 1) - 1 AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroids(star: Star) -> DataFrame:
+    return (
+        star.embeddings.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact quantiles (corpus length profiling): interpolated percentiles per
 # language.  Spark `percentile` and DuckDB `quantile_cont` both compute
 # the linear-interpolation estimate over the sorted values — verified
