@@ -62,6 +62,59 @@ def hash_split(
     return out.withColumn(split_col, label)
 
 
+def stratified_sample_fraction(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    key: str,
+    seed: int = 23,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling at target fractions: keep a row
+    when hash(key) mod 1e6 falls under fraction·1e6 for its stratum.
+
+    The corpus-mixing primitive (e.g. re-weight sources/languages for a
+    training mix).  Stateless map over the scan — NO shuffle, NO window,
+    NO rand(); membership is content-addressed, so the same document is
+    kept or dropped consistently across re-runs, retries, and overlapping
+    corpus snapshots.  Strata missing from ``fractions`` get
+    ``default_fraction`` (0 = drop).
+    """
+    bucket = F.pmod(X.hash64(F.col(key).cast("string"), seed=seed), F.lit(1_000_000))
+    thresh: Column = F.lit(int(default_fraction * 1_000_000))
+    for stratum, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(int(frac * 1_000_000))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
+def stratified_sample_n(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    *,
+    key: str,
+    seed: int = 23,
+) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample: rank rows within each
+    stratum by hash(key) and keep the first n.
+
+    One shuffle on the strata; Spark's WindowGroupLimit pushes the rank
+    filter below the sort, so each partition keeps only n candidates
+    per stratum instead of sorting whole strata.  Use the fraction
+    variant when approximate sizes are acceptable — it's shuffle-free.
+    """
+    h = X.hash64(F.col(key).cast("string"), seed=seed)
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n_per_stratum)
+        .drop("_rank")
+    )
+
+
 def pack_by_offset(
     df: DataFrame,
     size_col: str,

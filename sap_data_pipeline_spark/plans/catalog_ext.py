@@ -613,6 +613,36 @@ def train_test_split(star: Star) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weighted corpus mix (operators.sampling.stratified_sample_fraction):
+# per-language sampling fractions applied via a content-addressed hash
+# threshold — a stateless scan-side filter, NO shuffle/window/rand, so
+# re-runs keep identical membership.  This is the source/language
+# re-weighting pass of a training-data mix.
+# ---------------------------------------------------------------------------
+
+_MIX = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.1}
+_MIX_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{s}' THEN {int(f * 1_000_000)}" for s, f in sorted(_MIX.items())
+) + " ELSE 0 END"
+
+
+@register(
+    "corpus_weighted_mix",
+    f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_hash64_sql('CAST(doc_id AS VARCHAR)', 23)} % 1000000 < {_MIX_CASE}
+    """,
+)
+def corpus_weighted_mix(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import stratified_sample_fraction
+
+    return stratified_sample_fraction(
+        star.documents, "lang", _MIX, key="doc_id"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
 # Token-budget sequence packing (operators.sampling.pack_by_offset):
 # shard → deterministic order → cumulative offset → fixed-budget bin id.
 # The distributed form of context-window packing; one window pass.

@@ -147,3 +147,30 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS fact_l")
         spark.sql("DROP TABLE IF EXISTS fact_r")
+
+
+def test_sliding_window_range_join_is_broadcast_hash(spark):
+    """The explode-to-equi-join formulation must plan as BroadcastHashJoin,
+    never BroadcastNestedLoopJoin (the fate of a raw inequality join)."""
+    from sap_data_pipeline_spark.plans.catalog import QUERIES
+
+    plan = (
+        QUERIES["events_sliding_7d_windows"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_asof_join_single_keyed_exchange(spark):
+    """as-of join: exactly one hash exchange (on the join key) and no Join
+    node; round-robin rebalance exchanges from the tiny-SF scan don't
+    count (self-disabled at scale, SCALE.md)."""
+    from sap_data_pipeline_spark.plans.catalog import QUERIES
+
+    plan = (
+        QUERIES["asof_join_purchase_prior_click"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -206,3 +206,40 @@ def test_redact_pii_removes_all_patterns(spark):
     assert by_id["b"]["n_ssn"] == 1 and by_id["b"]["n_phones"] == 1
     assert by_id["c"]["r"] == "clean text with no pii at all"
     assert by_id["d"]["n_emails"] == 2 and by_id["d"]["r"].count("<EMAIL>") == 2
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_fraction_properties(star):
+    from sap_data_pipeline_spark.operators.sampling import stratified_sample_fraction
+
+    fractions = {"en": 1.0, "de": 0.5}
+    out = stratified_sample_fraction(star.documents, "lang", fractions, key="doc_id")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in star.documents.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("en") == base["en"]                    # fraction 1.0 keeps all
+    assert set(counts) <= {"en", "de"}                       # default 0 drops the rest
+    if "de" in counts:
+        assert counts["de"] <= base["de"]
+    # deterministic: identical membership on re-run
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample_fraction(
+            star.documents, "lang", fractions, key="doc_id"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_stratified_sample_n_exact_sizes(star):
+    from sap_data_pipeline_spark.operators.sampling import stratified_sample_n
+
+    out = stratified_sample_n(star.documents, ["lang"], 5, key="doc_id")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in star.documents.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(5, base[lang])
