@@ -39,6 +39,8 @@ HEADLINE = [
     "asof_join_purchase_prior_click",
     "weekly_site_sales_analytics",
     "pii_scrub",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
 ]
 
 

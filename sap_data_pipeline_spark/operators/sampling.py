@@ -115,6 +115,50 @@ def stratified_sample_n(
     )
 
 
+def pack_greedy(
+    df: DataFrame,
+    size_col: str,
+    *,
+    budget: int,
+    shard_col: str,
+    order_by: Sequence[str],
+    bin_col: str = "bin",
+) -> DataFrame:
+    """True sequential greedy packing per shard: walk the shard in
+    ``order_by`` order, open a new bin whenever adding the next document
+    would exceed ``budget`` (an oversized document gets a bin alone).
+
+    This is a genuine sequential recurrence — bin boundaries depend on
+    every prior row — so it cannot be a window expression; it is the
+    legitimate ``applyInPandas`` case (SURVEY §2.10 policy: Arrow-batched
+    pandas, never row-at-a-time Python).  Parallelism = shard count;
+    each shard must fit in executor memory, which the sharding contract
+    already guarantees for :func:`pack_by_offset`.  Prefer the offset
+    variant when documents may straddle bins — it's pure codegen.
+    """
+    from pyspark.sql.types import LongType, StructType
+
+    # copy the field list — StructType aliases it, and .add would
+    # otherwise append to the input DataFrame's own schema
+    out_schema = StructType(list(df.schema.fields)).add(bin_col, LongType())
+    order_cols = list(order_by)
+
+    def pack(pdf):
+        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
+        bins = []
+        cur_bin, cur_fill = 0, 0
+        for s in pdf[size_col]:
+            if cur_fill > 0 and cur_fill + s > budget:
+                cur_bin += 1
+                cur_fill = 0
+            bins.append(cur_bin)
+            cur_fill += s
+        pdf[bin_col] = bins
+        return pdf
+
+    return df.groupBy(shard_col).applyInPandas(pack, out_schema)
+
+
 def pack_by_offset(
     df: DataFrame,
     size_col: str,

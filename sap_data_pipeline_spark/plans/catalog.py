@@ -799,3 +799,134 @@ def weekly_site_sales_analytics(star: Star) -> DataFrame:
         ).alias("mov_avg_4wk"),
         F.sum("dec_rev").over(wcum).cast("double").alias("cum_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# General-analytics battery: the three classic TPC-H plan shapes on the
+# driver's star schema (the reference has none of these — its analytics
+# stop at two T-SQL reports).  Q1 = the canonical scan+agg, Q3 = the
+# selective fact-x-fact join + top-k, Q5 = the 6-table star join.
+# Decimal discipline as everywhere: row expressions in IEEE double,
+# sums through DECIMAL(18,6), output double.
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(star: Star) -> DataFrame:
+    li = star.lineitem.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sm.dec_sum(F.col("l_quantity"), "sum_qty"),
+        sm.dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+        sm.dec_sum(disc_price, "sum_disc_price"),
+        sm.dec_sum(charge, "sum_charge"),
+        (F.sum(F.col("l_quantity").cast(sm.DEC)).cast("double") / n.cast("double")).alias("avg_qty"),
+        (F.sum(F.col("l_extendedprice").cast(sm.DEC)).cast("double") / n.cast("double")).alias("avg_price"),
+        (F.sum(F.col("l_discount").cast(sm.DEC)).cast("double") / n.cast("double")).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1996-06-01'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1996-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(star: Star) -> DataFrame:
+    c = star.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = star.orders.filter(F.col("o_orderdate").cast("date") < F.lit("1996-06-01"))
+    li = star.lineitem.filter(F.col("l_shipdate").cast("date") > F.lit("1996-06-01"))
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            C.format_iso_date(F.col("o_orderdate").cast("date")).alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            sm.dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(star: Star) -> DataFrame:
+    o = star.orders.filter(
+        F.col("o_orderdate").cast("date").between("1996-01-01", "1996-12-31")
+    )
+    return (
+        o.join(F.broadcast(star.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(star.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(star.supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(star.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(star.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            sm.dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"
+            )
+        )
+    )

@@ -243,3 +243,27 @@ def test_stratified_sample_n_exact_sizes(star):
     base = {r["lang"]: r["n"] for r in star.documents.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     for lang, n in counts.items():
         assert n == min(5, base[lang])
+
+
+def test_pack_greedy_respects_budget(spark):
+    from sap_data_pipeline_spark.operators.sampling import pack_greedy
+
+    rows = [(i, i % 2, sz) for i, sz in enumerate([100, 250, 120, 90, 400, 50, 777, 10])]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, sz long")
+    out = pack_greedy(df, "sz", budget=300, shard_col="shard", order_by=["doc_id"]).collect()
+
+    # bins fill at most `budget` unless a single oversized doc owns the bin
+    fills: dict[tuple, list] = {}
+    for r in out:
+        fills.setdefault((r["shard"], r["bin"]), []).append(r["sz"])
+    for sizes in fills.values():
+        assert sum(sizes) <= 300 or len(sizes) == 1
+
+    # bins are contiguous non-decreasing in walk order within each shard
+    for shard in (0, 1):
+        seq = [r["bin"] for r in sorted(out, key=lambda r: r["doc_id"]) if r["shard"] == shard]
+        assert seq == sorted(seq) and seq[0] == 0
+
+    # exact bin assignment for shard 0: sizes 100,120,400,777 -> greedy
+    s0 = {r["doc_id"]: r["bin"] for r in out if r["shard"] == 0}
+    assert s0 == {0: 0, 2: 0, 4: 1, 6: 2}
