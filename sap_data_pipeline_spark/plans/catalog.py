@@ -810,6 +810,46 @@ def weekly_site_sales_analytics(star: Star) -> DataFrame:
 # sums through DECIMAL(18,6), output double.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen week, counted per week
+# offset since their cohort week.  Two aggregations and one join — the
+# cohort dim (one row per user) is the *output of the first agg*, keyed
+# and joined back on user_id; at scale the join shuffles on user_id
+# (AQE skew-safe) and the retention matrix is tiny.  The reference has
+# nothing like this; it's the standard product-analytics shape a
+# warehouse engine must express.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(floor(date_diff('day', DATE '2024-01-01', CAST(MIN(ts) AS DATE)) / 7)
+                    AS INT) AS cohort_wk
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_wk,
+           CAST(floor(date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) / 7)
+                AS INT) - f.cohort_wk AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(star: Star) -> DataFrame:
+    wk = lambda c: F.floor(  # noqa: E731
+        F.datediff(c.cast("date"), F.lit("2024-01-01")) / 7
+    ).cast("int")
+    first_seen = star.events.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_wk"))
+    return (
+        star.events.select("user_id", wk(F.col("ts")).alias("event_wk"))
+        .join(first_seen, "user_id")
+        .groupBy("cohort_wk", (F.col("event_wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
 @register(
     "tpch_q1_pricing_summary",
     """
