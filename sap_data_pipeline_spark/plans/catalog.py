@@ -811,6 +811,63 @@ def weekly_site_sales_analytics(star: Star) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# Data-quality expectations (operators.quality): the reference's ad-hoc
+# audits (row counts, duplicate prints, length profiling) generalized to
+# declarative named checks — ALL evaluated in one aggregate pass over
+# the fact, reported long-format.
+# ---------------------------------------------------------------------------
+
+@register(
+    "data_quality_checks",
+    """
+    SELECT check_name, n_violations FROM (
+        SELECT CAST(SUM(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS null_pk,
+               CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_partkey, l_suppkey,
+                                               l_linenumber)) AS BIGINT) AS dup_pk,
+               CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nonpositive_qty,
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS discount_out_of_range,
+               CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE) NOT BETWEEN
+                                  DATE '1990-01-01' AND DATE '2009-12-31'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_out_of_range
+        FROM lineitem
+    )
+    UNPIVOT (n_violations FOR check_name IN
+             (null_pk, dup_pk, nonpositive_qty, discount_out_of_range,
+              shipdate_out_of_range))
+    """,
+)
+def data_quality_checks(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.quality import (
+        duplicate_count,
+        quality_report,
+        violation,
+    )
+
+    li = star.lineitem
+    return quality_report(
+        li,
+        {
+            "null_pk": violation(
+                F.col("l_orderkey").isNull() | F.col("l_linenumber").isNull()
+            ),
+            "dup_pk": duplicate_count(
+                ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+            ),
+            "nonpositive_qty": violation(F.col("l_quantity") <= 0),
+            "discount_out_of_range": violation(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+            ),
+            "shipdate_out_of_range": violation(
+                ~F.col("l_shipdate").cast("date").between("1990-01-01", "2009-12-31")
+            ),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cohort retention: users grouped by first-seen week, counted per week
 # offset since their cohort week.  Two aggregations and one join — the
 # cohort dim (one row per user) is the *output of the first agg*, keyed

@@ -82,3 +82,32 @@ def test_salted_join_matches_plain_join(spark):
     plain = sorted(map(tuple, big.join(small, ["k"]).collect()))
     salted = sorted(map(tuple, salted_join(big, small, ["k"], salt=4).collect()))
     assert salted == plain
+
+
+def test_quality_report_single_pass(spark):
+    """Declarative checks: correct counts, evaluated in ONE aggregate pass
+    (a single scan in the plan), long-format output."""
+    from sap_data_pipeline_spark.operators.quality import (
+        duplicate_count,
+        quality_report,
+        violation,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "a", 5.0), (2, None, -1.0), (3, "c", 0.0)],
+        "k int, name string, qty double",
+    )
+    rpt = quality_report(
+        df,
+        {
+            "null_name": violation(F.col("name").isNull()),
+            "dup_k": duplicate_count(["k"]),
+            "nonpositive_qty": violation(F.col("qty") <= 0),
+        },
+    )
+    got = {r["check_name"]: r["n_violations"] for r in rpt.collect()}
+    assert got == {"null_name": 1, "dup_k": 1, "nonpositive_qty": 2}
+    # count scans in the FINAL plan only (the AQE string repeats the
+    # pre-adaptive plan under "== Initial Plan ==")
+    plan = rpt._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") == 1
