@@ -73,6 +73,9 @@ def etl_movements(
         return {"files": 0}
     raw = read_sap_export(spark, files)
     typed = C.cast_to_schema(C.rename_canonical(raw, ZMB51_RENAMES), ZMB51_SCHEMA)
+    # dropna on the merge keys (etl_zmb51.py:57): unparseable dates cast
+    # to NULL and must not reach the keyed MERGE as NULL-keyed rows.
+    typed = typed.na.drop(subset=["Article", "Site", "Date"])
     agg = (
         typed.withColumn("Article", C.strip_leading_zeros("Article"))
         .groupBy("Article", "Site", "Date")

@@ -45,10 +45,23 @@ def merge_upsert_frames(
 
     whenMatchedUpdateAll + whenNotMatchedInsertAll over DataFrames
     (reference MERGE SQL built at ``common/loader.py:60-78``).
+
+    The anti-join uses null-safe key equality (``<=>``) so a NULL-keyed
+    source row REPLACES a NULL-keyed target row instead of being
+    re-inserted beside it — without this, replaying a batch containing
+    NULL keys would grow the table on every replay, breaking the
+    idempotency contract.  ``<=>`` is still an equi-join predicate, so
+    the join stays hash-partitioned (broadcast/shuffled hash), never a
+    cartesian fallback.
     """
     keys = list(keys)
     source = source.select(*target.columns)  # align column order
-    keep = target.join(source.select(*keys).dropDuplicates(keys), keys, "left_anti")
+    t = target.alias("__mt")
+    s = source.select(*keys).dropDuplicates(keys).alias("__ms")
+    cond = reduce(
+        Column.__and__, [F.col(f"__mt.{k}").eqNullSafe(F.col(f"__ms.{k}")) for k in keys]
+    )
+    keep = t.join(s, cond, "left_anti")
     return keep.unionByName(source)
 
 
@@ -71,11 +84,29 @@ class ParquetMergeTable:
         self.retries = retries
         self.retry_delay_s = retry_delay_s
 
+    # An unpartitioned MERGE rewrites the WHOLE table per batch; above
+    # this many existing rows that is an operational smell — facts should
+    # pass partition_by (typically the date column) so each batch only
+    # rewrites the partitions it touches.
+    UNPARTITIONED_WARN_ROWS = 10_000_000
+
     def exists(self) -> bool:
         return os.path.exists(self.path)
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
+
+    def _warn_if_large_unpartitioned(self, target_rows: int) -> None:
+        if target_rows >= self.UNPARTITIONED_WARN_ROWS:
+            import warnings
+
+            warnings.warn(
+                f"MERGE into unpartitioned table {self.path!r} with "
+                f"{target_rows} existing rows rewrites the whole table per "
+                "batch; pass partition_by (e.g. the date column) to rewrite "
+                "only touched partitions",
+                stacklevel=3,
+            )
 
     def merge(self, source: DataFrame, *, order_by: Sequence[Column] | None = None) -> dict:
         """Upsert ``source``; returns the audit record.
@@ -104,6 +135,14 @@ class ParquetMergeTable:
             target = self.read()
             before = target.count()
             pvals = source.select(*self.partition_by).distinct().collect()
+            if not pvals:
+                # Empty batch (all rows filtered upstream, or an empty
+                # streaming micro-batch): MERGE of nothing is a no-op.
+                audit = {"op": "merge", "rows_before": before,
+                         "rows_after": before, "inserted": 0,
+                         "empty_source": True}
+                self.history.append(audit)
+                return audit
             pred = reduce(
                 Column.__or__,
                 [
@@ -114,23 +153,37 @@ class ParquetMergeTable:
                     for r in pvals
                 ],
             )
-            affected = target.filter(pred)  # partition pruning at the scan
-            merged = merge_upsert_frames(affected, source, self.keys)
-            # Dynamic partition overwrite replaces exactly the partitions
-            # present in `merged`.  Tradeoff vs the unpartitioned rename
-            # swap: atomic per partition, not across partitions; a retry
-            # rewrites the same partitions, so replay is idempotent.
-            retry_call(
-                lambda: (
+
+            def _write_pruned() -> tuple[int, int]:
+                # Fresh Observations per attempt: an Observation is
+                # single-use, and a retried write must re-register its
+                # metrics.  rows_after is derived from write-side metrics
+                # (before - affected + merged) — no post-write re-read.
+                from pyspark.sql import Observation
+
+                obs_affected, obs_merged = Observation(), Observation()
+                affected = target.filter(pred).observe(  # pruned at the scan
+                    obs_affected, F.count(F.lit(1)).alias("rows")
+                )
+                merged = merge_upsert_frames(affected, source, self.keys).observe(
+                    obs_merged, F.count(F.lit(1)).alias("rows")
+                )
+                (
                     merged.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy(*self.partition_by)
                     .parquet(self.path)
-                ),
-                attempts=self.retries,
-                delay_s=self.retry_delay_s,
+                )
+                return int(obs_affected.get["rows"]), int(obs_merged.get["rows"])
+
+            # Dynamic partition overwrite replaces exactly the partitions
+            # present in `merged`.  Tradeoff vs the unpartitioned rename
+            # swap: atomic per partition, not across partitions; a retry
+            # rewrites the same partitions, so replay is idempotent.
+            n_affected, n_merged = retry_call(
+                _write_pruned, attempts=self.retries, delay_s=self.retry_delay_s
             )
-            after = self.read().count()  # footer-only count (audit parity)
+            after = before - n_affected + n_merged
             audit = {"op": "merge", "rows_before": before, "rows_after": after,
                      "inserted": after - before}
             self.history.append(audit)
@@ -138,6 +191,7 @@ class ParquetMergeTable:
         else:
             target = self.read()
             before = target.count()
+            self._warn_if_large_unpartitioned(before)
             merged = merge_upsert_frames(target, source, self.keys)
 
         after = retry_call(

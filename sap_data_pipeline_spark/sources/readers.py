@@ -208,15 +208,26 @@ def read_sap_export(
             F.col("_ln") < F.col("_maxln")
         )
 
-    header_line = (
+    # One header row per file; collect the DISTINCT header texts (bounded
+    # by header variants, not file count) and require them identical —
+    # with a multi-file glob, column-order drift between files would
+    # silently misalign every column of the drifted files if we split all
+    # bodies by one arbitrarily-chosen file's header.
+    header_variants = (
         lines.filter(F.col("_ln") == banner_rows + 1)
-        .select("value")
-        .limit(1)
+        .groupBy("value")
+        .agg(F.min("_file").alias("_file"))
+        .orderBy("_file")
         .collect()
     )
-    if not header_line:
+    if not header_variants:
         raise ValueError(f"no header line found in {path!r} after {banner_rows} banner rows")
-    header = header_line[0][0].split(sep)
+    if len(header_variants) > 1:
+        raise ValueError(
+            "header mismatch across files in the same batch: "
+            + "; ".join(f"{r['_file']}: {r['value']!r}" for r in header_variants[:5])
+        )
+    header = header_variants[0]["value"].split(sep)
     start = 1 if drop_first_column else 0
     names = [c.strip() or f"_c{i}" for i, c in enumerate(header)][start:]
 

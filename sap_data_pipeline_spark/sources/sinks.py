@@ -22,22 +22,37 @@ def write_parquet_atomic(df: DataFrame, target_dir: str, *, partition_by: list[s
     """Overwrite ``target_dir`` with ``df`` atomically; return rows written.
 
     Equivalent of the reference's transactional replace
-    (``common/loader.py:83`` ``engine.begin()``): readers never observe a
-    half-written table — the swap is a directory rename.
+    (``common/loader.py:83`` ``engine.begin()``).  POSIX cannot atomically
+    exchange two directories, so the swap is a rename PAIR
+    (target→``.__old__``, tmp→target) with a microsecond window where the
+    target path is absent; a crash inside the window leaves the previous
+    table intact at the STABLE ``{target}.__old__`` name — recovery is one
+    rename back, never data loss.  Any stale ``.__old__`` from a previous
+    crash is cleared before the swap.
+
+    The returned row count comes from write-side metrics
+    (``df.observe``), not a post-write re-read — audit parity with
+    ``common/loader.py`` at zero extra table scans.
     """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    counted = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     tmp = f"{target_dir}.__tmp__{uuid.uuid4().hex[:8]}"
-    writer = df.write.mode("overwrite")
+    writer = counted.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    old = f"{target_dir}.__old__{uuid.uuid4().hex[:8]}"
+    old = f"{target_dir}.__old__"
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a crashed previous swap
     if os.path.exists(target_dir):
         os.rename(target_dir, old)
     os.rename(tmp, target_dir)
     if os.path.exists(old):
         shutil.rmtree(old)
-    # Row-count audit, mirroring loader.py's before/after counts.
-    return df.sparkSession.read.parquet(target_dir).count()
+    return int(obs.get["rows"])
 
 
 def append_parquet(df: DataFrame, target_dir: str, *, partition_by: list[str] | None = None) -> None:

@@ -162,6 +162,11 @@ def stream_interval_join(
     both in full.  Works identically on batch frames (watermarks no-op),
     which is how tests compare it to ground truth.
     """
+    overlap = (set(left.columns) - set(on)) & (set(right.columns) - set(on))
+    if overlap:
+        # mirror asof_join's contract (operators/temporal.py): shared
+        # non-key payload names would yield duplicate output columns
+        raise ValueError(f"left/right payload column collision: {sorted(overlap)}")
     l, r = left.alias("l"), right.alias("r")
     lw = l.withWatermark(left_ts, left_watermark)
     rw = r.withWatermark(right_ts, right_watermark)

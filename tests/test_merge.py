@@ -116,6 +116,39 @@ def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
     assert audit2["rows_after"] == 5
 
 
+def test_merge_null_keys_idempotent(spark, tmp_path):
+    """NULL merge keys must match null-safely: replaying a batch with a
+    NULL-keyed row replaces it instead of inserting a duplicate."""
+    path = str(tmp_path / "fact_nullkey")
+    t = ParquetMergeTable(spark, path, keys=["k"], retry_delay_s=0.0)
+    batch = spark.createDataFrame([("a", 1.0), (None, 7.0)], "k string, v double")
+    t.merge(batch)
+    audit = t.merge(batch)  # replay
+    assert audit["rows_after"] == 2, "NULL-keyed row duplicated on replay"
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows == {"a": 1.0, None: 7.0}
+
+    # and the NULL-keyed row is updatable like any other key
+    t.merge(spark.createDataFrame([(None, 9.0)], "k string, v double"))
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {"a": 1.0, None: 9.0}
+
+
+def test_partitioned_merge_empty_source_noop(spark, tmp_path):
+    """An all-filtered file or empty streaming micro-batch must no-op,
+    not crash building the partition predicate."""
+    path = str(tmp_path / "fact_empty")
+    t = ParquetMergeTable(
+        spark, path, keys=["k", "d"], partition_by=["d"], retry_delay_s=0.0
+    )
+    base = spark.createDataFrame([("a", "2024-01-01", 1.0)], "k string, d string, v double")
+    t.merge(base)
+    empty = base.filter(F.lit(False))
+    audit = t.merge(empty)
+    assert audit == {"op": "merge", "rows_before": 1, "rows_after": 1,
+                     "inserted": 0, "empty_source": True}
+    assert t.read().count() == 1
+
+
 def test_export_excel_guard(spark, tmp_path):
     """Excel export is driver-side and import-guarded; without openpyxl it
     must fail loudly with the CSV alternative named, never half-write."""

@@ -40,6 +40,19 @@ def test_read_sap_export_multifile(spark, tmp_path):
     assert "_source_file" in df.columns and "_source_line" in df.columns
 
 
+def test_read_sap_export_header_drift_rejected(spark, tmp_path):
+    """Column-order drift between files in one glob must fail loudly —
+    splitting all bodies by one arbitrary file's header would silently
+    misalign every column of the drifted files."""
+    import pytest
+
+    (tmp_path / "Z_1.txt").write_text(SAP_FILE)
+    drifted = SAP_FILE.replace("\tSite\tArticle\t", "\tArticle\tSite\t")
+    (tmp_path / "Z_2.txt").write_text(drifted)
+    with pytest.raises(ValueError, match="header mismatch"):
+        read_sap_export(spark, str(tmp_path / "Z_*.txt")).collect()
+
+
 def test_read_sap_export_empty_fields_null(spark, tmp_path):
     p = tmp_path / "Z.txt"
     p.write_text("x\n\n\tA\tB\n\t\tv\n")

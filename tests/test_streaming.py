@@ -226,6 +226,20 @@ def test_stream_interval_join_matches_batch(spark, star, tmp_path):
     assert got == want
 
 
+def test_stream_interval_join_payload_collision_rejected(spark, star):
+    """Shared non-key payload names would emit duplicate output columns;
+    the join must refuse them up front (same contract as asof_join)."""
+    import pytest
+
+    from sap_data_pipeline_spark.streaming.ingest import stream_interval_join
+
+    ev = star.events.select("user_id", "ts", "value")
+    with pytest.raises(ValueError, match="collision"):
+        stream_interval_join(
+            ev, ev, ["user_id"], left_ts="ts", right_ts="ts", within="1 hour"
+        )
+
+
 def test_dedup_stream_within_watermark(spark, tmp_path):
     """Re-delivered event ids within the watermark window must reach an
     append-only sink exactly once; state stays bounded by the watermark."""
