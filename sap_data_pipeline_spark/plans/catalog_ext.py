@@ -482,14 +482,53 @@ def doc_fingerprints(star: Star) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (decode stubbed; Spark-side schema/batching real).
-# mapInPandas is not SQL-expressible — rows-only driver check; exact
-# per-value tests live in tests/test_multimodal.py.
+# The registered query EXPLODES the 8-dim feature array to scalar
+# (media_id, n_bytes, pos, val) rows — the driver's canonicalizer sorts
+# pandas columns and cannot hash array cells — and casts val to DOUBLE
+# (np.float32 is not a Python float, so it would bypass the harness's
+# %.6f rounding).  FakeDecoder's byte histogram IS SQL-expressible, so
+# this gets a full value-hash oracle: hex(encode(text)) exposes each
+# UTF-8 byte as a hex pair, whose LOW nibble mod 8 equals byte mod 8;
+# the float32 quantization that Arrow applies to the mapInPandas output
+# is replicated with CAST(.. AS REAL) so both engines carry identical
+# bits into the hash.  Library users keep the array-returning
+# extract_features API; exact per-value tests in tests/test_multimodal.py.
 # ---------------------------------------------------------------------------
 
-@register("multimodal_features")
+_MULTIMODAL_SQL = """
+    WITH enc AS (
+      SELECT doc_id, upper(hex(encode(text))) AS h,
+             COALESCE(octet_length(encode(text)), 0) AS n
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, h, n, unnest(generate_series(1, n)) AS i
+      FROM enc WHERE n > 0
+    ),
+    counts AS (
+      SELECT doc_id,
+             (strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 1) % 8 AS pos,
+             COUNT(*) AS cnt
+      FROM bytes GROUP BY 1, 2
+    ),
+    slots AS (SELECT unnest(generate_series(0, 7)) AS pos)
+    SELECT e.doc_id AS media_id,
+           CAST(e.n AS BIGINT) AS n_bytes,
+           CAST(s.pos AS INT) AS pos,
+           CAST(CAST(CAST(COALESCE(c.cnt, 0) AS DOUBLE)
+                / CAST(GREATEST(e.n, 1) AS DOUBLE) AS REAL) AS DOUBLE) AS val
+    FROM enc e CROSS JOIN slots s
+    LEFT JOIN counts c ON c.doc_id = e.doc_id AND c.pos = s.pos
+"""
+
+
+@register("multimodal_features", _MULTIMODAL_SQL)
 def multimodal_features(star: Star) -> DataFrame:
     media = MM.synth_media(star.documents)
-    return MM.extract_features(media)
+    feats = MM.extract_features(media)
+    return feats.select(
+        "media_id", "n_bytes", F.posexplode("feature").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
 
 
 # ---------------------------------------------------------------------------
