@@ -77,15 +77,18 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
-                        num_perm: int = NUM_PERM, band_size: int = BAND_SIZE) -> DataFrame:
-    """LSH banding: documents sharing any band signature become candidate
-    pairs (a < b).  Self-join on the band key — shuffle keys are band
-    hashes (uniform); distinct-ed after.
+# A candidate bucket larger than this is degenerate (near-empty docs,
+# boilerplate sharing one signature): its pair space is quadratic and its
+# id list would blow the aggregation buffer.  Such buckets are DROPPED —
+# their members are near-identical to thousands of others, which exact
+# dedup already collapses; LSH exists for the discriminating tail.
+LSH_MAX_BUCKET = 1024
 
-    Band rows come from ONE explode over an array of (band, bkey) structs
-    — a per-band union would replicate the whole signature sub-plan once
-    per band (4× the scan+shuffle unless exchange reuse saves it).
+
+def _banded(sig: DataFrame, id_col: str, num_perm: int, band_size: int) -> DataFrame:
+    """One (id, band, bkey) row per document per band — a single explode
+    over an array of structs (a per-band union would replicate the whole
+    signature sub-plan once per band; measured, no ReusedExchange saves it).
     """
     entries = F.array(*[
         F.struct(
@@ -96,21 +99,42 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
         )
         for b in range(0, num_perm, band_size)
     ])
-    exploded = sig.select(F.col(id_col), F.explode(entries).alias("e")).select(
+    return sig.select(F.col(id_col), F.explode(entries).alias("e")).select(
         F.col(id_col), F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
     )
-    # Bucket-then-expand instead of a self-join: a self-join on the band
-    # key re-executes the whole signature sub-plan (scan + digest +
-    # shingle shuffle) once per side — measured, no ReusedExchange saves
-    # it.  Grouping collects each bucket's sorted id list in ONE pass and
-    # emits the a<b pairs map-side from the array.  Memory note: a
-    # bucket's id list must fit in one aggregation buffer — true when
-    # bands discriminate (tune NUM_PERM/BAND_SIZE); a degenerate bucket
-    # is quadratic under either strategy.
-    buckets = (
-        exploded.groupBy("band", "bkey")
-        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
+                        num_perm: int = NUM_PERM, band_size: int = BAND_SIZE,
+                        max_bucket_size: int = LSH_MAX_BUCKET) -> DataFrame:
+    """LSH banding: documents sharing any band signature become candidate
+    pairs (a < b), bucket-then-expand — grouping collects each bucket's
+    sorted id list in ONE pass and emits the pairs map-side from the
+    array (a self-join on the band key would re-execute the signature
+    sub-plan once per side).
+
+    The bucket-size bound is ENFORCED, not assumed: a window count over
+    (band, bkey) sizes every bucket on the SAME single shuffle the
+    grouping needs (the window's exchange satisfies the group-by's
+    distribution, so no second exchange appears), and rows in buckets
+    above ``max_bucket_size`` are dropped before any id list is
+    collected — the aggregation buffer is structurally capped, and a
+    degenerate corpus (thousands of near-empty docs sharing one
+    signature) degrades to a logged drop instead of an executor OOM.
+    Audit what was dropped with :func:`lsh_oversized_buckets`.  The same
+    pre-filter removes singleton buckets before the aggregation, which
+    is most of them — the collect only ever sees real candidates.
+    """
+    from pyspark.sql.window import Window
+
+    exploded = _banded(sig, id_col, num_perm, band_size)
+    wb = Window.partitionBy("band", "bkey")
+    sized = exploded.withColumn("_n", F.count(F.lit(1)).over(wb))
+    kept = sized.filter(
+        (F.col("_n") >= 2) & (F.col("_n") <= F.lit(max_bucket_size))
+    )
+    buckets = kept.groupBy("band", "bkey").agg(
+        F.array_sort(F.collect_set(id_col)).alias("ids")
     )
     pairs = (
         buckets.select(
@@ -128,9 +152,28 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
     return pairs
 
 
-def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def lsh_oversized_buckets(sig: DataFrame, id_col: str = "doc_id",
+                          num_perm: int = NUM_PERM, band_size: int = BAND_SIZE,
+                          max_bucket_size: int = LSH_MAX_BUCKET) -> DataFrame:
+    """Audit twin of :func:`lsh_candidate_pairs`: the (band, bkey, n_ids)
+    buckets the cap dropped, so curation jobs can log what was skipped
+    (a silent drop of a million-doc bucket is an operational fact the
+    pipeline owner needs to see)."""
+    exploded = _banded(sig, id_col, num_perm, band_size)
+    return (
+        exploded.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .filter(F.col("n_ids") > max_bucket_size)
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        max_bucket_size: int = LSH_MAX_BUCKET) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs (id_a < id_b)."""
-    return lsh_candidate_pairs(minhash_signature(df, text_col, id_col), id_col)
+    return lsh_candidate_pairs(
+        minhash_signature(df, text_col, id_col), id_col,
+        max_bucket_size=max_bucket_size,
+    )
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

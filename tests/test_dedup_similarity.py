@@ -37,6 +37,34 @@ def test_lsh_pairs_find_duplicates(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_lsh_degenerate_bucket_capped(spark):
+    """An adversarial corpus (1k identical docs → one bucket per band)
+    must complete with the oversize buckets dropped, while pairs from
+    normal-sized buckets are still emitted and the audit names what was
+    dropped."""
+    degenerate = ["same exact text repeated many many times"] * 1000
+    normal = ["alpha beta gamma delta", "alpha beta gamma delta",
+              "unrelated words entirely here now"]
+    df = _docs(spark, degenerate + normal)
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_dedup_pairs(df, max_bucket_size=64).collect()
+    }
+    assert (1000, 1001) in pairs            # normal near-dup bucket survives
+    assert not any(a < 1000 and b < 1000 for a, b in pairs), \
+        "degenerate bucket's quadratic pairs must be dropped, not expanded"
+
+    over = D.lsh_oversized_buckets(
+        D.minhash_signature(df), max_bucket_size=64
+    ).collect()
+    assert len(over) >= 1 and all(r["n_ids"] == 1000 for r in over)
+
+    # default cap admits the normal corpus untouched
+    assert {(r["id_a"], r["id_b"]) for r in D.minhash_dedup_pairs(
+        _docs(spark, normal)).collect()} == {(0, 1)}
+
+
 def test_ngram_jaccard_exact_on_candidates(spark):
     df = _docs(spark, ["a b c d", "a b c x", "q r s t"])
     out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
