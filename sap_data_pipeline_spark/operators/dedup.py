@@ -230,11 +230,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def embedding_near_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
                              vec_col: str = "embedding", block_col: str = "label",
                              threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-dup within a blocking key (IVF-style cell).
+    """Embedding-cosine near-dup within a PROVIDED blocking key.
 
-    The block join keeps the pair space |block|² instead of N²; at scale
-    the blocking key is a coarse quantizer cell — here the provided
-    ``label``.  Returns (id_a, id_b, cosine) ≥ threshold.
+    The block join keeps the pair space |block|² instead of N²; use this
+    variant when a natural block exists (a label, a shard, a dedup
+    domain).  When no label exists — the usual 100 TB case — use
+    :func:`embedding_near_dup_pairs_by_cell`, which derives the block
+    from a quantizer cell.  Returns (id_a, id_b, cosine) ≥ threshold.
     """
     a = emb.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"),
                    F.col(vec_col).alias("va"))
@@ -243,6 +245,89 @@ def embedding_near_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(V.cosine("va", "vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_pairs_by_cell(emb: DataFrame, *, id_col: str = "vec_id",
+                                     vec_col: str = "embedding",
+                                     threshold: float = 0.95,
+                                     n_cells: int = 8, nprobe: int = 2) -> DataFrame:
+    """Label-free embedding near-dup: the blocking key is a coarse
+    quantizer cell, so the operator works on a bare (id, vector) corpus —
+    the real 100 TB case, where no label column exists.
+
+    Quantizer: a deterministic seeded sample — the ``n_cells`` vectors
+    with the smallest ``md5('cell:' || id)`` become the centroids (no
+    iterative training pass, so the whole operator is one declarative
+    plan and is SQL-replayable for the oracle).  Each vector probes its
+    ``nprobe`` nearest cells (L2), so near-dups straddling a cell
+    boundary still meet in the neighbor cell.  Assignment is map-side:
+    the centroid array is broadcast as ONE row and ranked with
+    higher-order array expressions — no per-row Python, no shuffle.
+    The only shuffles are the cell-keyed self-join (≤ n_cells keys, AQE
+    skew-split covers hot cells) and the candidate-pair distinct.
+    Returns (id_a, id_b, cosine) ≥ threshold.
+    """
+    from pyspark.sql.window import Window
+
+    v_dbl = F.col(vec_col).cast("array<double>")
+    cents = (
+        emb.select(
+            F.col(id_col).alias("_cid"),
+            v_dbl.alias("cent_vec"),
+            F.md5(F.concat(F.lit("cell:"), F.col(id_col).cast("string"))).alias("_r"),
+        )
+        .orderBy("_r", "_cid")
+        .limit(n_cells)
+    )
+    cents = cents.select(
+        (F.row_number().over(Window.orderBy("_r", "_cid")) - 1).alias("cell"),
+        "cent_vec",
+    )
+    cents_arr = cents.agg(
+        F.collect_list(F.struct(F.col("cell"), F.col("cent_vec"))).alias("_cents")
+    )
+
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            c["cell"].alias("cell"),
+            F.aggregate(
+                F.zip_with(v_dbl, c["cent_vec"], lambda x, m: (x - m) * (x - m)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        ),
+    )
+    by_dist = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["dist"] < b["dist"], -1)
+        .when(a["dist"] > b["dist"], 1)
+        .when(a["cell"] < b["cell"], -1)
+        .when(a["cell"] > b["cell"], 1)
+        .otherwise(0),
+    )
+    assigned = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cents_arr))
+        .withColumn("_near", F.slice(by_dist, 1, nprobe))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(F.col("_near").getField("cell")).alias("cell"),
+        )
+    )
+    a = assigned.select("cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = assigned.select("cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair probing ≥2 shared cells would double-count: dedup BEFORE
+        # the cosine so each candidate pays for one fold, not nprobe²
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("cosine", F.round(V.cosine("va", "vb"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -220,6 +220,60 @@ def embedding_near_dup_pairs_q(star: Star) -> DataFrame:
     return D.embedding_near_dup_pairs(star.embeddings, threshold=0.3)
 
 
+@register(
+    "embedding_near_dup_cells",
+    # Label-free variant: the block is a quantizer cell.  The seeded-
+    # sample quantizer (centroids = the 8 vectors with smallest
+    # md5('cell:'||id)) is deterministic and SQL-replayable, so this gets
+    # a full value-hash oracle — the assignment, probing, and candidate
+    # expansion are replayed verbatim.  Spark folds L2 left-to-right from
+    # 0.0; the oracle sums the same squared diffs (list ops on DOUBLE[]);
+    # cell ranking ties break by cell id on both sides.
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeded AS (
+        SELECT vec_id, v, md5('cell:' || CAST(vec_id AS VARCHAR)) AS r
+        FROM e ORDER BY r, vec_id LIMIT 8
+    ),
+    cents AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY r, vec_id) - 1 AS INT) AS cell,
+               v AS cv
+        FROM seeded
+    ),
+    dists AS (
+        SELECT e.vec_id, c.cell,
+               list_sum(list_transform(generate_series(1, len(e.v)),
+                        i -> (e.v[i] - c.cv[i]) ^ 2)) AS dist
+        FROM e CROSS JOIN cents c
+    ),
+    probed AS (
+        SELECT vec_id, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cell) AS rk
+            FROM dists
+        ) WHERE rk <= 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM probed a JOIN probed b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v))
+                    * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+    FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+              JOIN e eb ON eb.vec_id = cand.id_b
+    WHERE round(list_dot_product(ea.v, eb.v)
+                / (sqrt(list_dot_product(ea.v, ea.v))
+                   * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.3
+    """,
+)
+def embedding_near_dup_cells_q(star: Star) -> DataFrame:
+    return D.embedding_near_dup_pairs_by_cell(
+        star.embeddings, threshold=0.3, n_cells=8, nprobe=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -119,6 +119,32 @@ def test_embedding_near_dup_blocks(spark):
     assert pairs == {(0, 1)}  # cross-label pair (0,2) blocked out
 
 
+def test_embedding_near_dup_by_cell_label_free(spark):
+    """The cell-blocked variant must find a planted near-dup pair on a
+    bare (id, vector) corpus with no label column, and agree with the
+    label-blocked variant when the label IS the cell structure."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        base = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    # planted near-dup: vector 60 ≈ vector 0 (tiny perturbation)
+    rows.append((60, [float(x + 0.001) for x in rows[0][1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.embedding_near_dup_pairs_by_cell(
+            emb, threshold=0.99, n_cells=4, nprobe=2
+        ).collect()
+    }
+    assert (0, 60) in pairs
+    assert math.isclose(pairs[(0, 60)], 1.0, abs_tol=1e-4)
+
+
 def test_rolling_fingerprint_values(spark):
     """Known-value check of the polynomial rolling hash, plus invariance
     to the whitespace/case normalization."""
