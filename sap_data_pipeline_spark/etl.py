@@ -310,6 +310,120 @@ def etl_promo_billing(
     return {"files": len(files), **audit}
 
 
+ZMMIDR_DRY_RENAMES = {
+    "Article No": "Article",
+    "Unrestricted-Use Stock": "Stock",
+    "On order Stock": "OnOrder",
+}
+
+
+def etl_inventory_consolidated(
+    spark: SparkSession,
+    region_globs: dict[str, str],
+    out_path: str,
+    *,
+    ec_regions: tuple[str, ...] = ("9905", "9901", "9902"),
+    ec_label: str = "EC",
+    measures: tuple[str, ...] = ("Stock", "OnOrder"),
+    dry_dept: str = "106",
+    dry_export_path: str | None = None,
+) -> dict:
+    """ZMMIDR "dry" consolidated DC inventory (``pipelines/etl_zmmidr_dry.py``).
+
+    The reference loads one file per DC region (``:36-44``), merges the EC
+    regions into a single ``Region='EC'`` row per article — measures summed,
+    attributes first-wins (``:47-66``) — concatenates with the standalone
+    regions (``:70``), builds the ``Article NoDC = Region||Article``
+    surrogate (``:73``), cleans the stock measures with the NaN→0.0 policy
+    (``:10-18`` — this flow's cleaner diverges from the others: NULL and
+    unparseable become 0.0, not NULL), derives ``Dept = MCH[:3]`` (``:27``),
+    exports the dry-goods subset ``Dept=='106'`` (``:82-84``), stamps the
+    snapshot date (``:89``) and replaces the warehouse table (``:117``).
+
+    Spark shape: one lazy plan over all region files — per-region scans
+    union into one frame; the EC merge is ONE shuffle on Article restricted
+    to the EC rows (non-EC rows bypass it); first-wins attributes use
+    ``min_by`` over an explicit (region-priority, file, line) order, making
+    deterministic what pandas ``concat``+``first`` got from list order.
+    Replace (not MERGE) matches the reference's ``if_exists='replace'``.
+    """
+    frames = []
+    for prio, (region, pattern) in enumerate(region_globs.items()):
+        files = sorted(_glob.glob(pattern))
+        if not files:
+            continue
+        raw = read_sap_export(spark, files, drop_trailing_totals=True)
+        renamed = C.rename_canonical(raw, ZMMIDR_DRY_RENAMES)
+        frames.append(
+            renamed.select(
+                F.lit(region).alias("Region"),
+                C.strip_leading_zeros(F.trim(F.col("Article"))).alias("Article"),
+                F.trim(F.col("MCH")).alias("MCH"),
+                # NaN→0.0 cleaner policy (etl_zmmidr_dry.py:10-18)
+                *[
+                    F.coalesce(
+                        C.fast_numeric(m, "decimal(14,2)"),
+                        F.lit(0).cast("decimal(14,2)"),
+                    ).alias(m)
+                    for m in measures
+                ],
+                F.lit(prio).alias("_region_prio"),
+                F.col("_source_file"),
+                F.col("_source_line"),
+            )
+        )
+    if not frames:
+        return {"files": 0}
+    from functools import reduce as _reduce
+
+    df = _reduce(lambda a, b: a.unionByName(b), frames)
+
+    attrs = [c for c in df.columns if c not in {"Article", "Region", *measures}
+             and not c.startswith("_")]
+    order = F.struct("_region_prio", "_source_file", "_source_line")
+    ec = (
+        df.filter(F.col("Region").isin(*ec_regions))
+        .groupBy("Article")
+        .agg(
+            *[F.sum(m).alias(m) for m in measures],
+            *[F.min_by(F.col(a), order).alias(a) for a in attrs],
+        )
+        .withColumn("Region", F.lit(ec_label))
+    )
+    rest = df.filter(~F.col("Region").isin(*ec_regions)).drop(
+        "_region_prio", "_source_file", "_source_line"
+    )
+    merged = rest.unionByName(ec.select(*rest.columns))
+
+    consolidated = merged.select(
+        F.concat(F.col("Region"), F.col("Article")).alias("Article_NoDC"),
+        "*",
+    ).withColumns({
+        "Dept": F.substring("MCH", 1, 3),
+        "Snapshot_Date": F.current_date(),
+    })
+
+    audit: dict = {"files": sum(len(_glob.glob(p)) for p in region_globs.values())}
+    if dry_export_path:
+        from pyspark.sql import Observation
+
+        from sap_data_pipeline_spark.sources.sinks import export_csv
+
+        obs = Observation()
+        dry = consolidated.filter(F.col("Dept") == dry_dept).select(
+            "Article_NoDC", "Region", "Article", *measures
+        ).observe(obs, F.count(F.lit(1)).alias("rows"))
+        export_csv(dry, dry_export_path)
+        audit["dry_rows"] = int(obs.get["rows"])
+
+    from sap_data_pipeline_spark.sources.sinks import write_parquet_atomic
+
+    audit["rows"] = write_parquet_atomic(
+        consolidated.drop("Article_NoDC"), out_path
+    )
+    return audit
+
+
 def etl_load_dims(
     spark: SparkSession,
     folder: str,

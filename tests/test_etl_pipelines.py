@@ -29,9 +29,11 @@ def test_etl_movements_end_to_end(spark, tmp_path):
         ("0001234", "1000", "01/15/2024", "500-", "100-", "EA"),
         ("0009999", "2000", "01/16/2024", "10", "5", "CS"),
     ])
+    # facts partition by Date — the documented default posture, so each
+    # daily batch rewrites only the partitions it touches (VERDICT r1 §3)
     table = ParquetMergeTable(
         spark, str(tmp_path / "fact_mv"), keys=["Article", "Site", "Date"],
-        retry_delay_s=0.0,
+        partition_by=["Date"], retry_delay_s=0.0,
     )
     ledger = ProcessedLedger(str(tmp_path / "zmb51_done.txt"))
 
@@ -55,7 +57,17 @@ def test_etl_movements_end_to_end(spark, tmp_path):
     etl_movements(spark, str(watch / "ZMB51_*.txt"), table)
     assert sorted(map(tuple, table.read().collect())) == before
 
-    # late file arrives: only it is processed, new key upserts
+    # late file arrives: only it is processed, new key upserts — and the
+    # merge is partition-pruned: the batch touches only Date=2024-01-15,
+    # so the 2024-01-16 partition's files must not be rewritten
+    import glob as g
+    import os
+
+    untouched = {
+        f: os.path.getmtime(f)
+        for f in g.glob(str(tmp_path / "fact_mv" / "Date=2024-01-16" / "*.parquet"))
+    }
+    assert untouched, "expected a Date=2024-01-16 partition"
     _zmb51_file(watch / "ZMB51_002.txt", [
         ("0001234", "1000", "01/15/2024", "2,000-", "400-", "EA"),
     ])
@@ -63,6 +75,9 @@ def test_etl_movements_end_to_end(spark, tmp_path):
     assert audit["files"] == 1
     got = {(r["Article"], r["Site"]): r for r in table.read().collect()}[("1234", "1000")]
     assert float(got["Quantity"]) == 2000.0  # matched key UPDATEd to new batch
+    for f, mtime in untouched.items():
+        assert os.path.exists(f) and os.path.getmtime(f) == mtime, \
+            f"untouched partition rewritten: {f}"
 
 
 def _zmmidr_file(path, rows, totals=("Total", "", "99,999")):
@@ -131,6 +146,89 @@ def test_etl_billing_lines_filter_and_doc_pk(spark, tmp_path):
     rows = {(r["Bill_Doc"], r["Item"]): r for r in table.read().collect()}
     assert float(rows[("900001", "10")]["Quantity"]) == 7.0
     assert len(rows) == 2
+
+
+def _zmmidr_dry_file(path, rows, totals=("Total", "", "99,999", "9,999")):
+    header = "\tArticle No\tMCH\tUnrestricted-Use Stock\tOn order Stock\n"
+    body = "".join("\t" + "\t".join(r) + "\n" for r in list(rows) + [totals])
+    path.write_text(BANNER + header + body)
+
+
+def test_etl_inventory_consolidated_dry(spark, tmp_path):
+    """ZMMIDR dry flow: EC region-merge, NoDC surrogate, Dept substring,
+    NaN→0.0 measure policy, dry-goods (Dept 106) export subset."""
+    import csv
+
+    from sap_data_pipeline_spark.etl import etl_inventory_consolidated
+
+    folder = tmp_path / "zmmidr_dry"
+    folder.mkdir()
+    # standalone regions
+    _zmmidr_dry_file(folder / "Zmmidr_9801.txt", [
+        ("0100", "106AB", "10", "1"),
+        ("0200", "107CD", "5", ""),       # empty OnOrder → 0.0 policy
+    ])
+    _zmmidr_dry_file(folder / "Zmmidr_9900.txt", [
+        ("0100", "106AB", "20", "2"),
+    ])
+    # EC regions: article 0300 appears in all three → summed, MCH first-wins
+    _zmmidr_dry_file(folder / "Zmmidr_9905.txt", [
+        ("0300", "106XY", "7", "1"),
+    ])
+    _zmmidr_dry_file(folder / "Zmmidr_9901.txt", [
+        ("0300", "106ZZ", "3", "2"),      # MCH loses to 9905's (priority order)
+        ("0400", "108QQ", "1", "bad"),    # unparseable OnOrder → 0.0
+    ])
+    _zmmidr_dry_file(folder / "Zmmidr_9902.txt", [
+        ("0300", "106WW", "2.5", "0"),
+    ])
+    out = tmp_path / "zmmidr_tbl"
+    dry_csv = tmp_path / "dry_out"
+    audit = etl_inventory_consolidated(
+        spark,
+        {r: str(folder / f"Zmmidr_{r}.txt") for r in
+         ("9801", "9900", "9905", "9901", "9902")},
+        str(out),
+        dry_export_path=str(dry_csv),
+    )
+    assert audit["files"] == 5
+
+    rows = {(r["Region"], r["Article"]): r
+            for r in spark.read.parquet(str(out)).collect()}
+    # standalone regions pass through; same article in two standalone
+    # regions stays two rows (only EC merges)
+    assert ("9801", "100") in rows and ("9900", "100") in rows
+    # EC merge: one row, measures summed, MCH from highest-priority region
+    ec = rows[("EC", "300")]
+    assert float(ec["Stock"]) == 12.5 and float(ec["OnOrder"]) == 3.0
+    assert ec["MCH"] == "106XY"
+    assert ec["Dept"] == "106"
+    # NaN→0.0 policy (dry cleaner diverges from the NULL-preserving flows)
+    assert float(rows[("9900", "100")]["OnOrder"]) == 2.0
+    assert float(rows[("9801", "200")]["OnOrder"]) == 0.0
+    assert float(rows[("EC", "400")]["OnOrder"]) == 0.0
+    # the NoDC surrogate is an export concern, dropped from the warehouse
+    assert "Article_NoDC" not in spark.read.parquet(str(out)).columns
+
+    # dry export: Dept==106 only, with the NoDC surrogate key
+    files = [p for p in dry_csv.iterdir() if p.suffix == ".csv"]
+    got = []
+    for p in files:
+        with open(p) as fh:
+            got.extend(csv.DictReader(fh))
+    assert audit["dry_rows"] == len(got)
+    by_key = {r["Article_NoDC"]: r for r in got}
+    assert set(by_key) == {"9801100", "9900100", "EC300"}  # 107/108 out
+    assert float(by_key["EC300"]["Stock"]) == 12.5
+
+    # replace semantics: re-running replaces, not appends
+    audit2 = etl_inventory_consolidated(
+        spark,
+        {"9801": str(folder / "Zmmidr_9801.txt")},
+        str(out),
+    )
+    assert audit2["rows"] == 2
+    assert spark.read.parquet(str(out)).count() == 2
 
 
 def _zmachk_file(path, rows):
