@@ -325,8 +325,10 @@ def etl_inventory_consolidated(
     ec_regions: tuple[str, ...] = ("9905", "9901", "9902"),
     ec_label: str = "EC",
     measures: tuple[str, ...] = ("Stock", "OnOrder"),
+    sum_measures: tuple[str, ...] = (),
     dry_dept: str = "106",
     dry_export_path: str | None = None,
+    snapshot_path: str | None = None,
 ) -> dict:
     """ZMMIDR "dry" consolidated DC inventory (``pipelines/etl_zmmidr_dry.py``).
 
@@ -338,28 +340,67 @@ def etl_inventory_consolidated(
     (``:10-18`` — this flow's cleaner diverges from the others: NULL and
     unparseable become 0.0, not NULL), derives ``Dept = MCH[:3]`` (``:27``),
     exports the dry-goods subset ``Dept=='106'`` (``:82-84``), stamps the
-    snapshot date (``:89``) and replaces the warehouse table (``:117``).
+    snapshot date (``:87``) and replaces the warehouse table (``:112``),
+    then re-stamps with a DateTime and writes ``inventory_snapshot``
+    (``:116,137``).
+
+    Column policy, mirroring the reference:
+      * ``measures`` — summed in the EC merge AND NaN→0.0-cleaned
+        (reference ``:76-77`` cleans exactly Stock / On-order).
+      * ``sum_measures`` — summed in the EC merge, parse-but-preserve-NULL
+        (the reference sums ``Allocation Qty`` / ``PTD MVMT`` / … at ``:58-62``
+        but never runs ``clean_number`` on them, so standalone-region NaNs
+        reach the warehouse as NULL).
+      * everything else — attribute: carried through unchanged and
+        first-WINS in the EC merge with pandas ``GroupBy.first`` semantics
+        (the first NON-NULL value in priority order — ``:48-66``).
 
     Spark shape: one lazy plan over all region files — per-region scans
-    union into one frame; the EC merge is ONE shuffle on Article restricted
-    to the EC rows (non-EC rows bypass it); first-wins attributes use
-    ``min_by`` over an explicit (region-priority, file, line) order, making
-    deterministic what pandas ``concat``+``first`` got from list order.
+    union into one frame (``allowMissingColumns`` mirrors ``pd.concat``'s
+    column union); the EC merge is ONE shuffle on Article restricted to
+    the EC rows (non-EC rows bypass it).  First-wins priority is pinned
+    to the ``ec_regions`` tuple (the reference's explicit concat order
+    ``9905→9901→9902`` at ``:47``), NOT the iteration order of
+    ``region_globs``; ties break on (file, line).  Null-skipping is
+    ``MIN(struct(prio, file, line, value)) FILTER (WHERE value IS NOT
+    NULL)`` — an ordered-struct min per column, which stays inside the
+    same hash aggregate as the sums (no extra shuffle, no window).
     Replace (not MERGE) matches the reference's ``if_exists='replace'``.
     """
     frames = []
-    for prio, (region, pattern) in enumerate(region_globs.items()):
+    n_files = 0
+    for pos, (region, pattern) in enumerate(region_globs.items()):
         files = sorted(_glob.glob(pattern))
         if not files:
             continue
+        n_files += len(files)
+        # EC first-wins priority comes from ec_regions order (reference
+        # concat order, etl_zmmidr_dry.py:47) — not dict iteration order.
+        prio = (
+            ec_regions.index(region)
+            if region in ec_regions
+            else len(ec_regions) + pos
+        )
         raw = read_sap_export(spark, files, drop_trailing_totals=True)
         renamed = C.rename_canonical(raw, ZMMIDR_DRY_RENAMES)
+        passthrough = [
+            c
+            for c in renamed.columns
+            if c not in {"Article", *measures, *sum_measures}
+            and not c.startswith("_")
+        ]
         frames.append(
             renamed.select(
                 F.lit(region).alias("Region"),
                 C.strip_leading_zeros(F.trim(F.col("Article"))).alias("Article"),
-                F.trim(F.col("MCH")).alias("MCH"),
-                # NaN→0.0 cleaner policy (etl_zmmidr_dry.py:10-18)
+                # attributes carried through verbatim (reference keeps every
+                # export column — etl_zmmidr_dry.py:48-66,91-109); MCH is
+                # trimmed because Dept derives from its first 3 chars
+                *[
+                    F.trim(F.col(c)).alias(c) if c == "MCH" else F.col(c)
+                    for c in passthrough
+                ],
+                # NaN→0.0 cleaner policy (etl_zmmidr_dry.py:10-18,76-77)
                 *[
                     F.coalesce(
                         C.fast_numeric(m, "decimal(14,2)"),
@@ -367,6 +408,8 @@ def etl_inventory_consolidated(
                     ).alias(m)
                     for m in measures
                 ],
+                # summed-but-not-cleaned measures: NULL survives parse
+                *[C.fast_numeric(m, "decimal(14,2)").alias(m) for m in sum_measures],
                 F.lit(prio).alias("_region_prio"),
                 F.col("_source_file"),
                 F.col("_source_line"),
@@ -376,17 +419,39 @@ def etl_inventory_consolidated(
         return {"files": 0}
     from functools import reduce as _reduce
 
-    df = _reduce(lambda a, b: a.unionByName(b), frames)
+    df = _reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
 
-    attrs = [c for c in df.columns if c not in {"Article", "Region", *measures}
-             and not c.startswith("_")]
-    order = F.struct("_region_prio", "_source_file", "_source_line")
+    all_measures = (*measures, *sum_measures)
+    attrs = [
+        c
+        for c in df.columns
+        if c not in {"Article", "Region", *all_measures} and not c.startswith("_")
+    ]
+
+    def first_nonnull(col: str) -> F.Column:
+        # pandas GroupBy.first: earliest NON-NULL in concat order.  The
+        # when() nulls out rows where the value is null, so MIN skips them;
+        # (prio, file, line) is unique per row, so the struct min is the
+        # priority-ordered first and the trailing value field never decides.
+        ordered = F.when(
+            F.col(col).isNotNull(),
+            F.struct(
+                F.col("_region_prio").alias("p"),
+                F.col("_source_file").alias("f"),
+                F.col("_source_line").alias("l"),
+                F.col(col).alias("v"),
+            ),
+        )
+        return F.min(ordered).getField("v").alias(col)
+
     ec = (
         df.filter(F.col("Region").isin(*ec_regions))
         .groupBy("Article")
         .agg(
-            *[F.sum(m).alias(m) for m in measures],
-            *[F.min_by(F.col(a), order).alias(a) for a in attrs],
+            *[F.sum(m).alias(m) for m in all_measures],
+            *[first_nonnull(a) for a in attrs],
         )
         .withColumn("Region", F.lit(ec_label))
     )
@@ -403,7 +468,7 @@ def etl_inventory_consolidated(
         "Snapshot_Date": F.current_date(),
     })
 
-    audit: dict = {"files": sum(len(_glob.glob(p)) for p in region_globs.values())}
+    audit: dict = {"files": n_files}
     if dry_export_path:
         from pyspark.sql import Observation
 
@@ -421,6 +486,16 @@ def etl_inventory_consolidated(
     audit["rows"] = write_parquet_atomic(
         consolidated.drop("Article_NoDC"), out_path
     )
+    if snapshot_path:
+        # second target (etl_zmmidr_dry.py:116,137): same frame, DateTime
+        # stamp instead of Date.  The reference's comment says append but
+        # the code passes 'replace' — code wins, replace here too.
+        audit["snapshot_rows"] = write_parquet_atomic(
+            consolidated.drop("Article_NoDC").withColumn(
+                "Snapshot_Date", F.current_timestamp()
+            ),
+            snapshot_path,
+        )
     return audit
 
 

@@ -26,6 +26,23 @@ from pyspark.sql.streaming import StreamingQuery
 from sap_data_pipeline_spark.operators.merge import ParquetMergeTable
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (with local time zone).
+
+    Parquet written with the NTZ logical type reads back as
+    ``TIMESTAMP_NTZ``, which ``withWatermark`` rejects
+    (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``).  Watermark-taking
+    operators call this first so both batch parquet and stream sources
+    work regardless of how the file was written.  The cast reinterprets
+    the wall-clock value in the session time zone (UTC in this engine),
+    so event-time semantics are unchanged.
+    """
+    field = df.schema[ts_col].dataType
+    if isinstance(field, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast(T.TimestampType()))
+    return df
+
+
 def stream_file_source(
     spark: SparkSession,
     watch_dir: str,
@@ -93,6 +110,7 @@ def sessionize(
     state for quiet users is eventually evicted — without it a streaming
     session-window agg would hold state forever.
     """
+    events = ensure_event_time(events, ts_col)
     df = events.withWatermark(ts_col, watermark) if watermark else events
     if value_agg is None:
         value_agg = F.sum("value").alias("total_value")
@@ -125,7 +143,8 @@ def windowed_event_agg(
     is a no-op there), which is how the oracle checks it.
     """
     return (
-        events.withWatermark(ts_col, watermark)
+        ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), *group_cols)
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
         .select(
@@ -167,7 +186,8 @@ def stream_interval_join(
         # mirror asof_join's contract (operators/temporal.py): shared
         # non-key payload names would yield duplicate output columns
         raise ValueError(f"left/right payload column collision: {sorted(overlap)}")
-    l, r = left.alias("l"), right.alias("r")
+    l = ensure_event_time(left, left_ts).alias("l")
+    r = ensure_event_time(right, right_ts).alias("r")
     lw = l.withWatermark(left_ts, left_watermark)
     rw = r.withWatermark(right_ts, right_watermark)
     key_cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in on]
@@ -213,6 +233,8 @@ def dedup_stream_within_watermark(
     run forever at 100 TB/day where a plain ``dropDuplicates`` on a
     stream grows state without bound.
     """
-    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        list(keys)
+    return (
+        ensure_event_time(stream, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
     )

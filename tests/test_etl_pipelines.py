@@ -231,6 +231,79 @@ def test_etl_inventory_consolidated_dry(spark, tmp_path):
     assert spark.read.parquet(str(out)).count() == 2
 
 
+def _zmmidr_wide_file(path, rows):
+    """ZMMIDR export with the reference's full column set (subset):
+    attributes + a summed-but-not-cleaned measure (Allocation Qty)."""
+    header = ("\tArticle No\tMCH\tArticle Description\tPack size"
+              "\tUnrestricted-Use Stock\tOn order Stock\tAllocation Qty\n")
+    body = "".join("\t" + "\t".join(r) + "\n" for r in list(rows) + [
+        ("Total", "", "", "", "99,999", "9,999", "9,999")])
+    path.write_text(BANNER + header + body)
+
+
+def test_etl_inventory_consolidated_full_columns(spark, tmp_path):
+    """All source columns survive to the warehouse (etl_zmmidr_dry.py:48-66):
+    attribute first-wins skips NULLs (pandas GroupBy.first), EC priority is
+    pinned to ec_regions order — not region_globs dict order — and
+    sum_measures are summed without the NaN→0.0 policy."""
+    from sap_data_pipeline_spark.etl import etl_inventory_consolidated
+
+    folder = tmp_path / "zmmidr_wide"
+    folder.mkdir()
+    _zmmidr_wide_file(folder / "Zmmidr_9801.txt", [
+        # Allocation Qty empty → NULL preserved (no clean_number on it),
+        # while empty OnOrder still becomes 0.0
+        ("0100", "106AB", "Rice", "5kg", "10", "", ""),
+    ])
+    # EC articles: 9905 has NULL MCH but a description; 9901 has MCH but
+    # no description; 9902 has both.  Priority must be 9905 > 9901 > 9902.
+    _zmmidr_wide_file(folder / "Zmmidr_9905.txt", [
+        ("0300", "", "From9905", "", "7", "1", "5"),
+    ])
+    _zmmidr_wide_file(folder / "Zmmidr_9901.txt", [
+        ("0300", "106ZZ", "", "12pk", "3", "2", ""),
+    ])
+    _zmmidr_wide_file(folder / "Zmmidr_9902.txt", [
+        ("0300", "106WW", "From9902", "6pk", "2.5", "0", "2"),
+    ])
+    out = tmp_path / "zmmidr_wide_tbl"
+    snap = tmp_path / "zmmidr_snapshot"
+    # region_globs dict deliberately ordered 9901 < 9902 < 9905: the EC
+    # winner must still follow ec_regions = (9905, 9901, 9902)
+    audit = etl_inventory_consolidated(
+        spark,
+        {r: str(folder / f"Zmmidr_{r}.txt") for r in
+         ("9901", "9902", "9905", "9801")},
+        str(out),
+        sum_measures=("Allocation Qty",),
+        snapshot_path=str(snap),
+    )
+    assert audit["files"] == 4
+
+    tbl = spark.read.parquet(str(out))
+    rows = {(r["Region"], r["Article"]): r for r in tbl.collect()}
+    ec = rows[("EC", "300")]
+    # null-skipping first-wins in priority order: 9905's NULL MCH is
+    # skipped (9901 wins); 9905's non-null description wins outright
+    assert ec["MCH"] == "106ZZ"
+    assert ec["Article Description"] == "From9905"
+    assert ec["Pack size"] == "12pk"        # 9905 empty → 9901 wins
+    assert ec["Dept"] == "106"              # derived from first-wins MCH
+    # measures: cleaned ones sum with NaN→0.0; sum_measures skip NULLs
+    assert float(ec["Stock"]) == 12.5 and float(ec["OnOrder"]) == 3.0
+    assert float(ec["Allocation Qty"]) == 7.0
+    # standalone region: attribute passthrough, NULL-preserving sum measure
+    solo = rows[("9801", "100")]
+    assert solo["Article Description"] == "Rice"
+    assert float(solo["OnOrder"]) == 0.0            # cleaned measure
+    assert solo["Allocation Qty"] is None           # un-cleaned measure
+    # second sink (etl_zmmidr_dry.py:116,137): same rows, DateTime stamp
+    snap_df = spark.read.parquet(str(snap))
+    assert snap_df.count() == tbl.count()
+    assert dict(snap_df.dtypes)["Snapshot_Date"] == "timestamp"
+    assert dict(tbl.dtypes)["Snapshot_Date"] == "date"
+
+
 def _zmachk_file(path, rows):
     header = ("\tStatus\tArticle\tArticle Description\tMerchandise Category"
               "\tValid-From Date\tDOH Target\n")
