@@ -61,19 +61,25 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # Best of 2: a single-JVM local[32] run has multi-second GC/JIT noise;
-    # the min is the steady-state cost of the plan itself.
+    # Best of 3: a single-JVM local[32] run has multi-second GC/JIT noise
+    # (identical code has drifted ±24% across rounds on this shared box);
+    # the min is the steady-state cost of the plan itself.  run_spread_pct
+    # records the median (max-min)/min across queries so a round-over-round
+    # delta can be read against the same run's own noise floor.
     timings: dict[str, float] = {}
+    spreads: list[float] = []
     jvm_gc = spark.sparkContext._jvm.System.gc
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             jvm_gc()  # don't bill query N for query N-1's garbage
             t0 = time.time()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        spreads.append((max(runs) - min(runs)) / min(runs))
 
+    spreads.sort()
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
@@ -81,6 +87,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "run_spread_pct": round(100 * spreads[len(spreads) // 2], 1),
     }))
 
 
