@@ -135,6 +135,55 @@ def quality_score(c: ColumnOrName) -> Column:
     return F.round((len_ok + sw_ok + punct_ok + digit_ok + mwl_ok) / F.lit(5.0), 4)
 
 
+def top_multiplicity(arr: Column) -> Column:
+    """Highest multiplicity of any element in ``arr`` (0 for empty).
+
+    Per-row higher-order expression — O(|distinct|·|arr|) comparisons per
+    document, which for natural-language token arrays (hundreds of
+    elements) is microseconds of vectorized JVM work and costs NO
+    shuffle.  The alternative (explode → groupBy(doc, token) → max) is
+    linear but pays two shuffles over the full corpus; at 100 TB the
+    shuffle-free form wins until documents reach ~10⁵ tokens.
+    """
+    counts = F.transform(
+        F.array_distinct(arr),
+        lambda u: F.size(F.filter(arr, lambda x: x == u)),
+    )
+    return F.when(F.size(arr) > 0, F.array_max(counts)).otherwise(F.lit(0))
+
+
+def repetition_stats(c: ColumnOrName) -> list[Column]:
+    """Gopher/C4-style repetition metrics, one pure column expression per
+    metric (no shuffle, no UDF):
+
+    * ``dup_word_frac``   — 1 − unique/total words (MassiveText's
+      duplicate-word fraction filter)
+    * ``top_word_frac``   — share of the most frequent word
+    * ``top_bigram_frac`` — share of the most frequent word 2-gram
+      (the "fraction of characters in the most common n-gram" family)
+
+    High values flag machine-generated / boilerplate / stuck-sampler text
+    that length and stopword filters miss.
+    """
+    toks = tokens(c)
+    n = F.size(toks).cast("double")
+    bigrams = word_ngrams(c, 2)
+    nb = F.size(bigrams).cast("double")
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, F.round(num.cast("double") / den, 6)).otherwise(
+            F.lit(0.0)
+        )
+
+    return [
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_words"),
+        frac(n - F.size(F.array_distinct(toks)), n).alias("dup_word_frac"),
+        frac(top_multiplicity(toks), n).alias("top_word_frac"),
+        frac(top_multiplicity(bigrams), nb).alias("top_bigram_frac"),
+    ]
+
+
 ROLLING_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 ROLLING_BASE = 31
 

@@ -205,6 +205,128 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     return j
 
 
+def ngram_contamination(corpus: DataFrame, benchmark: DataFrame, *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = SHINGLE_N) -> DataFrame:
+    """Benchmark-contamination check: per corpus document, how many of its
+    distinct word n-grams also appear anywhere in the benchmark set.
+
+    The decontamination pass every training-data pipeline runs before an
+    eval: documents sharing n-grams with the test set inflate benchmark
+    scores and must be dropped or flagged.  Returns (id, n_shingles,
+    n_contaminated, contamination_frac) — one row per corpus doc with ≥ n
+    tokens (shorter docs have no n-grams to leak).
+
+    Scale shape: the benchmark n-gram set is DISTINCT-ed and broadcast —
+    eval suites are tiny (thousands of rows) next to a 100 TB corpus, so
+    the membership probe is a map-side left-semi hash join inside the
+    corpus scan; the only shuffle is the per-doc count group-by.
+    """
+
+    def shingled(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(X.word_ngrams(text_col, n))).alias("tok"),
+        )
+
+    bench = shingled(benchmark).select("tok").distinct()
+    corp = shingled(corpus)
+    hits = (
+        corp.join(F.broadcast(bench), "tok", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = corp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        n_cont.alias("n_contaminated"),
+        F.round(n_cont.cast("double") / F.col("n_shingles").cast("double"), 6).alias(
+            "contamination_frac"
+        ),
+    )
+
+
+def connected_components(ids: DataFrame, pairs: DataFrame, *,
+                         id_col: str = "doc_id", max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs: (id, cluster_id) where
+    cluster_id = the smallest id reachable through the pair graph.
+
+    This is the step that turns pairwise dedup output into something a
+    curation pipeline can act on — pick ONE canonical doc per cluster and
+    drop the rest (pairs alone can't: near-dups chain, A~B~C with A≁C).
+
+    Min-label propagation: every node starts labeled with its own id;
+    each round a node adopts the smallest label among itself and its
+    neighbors; fixpoint = min id per component, which is unique, so the
+    result is deterministic regardless of round count.  Rounds needed =
+    graph diameter — near-dup components are shallow (a duplicate family
+    chains a handful of hops), so this converges in a few rounds where a
+    general graph might need large-star/small-star.
+
+    Scale shape: each round is ONE shuffle-join of the (bounded) edge
+    list against the label frame keyed by id, plus a min-aggregate on the
+    same key.  Labels are ``localCheckpoint``-ed every round — iterative
+    self-referencing plans otherwise grow lineage exponentially and
+    re-execute round 1 under round N (swap for a reliable ``checkpoint``
+    dir on a real cluster, where executor loss must not kill the job).
+    Convergence is detected from SUM(label): labels only ever decrease,
+    so the sum strictly decreases until fixpoint — one scalar aggregate
+    per round, no expensive frame-diff join.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("dst"), F.col("id_b").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("dst"), F.col("id_a").alias("id")))
+        .localCheckpoint(eager=True)  # computed once, re-joined every round
+    )
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    prev_sum = None
+    for _ in range(max_iter):
+        propagated = edges.join(labels, "id").select(
+            F.col("dst").alias("id"), F.col("lbl")
+        )
+        labels = (
+            labels.unionAll(propagated)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "pathological chain graph; raise max_iter or pre-collapse with exact dedup"
+    )
+
+
+def near_dup_clusters(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """End-to-end near-dup clustering: MinHash+LSH pairs → connected
+    components → per-cluster stats.  Returns one row per document:
+    (id, cluster_id, cluster_size, is_canonical) — ``is_canonical`` marks
+    the single survivor (smallest id) a keep-one-per-cluster curation
+    step would retain.  One extra shuffle (cluster-size count) past the
+    component computation; the size join stays on the cluster_id key.
+    """
+    cc = connected_components(df.select(id_col), minhash_dedup_pairs(df, text_col, id_col),
+                              id_col=id_col)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "cluster_size",
+            (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 16) -> DataFrame:
     """SimHash: per-bit majority vote over token hashes → integer sketch.

@@ -847,3 +847,126 @@ def corpus_stats_rollup(star: Star) -> DataFrame:
             "gid", "n_docs", "total_chars", "max_chars",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup CLUSTERS: LSH pairs → connected components → canonical survivor.
+# The step pairwise dedup output needs before anything can be dropped
+# (near-dups chain: A~B~C with A≁C must still land in one cluster).  The
+# oracle replays the pair generation verbatim, then closes it with a
+# recursive CTE — the fixpoint (min reachable id) is unique, so Spark's
+# iterative min-label propagation and DuckDB's transitive closure agree
+# exactly regardless of iteration strategy.
+# ---------------------------------------------------------------------------
+
+@register(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_CAND_CTE},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM cands
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM cands
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON r.src = e.dst
+    ),
+    comp AS (
+        SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           c.doc_id = c.cluster_id AS is_canonical
+    FROM comp c JOIN sizes s USING (cluster_id)
+    """,
+)
+def near_dup_clusters_q(star: Star) -> DataFrame:
+    return D.near_dup_clusters(star.documents)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination: corpus docs sharing word n-grams with a held-out
+# benchmark set (docs with doc_id % 97 == 0 stand in for the eval suite).
+# The benchmark n-gram set is broadcast; the probe is a map-side semi-join.
+# ---------------------------------------------------------------------------
+
+_BENCH_MOD = 97
+
+@register(
+    "benchmark_contamination",
+    f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (
+        SELECT DISTINCT tok FROM shingles WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    corp AS (
+        SELECT doc_id, tok FROM shingles WHERE doc_id % {_BENCH_MOD} <> 0
+    ),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS n FROM corp
+        WHERE tok IN (SELECT tok FROM bench)
+        GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM corp GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated,
+           round(CAST(COALESCE(h.n, 0) AS DOUBLE)
+                 / CAST(t.n_shingles AS DOUBLE), 6) AS contamination_frac
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def benchmark_contamination_q(star: Star) -> DataFrame:
+    is_bench = F.pmod(F.col("doc_id"), F.lit(_BENCH_MOD)) == 0
+    return D.ngram_contamination(
+        star.documents.filter(~is_bench), star.documents.filter(is_bench)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher/C4 duplicate-text filters): duplicate-word
+# fraction, top-word share, top-bigram share — per-row higher-order array
+# expressions, zero shuffles (see functions.text.repetition_stats).
+# ---------------------------------------------------------------------------
+
+_REP_T = TOKSEQ_SQL.format(col="text")
+_REP_BIGRAM = (
+    "list_transform(generate_series(1, greatest(len(t) - 1, 0)), "
+    "i -> t[i] || ' ' || t[i + 1])"
+)
+_TOPCOUNT = (
+    "list_max(list_transform(list_distinct({arr}), "
+    "u -> len(list_filter({arr}, x -> x = u))))"
+)
+
+@register(
+    "repetition_stats",
+    f"""
+    WITH toklists AS (
+        SELECT doc_id, {_REP_T} AS t FROM documents
+    ),
+    arrs AS (
+        SELECT doc_id, t, {_REP_BIGRAM} AS bg FROM toklists
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_words,
+           CASE WHEN len(t) > 0 THEN round(
+               CAST(len(t) - len(list_distinct(t)) AS DOUBLE)
+               / CAST(len(t) AS DOUBLE), 6) ELSE 0.0 END AS dup_word_frac,
+           CASE WHEN len(t) > 0 THEN round(
+               CAST({_TOPCOUNT.format(arr='t')} AS DOUBLE)
+               / CAST(len(t) AS DOUBLE), 6) ELSE 0.0 END AS top_word_frac,
+           CASE WHEN len(bg) > 0 THEN round(
+               CAST({_TOPCOUNT.format(arr='bg')} AS DOUBLE)
+               / CAST(len(bg) AS DOUBLE), 6) ELSE 0.0 END AS top_bigram_frac
+    FROM arrs
+    """,
+)
+def repetition_stats_q(star: Star) -> DataFrame:
+    return star.documents.select("doc_id", *X.repetition_stats("text"))

@@ -178,3 +178,84 @@ def test_ivf_topk_recall_against_brute_force(spark, star):
     # random uniform 64-dim data is the worst case for IVF (no cluster
     # structure); 3/8 cells probed still must beat random-subset recall
     assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A~B, B~C chain collapses to one cluster labeled min(id); nodes with
+    no edges stay their own singleton cluster."""
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in D.connected_components(ids, pairs).collect()}
+    assert got == {0: 0, 3: 0, 5: 0, 1: 1, 2: 1, 4: 4}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-hop path graph needs multiple propagation rounds — the fixpoint
+    must still be the global min, not a partially-propagated label."""
+    n = 13
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in D.connected_components(ids, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_near_dup_clusters_end_to_end(spark):
+    """LSH pairs → components → canonical survivor per cluster."""
+    df = _docs(spark, [
+        "alpha beta gamma delta epsilon",
+        "alpha beta gamma delta epsilon",   # dup of 0
+        "alpha beta gamma delta epsilon",   # dup of 0
+        "completely different words entirely here",
+    ])
+    rows = {r["doc_id"]: r for r in D.near_dup_clusters(df).collect()}
+    assert rows[0]["cluster_id"] == 0 and rows[0]["is_canonical"]
+    assert rows[1]["cluster_id"] == 0 and not rows[1]["is_canonical"]
+    assert rows[2]["cluster_size"] == 3
+    assert rows[3]["cluster_id"] == 3 and rows[3]["cluster_size"] == 1
+    # exactly one canonical per cluster
+    assert sum(r["is_canonical"] for r in rows.values()) == 2
+
+
+def test_ngram_contamination_counts(spark):
+    """Doc sharing a 3-gram with the benchmark is flagged with the exact
+    overlap count; disjoint docs report zero; short docs drop out."""
+    corpus = _docs(spark, [
+        "the quick brown fox jumps",        # shares 'the quick brown', 'quick brown fox'
+        "totally unrelated words entirely",  # no overlap
+        "tiny doc",                          # < 3 tokens → no shingles
+    ])
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox runs away")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in D.ngram_contamination(corpus, bench).collect()}
+    assert set(got) == {0, 1}                      # doc 2 has no 3-grams
+    assert got[0]["n_shingles"] == 3
+    assert got[0]["n_contaminated"] == 2           # two shared 3-grams
+    assert abs(got[0]["contamination_frac"] - 2 / 3) < 1e-6
+    assert got[1]["n_contaminated"] == 0
+
+
+def test_repetition_stats_values(spark):
+    from sap_data_pipeline_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [(0, "spam spam spam eggs"), (1, "all words unique here"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           df.select("doc_id", *X.repetition_stats("text")).collect()}
+    r0 = got[0]
+    assert r0["n_words"] == 4 and r0["n_unique_words"] == 2
+    assert abs(r0["dup_word_frac"] - 0.5) < 1e-6
+    assert abs(r0["top_word_frac"] - 0.75) < 1e-6       # 'spam' 3/4
+    assert abs(r0["top_bigram_frac"] - 2 / 3) < 1e-6    # 'spam spam' 2/3
+    r1 = got[1]
+    assert r1["dup_word_frac"] == 0.0 and r1["top_word_frac"] == 0.25
+    r2 = got[2]
+    assert r2["n_words"] == 0 and r2["top_bigram_frac"] == 0.0
