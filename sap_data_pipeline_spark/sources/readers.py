@@ -132,23 +132,25 @@ def read_dim_table(
     ``pipelines/etl_upload_excel.py:143``, ``etl_zmmidr_oun.py:26-33``).
 
     Dimensions are driver-sized by definition (the reference maintains
-    them as Excel workbooks), so this reads with pandas on the driver and
-    distributes via ``createDataFrame`` — never a distributed concern.
-    ``.xlsx`` needs an Excel engine (openpyxl, import-guarded — absent in
-    this environment); ``.csv`` is always available.  Everything loads as
+    them as Excel workbooks), so this reads on the driver and distributes
+    via ``createDataFrame`` — never a distributed concern.  ``.xlsx``
+    goes through the stdlib SpreadsheetML codec (``sources.xlsx`` —
+    openpyxl is absent here, and the string/number subset dims use needs
+    no engine); legacy binary ``.xls`` stays gated.  Everything loads as
     nullable strings (the reference's ``dtype=str``); casting is the
     separate schema-driven step (``functions.cleaning.cast_to_schema``).
     """
     import pandas as pd
 
-    if path.endswith((".xlsx", ".xls")):
-        try:
-            import openpyxl  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "Excel dims need openpyxl; land the workbook as CSV instead"
-            ) from exc
-        pdf = pd.read_excel(path, dtype=str)
+    if path.endswith(".xls"):  # pragma: no cover - legacy binary format
+        raise NotImplementedError(
+            "legacy .xls needs xlrd; re-save the workbook as .xlsx or CSV"
+        )
+    if path.endswith(".xlsx"):
+        from sap_data_pipeline_spark.sources.xlsx import read_xlsx
+
+        header, rows = read_xlsx(path)
+        pdf = pd.DataFrame(rows, columns=header, dtype=object)
     else:
         pdf = pd.read_csv(path, dtype=str)
     if drop_trailing_totals and len(pdf):

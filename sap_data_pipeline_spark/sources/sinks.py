@@ -172,20 +172,30 @@ def export_excel(df: DataFrame, path: str, *, max_rows: int = 1_000_000) -> int:
     Driver-side by design (SURVEY §7.4): Excel is a human-report format,
     never a distributed concern.  ``max_rows`` guards against collecting
     a fact table to the driver by accident; the engine-side export path
-    for big results is :func:`export_csv`.  Needs openpyxl
-    (import-guarded — absent in this container).
+    for big results is :func:`export_csv`.  Written with the stdlib
+    SpreadsheetML codec (``sources.xlsx`` — no Excel engine needed for
+    the string/number subset reports use).
     """
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "Excel export needs openpyxl; use export_csv instead"
-        ) from exc
+    from sap_data_pipeline_spark.sources.xlsx import write_xlsx
+
     head = df.limit(max_rows + 1).toPandas()
     if len(head) > max_rows:
         raise ValueError(
             f"refusing driver-side Excel export of >{max_rows} rows; "
             "use export_csv for engine-scale results"
         )
-    head.to_excel(path, index=False)
+    rows = [
+        [None if pd_isna(v) else v for v in rec]
+        for rec in head.itertuples(index=False, name=None)
+    ]
+    write_xlsx(path, [str(c) for c in head.columns], rows)
     return len(head)
+
+
+def pd_isna(v) -> bool:
+    import pandas as pd
+
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):  # arrays/lists: never NA as a whole
+        return False

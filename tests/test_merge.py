@@ -149,22 +149,21 @@ def test_partitioned_merge_empty_source_noop(spark, tmp_path):
     assert t.read().count() == 1
 
 
-def test_export_excel_guard(spark, tmp_path):
-    """Excel export is driver-side and import-guarded; without openpyxl it
-    must fail loudly with the CSV alternative named, never half-write."""
+def test_export_excel_row_guard(spark, tmp_path):
+    """Excel export is driver-side (stdlib codec) with a hard row cap —
+    a fact-table-sized frame must be refused, never collected."""
     import pytest
 
+    from sap_data_pipeline_spark.sources.readers import read_dim_table
     from sap_data_pipeline_spark.sources.sinks import export_excel
 
     df = spark.range(3).toDF("x")
     target = str(tmp_path / "out.xlsx")
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError, match="export_csv"):
-            export_excel(df, target)
-        return
-    assert export_excel(df, target) == 3  # pragma: no cover - env-dependent
+    assert export_excel(df, target) == 3
+    assert read_dim_table(spark, target).count() == 3
+
+    with pytest.raises(ValueError, match="export_csv"):
+        export_excel(spark.range(10).toDF("x"), target, max_rows=5)
 
 
 def test_compact_parquet_table(spark, tmp_path):

@@ -70,3 +70,64 @@ def test_read_dim_table_csv(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 2
     assert rows[0]["Site"] == "0001" and rows[1]["Name"] is None
+
+
+def test_xlsx_round_trip(spark, tmp_path):
+    """export_excel → read_dim_table round-trips strings, numbers, NULLs,
+    and XML-special characters through the stdlib SpreadsheetML codec."""
+    from sap_data_pipeline_spark.sources.sinks import export_excel
+
+    df = spark.createDataFrame(
+        [("A&B <tag>", 1.5, "x"), ("plain", 2.0, None), ("третий", -3.25, "z")],
+        "Name string, Val double, Note string",
+    )
+    p = tmp_path / "dim.xlsx"
+    n = export_excel(df, str(p))
+    assert n == 3
+
+    back = read_dim_table(spark, str(p))
+    assert back.columns == ["Name", "Val", "Note"]
+    rows = {r["Name"]: r for r in back.collect()}
+    assert rows["A&B <tag>"]["Val"] == "1.5"     # dims read as strings
+    assert rows["plain"]["Note"] is None          # empty cell → NULL
+    assert "третий" in rows                       # non-ASCII survives
+
+
+def test_xlsx_reader_shared_strings_and_sparse_cells(spark, tmp_path):
+    """Reader handles the sharedStrings layout other writers produce, and
+    sparse rows where cells are addressed only by reference."""
+    import zipfile
+
+    from sap_data_pipeline_spark.sources import xlsx as XL
+
+    ss = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<si><t>Code</t></si><si><t>Desc</t></si>"
+        "<si><r><t>rich </t></r><r><t>text</t></r></si>"
+        "</sst>"
+    )
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2"><v>42</v></c><c r="B2" t="s"><v>2</v></c></row>'
+        '<row r="3"><c r="B3"><v>7</v></c></row>'  # A3 absent → None
+        "</sheetData></worksheet>"
+    )
+    p = tmp_path / "ext.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", XL._CONTENT_TYPES)
+        z.writestr("_rels/.rels", XL._ROOT_RELS)
+        z.writestr("xl/workbook.xml", XL._WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", XL._WORKBOOK_RELS)
+        z.writestr("xl/sharedStrings.xml", ss)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    header, rows = XL.read_xlsx(str(p))
+    assert header == ["Code", "Desc"]
+    assert rows == [["42", "rich text"], [None, "7"]]
+
+    df = read_dim_table(spark, str(p))
+    assert df.count() == 2 and df.columns == ["Code", "Desc"]
