@@ -587,17 +587,28 @@ def curate_corpus(
     into the pipeline they exist for.
 
         quality gate → exact dedup (canonical = min doc_id per
-        fingerprint) → MinHash+LSH near-dup removal (drop the higher id
-        of each candidate pair) → atomic write
+        fingerprint) → MinHash+LSH near-dup CLUSTERING (connected
+        components; keep the min-id doc per component) → atomic write
+
+    Component-based survivor selection, not pair-based: dropping "the
+    higher id of each candidate pair" keeps two docs whose only links
+    run through a shared third (pairs (1,3),(2,3) keep both 1 and 2),
+    while one-canonical-per-component is the standard keep-one policy
+    and what the cluster operator exists for.
 
     Scale shape: two content-keyed shuffles (fingerprint group-by, LSH
-    band group-by) + one id anti-join — no driver collects, no Python
-    row UDFs.  Returns per-stage row counts so the curation loss is
-    auditable (a silent 90% drop is a pipeline bug, not a success).
+    band group-by), O(component diameter) label-propagation rounds, and
+    one id semi-join — no driver collects beyond per-round convergence
+    scalars, no Python row UDFs.  Returns per-stage row counts so the
+    curation loss is auditable (a silent 90% drop is a pipeline bug,
+    not a success).
     """
     from sap_data_pipeline_spark.functions import text as X
-    from sap_data_pipeline_spark.operators.dedup import exact_dedup, minhash_dedup_pairs
-    from sap_data_pipeline_spark.operators.relational import left_anti
+    from sap_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        minhash_dedup_pairs,
+    )
     from sap_data_pipeline_spark.sources.sinks import write_parquet_atomic
 
     n_raw = documents.count()
@@ -610,8 +621,9 @@ def curate_corpus(
 
     if near_dedup:
         pairs = minhash_dedup_pairs(exact_kept)
-        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        curated = left_anti(exact_kept, losers, ["doc_id"])
+        cc = connected_components(exact_kept.select("doc_id"), pairs)
+        keep = cc.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+        curated = exact_kept.join(keep, "doc_id", "semi")
     else:
         curated = exact_kept
     n_final = write_parquet_atomic(curated, out_path)

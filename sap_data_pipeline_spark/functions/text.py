@@ -54,14 +54,24 @@ def char_ngrams(c: ColumnOrName, n: int = 5) -> Column:
     )
 
 
-def word_ngrams(c: ColumnOrName, n: int = 3) -> Column:
-    """Array of word n-grams (space-joined) over ``tokens``."""
-    t = tokens(c)
+def ngrams_from(t: Column, n: int) -> Column:
+    """Array of space-joined n-grams over an ALREADY-COMPUTED token array.
+
+    Take this form when the token array lives in its own projection tier:
+    the expression references ``t`` three times (count, index bound,
+    slice source), and a column reference is free where re-expanding the
+    tokenizer would triple the scan-side regex work.
+    """
     count = F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))
     idx = F.sequence(F.lit(1), count)
     return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
     )
+
+
+def word_ngrams(c: ColumnOrName, n: int = 3) -> Column:
+    """Array of word n-grams (space-joined) over ``tokens``."""
+    return ngrams_from(tokens(c), n)
 
 
 def punct_ratio(c: ColumnOrName) -> Column:
@@ -152,7 +162,7 @@ def top_multiplicity(arr: Column) -> Column:
     return F.when(F.size(arr) > 0, F.array_max(counts)).otherwise(F.lit(0))
 
 
-def repetition_stats(c: ColumnOrName) -> list[Column]:
+def repetition_stats(tok_col: Column, bigram_col: Column) -> list[Column]:
     """Gopher/C4-style repetition metrics, one pure column expression per
     metric (no shuffle, no UDF):
 
@@ -164,10 +174,17 @@ def repetition_stats(c: ColumnOrName) -> list[Column]:
 
     High values flag machine-generated / boilerplate / stuck-sampler text
     that length and stopword filters miss.
+
+    Takes PRE-COMPUTED array columns (``tokens`` / ``ngrams_from``
+    aliased in a prior ``select``), not the raw text: the metrics
+    reference their array ~10 times, and Catalyst re-expands a repeated
+    expression tree per reference — materializing the arrays in their
+    own projection tier keeps the tokenizer at one evaluation per row
+    (CollapseProject preserves the tier because the aliases are
+    non-cheap and multiply-referenced).
     """
-    toks = tokens(c)
+    toks, bigrams = _c(tok_col), _c(bigram_col)
     n = F.size(toks).cast("double")
-    bigrams = word_ngrams(c, 2)
     nb = F.size(bigrams).cast("double")
 
     def frac(num: Column, den: Column) -> Column:

@@ -219,8 +219,11 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame, *,
 
     Scale shape: the benchmark n-gram set is DISTINCT-ed and broadcast —
     eval suites are tiny (thousands of rows) next to a 100 TB corpus, so
-    the membership probe is a map-side left-semi hash join inside the
-    corpus scan; the only shuffle is the per-doc count group-by.
+    the membership probe is a map-side broadcast LEFT join carrying a hit
+    marker, and total + contaminated counts come out of ONE per-doc
+    aggregation (``count(*)`` / ``count(marker)``) — a single corpus
+    scan and a single shuffle, where a semi-join + separate totals
+    aggregation would scan and shuffle twice and join the halves back.
     """
 
     def shingled(df: DataFrame) -> DataFrame:
@@ -229,22 +232,24 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame, *,
             F.explode(F.array_distinct(X.word_ngrams(text_col, n))).alias("tok"),
         )
 
-    bench = shingled(benchmark).select("tok").distinct()
-    corp = shingled(corpus)
-    hits = (
-        corp.join(F.broadcast(bench), "tok", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    totals = corp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
-    return totals.join(hits, id_col, "left").select(
-        id_col,
-        "n_shingles",
-        n_cont.alias("n_contaminated"),
-        F.round(n_cont.cast("double") / F.col("n_shingles").cast("double"), 6).alias(
-            "contamination_frac"
-        ),
+    bench = shingled(benchmark).select("tok").distinct().withColumn("_hit", F.lit(1))
+    probed = shingled(corpus).join(F.broadcast(bench), "tok", "left")
+    return (
+        probed.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),  # count() skips NULLs
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("contamination_frac"),
+        )
     )
 
 

@@ -969,4 +969,12 @@ _TOPCOUNT = (
     """,
 )
 def repetition_stats_q(star: Star) -> DataFrame:
-    return star.documents.select("doc_id", *X.repetition_stats("text"))
+    # Tiered projections: tokenize once, derive bigrams from the token
+    # array, THEN compute the metrics — each tier's alias is non-cheap
+    # and multiply-referenced, so CollapseProject keeps the tiers and
+    # the scan-side tokenizer runs once per row, not once per metric.
+    toks = star.documents.select("doc_id", X.tokens("text").alias("_t"))
+    arrs = toks.select("doc_id", "_t", X.ngrams_from(F.col("_t"), 2).alias("_bg"))
+    return arrs.select(
+        "doc_id", *X.repetition_stats(F.col("_t"), F.col("_bg"))
+    )

@@ -248,8 +248,11 @@ def test_repetition_stats_values(spark):
         [(0, "spam spam spam eggs"), (1, "all words unique here"), (2, "")],
         "doc_id long, text string",
     )
+    arrs = df.select(
+        "doc_id", X.tokens("text").alias("t"), X.word_ngrams("text", 2).alias("bg")
+    )
     got = {r["doc_id"]: r for r in
-           df.select("doc_id", *X.repetition_stats("text")).collect()}
+           arrs.select("doc_id", *X.repetition_stats(F.col("t"), F.col("bg"))).collect()}
     r0 = got[0]
     assert r0["n_words"] == 4 and r0["n_unique_words"] == 2
     assert abs(r0["dup_word_frac"] - 0.5) < 1e-6

@@ -471,5 +471,6 @@ def test_curate_corpus_flow(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert 4 in kept and 1 in kept
     assert 2 not in kept                              # exact dup loser
+    assert 3 not in kept                              # near-dup cluster loser
     assert 5 not in kept                              # quality loser
     assert audit["rows_final"] == len(kept)
