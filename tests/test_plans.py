@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+import sap_data_pipeline_spark.plans.catalog_ext  # noqa: F401  (registers extension queries)
 from sap_data_pipeline_spark.plans.catalog import QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -174,3 +175,23 @@ def test_asof_join_single_keyed_exchange(spark):
     )
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_repetition_stats_tokenizes_once_no_shuffle(spark):
+    """The tokenizer regex must be evaluated ONCE per row (tiered
+    projections — a collapsed plan re-expands it per metric, ~20x the
+    scan CPU), and the metrics must add no hash exchange (the only
+    exchange is the small-file round-robin rebalance)."""
+    df = QUERIES["repetition_stats"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("regexp_replace(lower") == 1, "tokenizer re-expanded"
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_benchmark_contamination_broadcasts_and_single_agg(spark):
+    """The benchmark n-gram set must be broadcast (map-side probe of a
+    100 TB corpus against a small eval suite), and totals + hits must
+    come from ONE aggregation — no corpus self-join."""
+    plan = _plan(QUERIES["benchmark_contamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "corpus-side shuffle join crept in"
