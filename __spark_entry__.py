@@ -25,12 +25,27 @@ from sap_data_pipeline_spark.plans import catalog_ext  # noqa: E402,F401  (regis
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver hashes the FIRST 50 entries of queries() against their oracles,
-# so ordering is part of the contract: every oracled query must sit inside
-# that window.  Demoted to the tail: the two declared rows-only queries
-# (iterative KMeans / sketch internals — no SQL oracle by design) plus
-# conditional_agg, whose SURVEY row (A4) is independently driver-evidenced
-# through store_rp_report's conditional COUNT/AVG ladder.
-_TAIL = ("conditional_agg", "ann_ivf_topk", "approx_corpus_profile")
+# so ordering is part of the contract; with more oracled queries than window
+# slots, the 50 are curated: every SURVEY §2 row's evidencing query plus the
+# core extension set stay inside.  Demoted to the tail (all still verified
+# by tools/check_correctness.py at sf0.01 and by unit tests):
+#   * the round-4 extension queries (near-dup clusters, simhash pairs,
+#     contamination, repetition);
+#   * embedding_near_dup_pairs — its operator family is driver-evidenced by
+#     the label-free embedding_near_dup_cells variant (the 100 TB path);
+#   * conditional_agg — SURVEY A4 is independently driver-evidenced through
+#     store_rp_report's conditional COUNT/AVG ladder;
+#   * the two declared rows-only queries (no SQL oracle by design).
+_TAIL = (
+    "near_dup_clusters",
+    "simhash_near_dup_pairs",
+    "benchmark_contamination",
+    "repetition_stats",
+    "embedding_near_dup_pairs",
+    "conditional_agg",
+    "ann_ivf_topk",
+    "approx_corpus_profile",
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -125,9 +125,19 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
     pre-filter removes singleton buckets before the aggregation, which
     is most of them — the collect only ever sees real candidates.
     """
+    return bucketed_pairs(
+        _banded(sig, id_col, num_perm, band_size), id_col, max_bucket_size
+    )
+
+
+def bucketed_pairs(exploded: DataFrame, id_col: str,
+                   max_bucket_size: int = LSH_MAX_BUCKET) -> DataFrame:
+    """(id, band, bkey) rows → distinct candidate pairs (id_a < id_b),
+    with the enforced bucket-size cap described in
+    :func:`lsh_candidate_pairs`.  Shared by every banded blocking scheme
+    (minhash bands, simhash bit-bands)."""
     from pyspark.sql.window import Window
 
-    exploded = _banded(sig, id_col, num_perm, band_size)
     wb = Window.partitionBy("band", "bkey")
     sized = exploded.withColumn("_n", F.count(F.lit(1)).over(wb))
     kept = sized.filter(
@@ -352,6 +362,53 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     for i in range(bits):
         sketch = sketch + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return agg.select(F.col(id_col), sketch.alias("simhash"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", *, bits: int = 16,
+                           n_bands: int = 4, max_hamming: int = 3,
+                           max_bucket_size: int = LSH_MAX_BUCKET) -> DataFrame:
+    """SimHash near-dup pairs: band the sketch bits, bucket-join, verify
+    by exact Hamming distance.
+
+    The pigeonhole guarantee: two sketches within ``max_hamming`` bits of
+    each other differ in at most ``max_hamming`` of the ``n_bands``
+    bit-bands, so with ``max_hamming < n_bands`` they MUST agree on at
+    least one band — banding finds every true near-pair (recall 1.0 at
+    the sketch level), and the Hamming check kills the false bucket
+    collisions.  Returns (id_a, id_b, hamming) with hamming ≤
+    ``max_hamming``.
+
+    Scale shape mirrors minhash-LSH: one sketch group-by, one band-keyed
+    shuffle with the enforced bucket cap, then a verify join back to the
+    (narrow: id, int64) sketch table.  Everything is integer bit math —
+    ``shiftright``/mask for bands, ``bit_count(xor)`` for the verify —
+    inside codegen.
+    """
+    assert bits % n_bands == 0, "bits must split evenly into bands"
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sk = simhash(df, text_col, id_col, bits=bits)
+    entries = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+            .cast("string").alias("bkey"),
+        )
+        for b in range(n_bands)
+    ])
+    exploded = sk.select(F.col(id_col), F.explode(entries).alias("e")).select(
+        F.col(id_col), F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
+    )
+    cands = bucketed_pairs(exploded, id_col, max_bucket_size)
+    a = sk.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"))
+    b = sk.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def embedding_near_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",

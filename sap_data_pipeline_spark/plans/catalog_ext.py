@@ -166,14 +166,22 @@ def ngram_jaccard_pairs_q(star: Star) -> DataFrame:
     return D.ngram_jaccard_pairs(star.documents, threshold=0.7)
 
 
+def _simhash_sums(bits: int) -> str:
+    return ",\n               ".join(
+        f"SUM(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+
+
+def _simhash_sketch(bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+
+
 _SIMHASH_BITS = 16
-_SIMHASH_SUMS = ",\n               ".join(
-    f"SUM(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS b{i}"
-    for i in range(_SIMHASH_BITS)
-)
-_SIMHASH_SKETCH = " + ".join(
-    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS)
-)
+_SIMHASH_SUMS = _simhash_sums(_SIMHASH_BITS)
+_SIMHASH_SKETCH = _simhash_sketch(_SIMHASH_BITS)
 
 
 @register(
@@ -886,6 +894,68 @@ def corpus_stats_rollup(star: Star) -> DataFrame:
 )
 def near_dup_clusters_q(star: Star) -> DataFrame:
     return D.near_dup_clusters(star.documents)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs: bit-banded bucketing + exact Hamming verify.
+# With max_hamming < n_bands the pigeonhole principle guarantees every
+# true near-pair shares a band, so banding loses nothing; the oracle
+# replays the sketch, the banding, and the bit_count(xor) verify.
+# ---------------------------------------------------------------------------
+
+# 32-bit sketch for the PAIRS operator (the 16-bit sketch query above
+# keeps its width for sketch-value continuity): on a shared-vocabulary
+# corpus, Hamming ≤ 3 of 16 bits admits most of the all-pairs space,
+# while 3 of 32 is selective.  8-bit bands × 4 keep the pigeonhole
+# guarantee (max_hamming < n_bands).
+_SH_PAIR_BITS = 32
+_SH_BANDS, _SH_WIDTH = 4, _SH_PAIR_BITS // 4
+_SH_MASK = (1 << _SH_WIDTH) - 1
+_SH_MAX_HAMMING = 3
+
+_SH_BAND_SELECTS = "\n        UNION ALL\n".join(
+    f"        SELECT doc_id, {b} AS band, "
+    f"CAST((sh >> {b * _SH_WIDTH}) & {_SH_MASK} AS VARCHAR) AS bkey FROM sk"
+    for b in range(_SH_BANDS)
+)
+
+@register(
+    "simhash_near_dup_pairs",
+    f"""
+    WITH {_TOKS_CTE},
+    hashed AS (
+        SELECT doc_id, {_hash64_sql('tok', 0)} AS h FROM toks
+    ),
+    bitsums AS (
+        SELECT doc_id,
+               {_simhash_sums(_SH_PAIR_BITS)}
+        FROM hashed GROUP BY doc_id
+    ),
+    sk AS (
+        SELECT doc_id, CAST({_simhash_sketch(_SH_PAIR_BITS)} AS BIGINT) AS sh
+        FROM bitsums
+    ),
+    shbands AS (
+{_SH_BAND_SELECTS}
+    ),
+    shcands AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM shbands l JOIN shbands r ON l.band = r.band AND l.bkey = r.bkey
+        WHERE l.doc_id < r.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM shcands c
+    JOIN sk a ON a.doc_id = c.id_a
+    JOIN sk b ON b.doc_id = c.id_b
+    WHERE bit_count(xor(a.sh, b.sh)) <= {_SH_MAX_HAMMING}
+    """,
+)
+def simhash_near_dup_pairs_q(star: Star) -> DataFrame:
+    return D.simhash_near_dup_pairs(
+        star.documents, bits=_SH_PAIR_BITS, n_bands=_SH_BANDS,
+        max_hamming=_SH_MAX_HAMMING,
+    )
 
 
 # ---------------------------------------------------------------------------

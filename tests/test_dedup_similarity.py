@@ -262,3 +262,39 @@ def test_repetition_stats_values(spark):
     assert r1["dup_word_frac"] == 0.0 and r1["top_word_frac"] == 0.25
     r2 = got[2]
     assert r2["n_words"] == 0 and r2["top_bigram_frac"] == 0.0
+
+
+def test_simhash_near_dup_pairs_semantics(spark):
+    """Near-identical token sets pair within the Hamming budget; a
+    disjoint-vocabulary doc pairs with nothing."""
+    df = _docs(spark, [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",   # 1 token swapped
+        "one two three four five six seven eight",         # disjoint vocab
+    ])
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in D.simhash_near_dup_pairs(df, bits=32, max_hamming=6).collect()}
+    assert (0, 1) in got
+    assert all(h <= 6 for h in got.values())
+    assert not any(2 in pair for pair in got)
+
+
+def test_simhash_pairs_pigeonhole_recall(spark, star):
+    """Banding must find EVERY pair within max_hamming (pigeonhole:
+    max_hamming < n_bands ⇒ some band agrees) — verify against the
+    brute-force all-pairs Hamming join on a corpus sample."""
+    docs = star.documents.limit(120)
+    sk = D.simhash(docs, bits=32)
+    a = sk.selectExpr("doc_id AS id_a", "simhash AS sa")
+    b = sk.selectExpr("doc_id AS id_b", "simhash AS sb")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("h", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("h") <= 3).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_dup_pairs(docs, bits=32, max_hamming=3).collect()
+    }
+    assert brute == banded
