@@ -20,6 +20,7 @@ from dataclasses import dataclass, field, fields
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -240,3 +241,58 @@ def read_sap_export(
         for i, name in enumerate(names)
     ]
     return body.select(*cols, F.col("_file").alias("_source_file"), F.col("_ln").alias("_source_line"))
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType,
+    *,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Read a JSONL document dump as (clean, quarantine) — the raw-corpus
+    ingestion front door (web scrapes and data drops arrive as JSONL, not
+    parquet).
+
+    PERMISSIVE mode with an explicit corrupt-record column: malformed
+    lines land in the quarantine frame with their source file instead of
+    failing the job (FAILFAST) or vanishing (DROPMALFORMED) — at corpus
+    scale a dump ALWAYS contains some broken lines, and silently losing
+    them corrupts dataset accounting.  Both frames come from one scan
+    definition; the schema is caller-provided so the reader never pays
+    Spark's inference pass (which reads the data twice and can widen
+    types per-dump).
+
+    Quarantine semantics (Spark's contract): a line is quarantined when
+    it is unparseable as JSON; parseable lines with missing fields load
+    with NULLs — field-presence enforcement is the downstream
+    expectation check (``operators.quality``), not the reader.
+
+    Mechanically this is text-scan + ``from_json`` rather than the json
+    datasource: Spark disallows plans whose only referenced column is
+    the internal corrupt-record column
+    (``UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN``), which is
+    exactly what the quarantine branch is — the documented workaround is
+    caching the parse, a non-starter for a 100 TB dump.  The text form
+    costs the same single scan per branch and keeps both branches pure
+    column pruning.
+    """
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    raw = spark.read.text(path).select(
+        F.from_json(
+            F.col("value"),
+            full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ).alias("j"),
+        F.col("value"),
+        F.input_file_name().alias("_source_file"),
+    )
+    clean = raw.filter(F.col(f"j.{corrupt_col}").isNull()).select(
+        *[F.col(f"j.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantine = raw.filter(F.col(f"j.{corrupt_col}").isNotNull()).select(
+        F.col("value").alias("raw_line"), "_source_file"
+    )
+    return clean, quarantine

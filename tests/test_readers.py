@@ -131,3 +131,32 @@ def test_xlsx_reader_shared_strings_and_sparse_cells(spark, tmp_path):
 
     df = read_dim_table(spark, str(p))
     assert df.count() == 2 and df.columns == ["Code", "Desc"]
+
+
+def test_read_jsonl_corpus_quarantines_bad_lines(spark, tmp_path):
+    """Malformed JSONL lines route to the quarantine frame with their
+    source file; parseable lines with missing fields load with NULLs."""
+    from pyspark.sql import types as T
+
+    from sap_data_pipeline_spark.sources.readers import read_jsonl_corpus
+
+    p = tmp_path / "dump.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good doc"}\n'
+        '{"doc_id": 2, "text": "another", "extra": "ignored"}\n'
+        'this is not json at all\n'
+        '{"doc_id": 3}\n'                       # missing text → NULL, not quarantine
+        '{"doc_id": 4, "text": "trailing garbage"} }{\n'
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    clean, quarantine = read_jsonl_corpus(spark, str(p), schema)
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert rows[1] == "good doc" and rows[2] == "another"
+    assert 3 in rows and rows[3] is None
+    bad = quarantine.collect()
+    assert len(bad) + len(rows) == 5
+    assert all("dump.jsonl" in r["_source_file"] for r in bad)
+    assert any("not json" in r["raw_line"] for r in bad)
