@@ -298,3 +298,17 @@ def test_simhash_pairs_pigeonhole_recall(spark, star):
         for r in D.simhash_near_dup_pairs(docs, bits=32, max_hamming=3).collect()
     }
     assert brute == banded
+
+
+def test_connected_components_deep_chain_pointer_jumping(spark):
+    """A 400-hop path must converge well inside the round budget —
+    pointer jumping makes rounds O(log diameter), where plain
+    propagation would need 400 rounds."""
+    n = 400
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in D.connected_components(ids, pairs, max_iter=25).collect()}
+    assert got == {i: 0 for i in range(n)}
