@@ -130,7 +130,9 @@ def _cell_xml(ref: str, value) -> str:
     if isinstance(value, bool):
         value = str(value)  # booleans as text; dims are string-typed anyway
     if isinstance(value, (int, float)):
-        num = repr(value) if isinstance(value, float) else str(value)
+        # coerce through builtin types: numpy scalars pass isinstance but
+        # repr as 'np.float64(1.5)' under NumPy 2.x
+        num = repr(float(value)) if isinstance(value, float) else str(int(value))
         return f'<c r="{ref}"><v>{num}</v></c>'
     return (
         f'<c r="{ref}" t="inlineStr"><is>'
