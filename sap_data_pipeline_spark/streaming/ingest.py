@@ -238,3 +238,59 @@ def dedup_stream_within_watermark(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(list(keys))
     )
+
+
+def stream_curate_corpus(
+    spark: SparkSession,
+    watch_dir: str,
+    schema: T.StructType,
+    out_path: str,
+    *,
+    checkpoint_dir: str,
+    min_quality: float = 0.3,
+    fingerprint_watermark: str = "24 hours",
+    ts_col: str = "ingest_ts",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of ``etl.curate_corpus``: a JSONL watch folder is
+    curated as documents ARRIVE instead of in nightly batches.
+
+        file stream → quality gate (native exprs, map-side) →
+        exact-dup drop on the content fingerprint (bounded state via
+        watermark) → append parquet sink
+
+    The exact-dedup stage keys on ``md5(normalized text)`` — the same
+    fingerprint as the batch flow — through
+    ``dropDuplicatesWithinWatermark``, so re-delivered or re-scraped
+    documents inside the watermark window land exactly once while state
+    stays bounded by (docs per watermark window), not stream history.
+    Near-dup clustering stays a batch pass over the accumulated corpus
+    (the LSH band join + connected components need corpus-wide shuffles
+    a micro-batch cannot see); run ``curate_corpus`` periodically over
+    this sink's output for the full policy.
+
+    Scale shape: the gate and fingerprint are codegen expressions inside
+    the stream scan; the only stateful operator is the keyed dedup.
+    """
+    from sap_data_pipeline_spark.functions import text as X
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .load(watch_dir)
+        .withColumn(ts_col, F.current_timestamp())
+    )
+    gated = stream.filter(X.quality_score("text") >= min_quality).withColumn(
+        "fingerprint", X.md5_fingerprint("text")
+    )
+    deduped = dedup_stream_within_watermark(
+        gated, ["fingerprint"], ts_col=ts_col, watermark=fingerprint_watermark
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

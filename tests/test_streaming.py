@@ -280,3 +280,57 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["event_id"] for r in spark.read.parquet(str(out)).collect())
     assert got == [1, 2, 3]
+
+
+def test_stream_curate_corpus(spark, tmp_path):
+    """Streaming curation: low-quality docs gated out, re-delivered
+    content (same normalized text, different doc_id) lands exactly once,
+    and a later micro-batch adds only new content."""
+    import json
+
+    from sap_data_pipeline_spark.streaming.ingest import stream_curate_corpus
+
+    watch = tmp_path / "corpus_in"
+    watch.mkdir()
+    good = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank with many common words appearing throughout this text")
+    other = ("completely different content about machine learning and "
+             "the data pipelines that process it for training models")
+    rows = [
+        {"doc_id": 1, "text": good},
+        {"doc_id": 2, "text": "  THE quick  brown fox jumps over the lazy dog near the river bank with many common words appearing throughout this text"},  # re-delivery: normalizes equal to doc 1
+        {"doc_id": 3, "text": "!!!! ????"},  # quality-gated
+        {"doc_id": 4, "text": other},
+    ]
+    (watch / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    out = tmp_path / "curated_stream"
+    q = stream_curate_corpus(
+        spark, str(watch), schema, str(out),
+        checkpoint_dir=str(tmp_path / "ckpt_cur"), min_quality=0.5,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(out))
+    fps = [r["fingerprint"] for r in got.collect()]
+    assert len(fps) == len(set(fps)) == 2        # docs 1/2 collapsed, 3 gated
+    ids = {r["doc_id"] for r in got.collect()}
+    assert 3 not in ids and 4 in ids and (1 in ids or 2 in ids)
+
+    # second batch: one duplicate of doc 4's content + one new doc
+    (watch / "b2.jsonl").write_text("\n".join(json.dumps(r) for r in [
+        {"doc_id": 5, "text": other.upper()},    # dup within watermark
+        {"doc_id": 6, "text": "yet another entirely new document with plenty of the usual filler words inside it"},
+    ]))
+    q2 = stream_curate_corpus(
+        spark, str(watch), schema, str(out),
+        checkpoint_dir=str(tmp_path / "ckpt_cur"), min_quality=0.5,
+    )
+    q2.awaitTermination(120)
+    final = spark.read.parquet(str(out))
+    assert final.count() == 3                    # only doc 6 added
+    assert {r["doc_id"] for r in final.collect()} >= {6}
