@@ -365,6 +365,39 @@ def near_dup_clusters(df: DataFrame, text_col: str = "text",
     )
 
 
+def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, *,
+                          id_col: str = "doc_id",
+                          score: Column | None = None) -> DataFrame:
+    """Cluster the near-dup pair graph and keep the BEST-scoring row per
+    component (ties break to the smallest id) — the curation policy that
+    preserves the highest-quality copy instead of the arbitrary min-id
+    one (a scrape's earliest copy is often the worst: truncated,
+    boilerplate-wrapped, pre-cleanup).
+
+    ``score`` defaults to :func:`functions.text.quality_score` over the
+    ``text`` column.  Returns the surviving rows of ``df`` (all original
+    columns).  Cost on top of :func:`connected_components`: one
+    cluster-keyed window (rank-1 filter) — the per-cluster sort covers
+    component-sized groups, bounded by the LSH bucket cap upstream.
+    """
+    from pyspark.sql.window import Window
+
+    from sap_data_pipeline_spark.functions import text as X
+
+    if score is None:
+        score = X.quality_score("text")
+    cc = connected_components(df.select(id_col), pairs, id_col=id_col)
+    scored = df.join(cc, id_col).withColumn("_score", score)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_score", "cluster_id")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 16) -> DataFrame:
     """SimHash: per-bit majority vote over token hashes → integer sketch.

@@ -29,6 +29,12 @@ from xml.sax.saxutils import escape
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _CELL_REF = re.compile(r"([A-Z]+)(\d+)")
+# XML 1.0 forbids control characters other than \t \n \r; a single stray
+# byte (common in scraped text) would make the whole part unparseable.
+# Stripped, not substituted — same policy as openpyxl's ILLEGAL_CHARACTERS_RE.
+_ILLEGAL_XML = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x84\x86-\x9f\ud800-\udfff￾￿]"
+)
 
 
 def _col_index(ref: str) -> int:
@@ -134,9 +140,10 @@ def _cell_xml(ref: str, value) -> str:
         # repr as 'np.float64(1.5)' under NumPy 2.x
         num = repr(float(value)) if isinstance(value, float) else str(int(value))
         return f'<c r="{ref}"><v>{num}</v></c>'
+    text = _ILLEGAL_XML.sub("", str(value))
     return (
         f'<c r="{ref}" t="inlineStr"><is>'
-        f'<t xml:space="preserve">{escape(str(value))}</t></is></c>'
+        f'<t xml:space="preserve">{escape(text)}</t></is></c>'
     )
 
 

@@ -312,3 +312,18 @@ def test_connected_components_deep_chain_pointer_jumping(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in D.connected_components(ids, pairs, max_iter=25).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_keep_best_per_cluster_prefers_score(spark):
+    """Survivor = highest score in the component, not the smallest id;
+    singletons survive untouched; ties break to the smaller id."""
+    df = spark.createDataFrame(
+        [(1, "a", 0.2), (2, "b", 0.9), (3, "c", 0.9), (4, "solo", 0.1)],
+        "doc_id long, text string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    kept = {r["doc_id"] for r in
+            D.keep_best_per_cluster(df, pairs, score=F.col("q")).collect()}
+    assert kept == {2, 4}   # 2 beats 3 on id tie-break, beats 1 on score

@@ -160,3 +160,15 @@ def test_read_jsonl_corpus_quarantines_bad_lines(spark, tmp_path):
     assert len(bad) + len(rows) == 5
     assert all("dump.jsonl" in r["_source_file"] for r in bad)
     assert any("not json" in r["raw_line"] for r in bad)
+
+
+def test_xlsx_writer_strips_illegal_control_chars(spark, tmp_path):
+    """A stray control byte (common in scraped text) must not make the
+    workbook unparseable — stripped like openpyxl does."""
+    from sap_data_pipeline_spark.sources import xlsx as XL
+
+    p = tmp_path / "ctl.xlsx"
+    XL.write_xlsx(str(p), ["Name"], [["bad\x00byte\x1bhere"], ["tab\tand\nnewline ok"]])
+    header, rows = XL.read_xlsx(str(p))
+    assert rows[0][0] == "badbytehere"
+    assert rows[1][0] == "tab\tand\nnewline ok"
