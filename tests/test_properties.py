@@ -122,3 +122,45 @@ def test_pack_ascii8_order_and_roundtrip(spark, strs):
     by_str = sorted(rows, key=lambda r: r["s"])
     by_num = sorted(rows, key=lambda r: r["p"])
     assert [r["s"] for r in by_str] == [r["s"] for r in by_num]
+
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=0,
+    max_size=20,
+)
+
+
+@PROP
+@given(edges=_edges)
+def test_connected_components_matches_union_find(spark, edges):
+    """For ANY pair graph, the distributed components must equal a
+    driver-side union-find ground truth (cluster label = component min)."""
+    from sap_data_pipeline_spark.operators.dedup import connected_components
+
+    n = 16
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [(0, 0)],
+        "id_a long, id_b long",
+    ).filter(F.col("id_a") != F.col("id_b"))
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(ids, pairs).collect()}
+    assert got == want
