@@ -165,6 +165,15 @@ def write_clustered(
     return write_parquet_atomic(clustered, target_dir, partition_by=partition_by)
 
 
+def pd_isna(v) -> bool:
+    import pandas as pd
+
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):  # arrays/lists: never NA as a whole
+        return False
+
+
 def export_excel(df: DataFrame, path: str, *, max_rows: int = 1_000_000) -> int:
     """Excel export for small report results (reference ``df.to_excel``,
     ``pipelines/etl_StoreRP.py:204-213``, ``etl_zmmidr_oun.py:78-79``).
@@ -190,12 +199,3 @@ def export_excel(df: DataFrame, path: str, *, max_rows: int = 1_000_000) -> int:
     ]
     write_xlsx(path, [str(c) for c in head.columns], rows)
     return len(head)
-
-
-def pd_isna(v) -> bool:
-    import pandas as pd
-
-    try:
-        return bool(pd.isna(v))
-    except (TypeError, ValueError):  # arrays/lists: never NA as a whole
-        return False
