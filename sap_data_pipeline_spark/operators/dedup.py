@@ -264,7 +264,8 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame, *,
 
 
 def connected_components(ids: DataFrame, pairs: DataFrame, *,
-                         id_col: str = "doc_id", max_iter: int = 25) -> DataFrame:
+                         id_col: str = "doc_id", max_iter: int = 25,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over near-dup pairs: (id, cluster_id) where
     cluster_id = the smallest id reachable through the pair graph.
 
@@ -281,61 +282,83 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
     in practice — a 5k-doc corpus at sf0.1 already produced an LSH
     component with diameter > 25.  The fixpoint (min id per component)
     is unique, so the result is deterministic regardless of round
-    schedule.
+    schedule.  Labels use the id column's natural ordering, so string
+    doc ids (URLs, content hashes) work as well as numeric ones.
 
     Scale shape: each round is one shuffle-join of the (bounded) edge
     list against the label frame, a min-aggregate on the same id key,
-    and one label self-join for the jump.  Labels are
-    ``localCheckpoint``-ed every round — iterative self-referencing
-    plans otherwise grow lineage exponentially and re-execute round 1
-    under round N (swap for a reliable ``checkpoint`` dir on a real
-    cluster, where executor loss must not kill the job).  Convergence is
-    detected from SUM(label): labels only ever decrease, so the sum
-    strictly decreases until fixpoint — one scalar aggregate per round,
-    no expensive frame-diff join.
+    and one label self-join for the jump.  Label frames are
+    checkpointed every round — iterative self-referencing plans
+    otherwise grow lineage exponentially and re-execute round 1 under
+    round N.  ``checkpoint_dir=None`` (default) uses
+    ``localCheckpoint``: correct in local mode, but executor loss
+    invalidates the blocks and kills the job.  On a real cluster pass a
+    reliable ``checkpoint_dir`` (HDFS/S3 path) and the rounds survive
+    executor loss via ``df.checkpoint()``.  Convergence = a round that
+    changes zero labels: the previous label rides through the round's
+    aggregate as a carried column, so the changed-count is ONE scalar
+    aggregate per round — no frame-diff join, and no dependence on the
+    id type being summable (a decimal SUM over labels would crash on
+    string ids under ANSI mode, or silently mis-converge with ANSI off).
     """
-    edges = (
+    if checkpoint_dir is not None:
+        ids.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    lbl_type = ids.schema[id_col].dataType
+    edges = ckpt(
         pairs.select(F.col("id_a").alias("dst"), F.col("id_b").alias("id"))
         .unionAll(pairs.select(F.col("id_b").alias("dst"), F.col("id_a").alias("id")))
-        .localCheckpoint(eager=True)  # computed once, re-joined every round
-    )
+    )  # computed once, re-joined every round
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
-    prev_sum = None
     for _ in range(max_iter):
+        # each id contributes exactly ONE "own" row (its current label);
+        # propagated rows carry NULL own — so max(own) in the aggregate
+        # recovers the previous label without a frame-diff join
+        own = labels.select("id", "lbl", F.col("lbl").alias("own"))
         propagated = edges.join(labels, "id").select(
-            F.col("dst").alias("id"), F.col("lbl")
+            F.col("dst").alias("id"),
+            F.col("lbl"),
+            F.lit(None).cast(lbl_type).alias("own"),
         )
         # checkpoint BEFORE the self-join: both join sides then reference
         # one materialized plan — a lazy self-join over deep iterative
         # lineage trips Spark's self-join attribute disambiguation
         # ("key not found" at optimization time)
-        stepped = (
-            labels.unionAll(propagated)
+        stepped = ckpt(
+            own.unionAll(propagated)
             .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("lbl").alias("lbl"), F.max("own").alias("prev"))
         )
         # pointer jump: follow lbl -> lbl's OWN label (labels are node
         # ids, so every lbl resolves; coalesce guards the contract)
         lookup = stepped.select(
             F.col("id").alias("_jid"), F.col("lbl").alias("_jlbl")
         )
-        labels = (
+        labels = ckpt(
             stepped.join(lookup, F.col("lbl") == F.col("_jid"), "left")
             .select(
                 "id",
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("_jlbl"), F.col("lbl"))
                 ).alias("lbl"),
+                F.col("prev"),
             )
-            .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if cur_sum == prev_sum:
+        n_changed = labels.agg(
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("lbl") != F.col("prev")), 1
+                ).otherwise(0)
+            ).alias("n")
+        ).collect()[0]["n"]
+        labels = labels.select("id", "lbl")
+        if not n_changed:  # labels only decrease: a zero-change round is the fixpoint
             return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
-        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "pathological graph; raise max_iter or pre-collapse with exact dedup"
@@ -343,7 +366,8 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
 
 
 def near_dup_clusters(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id", *,
+                      checkpoint_dir: str | None = None) -> DataFrame:
     """End-to-end near-dup clustering: MinHash+LSH pairs → connected
     components → per-cluster stats.  Returns one row per document:
     (id, cluster_id, cluster_size, is_canonical) — ``is_canonical`` marks
@@ -352,7 +376,7 @@ def near_dup_clusters(df: DataFrame, text_col: str = "text",
     component computation; the size join stays on the cluster_id key.
     """
     cc = connected_components(df.select(id_col), minhash_dedup_pairs(df, text_col, id_col),
-                              id_col=id_col)
+                              id_col=id_col, checkpoint_dir=checkpoint_dir)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         cc.join(sizes, "cluster_id")
@@ -367,7 +391,8 @@ def near_dup_clusters(df: DataFrame, text_col: str = "text",
 
 def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, *,
                           id_col: str = "doc_id",
-                          score: Column | None = None) -> DataFrame:
+                          score: Column | None = None,
+                          checkpoint_dir: str | None = None) -> DataFrame:
     """Cluster the near-dup pair graph and keep the BEST-scoring row per
     component (ties break to the smallest id) — the curation policy that
     preserves the highest-quality copy instead of the arbitrary min-id
@@ -386,7 +411,8 @@ def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, *,
 
     if score is None:
         score = X.quality_score("text")
-    cc = connected_components(df.select(id_col), pairs, id_col=id_col)
+    cc = connected_components(df.select(id_col), pairs, id_col=id_col,
+                              checkpoint_dir=checkpoint_dir)
     scored = df.join(cc, id_col).withColumn("_score", score)
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("_score"), F.asc(id_col)

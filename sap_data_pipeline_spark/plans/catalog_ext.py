@@ -89,14 +89,22 @@ _BAND_SELECTS = "\n        UNION ALL\n".join(
     for b in range(0, D.NUM_PERM, D.BAND_SIZE)
 )
 
+# kept mirrors operators.dedup.bucketed_pairs: rows in band-buckets above
+# LSH_MAX_BUCKET are DROPPED before pair expansion — without this cap the
+# oracle silently diverges the moment any bucket exceeds the cap at a
+# larger scale factor.
 _CAND_CTE = f"""
     {_SIG_CTE},
     bands AS (
 {_BAND_SELECTS}
     ),
+    kept AS (
+        SELECT doc_id, band, bkey FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, bkey) <= {D.LSH_MAX_BUCKET}
+    ),
     cands AS (
         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-        FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey
+        FROM kept l JOIN kept r ON l.band = r.band AND l.bkey = r.bkey
         WHERE l.doc_id < r.doc_id
     )
 """
@@ -938,9 +946,13 @@ _SH_BAND_SELECTS = "\n        UNION ALL\n".join(
     shbands AS (
 {_SH_BAND_SELECTS}
     ),
+    shkept AS (
+        SELECT doc_id, band, bkey FROM shbands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, bkey) <= {D.LSH_MAX_BUCKET}
+    ),
     shcands AS (
         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-        FROM shbands l JOIN shbands r ON l.band = r.band AND l.bkey = r.bkey
+        FROM shkept l JOIN shkept r ON l.band = r.band AND l.bkey = r.bkey
         WHERE l.doc_id < r.doc_id
     )
     SELECT c.id_a, c.id_b,

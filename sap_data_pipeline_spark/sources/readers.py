@@ -267,6 +267,10 @@ def read_jsonl_corpus(
     it is unparseable as JSON; parseable lines with missing fields load
     with NULLs — field-presence enforcement is the downstream
     expectation check (``operators.quality``), not the reader.
+    Blank/whitespace-only lines are ALSO quarantined: ``from_json``
+    returns a NULL struct for them (not a corrupt-record marker), so a
+    corrupt-column-only filter would misfile them as clean all-NULL
+    rows and break the corpus accounting guarantee.
 
     Mechanically this is text-scan + ``from_json`` rather than the json
     datasource: Spark disallows plans whose only referenced column is
@@ -289,10 +293,11 @@ def read_jsonl_corpus(
         F.col("value"),
         F.input_file_name().alias("_source_file"),
     )
-    clean = raw.filter(F.col(f"j.{corrupt_col}").isNull()).select(
+    bad = F.col("j").isNull() | F.col(f"j.{corrupt_col}").isNotNull()
+    clean = raw.filter(~bad).select(
         *[F.col(f"j.{f.name}").alias(f.name) for f in schema.fields]
     )
-    quarantine = raw.filter(F.col(f"j.{corrupt_col}").isNotNull()).select(
+    quarantine = raw.filter(bad).select(
         F.col("value").alias("raw_line"), "_source_file"
     )
     return clean, quarantine

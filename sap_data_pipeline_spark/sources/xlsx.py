@@ -55,6 +55,42 @@ def _col_letters(idx: int) -> str:
     return out
 
 
+_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_WB_REL_NS = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+)
+
+
+def _first_sheet_part(z: zipfile.ZipFile) -> str:
+    """Resolve the FIRST sheet in workbook order via workbook.xml + its
+    rels part — a lexicographic filename sort would put sheet10.xml
+    before sheet2.xml and ignores the workbook's declared order
+    entirely.  Falls back to numeric-suffix part sort for writers that
+    omit the workbook parts."""
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rid = wb.find(f"{_NS}sheets/{_NS}sheet").get(f"{_WB_REL_NS}id")
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        target = next(
+            r.get("Target")
+            for r in rels.findall(f"{_REL_NS}Relationship")
+            if r.get("Id") == rid
+        )
+        part = target.lstrip("/") if target.startswith("/") else f"xl/{target}"
+        if part in z.namelist():
+            return part
+    except (KeyError, AttributeError, StopIteration, ET.ParseError):
+        pass
+    sheets = sorted(
+        (n for n in z.namelist()
+         if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
+    )
+    if not sheets:
+        raise ValueError("no worksheet found")
+    return sheets[0]
+
+
 def read_xlsx(path: str) -> tuple[list[str], list[list[str | None]]]:
     """Read the first worksheet as (header, rows) — every value a string
     (or None for empty cells), matching ``pd.read_excel(dtype=str)``."""
@@ -65,17 +101,21 @@ def read_xlsx(path: str) -> tuple[list[str], list[list[str | None]]]:
             for si in root.findall(f"{_NS}si"):
                 # join rich-text runs; missing <t> (empty si) → ""
                 shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
-        sheets = sorted(n for n in z.namelist()
-                        if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
-        if not sheets:
-            raise ValueError(f"no worksheet found in {path}")
-        root = ET.fromstring(z.read(sheets[0]))
+        try:
+            root = ET.fromstring(z.read(_first_sheet_part(z)))
+        except ValueError as e:
+            raise ValueError(f"{e} in {path}") from None
 
     grid: list[list[str | None]] = []
     for row in root.iter(f"{_NS}row"):
         cells: dict[int, str | None] = {}
+        # the r= attribute is optional; r-less cells occupy the column
+        # after the previous cell (running index), not column A
+        next_idx = 0
         for c in row.findall(f"{_NS}c"):
-            idx = _col_index(c.get("r", "A1"))
+            ref = c.get("r")
+            idx = _col_index(ref) if ref else next_idx
+            next_idx = idx + 1
             ctype = c.get("t", "n")
             if ctype == "inlineStr":
                 is_el = c.find(f"{_NS}is")

@@ -314,6 +314,40 @@ def test_connected_components_deep_chain_pointer_jumping(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_string_ids(spark):
+    """String doc ids (URLs, content hashes) must work: labels use the
+    id column's natural ordering and convergence is a changed-label
+    count, not a numeric SUM (which would crash under ANSI mode)."""
+    ids = spark.createDataFrame(
+        [("url/a",), ("url/b",), ("url/c",), ("url/d",)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("url/b", "url/c"), ("url/c", "url/a")], "id_a string, id_b string"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in D.connected_components(ids, pairs).collect()}
+    assert got == {"url/a": "url/a", "url/b": "url/a",
+                   "url/c": "url/a", "url/d": "url/d"}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches localCheckpoint → reliable checkpoint()
+    (cluster fault tolerance); the 400-hop chain still converges inside
+    the same round budget and checkpoint files actually land in the dir."""
+    n = 400
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    ckdir = str(tmp_path / "cc_checkpoints")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in D.connected_components(
+               ids, pairs, max_iter=25, checkpoint_dir=ckdir).collect()}
+    assert got == {i: 0 for i in range(n)}
+    import pathlib
+    assert any(pathlib.Path(ckdir).rglob("*")), "no reliable checkpoint written"
+
+
 def test_keep_best_per_cluster_prefers_score(spark):
     """Survivor = highest score in the component, not the smallest id;
     singletons survive untouched; ties break to the smaller id."""

@@ -146,6 +146,8 @@ def test_read_jsonl_corpus_quarantines_bad_lines(spark, tmp_path):
         '{"doc_id": 2, "text": "another", "extra": "ignored"}\n'
         'this is not json at all\n'
         '{"doc_id": 3}\n'                       # missing text → NULL, not quarantine
+        '\n'                                    # blank line → quarantine, not NULL row
+        '   \n'                                 # whitespace-only → quarantine too
         '{"doc_id": 4, "text": "trailing garbage"} }{\n'
     )
     schema = T.StructType([
@@ -156,10 +158,65 @@ def test_read_jsonl_corpus_quarantines_bad_lines(spark, tmp_path):
     rows = {r["doc_id"]: r["text"] for r in clean.collect()}
     assert rows[1] == "good doc" and rows[2] == "another"
     assert 3 in rows and rows[3] is None
+    assert len(rows) == 4, "blank lines must not land in clean as all-NULL rows"
     bad = quarantine.collect()
-    assert len(bad) + len(rows) == 5
+    assert len(bad) + len(rows) == 7
     assert all("dump.jsonl" in r["_source_file"] for r in bad)
     assert any("not json" in r["raw_line"] for r in bad)
+    assert sum(1 for r in bad if r["raw_line"].strip() == "") == 2
+
+
+def test_xlsx_reader_first_sheet_by_workbook_order_and_rless_cells(tmp_path):
+    """Sheet resolution must follow workbook.xml order (lexicographic
+    part sort puts sheet10.xml before sheet2.xml); cells without an r=
+    attribute occupy the running column, not column A."""
+    import zipfile
+
+    from sap_data_pipeline_spark.sources import xlsx as XL
+
+    ws = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>{rows}</sheetData></worksheet>"
+    )
+    # active sheet: header row uses r=; data row has NO r= attributes
+    right = ws.format(rows=(
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>H1</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>H2</t></is></c></row>'
+        '<row r="2"><c t="inlineStr"><is><t>x</t></is></c>'
+        "<c><v>42</v></c></row>"
+    ))
+    wrong = ws.format(rows='<row r="1"><c r="A1"><v>999</v></c></row>')
+    content_types = (
+        '<?xml version="1.0"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/></Types>'
+    )
+    workbook = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Active" sheetId="1" r:id="rId7"/>'
+        '<sheet name="Other" sheetId="2" r:id="rId8"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId7" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>'
+        '<Relationship Id="rId8" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet10.xml"/>'
+        "</Relationships>"
+    )
+    p = tmp_path / "multi.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet10.xml", wrong)   # lexicographically first
+        z.writestr("xl/worksheets/sheet2.xml", right)    # workbook-first
+    header, rows = XL.read_xlsx(str(p))
+    assert header == ["H1", "H2"]
+    assert rows == [["x", "42"]]
 
 
 def test_xlsx_writer_strips_illegal_control_chars(spark, tmp_path):
