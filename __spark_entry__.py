@@ -39,6 +39,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     store_rp_report's conditional COUNT/AVG ladder;
 #   * the rows-only queries (no SQL oracle by design).
 _TAIL = (
+    "simhash_near_dup_pairs64",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

@@ -174,17 +174,34 @@ def ngram_jaccard_pairs_q(star: Star) -> DataFrame:
     return D.ngram_jaccard_pairs(star.documents, threshold=0.7)
 
 
+# Sketch bit i votes on bit i%60 of seeded hash word h{i//60}; bit 63's
+# addend is the two's-complement sign-bit constant (see
+# operators.dedup.simhash / simhash_bit_value — a 1<<63 literal overflows
+# BIGINT in both engines).
 def _simhash_sums(bits: int) -> str:
     return ",\n               ".join(
-        f"SUM(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS b{i}"
+        f"SUM(CASE WHEN (h{i // D._SIMHASH_WORD} & {1 << (i % D._SIMHASH_WORD)}) <> 0 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
         for i in range(bits)
     )
 
 
 def _simhash_sketch(bits: int) -> str:
     return " + ".join(
-        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+        f"(CASE WHEN b{i} > 0 THEN {D.simhash_bit_value(i)} ELSE 0 END)"
+        for i in range(bits)
     )
+
+
+def _simhash_hashed_cte(bits: int) -> str:
+    n_words = (bits + D._SIMHASH_WORD - 1) // D._SIMHASH_WORD
+    cols = ",\n               ".join(
+        f"{_hash64_sql('tok', w)} AS h{w}" for w in range(n_words)
+    )
+    return f"""
+    hashed AS (
+        SELECT doc_id, {cols} FROM toks
+    )"""
 
 
 _SIMHASH_BITS = 16
@@ -197,7 +214,7 @@ _SIMHASH_SKETCH = _simhash_sketch(_SIMHASH_BITS)
     f"""
     WITH {_TOKS_CTE},
     hashed AS (
-        SELECT doc_id, {_hash64_sql('tok', 0)} AS h FROM toks
+        SELECT doc_id, {_hash64_sql('tok', 0)} AS h0 FROM toks
     ),
     bitsums AS (
         SELECT doc_id,
@@ -932,7 +949,7 @@ _SH_BAND_SELECTS = "\n        UNION ALL\n".join(
     f"""
     WITH {_TOKS_CTE},
     hashed AS (
-        SELECT doc_id, {_hash64_sql('tok', 0)} AS h FROM toks
+        SELECT doc_id, {_hash64_sql('tok', 0)} AS h0 FROM toks
     ),
     bitsums AS (
         SELECT doc_id,
@@ -968,6 +985,59 @@ def simhash_near_dup_pairs_q(star: Star) -> DataFrame:
         star.documents, bits=_SH_PAIR_BITS, n_bands=_SH_BANDS,
         max_hamming=_SH_MAX_HAMMING,
     )
+
+
+# 64-bit PRODUCTION variant (operator default): Hamming ≤ 3 of 64 bits
+# bounds emitted-pair volume — the one quadratic-OUTPUT risk on
+# homogeneous corpora that the bucket cap (compute-side) cannot bound.
+# Sketch bits ≥ 60 come from a second seeded hash word; bit 63 is the
+# sign bit (negative addend) — see operators.dedup.simhash.
+_SH64_BITS = 64
+_SH64_WIDTH = _SH64_BITS // _SH_BANDS
+_SH64_MASK = (1 << _SH64_WIDTH) - 1
+
+_SH64_BAND_SELECTS = "\n        UNION ALL\n".join(
+    f"        SELECT doc_id, {b} AS band, "
+    f"CAST((sh >> {b * _SH64_WIDTH}) & {_SH64_MASK} AS VARCHAR) AS bkey FROM sk"
+    for b in range(_SH_BANDS)
+)
+
+@register(
+    "simhash_near_dup_pairs64",
+    f"""
+    WITH {_TOKS_CTE},
+    {_simhash_hashed_cte(_SH64_BITS)},
+    bitsums AS (
+        SELECT doc_id,
+               {_simhash_sums(_SH64_BITS)}
+        FROM hashed GROUP BY doc_id
+    ),
+    sk AS (
+        SELECT doc_id, CAST({_simhash_sketch(_SH64_BITS)} AS BIGINT) AS sh
+        FROM bitsums
+    ),
+    shbands AS (
+{_SH64_BAND_SELECTS}
+    ),
+    shkept AS (
+        SELECT doc_id, band, bkey FROM shbands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, bkey) <= {D.LSH_MAX_BUCKET}
+    ),
+    shcands AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM shkept l JOIN shkept r ON l.band = r.band AND l.bkey = r.bkey
+        WHERE l.doc_id < r.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM shcands c
+    JOIN sk a ON a.doc_id = c.id_a
+    JOIN sk b ON b.doc_id = c.id_b
+    WHERE bit_count(xor(a.sh, b.sh)) <= {_SH_MAX_HAMMING}
+    """,
+)
+def simhash_near_dup_pairs64_q(star: Star) -> DataFrame:
+    return D.simhash_near_dup_pairs(star.documents)  # production defaults
 
 
 # ---------------------------------------------------------------------------

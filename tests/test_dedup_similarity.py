@@ -300,6 +300,61 @@ def test_simhash_pairs_pigeonhole_recall(spark, star):
     assert brute == banded
 
 
+def test_simhash64_bounds_pair_volume(spark, star):
+    """The 64-bit production width must emit ≥10× fewer pairs than 32-bit
+    on a homogeneous (shared-vocabulary) corpus — Hamming ≤3 of 32 admits
+    a near-quadratic fraction of all-pairs, which no bucket cap can bound
+    because it is OUTPUT volume, not candidate compute.  Fixture: 300
+    independent docs over a 50-word vocabulary — no true near-dups, so
+    every emitted pair is width-induced noise.
+    """
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.sample(vocab, 30))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    p32 = D.simhash_near_dup_pairs(docs, bits=32).count()
+    p64 = D.simhash_near_dup_pairs(docs).count()  # production default: 64
+    assert p32 > 0, "fixture too easy — 32-bit emitted nothing"
+    assert p64 * 10 <= p32, f"64-bit pairs {p64} not ≥10× below 32-bit {p32}"
+    # and on the real corpus the shrink must still be substantial
+    s32 = D.simhash_near_dup_pairs(star.documents, bits=32).count()
+    s64 = D.simhash_near_dup_pairs(star.documents).count()
+    assert s64 * 4 <= s32, f"corpus shrink too weak: {s64} vs {s32}"
+
+
+def test_simhash64_upper_word_bits_vary(spark, star):
+    """Sketch bits ≥ 60 come from the second hash word and bit 63 is the
+    sign bit — if the upper bits were dead (all-zero), no sketch would
+    ever be negative and the effective width would silently be 60."""
+    sk = [r["simhash"] for r in D.simhash(star.documents, bits=64).collect()]
+    assert any(s < 0 for s in sk), "bit 63 never set — upper word is dead"
+    assert any((s >> 60) & 0x7 for s in sk), "bits 60-62 never set"
+
+
+def test_simhash64_pigeonhole_recall(spark, star):
+    """Banding at 64 bits must still find EVERY pair within max_hamming
+    (pigeonhole: 3 < 4 bands) — brute-force all-pairs parity."""
+    docs = star.documents.limit(120)
+    sk = D.simhash(docs, bits=64)
+    a = sk.selectExpr("doc_id AS id_a", "simhash AS sa")
+    b = sk.selectExpr("doc_id AS id_b", "simhash AS sb")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("h", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("h") <= 3).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_dup_pairs(docs).collect()
+    }
+    assert brute == banded
+
+
 def test_connected_components_deep_chain_pointer_jumping(spark):
     """A 400-hop path must converge well inside the round budget —
     pointer jumping makes rounds O(log diameter), where plain
