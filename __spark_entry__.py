@@ -40,6 +40,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   * the rows-only queries (no SQL oracle by design).
 _TAIL = (
     "simhash_near_dup_pairs64",
+    "audio_meta_wav",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

@@ -65,11 +65,130 @@ class FakeDecoder:
 
 
 def real_decode(payload: bytes) -> list[float]:  # pragma: no cover - env-gated
-    """Real decode kernel — unavailable in this container."""
+    """Decode kernel for codec-compressed media — unavailable here.
+
+    WAV (RIFF PCM) decode IS real in this container — see
+    :func:`decode_wav_meta` / :func:`extract_wav_meta`, stdlib-only.
+    This gate remains for formats that need a codec library
+    (JPEG/MP3/H.264 → PIL/ffmpeg).
+    """
     raise NotImplementedError(
-        "media decode requires PIL/ffmpeg which are not installed; "
-        "use FakeDecoder for plumbing tests"
+        "compressed-media decode requires PIL/ffmpeg which are not "
+        "installed; WAV payloads decode for real via extract_wav_meta"
     )
+
+
+# --- Real audio modality: RIFF/WAVE PCM via stdlib wave + struct -----------
+
+WAV_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("n_frames", T.LongType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("rms_amplitude", T.DoubleType(), True),
+    T.StructField("peak_amplitude", T.IntegerType(), True),
+])
+
+
+def decode_wav_meta(payload: bytes) -> tuple:
+    """REAL decode of a RIFF/WAVE PCM payload — stdlib ``wave`` for the
+    container structure, ``struct`` for the 16-bit sample frames.
+
+    Returns (sample_rate, n_channels, n_frames, duration_ms,
+    rms_amplitude, peak_amplitude).  Non-WAV payloads raise
+    ``NotImplementedError`` (the codec env-gate); non-16-bit PCM decodes
+    the header but reports NULL sample stats.
+    """
+    import io
+    import math
+    import struct
+    import wave
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "payload is not RIFF/WAVE; compressed formats need a codec "
+            "library (env-gated, see real_decode)"
+        )
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        n_ch, sampwidth = w.getnchannels(), w.getsampwidth()
+        rate, n_frames = w.getframerate(), w.getnframes()
+        raw = w.readframes(n_frames)
+    duration_ms = n_frames * 1000 // rate if rate else None
+    rms = peak = None
+    if sampwidth == 2 and raw:
+        samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+        peak = max(abs(s) for s in samples)
+        rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+    return rate, n_ch, n_frames, duration_ms, rms, peak
+
+
+def extract_wav_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched WAV metadata/feature extraction — the real-modality
+    instance of the decode stage (same ``mapInPandas`` shape a PIL/ffmpeg
+    kernel slots into; see module docstring for the 100 TB discipline)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in WAV_META_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, n_ch, n_frames, dur, rms, peak = decode_wav_meta(payload)
+                out["media_id"].append(mid)
+                out["n_bytes"].append(len(payload) if payload is not None else 0)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(n_ch)
+                out["n_frames"].append(n_frames)
+                out["duration_ms"].append(dur)
+                out["rms_amplitude"].append(rms)
+                out["peak_amplitude"].append(peak)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=WAV_META_SCHEMA)
+
+
+def synth_wav_media(documents: DataFrame) -> DataFrame:
+    """Deterministic WAV fixture generator: one mono 16-bit PCM payload
+    per document, fully parameterized by ``doc_id`` (rate 8000 Hz,
+    ``100 + doc_id % 400`` frames, samples alternating ±(doc_id % 1000
+    + 1)).  Because every derived quantity is closed-form in ``doc_id``,
+    the REAL parse path gets a full value-hash oracle: the catalog query
+    decodes the bytes with ``wave``/``struct`` while the DuckDB twin
+    computes the same numbers arithmetically — any header/frame
+    misparse breaks the hash.  Byte synthesis happens executor-side in
+    the same Arrow-batched stage shape as the decoders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                n_frames = 100 + int(did) % 400
+                amp = int(did) % 1000 + 1
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(
+                        struct.pack(
+                            f"<{n_frames}h",
+                            *[amp if i % 2 == 0 else -amp for i in range(n_frames)],
+                        )
+                    )
+                ids.append(did)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    return documents.select("doc_id").mapInPandas(run, schema=schema)
 
 
 def extract_features(media: DataFrame, *, batch_parallelism: int | None = None) -> DataFrame:

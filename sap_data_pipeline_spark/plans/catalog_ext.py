@@ -609,6 +609,30 @@ _MULTIMODAL_SQL = """
 """
 
 
+# Real audio modality: synth_wav_media emits genuine RIFF/WAVE PCM bytes
+# parameterized by doc_id; the Spark side PARSES them back with stdlib
+# wave+struct (operators.multimodal.decode_wav_meta) while the oracle
+# computes every field closed-form from doc_id — a differential test of
+# the real decode path (header offsets, frame unpacking, sample math);
+# any misparse breaks the value hash.  Standard PCM header = 44 bytes.
+@register(
+    "audio_meta_wav",
+    """
+    SELECT doc_id AS media_id,
+           CAST(44 + 2 * (100 + doc_id % 400) AS BIGINT) AS n_bytes,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(100 + doc_id % 400 AS BIGINT) AS n_frames,
+           CAST(((100 + doc_id % 400) * 1000) // 8000 AS BIGINT) AS duration_ms,
+           CAST(doc_id % 1000 + 1 AS DOUBLE) AS rms_amplitude,
+           CAST(doc_id % 1000 + 1 AS INT) AS peak_amplitude
+    FROM documents
+    """,
+)
+def audio_meta_wav(star: Star) -> DataFrame:
+    return MM.extract_wav_meta(MM.synth_wav_media(star.documents))
+
+
 @register("multimodal_features", _MULTIMODAL_SQL)
 def multimodal_features(star: Star) -> DataFrame:
     media = MM.synth_media(star.documents)

@@ -48,3 +48,49 @@ def test_sample_frames_shape(spark, star):
         per_media.setdefault(r["media_id"], []).append(r)
         assert isinstance(r["frame_payload"], (bytes, bytearray))
     assert all(len(v) == 4 for v in per_media.values())  # texts are >4 bytes
+
+
+def test_decode_wav_meta_exact_fixture():
+    """REAL stdlib WAV decode: a hand-built 16-bit PCM payload must parse
+    to exactly the parameters it was written with."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        # 3200 stereo frames of constant ±1000 → 200 ms, rms exactly 1000
+        w.writeframes(struct.pack(
+            "<6400h", *[1000 if i % 2 == 0 else -1000 for i in range(6400)]
+        ))
+    rate, n_ch, n_frames, dur, rms, peak = MM.decode_wav_meta(buf.getvalue())
+    assert (rate, n_ch, n_frames) == (16000, 2, 3200)
+    assert dur == 200
+    assert rms == 1000.0 and peak == 1000
+
+
+def test_decode_wav_meta_gates_compressed():
+    """Non-RIFF payloads stay env-gated (mp3/jpeg need codec libs)."""
+    with pytest.raises(NotImplementedError):
+        MM.decode_wav_meta(b"ID3\x04fake mp3 header and data")
+
+
+def test_extract_wav_meta_roundtrip(spark, star):
+    """synth → parse round-trip through the Arrow-batched stage: every
+    field must equal its closed form in doc_id."""
+    docs = star.documents.limit(25).select("doc_id")
+    got = {r["media_id"]: r for r in
+           MM.extract_wav_meta(MM.synth_wav_media(docs)).collect()}
+    assert len(got) == 25
+    for did, r in got.items():
+        n_frames = 100 + did % 400
+        amp = did % 1000 + 1
+        assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+        assert r["n_frames"] == n_frames
+        assert r["n_bytes"] == 44 + 2 * n_frames
+        assert r["duration_ms"] == n_frames * 1000 // 8000
+        assert r["rms_amplitude"] == float(amp)
+        assert r["peak_amplitude"] == amp
