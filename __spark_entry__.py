@@ -41,6 +41,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _TAIL = (
     "simhash_near_dup_pairs64",
     "audio_meta_wav",
+    "keep_best_per_cluster",
+    "jsonl_corpus_roundtrip",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

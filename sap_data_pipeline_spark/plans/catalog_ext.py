@@ -491,10 +491,11 @@ def lang_id_heuristic(star: Star) -> DataFrame:
 
 
 # SQL twin of functions.text.quality_score — same bands, same weights,
-# double arithmetic in the same order for bit parity.
+# double arithmetic in the same order for bit parity.  Kept as a CTE
+# block so cluster-survivor queries can reuse it.
 _EN_SW = ", ".join(f"'{w}'" for w in _SW["en"])
-_QUALITY_SQL = f"""
-    WITH feat AS (
+_QUALITY_CTES = f"""
+    feat AS (
         SELECT doc_id,
                length(text) AS n,
                {TOKSEQ_SQL.format(col='text')} AS toks,
@@ -516,18 +517,21 @@ _QUALITY_SQL = f"""
                CASE WHEN n > 0 THEN n_digit / CAST(n AS DOUBLE) ELSE 0.0 END AS digit_r,
                CASE WHEN ntok > 0 THEN tok_chars / ntok ELSE 0.0 END AS mwl
         FROM feat2
+    ),
+    quality AS (
+        SELECT doc_id,
+               round((
+                   (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                         WHEN n >= 20 THEN 0.5 ELSE 0.0 END)
+                 + least(sw_ratio * 4.0, 1.0)
+                 + (CASE WHEN punct_r < 0.2 THEN 1.0 ELSE 0.3 END)
+                 + (CASE WHEN digit_r < 0.3 THEN 1.0 ELSE 0.3 END)
+                 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.4 END)
+               ) / 5.0, 4) AS quality
+        FROM ratios
     )
-    SELECT doc_id,
-           round((
-               (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
-                     WHEN n >= 20 THEN 0.5 ELSE 0.0 END)
-             + least(sw_ratio * 4.0, 1.0)
-             + (CASE WHEN punct_r < 0.2 THEN 1.0 ELSE 0.3 END)
-             + (CASE WHEN digit_r < 0.3 THEN 1.0 ELSE 0.3 END)
-             + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.4 END)
-           ) / 5.0, 4) AS quality
-    FROM ratios
 """
+_QUALITY_SQL = f"WITH {_QUALITY_CTES} SELECT doc_id, quality FROM quality"
 
 
 @register("quality_scores", _QUALITY_SQL)
@@ -943,6 +947,117 @@ def corpus_stats_rollup(star: Star) -> DataFrame:
 )
 def near_dup_clusters_q(star: Star) -> DataFrame:
     return D.near_dup_clusters(star.documents)
+
+
+# ---------------------------------------------------------------------------
+# JSONL corpus front door, end-to-end: materialize a JSONL dump from the
+# documents table (deterministically corrupted — doc_id % 101 == 0 →
+# blank line, else doc_id % 53 == 0 → truncated JSON), push it through
+# the REAL file path (text write → sources.readers.read_jsonl_corpus →
+# PERMISSIVE from_json → clean/quarantine split), and report per-lang
+# totals plus the quarantine count.  The oracle computes the same
+# accounting closed-form from doc_id — a misrouted line (e.g. a blank
+# line loading as an all-NULL row) breaks the value hash.
+# ---------------------------------------------------------------------------
+
+@register(
+    "jsonl_corpus_roundtrip",
+    """
+    WITH clean AS (
+        SELECT lang, n_chars FROM documents
+        WHERE doc_id % 101 <> 0 AND doc_id % 53 <> 0
+    ),
+    agg AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM clean GROUP BY lang
+    ),
+    quar AS (
+        SELECT '(quarantined)' AS lang, COUNT(*) AS n_docs,
+               CAST(0 AS BIGINT) AS total_chars
+        FROM documents WHERE doc_id % 101 = 0 OR doc_id % 53 = 0
+    )
+    SELECT * FROM agg UNION ALL SELECT * FROM quar
+    """,
+)
+def jsonl_corpus_roundtrip(star: Star) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from sap_data_pipeline_spark.sources.readers import read_jsonl_corpus
+
+    spark = star.documents.sparkSession
+    lines = star.documents.select(
+        F.when(F.pmod("doc_id", F.lit(101)) == 0, F.lit(""))
+        .when(
+            F.pmod("doc_id", F.lit(53)) == 0,
+            F.concat(F.lit('{"broken '), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "lang", "n_chars")))
+        .alias("value")
+    )
+    dump_dir = tempfile.mkdtemp(prefix="jsonl_corpus_fixture_")
+    lines.write.mode("overwrite").text(dump_dir)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    clean, quarantine = read_jsonl_corpus(spark, dump_dir, schema)
+    agg = clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    quar = quarantine.agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit("(quarantined)").alias("lang"),
+        F.col("n_docs"),
+        F.lit(0).cast("long").alias("total_chars"),
+    )
+    return agg.unionAll(quar)
+
+
+# ---------------------------------------------------------------------------
+# Quality-preferring cluster survivor: keep the BEST-scoring doc per
+# near-dup component (ties → smallest id), not the arbitrary min-id one.
+# quality_score is closed-form, so the survivor set is SQL-expressible:
+# window rank over the score within the recursive-CTE components.
+# ---------------------------------------------------------------------------
+
+@register(
+    "keep_best_per_cluster",
+    f"""
+    WITH RECURSIVE {_CAND_CTE},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM cands
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM cands
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON r.src = e.dst
+    ),
+    comp AS (
+        SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    {_QUALITY_CTES},
+    ranked AS (
+        SELECT d.doc_id, d.lang, d.source, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality DESC, d.doc_id ASC) AS rk
+        FROM documents d
+        JOIN comp c ON c.doc_id = d.doc_id
+        JOIN quality q ON q.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, source, n_chars FROM ranked WHERE rk = 1
+    """,
+)
+def keep_best_per_cluster_q(star: Star) -> DataFrame:
+    survivors = D.keep_best_per_cluster(
+        star.documents, D.minhash_dedup_pairs(star.documents)
+    )
+    return survivors.select("doc_id", "lang", "source", "n_chars")
 
 
 # ---------------------------------------------------------------------------
