@@ -294,3 +294,109 @@ def stream_curate_corpus(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_curate_corpus_incremental(
+    spark: SparkSession,
+    watch_dir: str,
+    schema: T.StructType,
+    out_path: str,
+    *,
+    checkpoint_dir: str,
+    signature_store: str,
+    min_quality: float = 0.3,
+    id_col: str = "doc_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental NEAR-dup curation: each micro-batch probes an
+    accumulated LSH signature store instead of re-clustering the corpus.
+
+    ``stream_curate_corpus`` defers near-dedup to a periodic batch pass
+    whose cost is O(corpus) every time it runs.  This flow keeps a
+    parquet SIGNATURE STORE — one (id, fingerprint, band, bkey) row per
+    banded minhash entry of every accepted document — and per batch:
+
+      1. quality gate + exact keep-first within the batch (min id);
+      2. exact probe: anti-join the batch's fingerprints against the
+         store's (re-delivered / re-scraped content drops here, which
+         also makes checkpoint replays of a batch idempotent);
+      3. within-batch near-dup: LSH pairs → connected components →
+         min-id survivor (the batch is micro, so this is O(batch));
+      4. store probe: the batch's banded signatures — BROADCAST, they
+         are micro-batch-sized — hash-join the store's (band, bkey)
+         entries; any band collision means a near-dup of an already
+         accepted doc, and the earlier doc wins;
+      5. survivors append to the corpus sink AND their banded
+         signatures append to the store.
+
+    Per-batch compute is O(batch) signature work plus one map-side
+    broadcast probe over a two-column pruned scan of the store — no
+    corpus-wide LSH shuffle ever re-runs.  The drop policy at the store
+    probe is band-collision (LSH candidate = drop, no Jaccard verify):
+    deliberately recall-biased for dedup, where a false drop costs one
+    near-identical doc but a full verify would need the stored TEXTS,
+    reintroducing the O(corpus) read this flow exists to avoid.
+    """
+    from pyspark.sql.window import Window
+
+    from sap_data_pipeline_spark.functions import text as X
+    from sap_data_pipeline_spark.operators import dedup as D
+
+    def curate(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        gated = batch_df.filter(X.quality_score("text") >= min_quality).withColumn(
+            "fingerprint", X.md5_fingerprint("text")
+        )
+        w = Window.partitionBy("fingerprint").orderBy(id_col)
+        gated = (
+            gated.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        try:
+            store = sp.read.parquet(signature_store)
+        except Exception:  # first batch: no store yet
+            store = None
+        if store is not None:
+            gated = gated.join(
+                store.select("fingerprint").distinct(), "fingerprint", "left_anti"
+            )
+        gated = gated.localCheckpoint(eager=True)  # reused 4×; tiny (one micro-batch)
+        if not gated.take(1):
+            return
+        sig = D.minhash_signature(gated, "text", id_col)
+        bands = D._banded(sig, id_col, D.NUM_PERM, D.BAND_SIZE).localCheckpoint(
+            eager=True
+        )
+        cc = D.connected_components(
+            gated.select(id_col), D.bucketed_pairs(bands, id_col), id_col=id_col
+        )
+        survivors = gated.join(
+            cc.filter(F.col(id_col) == F.col("cluster_id")).select(id_col), id_col
+        )
+        if store is not None:
+            hit_ids = (
+                store.select("band", "bkey")
+                .join(F.broadcast(bands), ["band", "bkey"])
+                .select(id_col)
+                .distinct()
+            )
+            survivors = survivors.join(hit_ids, id_col, "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        if not survivors.take(1):
+            return
+        survivors.write.mode("append").parquet(out_path)
+        (
+            bands.join(survivors.select(id_col, "fingerprint"), id_col)
+            .select(id_col, "fingerprint", "band", "bkey")
+            .write.mode("append")
+            .parquet(signature_store)
+        )
+
+    stream = spark.readStream.format("json").schema(schema).load(watch_dir)
+    writer = stream.writeStream.foreachBatch(curate).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -334,3 +334,59 @@ def test_stream_curate_corpus(spark, tmp_path):
     final = spark.read.parquet(str(out))
     assert final.count() == 3                    # only doc 6 added
     assert {r["doc_id"] for r in final.collect()} >= {6}
+
+
+def test_stream_curate_incremental_signature_store(spark, tmp_path):
+    """Incremental near-dedup: batch 2 must drop a NEAR-dup of a batch-1
+    doc by probing the accumulated signature store (no corpus re-LSH),
+    drop an exact re-delivery via the stored fingerprints, and accept
+    genuinely new content."""
+    import json
+
+    from sap_data_pipeline_spark.streaming.ingest import (
+        stream_curate_corpus_incremental,
+    )
+
+    watch = tmp_path / "inc_in"
+    watch.mkdir()
+    good = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank with many common words appearing throughout this text")
+    other = ("completely different content about machine learning and "
+             "the data pipelines that process it for training models")
+    near = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank with many common words appearing throughout this story")
+    fresh = ("yet another entirely new document with plenty of the usual "
+             "filler words inside it for the quality gate to accept")
+    (watch / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in [
+        {"doc_id": 1, "text": good},
+        {"doc_id": 2, "text": other},
+    ]))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    out, store = tmp_path / "inc_out", tmp_path / "inc_store"
+    kwargs = dict(
+        checkpoint_dir=str(tmp_path / "ckpt_inc"),
+        signature_store=str(store), min_quality=0.5,
+    )
+    q = stream_curate_corpus_incremental(
+        spark, str(watch), schema, str(out), **kwargs)
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(str(out)).collect()} == {1, 2}
+    n_store_rows = spark.read.parquet(str(store)).count()
+    assert n_store_rows > 0
+
+    (watch / "b2.jsonl").write_text("\n".join(json.dumps(r) for r in [
+        {"doc_id": 3, "text": near},            # near-dup of doc 1 → store probe drops
+        {"doc_id": 4, "text": good.upper()},    # exact re-delivery → fingerprint drops
+        {"doc_id": 5, "text": fresh},           # genuinely new → accepted
+    ]))
+    q2 = stream_curate_corpus_incremental(
+        spark, str(watch), schema, str(out), **kwargs)
+    q2.awaitTermination(120)
+    final = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert final == {1, 2, 5}
+    # store grew only by the accepted doc's banded entries
+    store_ids = {r["doc_id"] for r in spark.read.parquet(str(store)).collect()}
+    assert store_ids == {1, 2, 5}
