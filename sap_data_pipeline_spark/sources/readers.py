@@ -135,19 +135,21 @@ def read_dim_table(
     Dimensions are driver-sized by definition (the reference maintains
     them as Excel workbooks), so this reads on the driver and distributes
     via ``createDataFrame`` — never a distributed concern.  ``.xlsx``
-    goes through the stdlib SpreadsheetML codec (``sources.xlsx`` —
-    openpyxl is absent here, and the string/number subset dims use needs
-    no engine); legacy binary ``.xls`` stays gated.  Everything loads as
-    nullable strings (the reference's ``dtype=str``); casting is the
-    separate schema-driven step (``functions.cleaning.cast_to_schema``).
+    goes through the stdlib SpreadsheetML codec (``sources.xlsx``) and
+    legacy binary ``.xls`` through the stdlib BIFF8 codec
+    (``sources.xls``) — no Excel engine needed for the string/number
+    subset dims use.  Everything loads as nullable strings (the
+    reference's ``dtype=str``); casting is the separate schema-driven
+    step (``functions.cleaning.cast_to_schema``).
     """
     import pandas as pd
 
-    if path.endswith(".xls"):  # pragma: no cover - legacy binary format
-        raise NotImplementedError(
-            "legacy .xls needs xlrd; re-save the workbook as .xlsx or CSV"
-        )
-    if path.endswith(".xlsx"):
+    if path.endswith(".xls"):
+        from sap_data_pipeline_spark.sources.xls import read_xls
+
+        header, rows = read_xls(path)
+        pdf = pd.DataFrame(rows, columns=header, dtype=object)
+    elif path.endswith(".xlsx"):
         from sap_data_pipeline_spark.sources.xlsx import read_xlsx
 
         header, rows = read_xlsx(path)
