@@ -43,6 +43,8 @@ _TAIL = (
     "audio_meta_wav",
     "keep_best_per_cluster",
     "jsonl_corpus_roundtrip",
+    "chunk_documents",
+    "tfidf_top_terms",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

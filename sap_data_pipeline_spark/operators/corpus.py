@@ -1,0 +1,103 @@
+"""Corpus-level text operators: training-window chunking and TF-IDF.
+
+Complements ``operators/sampling.py`` (split / mix / pack) on the
+document-content side: chunking turns documents into model-context-sized
+training windows; TF-IDF surfaces the terms that characterize each
+document against the corpus (keyword extraction, quality triage,
+lightweight retrieval).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sap_data_pipeline_spark.functions import text as X
+
+
+def chunk_documents(df: DataFrame, *, budget: int = 64, overlap: int = 16,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window chunking: split each document's token sequence into
+    windows of ``budget`` tokens advancing by ``budget - overlap`` — the
+    standard context-window preparation for training (overlap preserves
+    cross-boundary context; the final window may be shorter).
+
+    Returns (id, chunk_idx, start_tok, n_chunk_tokens, chunk_text).
+
+    Scale shape: tokenize → ``sequence``/``posexplode`` for the window
+    starts → ``slice`` per window — all per-row higher-order expressions
+    inside codegen, ZERO shuffles; output size is corpus tokens ×
+    (budget / step) with no driver involvement.  Pair with
+    ``sampling.pack_by_offset`` to pack the emitted chunks into fixed
+    training bins.
+    """
+    step = budget - overlap
+    assert step > 0, "budget must exceed overlap"
+    toks = df.select(F.col(id_col), X.tokens(text_col).alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    started = toks.select(
+        F.col(id_col),
+        F.col("_t"),
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("_t") - 1, F.lit(step))
+        ).alias("chunk_idx", "start_tok"),
+    )
+    chunk = F.slice(F.col("_t"), F.col("start_tok") + 1, budget)
+    return started.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def tf_idf_top_terms(df: DataFrame, *, k: int = 5,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    tf = term count / doc token count; idf = ln((N+1)/(df+1)) with N =
+    corpus size, df = docs containing the term.  Scores are ROUNDED to 6
+    decimals BEFORE ranking (ties → lexicographically smaller term) so
+    the ranking is reproducible across engines — rank-then-round would
+    let a 1-ulp ``ln`` difference reorder the boundary.
+
+    Scale shape: one (doc, term) count shuffle, one term-keyed
+    document-frequency aggregate joined back on the term key, the corpus
+    size N broadcast as a literal one-row frame, and one doc-keyed
+    window for the top-k — every aggregation map-side combines first.
+    Returns (id, term, tf_idf, rank).
+    """
+    from pyspark.sql.window import Window
+
+    terms = df.select(F.col(id_col), F.explode(X.tokens(text_col)).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    doclen = tf.groupBy(id_col).agg(F.sum("cnt").alias("n_toks"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("_n_docs")
+    )
+    scored = (
+        tf.join(doclen, id_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                (F.col("cnt").cast("double") / F.col("n_toks").cast("double"))
+                * F.log(
+                    (F.col("_n_docs") + F.lit(1.0))
+                    / (F.col("n_docs_with").cast("double") + F.lit(1.0))
+                ),
+                6,
+            ).alias("tf_idf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf_idf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf_idf", "rank")
+    )

@@ -950,6 +950,90 @@ def near_dup_clusters_q(star: Star) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-window chunking (operators.corpus.chunk_documents): sliding
+# token windows, zero shuffles.  Budget 64 / overlap 16 → step 48.
+# ---------------------------------------------------------------------------
+
+_CHUNK_BUDGET, _CHUNK_STEP = 64, 48
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH toklists AS (
+        SELECT doc_id, {TOKSEQ_SQL.format(col='text')} AS t FROM documents
+    ),
+    nz AS (
+        SELECT doc_id, t, len(t) AS n FROM toklists WHERE len(t) > 0
+    ),
+    starts AS (
+        SELECT doc_id, t, n,
+               unnest(generate_series(0, n - 1, {_CHUNK_STEP})) AS start_tok
+        FROM nz
+    )
+    SELECT doc_id,
+           CAST(start_tok // {_CHUNK_STEP} AS INT) AS chunk_idx,
+           CAST(start_tok AS INT) AS start_tok,
+           CAST(len(list_slice(t, start_tok + 1,
+                               least(start_tok + {_CHUNK_BUDGET}, n))) AS INT)
+               AS n_chunk_tokens,
+           array_to_string(list_slice(t, start_tok + 1,
+                                      least(start_tok + {_CHUNK_BUDGET}, n)), ' ')
+               AS chunk_text
+    FROM starts
+    """,
+)
+def chunk_documents_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(star.documents, budget=_CHUNK_BUDGET,
+                           overlap=_CHUNK_BUDGET - _CHUNK_STEP)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (operators.corpus.tf_idf_top_terms): scores rounded
+# to 6 decimals BEFORE ranking on both sides so a 1-ulp ln() difference
+# cannot reorder the boundary; ties break to the smaller term.
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 5
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH terms AS (
+        SELECT doc_id, unnest({TOKSEQ_SQL.format(col='text')}) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS cnt FROM terms GROUP BY doc_id, term
+    ),
+    doclen AS (
+        SELECT doc_id, SUM(cnt) AS n_toks FROM tf GROUP BY doc_id
+    ),
+    dfreq AS (
+        SELECT term, COUNT(*) AS n_docs_with FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round((CAST(cnt AS DOUBLE) / CAST(n_toks AS DOUBLE))
+                     * ln((n_docs + 1.0) / (CAST(n_docs_with AS DOUBLE) + 1.0)),
+                     6) AS tf_idf
+        FROM tf JOIN doclen USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf_idf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tf_idf DESC, term ASC) AS INT) AS rank
+    FROM scored QUALIFY rank <= {_TFIDF_K}
+    """,
+)
+def tfidf_top_terms_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import tf_idf_top_terms
+
+    return tf_idf_top_terms(star.documents, k=_TFIDF_K)
+
+
+# ---------------------------------------------------------------------------
 # JSONL corpus front door, end-to-end: materialize a JSONL dump from the
 # documents table (deterministically corrupted — doc_id % 101 == 0 →
 # blank line, else doc_id % 53 == 0 → truncated JSON), push it through
