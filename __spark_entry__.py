@@ -45,6 +45,8 @@ _TAIL = (
     "jsonl_corpus_roundtrip",
     "chunk_documents",
     "tfidf_top_terms",
+    "line_dedup_c4",
+    "top_bigrams",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

@@ -53,6 +53,74 @@ def chunk_documents(df: DataFrame, *, budget: int = 64, overlap: int = 16,
     )
 
 
+def dedup_lines(df: DataFrame, *, min_count: int = 2, line_sep: str = "\n",
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """C4-style line deduplication: drop every line that occurs at least
+    ``min_count`` times across the CORPUS (boilerplate headers, cookie
+    banners, navigation chrome), keeping document structure otherwise.
+
+    Returns (id, cleaned_text, n_lines_kept, n_lines_removed) — one row
+    per input document (a fully-boilerplate document keeps an empty
+    cleaned_text rather than vanishing, so accounting stays exact).
+
+    Scale shape: posexplode lines → ONE line-keyed window count (the
+    canonical corpus-frequency shuffle — the window's exchange is the
+    only line-keyed movement; a count-then-join would shuffle twice) →
+    one doc-keyed groupBy that reassembles kept lines in original order
+    via sort_array(collect_list(struct(idx, line))).  Line state per key
+    is a single count — no text accumulates on the line key.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("idx", "line"),
+    )
+    from pyspark.sql.window import Window
+
+    counted = lines.withColumn(
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("line"))
+    )
+    keep = F.col("_cnt") < min_count
+    return (
+        counted.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("idx"), F.col("line")))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                line_sep,
+            ).alias("cleaned_text"),
+            F.sum(keep.cast("long")).alias("n_lines_kept"),
+            F.sum((~keep).cast("long")).alias("n_lines_removed"),
+        )
+    )
+
+
+def top_ngrams(df: DataFrame, *, n: int = 2, k: int = 20,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide top-``k`` word n-grams by occurrence count (vocabulary
+    building, boilerplate discovery, BPE-merge seeding).  Ties break to
+    the lexicographically smaller n-gram for a deterministic cut.
+
+    Scale shape: explode → ONE n-gram-keyed count (map-side partial
+    aggregation absorbs the heavy hitters before the shuffle — heavy
+    keys are exactly the ones partial agg compresses best) → global
+    top-k, which Spark executes as TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows), never a full sort.
+    """
+    grams = df.select(F.explode(X.word_ngrams(text_col, n)).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
 def tf_idf_top_terms(df: DataFrame, *, k: int = 5,
                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Top-``k`` TF-IDF terms per document.

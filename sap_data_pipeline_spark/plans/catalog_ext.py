@@ -990,6 +990,90 @@ def chunk_documents_q(star: Star) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C4-style line dedup (operators.corpus.dedup_lines): lines occurring
+# >= 2 times corpus-wide are dropped.  The synthetic docs have no line
+# structure, so boilerplate lines are injected deterministically from
+# doc_id (same differential pattern as pii_scrub): a header shared by
+# every doc and a footer shared by each doc_id % 7 class — both must be
+# removed, the unique body must survive, and the accounting must match.
+# ---------------------------------------------------------------------------
+
+_LINE_DIRTY_SQL = """
+    SELECT doc_id,
+           'SHARED HEADER BOILERPLATE' || chr(10) || text || chr(10)
+               || 'footer block ' || CAST(doc_id % 7 AS VARCHAR) AS t
+    FROM documents
+"""
+
+@register(
+    "line_dedup_c4",
+    f"""
+    WITH dirty AS ({_LINE_DIRTY_SQL}),
+    lines AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(t, chr(10)), 1) - 1 AS idx,
+               unnest(string_split(t, chr(10))) AS line
+        FROM dirty
+    ),
+    counted AS (
+        SELECT doc_id, idx, line,
+               COUNT(*) OVER (PARTITION BY line) AS cnt
+        FROM lines
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(line, chr(10) ORDER BY idx)
+                        FILTER (WHERE cnt < 2), '') AS cleaned_text,
+           CAST(COUNT(*) FILTER (WHERE cnt < 2) AS BIGINT) AS n_lines_kept,
+           CAST(COUNT(*) FILTER (WHERE cnt >= 2) AS BIGINT) AS n_lines_removed
+    FROM counted
+    GROUP BY doc_id
+    """,
+)
+def line_dedup_c4_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import dedup_lines
+
+    dirty = star.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("SHARED HEADER BOILERPLATE\n"),
+            F.col("text"),
+            F.lit("\nfooter block "),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        ).alias("text"),
+    )
+    return dedup_lines(dirty)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide top n-grams (operators.corpus.top_ngrams): heavy-hitter
+# vocabulary pass; ties break to the smaller n-gram so the top-k cut is
+# deterministic on both engines.
+# ---------------------------------------------------------------------------
+
+_TOPNG_K = 20
+
+@register(
+    "top_bigrams",
+    f"""
+    WITH grams AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, greatest(len(t) - 1, 0)),
+                   i -> t[i] || ' ' || t[i + 1])) AS ngram
+        FROM (SELECT {TOKSEQ_SQL.format(col='text')} AS t FROM documents)
+    )
+    SELECT ngram, COUNT(*) AS n_occurrences
+    FROM grams GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram ASC
+    LIMIT {_TOPNG_K}
+    """,
+)
+def top_bigrams_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import top_ngrams
+
+    return top_ngrams(star.documents, n=2, k=_TOPNG_K)
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms (operators.corpus.tf_idf_top_terms): scores rounded
 # to 6 decimals BEFORE ranking on both sides so a 1-ulp ln() difference
 # cannot reorder the boundary; ties break to the smaller term.

@@ -55,3 +55,44 @@ def test_tf_idf_ties_break_to_smaller_term(spark):
     rows.sort(key=lambda r: r["rank"])
     assert [r["term"] for r in rows] == ["alpha", "zeta"]  # equal scores
     assert rows[0]["tf_idf"] == rows[1]["tf_idf"]
+
+
+def test_dedup_lines_removes_corpus_repeats(spark):
+    from sap_data_pipeline_spark.operators.corpus import dedup_lines
+
+    df = spark.createDataFrame([
+        (1, "BANNER\nunique one\nfooter"),
+        (2, "BANNER\nunique two\nfooter"),
+        (3, "BANNER\nunique three"),
+        (4, "BANNER"),                        # fully boilerplate
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert got[1]["cleaned_text"] == "unique one"
+    assert got[2]["cleaned_text"] == "unique two"
+    assert got[3]["cleaned_text"] == "unique three"
+    assert got[4]["cleaned_text"] == "" and got[4]["n_lines_kept"] == 0
+    assert got[1]["n_lines_removed"] == 2    # BANNER + footer
+    assert got[3]["n_lines_removed"] == 1    # footer appears only twice → 1/2
+    assert len(got) == 4                     # no doc vanishes
+
+
+def test_dedup_lines_preserves_order(spark):
+    from sap_data_pipeline_spark.operators.corpus import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "z last\na first\nz last2"), (2, "noise")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["cleaned_text"] for r in dedup_lines(df).collect()}
+    assert got[1] == "z last\na first\nz last2"   # original order, not sorted
+
+
+def test_top_ngrams_counts_and_ties(spark):
+    from sap_data_pipeline_spark.operators.corpus import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x y")], "doc_id long, text string"
+    )
+    rows = top_ngrams(df, n=2, k=3).collect()
+    assert [(r["ngram"], r["n_occurrences"]) for r in rows] == [
+        ("a b", 3), ("b a", 1), ("b c", 1)   # ties → lexicographic
+    ]
