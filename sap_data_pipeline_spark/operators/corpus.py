@@ -131,24 +131,25 @@ def tf_idf_top_terms(df: DataFrame, *, k: int = 5,
     the ranking is reproducible across engines — rank-then-round would
     let a 1-ulp ``ln`` difference reorder the boundary.
 
-    Scale shape: one (doc, term) count shuffle, one term-keyed
-    document-frequency aggregate joined back on the term key, the corpus
-    size N broadcast as a literal one-row frame, and one doc-keyed
-    window for the top-k — every aggregation map-side combines first.
-    Returns (id, term, tf_idf, rank).
+    Scale shape: THREE hash exchanges total (plan-pinned) — the
+    (doc, term) count, a term-keyed window for document frequency, and
+    a doc-keyed window for the doc length; the final top-k rank window
+    REUSES the doc partitioning (sort only, no fourth exchange).  The
+    join formulation of the same query costs six exchanges: every
+    aggregate branches off and joins back with its own reshuffle.  The
+    corpus size N rides in as a broadcast one-row frame.  Returns
+    (id, term, tf_idf, rank).
     """
     from pyspark.sql.window import Window
 
     terms = df.select(F.col(id_col), F.explode(X.tokens(text_col)).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
-    doclen = tf.groupBy(id_col).agg(F.sum("cnt").alias("n_toks"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs_with"))
-    n_docs = df.select(
-        F.count(F.lit(1)).cast("double").alias("_n_docs")
-    )
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     scored = (
-        tf.join(doclen, id_col)
-        .join(dfreq, "term")
+        tf.withColumn(
+            "n_docs_with", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .withColumn("n_toks", F.sum("cnt").over(Window.partitionBy(id_col)))
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),

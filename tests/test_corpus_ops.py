@@ -96,3 +96,48 @@ def test_top_ngrams_counts_and_ties(spark):
     assert [(r["ngram"], r["n_occurrences"]) for r in rows] == [
         ("a b", 3), ("b a", 1), ("b c", 1)   # ties → lexicographic
     ]
+
+
+def test_corpus_ops_plan_shapes(spark, star):
+    """line_dedup: line window + doc reassembly = 2 exchanges.  tfidf:
+    count + term window + doc window = 3 exchanges (the rank window
+    reuses the doc partitioning; the join form costs 6).  top_ngrams:
+    one count exchange + TakeOrderedAndProject, never a global sort."""
+    from sap_data_pipeline_spark.plans import catalog_ext  # noqa: F401  (registers)
+    from sap_data_pipeline_spark.plans.catalog import QUERIES
+
+    def plan(name):
+        return (QUERIES[name](spark, star.sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+
+    assert plan("line_dedup_c4").count("Exchange hashpartitioning") == 2
+    assert plan("tfidf_top_terms").count("Exchange hashpartitioning") == 3
+    p = plan("top_bigrams")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in p
+
+
+def test_chunk_documents_reconstructs_tokens(spark, star):
+    """Dropping each chunk's overlap prefix (after chunk 0) and
+    concatenating must reproduce the original token sequence exactly —
+    the lossless-coverage contract of sliding windows."""
+    from sap_data_pipeline_spark.functions import text as X
+
+    budget, overlap = 64, 16
+    docs = star.documents.limit(40)
+    orig = {r["doc_id"]: r["toks"] for r in
+            docs.select("doc_id", X.tokens("text").alias("toks")).collect()}
+    chunks = {}
+    for r in chunk_documents(docs, budget=budget, overlap=overlap).collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    for did, toks in orig.items():
+        if not toks:
+            assert did not in chunks
+            continue
+        pos: dict[int, str] = {}
+        for r in chunks[did]:
+            for j, t in enumerate(r["chunk_text"].split(" ")):
+                p = r["start_tok"] + j
+                assert pos.get(p, t) == t, f"doc {did}: overlap disagrees at {p}"
+                pos[p] = t
+        assert [pos[i] for i in range(len(pos))] == toks, f"doc {did} not rebuilt"
