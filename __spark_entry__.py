@@ -47,6 +47,8 @@ _TAIL = (
     "tfidf_top_terms",
     "line_dedup_c4",
     "top_bigrams",
+    "html_text_extract",
+    "url_components",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

@@ -269,3 +269,47 @@ def hash64(c: ColumnOrName, seed: int = 0) -> Column:
     minhash/simhash oracles SQL-expressible."""
     h = F.md5(F.concat(F.lit(f"s{seed}:"), _c(c)))
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+# HTML entity decode order matters: '&amp;' must decode LAST or
+# '&amp;lt;' would double-decode into '<'.  Plain replace() (not regex)
+# on both engines.
+HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+]
+
+
+def extract_text_html(c: ColumnOrName) -> Column:
+    """Web-scrape text extraction: drop script/style blocks, strip tags,
+    decode the common entities, collapse whitespace — the HTML→text
+    stage in front of every corpus filter.  Chained ``regexp_replace``
+    + ``replace`` stays inside whole-stage codegen; the identical chain
+    is SQL-expressible (RE2-safe: no backreferences — script and style
+    blocks are two separate patterns), so the operator carries a full
+    value-hash oracle."""
+    s = F.regexp_replace(_c(c), r"(?s)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?s)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    for ent, rep in HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+# URL component extraction — one regex per component, identical on both
+# engines (Spark's parse_url has engine-specific NULL semantics; these
+# are plain regexp_extract on both sides).
+URL_HOST_RE = r"^https?://([^/?#]+)"
+URL_PATH_RE = r"^https?://[^/?#]+([^?#]*)"
+
+
+def url_host(c: ColumnOrName) -> Column:
+    return F.regexp_extract(_c(c), URL_HOST_RE, 1)
+
+
+def url_path(c: ColumnOrName) -> Column:
+    return F.regexp_extract(_c(c), URL_PATH_RE, 1)
+
+
+def url_query_param(c: ColumnOrName, name: str) -> Column:
+    return F.regexp_extract(_c(c), rf"[?&]{name}=([^&#]*)", 1)

@@ -990,6 +990,113 @@ def chunk_documents_q(star: Star) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HTML → text extraction (functions.text.extract_text_html): docs are
+# wrapped in deterministic HTML (script/style blocks, tags, entities)
+# and the SAME strip/decode chain runs on both engines — differential
+# evidence for the web-scrape front door.  RE2-safe patterns ('g' flag
+# on the DuckDB side: Spark replaces all matches by default, DuckDB only
+# the first).
+# ---------------------------------------------------------------------------
+
+_HTML_WRAP_SQL = """
+    SELECT doc_id,
+           '<html><head><script>var x = ' || CAST(doc_id AS VARCHAR)
+           || ';</script><style>.c{color:red}</style></head><body><h1>Doc '
+           || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+           || '</p><a href="https://example.com/' || CAST(doc_id AS VARCHAR)
+           || '">link &amp; more &lt;here&gt;</a>&nbsp;</body></html>' AS html
+    FROM documents
+"""
+
+@register(
+    "html_text_extract",
+    f"""
+    WITH wrapped AS ({_HTML_WRAP_SQL}),
+    stripped AS (
+        SELECT doc_id,
+               replace(replace(replace(replace(replace(replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                           '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                       '<[^>]+>', ' ', 'g'),
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS s
+        FROM wrapped
+    )
+    SELECT doc_id,
+           trim(regexp_replace(s, '\\s+', ' ', 'g')) AS clean_text,
+           CAST(length(trim(regexp_replace(s, '\\s+', ' ', 'g'))) AS INT) AS n_chars
+    FROM stripped
+    """,
+)
+def html_text_extract(star: Star) -> DataFrame:
+    wrapped = star.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><script>var x = "),
+            F.col("doc_id").cast("string"),
+            F.lit(";</script><style>.c{color:red}</style></head><body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit('</p><a href="https://example.com/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">link &amp; more &lt;here&gt;</a>&nbsp;</body></html>'),
+        ).alias("html"),
+    )
+    clean = X.extract_text_html("html")
+    return wrapped.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("int").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL components (functions.text.url_host/url_path/url_query_param):
+# deterministic URLs from (source, lang, doc_id); identical regexes on
+# both engines (Spark parse_url has engine-specific semantics — avoided).
+# ---------------------------------------------------------------------------
+
+_URL_SQL = """
+    SELECT doc_id,
+           'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+               || '?lang=' || lang || '&q=' || CAST(doc_id % 13 AS VARCHAR) AS url
+    FROM documents
+"""
+
+@register(
+    "url_components",
+    f"""
+    WITH u AS ({_URL_SQL})
+    SELECT doc_id,
+           regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q_param
+    FROM u
+    """,
+)
+def url_components(star: Star) -> DataFrame:
+    u = star.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+            F.lit("&q="), F.pmod(F.col("doc_id"), F.lit(13)).cast("string"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        X.url_host("url").alias("host"),
+        X.url_path("url").alias("path"),
+        X.url_query_param("url", "lang").alias("lang_param"),
+        X.url_query_param("url", "q").alias("q_param"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # C4-style line dedup (operators.corpus.dedup_lines): lines occurring
 # >= 2 times corpus-wide are dropped.  The synthetic docs have no line
 # structure, so boilerplate lines are injected deterministically from

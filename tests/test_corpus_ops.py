@@ -141,3 +141,42 @@ def test_chunk_documents_reconstructs_tokens(spark, star):
                 assert pos.get(p, t) == t, f"doc {did}: overlap disagrees at {p}"
                 pos[p] = t
         assert [pos[i] for i in range(len(pos))] == toks, f"doc {did} not rebuilt"
+
+
+def test_extract_text_html_handwritten(spark):
+    from sap_data_pipeline_spark.functions import text as X
+
+    cases = [
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ("<script>alert('x < y');</script>after", "after"),
+        ("<style>p { color: red }</style>body", "body"),
+        ("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;!", 'a & b <tag> "q" \'s\' !'),
+        ("&amp;lt; stays entity-ish", "&lt; stays entity-ish"),  # amp decodes LAST
+        ("<a href='x'>link</a>\n\n  <i>i</i>", "link i"),
+        ("no markup at all", "no markup at all"),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)],
+                               "i long, html string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", X.extract_text_html("html").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_url_components_handwritten(spark):
+    from sap_data_pipeline_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [(1, "https://sub.site.org/a/b.html?x=1&lang=de&y=2#frag"),
+         (2, "http://plain.com"),
+         (3, "not a url")],
+        "i long, url string",
+    )
+    got = {r["i"]: r for r in df.select(
+        "i", X.url_host("url").alias("h"), X.url_path("url").alias("p"),
+        X.url_query_param("url", "lang").alias("l")).collect()}
+    assert got[1]["h"] == "sub.site.org"
+    assert got[1]["p"] == "/a/b.html"
+    assert got[1]["l"] == "de"
+    assert got[2]["h"] == "plain.com" and got[2]["p"] == ""
+    assert got[3]["h"] == "" and got[3]["l"] == ""
