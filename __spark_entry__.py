@@ -49,6 +49,7 @@ _TAIL = (
     "top_bigrams",
     "html_text_extract",
     "url_components",
+    "embedding_quantize_int8",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

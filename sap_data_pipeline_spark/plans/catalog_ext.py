@@ -695,6 +695,47 @@ def embedding_centroids(star: Star) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Symmetric int8 embedding quantization (functions.vectors.quantize_int8):
+# floor(x*127/max|x| + 0.5) — floor, not round, so half-way semantics are
+# IEEE-identical across engines and the codes hash-match exactly.
+# Output is scalar-ized (vec_id, pos, q, scale): the driver canonicalizer
+# cannot hash array cells.
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS mx
+        FROM e
+    ),
+    codes AS (
+        SELECT vec_id, mx,
+               list_transform(v, x -> CASE WHEN mx > 0
+                   THEN CAST(floor(x * (127.0 / mx) + 0.5) AS INT)
+                   ELSE 0 END) AS q
+        FROM m
+    )
+    SELECT vec_id,
+           CASE WHEN mx > 0 THEN round(mx / 127.0, 6) ELSE 0.0 END AS scale,
+           CAST(generate_subscripts(q, 1) - 1 AS INT) AS pos,
+           unnest(q) AS q
+    FROM codes
+    """,
+)
+def embedding_quantize_int8(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.functions import vectors as V
+
+    return star.embeddings.select(
+        "vec_id",
+        F.round(V.dequant_scale("embedding"), 6).alias("scale"),
+        F.posexplode(V.quantize_int8("embedding")).alias("pos", "q"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact quantiles (corpus length profiling): interpolated percentiles per
 # language.  Spark `percentile` and DuckDB `quantile_cont` both compute
 # the linear-interpolation estimate over the sorted values — verified

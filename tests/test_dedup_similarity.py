@@ -416,3 +416,37 @@ def test_keep_best_per_cluster_prefers_score(spark):
     kept = {r["doc_id"] for r in
             D.keep_best_per_cluster(df, pairs, score=F.col("q")).collect()}
     assert kept == {2, 4}   # 2 beats 3 on id tie-break, beats 1 on score
+
+
+def test_int8_quantization_codes_and_recall(spark, star):
+    """Quantized codes stay in [-127, 127] with the max-|x| slot hitting
+    ±127 exactly; dequantized brute-force top-k must keep high overlap
+    with the float pipeline (the 4× bandwidth cut can't wreck recall)."""
+    from sap_data_pipeline_spark.functions import vectors as V
+    from sap_data_pipeline_spark.operators import similarity as S
+
+    emb = star.embeddings
+    q = emb.select(
+        "vec_id", "label",
+        V.quantize_int8("embedding").alias("codes"),
+        V.dequant_scale("embedding").alias("scale"),
+    )
+    rows = q.select("codes").collect()
+    assert all(-127 <= c <= 127 for r in rows for c in r["codes"])
+    assert all(max(abs(c) for c in r["codes"]) == 127 for r in rows)
+
+    deq = q.select(
+        "vec_id", "label",
+        F.transform(F.col("codes"), lambda c: c.cast("double") * F.col("scale"))
+        .alias("embedding"),
+    )
+    queries_f = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    queries_q = deq.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             S.brute_force_topk(emb, queries_f, k=10, query_id_col="query_id").collect()}
+    quant = {(r["query_id"], r["neighbor_id"]) for r in
+             S.brute_force_topk(deq, queries_q, k=10, query_id_col="query_id").collect()}
+    overlap = len(exact & quant) / len(exact)
+    assert overlap >= 0.8, f"int8 recall collapsed: {overlap}"
