@@ -326,8 +326,8 @@ def stream_curate_corpus_incremental(
          are micro-batch-sized — hash-join the store's (band, bkey)
          entries; any band collision means a near-dup of an already
          accepted doc, and the earlier doc wins;
-      5. survivors append to the corpus sink AND their banded
-         signatures append to the store.
+      5. survivors MERGE into the corpus sink (keyed on ``id_col``) and
+         their banded signatures append to the store.
 
     Per-batch compute is O(batch) signature work plus one map-side
     broadcast probe over a two-column pruned scan of the store — no
@@ -336,6 +336,13 @@ def stream_curate_corpus_incremental(
     deliberately recall-biased for dedup, where a false drop costs one
     near-identical doc but a full verify would need the stored TEXTS,
     reintroducing the O(corpus) read this flow exists to avoid.
+
+    Replay semantics (two sinks cannot commit atomically): the corpus
+    sink is a keyed MERGE, so a batch replayed after a crash between
+    the two writes upserts the same rows (exactly-once corpus); the
+    signature store may then hold duplicate band rows, which is benign —
+    both probes read it through ``distinct``.  The fingerprint probe
+    additionally drops fully-replayed batches before any work.
     """
     from pyspark.sql.window import Window
 
@@ -385,7 +392,7 @@ def stream_curate_corpus_incremental(
         survivors = survivors.localCheckpoint(eager=True)
         if not survivors.take(1):
             return
-        survivors.write.mode("append").parquet(out_path)
+        ParquetMergeTable(sp, out_path, keys=[id_col]).merge(survivors)
         (
             bands.join(survivors.select(id_col, "fingerprint"), id_col)
             .select(id_col, "fingerprint", "band", "bkey")

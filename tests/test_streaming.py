@@ -390,3 +390,17 @@ def test_stream_curate_incremental_signature_store(spark, tmp_path):
     # store grew only by the accepted doc's banded entries
     store_ids = {r["doc_id"] for r in spark.read.parquet(str(store)).collect()}
     assert store_ids == {1, 2, 5}
+
+    # full replay (fresh checkpoint, same files): the fingerprint probe
+    # against the store must drop every re-delivered doc — corpus and
+    # store row counts are unchanged (exactly-once under replay)
+    n_out = spark.read.parquet(str(out)).count()
+    n_store = spark.read.parquet(str(store)).count()
+    q3 = stream_curate_corpus_incremental(
+        spark, str(watch), schema, str(out),
+        checkpoint_dir=str(tmp_path / "ckpt_inc_replay"),
+        signature_store=str(store), min_quality=0.5,
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(str(out)).count() == n_out
+    assert spark.read.parquet(str(store)).count() == n_store
