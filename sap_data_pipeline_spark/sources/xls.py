@@ -323,11 +323,15 @@ def _rec(op: int, payload: bytes) -> bytes:
 
 
 def _biff_string(s: str) -> bytes:
+    # cch counts UTF-16 CODE UNITS, not characters: an astral-plane char
+    # ('𐀀') is one Python char but two code units — len(s) would make
+    # readers cut the string short.
     try:
         raw = s.encode("latin-1")
-        return struct.pack("<HB", len(s), 0) + raw
+        return struct.pack("<HB", len(raw), 0) + raw
     except UnicodeEncodeError:
-        return struct.pack("<HB", len(s), 1) + s.encode("utf-16-le")
+        raw = s.encode("utf-16-le")
+        return struct.pack("<HB", len(raw) // 2, 1) + raw
 
 
 def write_xls(path: str, header: list[str], rows: list[list]) -> None:

@@ -160,3 +160,56 @@ def test_xls_ministream_container(tmp_path):
     header, rows = XLS.read_xls(str(p))
     assert header == ["Site"]
     assert rows == [["8"]]
+
+
+def test_xls_round_trip_property():
+    """Property: read(write(x)) is the documented string projection of x
+    for arbitrary mixed-type content (unicode strings force the UTF-16
+    cell path; integral floats collapse to int form)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cell = st.one_of(
+        st.none(),
+        st.text(max_size=40),
+        st.integers(min_value=-10**12, max_value=10**12),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.booleans(),
+    )
+
+    def expected(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return str(v)
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, float):
+            return str(int(v)) if v.is_integer() and abs(v) < 1e16 else repr(v)
+        return v
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        header=st.lists(st.text(min_size=1, max_size=20), min_size=1,
+                        max_size=6),
+        body=st.lists(st.lists(cell, min_size=1, max_size=6), max_size=8),
+    )
+    def prop(header, body):
+        import tempfile
+
+        rows = [r[:len(header)] for r in body]
+        with tempfile.NamedTemporaryFile(suffix=".xls") as f:
+            XLS.write_xls(f.name, header, rows)
+            got_header, got_rows = XLS.read_xls(f.name)
+        assert got_header == header
+        want = [
+            [expected(v) for v in r] + [None] * (len(header) - len(r))
+            for r in rows
+        ]
+        # contract: rows past the last non-empty cell drop (no cell
+        # records exist for them — same as trailing blanks in Excel)
+        while want and all(v is None for v in want[-1]):
+            want.pop()
+        assert got_rows == want
+
+    prop()
