@@ -50,6 +50,7 @@ _TAIL = (
     "html_text_extract",
     "url_components",
     "embedding_quantize_int8",
+    "stratum_cap_by_lang",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

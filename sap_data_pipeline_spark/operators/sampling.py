@@ -187,3 +187,28 @@ def pack_by_offset(
     return df.withColumn(offset_col, offset.cast("long")).withColumn(
         bin_col, F.floor(F.col(offset_col) / F.lit(budget)).cast("long")
     )
+
+
+def stratum_cap(df: DataFrame, stratum_col: str, n_per_stratum: int, *,
+                key: str = "doc_id", seed: int = 31) -> DataFrame:
+    """Deterministic per-stratum cap: keep at most ``n_per_stratum`` rows
+    per stratum, chosen by content-addressed hash order (md5 of the key,
+    ties by key) — the "no language dominates the mix" guard when
+    building a weighted corpus.
+
+    Unlike fraction sampling (:func:`stratified_sample_fraction`), the
+    cap yields an exact per-stratum COUNT bound; like it, membership is
+    a pure function of the key, so retries, re-runs, and late shards
+    select identical rows.  One stratum-keyed window shuffle; per-group
+    sort covers stratum-sized groups.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(f"cap{seed}:"), F.col(key).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h, F.col(key))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

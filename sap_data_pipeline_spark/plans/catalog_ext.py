@@ -838,6 +838,35 @@ def corpus_weighted_mix(star: Star) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-stratum cap (operators.sampling.stratum_cap): at most N docs per
+# language, selected by content-addressed hash order — exact count
+# bound, retry-stable membership.
+# ---------------------------------------------------------------------------
+
+_CAP_N = 40
+
+@register(
+    "stratum_cap_by_lang",
+    f"""
+    SELECT doc_id, lang, source, n_chars FROM (
+        SELECT doc_id, lang, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('cap31:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= {_CAP_N}
+    """,
+)
+def stratum_cap_by_lang(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import stratum_cap
+
+    return stratum_cap(star.documents, "lang", _CAP_N).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token-budget sequence packing (operators.sampling.pack_by_offset):
 # shard → deterministic order → cumulative offset → fixed-budget bin id.
 # The distributed form of context-window packing; one window pass.

@@ -267,3 +267,22 @@ def test_pack_greedy_respects_budget(spark):
     # exact bin assignment for shard 0: sizes 100,120,400,777 -> greedy
     s0 = {r["doc_id"]: r["bin"] for r in out if r["shard"] == 0}
     assert s0 == {0: 0, 2: 0, 4: 1, 6: 2}
+
+
+def test_stratum_cap_exact_bound_and_stability(spark, star):
+    from sap_data_pipeline_spark.operators.sampling import stratum_cap
+
+    capped = stratum_cap(star.documents, "lang", 10)
+    per = {r["lang"]: r["n"] for r in
+           capped.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in
+            star.documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(10, full[lang])
+    # membership is a pure function of the key: re-run selects identically
+    a = {r["doc_id"] for r in capped.collect()}
+    b = {r["doc_id"] for r in stratum_cap(star.documents, "lang", 10).collect()}
+    assert a == b
+    # and differs from naive smallest-id selection (hash order, not id order)
+    naive = {r["doc_id"] for r in star.documents.orderBy("doc_id").limit(10).collect()}
+    assert a != naive
