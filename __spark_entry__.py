@@ -51,6 +51,8 @@ _TAIL = (
     "url_components",
     "embedding_quantize_int8",
     "stratum_cap_by_lang",
+    "image_meta_bmp",
+    "image_resize_meta",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

@@ -67,14 +67,16 @@ class FakeDecoder:
 def real_decode(payload: bytes) -> list[float]:  # pragma: no cover - env-gated
     """Decode kernel for codec-compressed media — unavailable here.
 
-    WAV (RIFF PCM) decode IS real in this container — see
-    :func:`decode_wav_meta` / :func:`extract_wav_meta`, stdlib-only.
-    This gate remains for formats that need a codec library
-    (JPEG/MP3/H.264 → PIL/ffmpeg).
+    WAV (RIFF PCM) and BMP (24-bit DIB) decode ARE real in this
+    container — see :func:`decode_wav_meta` / :func:`extract_wav_meta`
+    and :func:`decode_bmp_pixels` / :func:`extract_image_meta` /
+    :func:`resize_images`, stdlib+numpy only.  This gate remains for
+    formats that need a codec library (JPEG/MP3/H.264 → PIL/ffmpeg).
     """
     raise NotImplementedError(
         "compressed-media decode requires PIL/ffmpeg which are not "
-        "installed; WAV payloads decode for real via extract_wav_meta"
+        "installed; WAV/BMP payloads decode for real via "
+        "extract_wav_meta / extract_image_meta"
     )
 
 
@@ -189,6 +191,171 @@ def synth_wav_media(documents: DataFrame) -> DataFrame:
         T.StructField("payload", T.BinaryType(), True),
     ])
     return documents.select("doc_id").mapInPandas(run, schema=schema)
+
+
+# --- Real image modality: BMP (Windows DIB, 24-bit BI_RGB) via struct ------
+
+IMAGE_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("bits_per_pixel", T.IntegerType(), True),
+    T.StructField("mean_luma", T.DoubleType(), True),
+    T.StructField("max_luma", T.IntegerType(), True),
+])
+
+
+def _bmp_stride(width: int) -> int:
+    """BMP rows pad to 4-byte boundaries: stride = ceil(3w / 4) * 4."""
+    return ((width * 3 + 3) // 4) * 4
+
+
+def decode_bmp_pixels(payload: bytes):
+    """REAL decode of an uncompressed 24-bit BMP payload — ``struct`` for
+    the BITMAPFILEHEADER/BITMAPINFOHEADER, numpy for the padded,
+    bottom-up pixel rows.  Returns an (h, w, 3) uint8 array in image row
+    order (row 0 = top) with file BGR channel order preserved.
+
+    Non-BMP payloads raise ``NotImplementedError`` (the codec env-gate,
+    same contract as :func:`decode_wav_meta` for non-RIFF audio);
+    compressed or non-24-bit DIBs return ``None`` pixels so callers can
+    still report header metadata.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError(
+            "payload is not a BMP; compressed image formats (JPEG/PNG) "
+            "need a codec library (env-gated, see real_decode)"
+        )
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp, compression = struct.unpack_from("<H", payload, 28)[0], struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or height <= 0 or width <= 0:
+        return width, abs(height), bpp, None
+    stride = _bmp_stride(width)
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=stride * height, offset=data_offset)
+    rows = raw.reshape(height, stride)[:, : width * 3]
+    # file rows are bottom-up: file row 0 is image row height-1
+    pixels = rows[::-1].reshape(height, width, 3)
+    return width, height, bpp, pixels
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 array (image row order, BGR) as an
+    uncompressed 24-bit BMP — the inverse of :func:`decode_bmp_pixels`."""
+    import struct
+
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    stride = _bmp_stride(w)
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = pixels[::-1].reshape(h, w * 3)
+    size = 54 + stride * h
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+    )
+    return header + body.tobytes()
+
+
+def extract_image_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched BMP metadata/stat extraction — the real image-modality
+    instance of the decode stage (same ``mapInPandas`` shape a PIL kernel
+    slots into).  ``mean_luma``/``max_luma`` are over all pixel channel
+    bytes — order-invariant, so the stats stay closed-form in ``doc_id``
+    regardless of channel order; stride/row-order misparses are pinned by
+    the resize differential query, whose gather is position-dependent."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in IMAGE_META_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, bpp, px = decode_bmp_pixels(payload)
+                out["media_id"].append(mid)
+                out["n_bytes"].append(len(payload) if payload is not None else 0)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bits_per_pixel"].append(bpp)
+                out["mean_luma"].append(float(px.mean()) if px is not None else None)
+                out["max_luma"].append(int(px.max()) if px is not None else None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=IMAGE_META_SCHEMA)
+
+
+def synth_bmp_media(documents: DataFrame) -> DataFrame:
+    """Deterministic BMP fixture generator: one 24-bit image per document,
+    fully parameterized by ``doc_id`` (width ``4 + doc_id % 13``, height
+    ``3 + doc_id % 7``, channel byte at image row r / col c / channel ch
+    = ``(doc_id + 11 r + 5 c + ch) % 256``).  Every derived quantity is
+    closed-form in ``doc_id``, so the REAL parse path gets a full
+    value-hash oracle — any header-offset, stride-padding, or row-order
+    misparse breaks the hash (see ``image_meta_bmp`` /
+    ``image_resize_meta`` in the catalog)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                px = ((did + 11 * r + 5 * c + ch) % 256).astype(np.uint8)
+                ids.append(did)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    return documents.select("doc_id").mapInPandas(run, schema=schema)
+
+
+def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
+    """REAL resize stage for uncompressed 24-bit BMP payloads:
+    nearest-neighbor via numpy index maps (``src = floor(dst · src_dim /
+    dst_dim)``), re-encoded as BMP.  Same Arrow-batched payload-in /
+    payload-out shape a PIL/opencv kernel slots into for compressed
+    formats (those still env-gate via :func:`decode_bmp_pixels`).
+
+    Nearest-neighbor is the right kernel for a differential oracle: the
+    resized image's pixels are an exact integer-index gather from the
+    source, so a closed-form fixture stays closed-form after resizing —
+    interpolating kernels would turn the oracle into float soup."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, bpp, px = decode_bmp_pixels(payload)
+                if px is None:
+                    raise NotImplementedError(
+                        f"resize of {bpp}-bit/compressed BMP needs a codec "
+                        "library (env-gated)"
+                    )
+                rows = (np.arange(height) * h) // height
+                cols = (np.arange(width) * w) // width
+                ids.append(mid)
+                payloads.append(encode_bmp(px[rows][:, cols]))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    return media.select("media_id", "payload").mapInPandas(run, schema=schema)
 
 
 def extract_features(media: DataFrame, *, batch_parallelism: int | None = None) -> DataFrame:

@@ -1614,3 +1614,83 @@ def repetition_stats_q(star: Star) -> DataFrame:
     return arrs.select(
         "doc_id", *X.repetition_stats(F.col("_t"), F.col("_bg"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Real image modality: synth_bmp_media emits genuine 24-bit BMP bytes
+# parameterized by doc_id (w = 4 + id%13, h = 3 + id%7, channel byte at
+# (r, c, ch) = (id + 11r + 5c + ch) % 256); the Spark side PARSES them
+# back with struct+numpy (operators.multimodal.decode_bmp_pixels) while
+# the oracle computes every field closed-form — a differential test of
+# the real decode path (header offsets, 4-byte row stride, bottom-up row
+# order).  BMP size = 54-byte headers + stride*h, stride = ceil(3w/4)*4.
+# ---------------------------------------------------------------------------
+
+_BMP_DIMS_CTE = """
+    dims AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+        FROM documents
+    ),
+    rr AS (SELECT unnest(generate_series(0, 8)) AS r),
+    cc AS (SELECT unnest(generate_series(0, 15)) AS c),
+    chs AS (SELECT unnest(generate_series(0, 2)) AS ch)
+"""
+
+
+@register(
+    "image_meta_bmp",
+    f"""
+    WITH {_BMP_DIMS_CTE},
+    px AS (
+        SELECT d.doc_id,
+               (d.doc_id + 11 * rr.r + 5 * cc.c + chs.ch) % 256 AS v
+        FROM dims d, rr, cc, chs
+        WHERE rr.r < d.h AND cc.c < d.w
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(54 + ((3 * d.w + 3) // 4) * 4 * d.h AS BIGINT) AS n_bytes,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(24 AS INT) AS bits_per_pixel,
+           CAST(SUM(p.v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_luma,
+           CAST(MAX(p.v) AS INT) AS max_luma
+    FROM dims d JOIN px p ON p.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.w, d.h
+    """,
+)
+def image_meta_bmp(star: Star) -> DataFrame:
+    return MM.extract_image_meta(MM.synth_bmp_media(star.documents))
+
+
+# Decode → nearest-neighbor resize to 8×5 → re-encode → decode again:
+# the resized pixel at (r2, c2) is the exact source pixel at
+# ((r2*h)//5, (c2*w)//8), so the oracle stays closed-form through the
+# whole transform chain.  Position-DEPENDENT by construction — this is
+# the query that pins stride padding and bottom-up row order (a flipped
+# or sheared decode changes which pixels the gather picks).
+@register(
+    "image_resize_meta",
+    f"""
+    WITH {_BMP_DIMS_CTE},
+    r2 AS (SELECT unnest(generate_series(0, 4)) AS r),
+    c2 AS (SELECT unnest(generate_series(0, 7)) AS c),
+    px AS (
+        SELECT d.doc_id,
+               (d.doc_id + 11 * ((r2.r * d.h) // 5)
+                + 5 * ((c2.c * d.w) // 8) + chs.ch) % 256 AS v
+        FROM dims d, r2, c2, chs
+    )
+    SELECT doc_id AS media_id,
+           CAST(54 + 24 * 5 AS BIGINT) AS n_bytes,
+           CAST(8 AS INT) AS width,
+           CAST(5 AS INT) AS height,
+           CAST(24 AS INT) AS bits_per_pixel,
+           CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_luma,
+           CAST(MAX(v) AS INT) AS max_luma
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def image_resize_meta(star: Star) -> DataFrame:
+    media = MM.resize_images(MM.synth_bmp_media(star.documents), width=8, height=5)
+    return MM.extract_image_meta(media)
