@@ -53,6 +53,10 @@ _TAIL = (
     "stratum_cap_by_lang",
     "image_meta_bmp",
     "image_resize_meta",
+    "video_meta_y4m",
+    "video_frame_sample",
+    "corpus_mixture_plan",
+    "corpus_mixture_apply",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

@@ -358,6 +358,217 @@ def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, schema=schema)
 
 
+# --- Real video modality: YUV4MPEG2 (Y4M) raw video via stdlib -------------
+#
+# Y4M is the standard uncompressed-video interchange format (mjpegtools,
+# ffmpeg's rawvideo pipeline): an ASCII stream header
+# ``YUV4MPEG2 W<w> H<h> F<num>:<den> ...\n`` followed by frames, each
+# ``FRAME\n`` + raw planar YUV bytes.  Entirely parseable with stdlib —
+# so the video decode/frame-sample stages run for REAL here; only
+# codec-compressed video (H.264/VP9) stays env-gated.
+
+VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("fps_num", T.IntegerType(), True),
+    T.StructField("fps_den", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("mean_luma", T.DoubleType(), True),
+])
+
+
+def _y4m_frame_size(width: int, height: int, colorspace: str) -> int:
+    if colorspace.startswith("C444"):
+        return width * height * 3
+    if colorspace.startswith("C422"):
+        return width * height * 2
+    # C420 and variants (the default when no C tag is present)
+    return width * height * 3 // 2
+
+
+def decode_y4m(payload: bytes):
+    """REAL parse of a YUV4MPEG2 stream: header tags via ``bytes.split``,
+    frames by stride-walking ``FRAME`` markers, numpy for the luma
+    plane.  Returns (width, height, fps_num, fps_den, frames) where
+    ``frames`` is a list of (h, w) uint8 luma arrays (Y plane only —
+    chroma subsampling varies by colorspace tag and stays opaque).
+
+    Non-Y4M payloads raise ``NotImplementedError`` (the codec env-gate,
+    same contract as the WAV/BMP decoders for compressed formats).
+    """
+    import numpy as np
+
+    if payload is None or not bytes(payload).startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "payload is not YUV4MPEG2; compressed video (H.264/VP9) "
+            "needs a codec library (env-gated, see real_decode)"
+        )
+    payload = bytes(payload)
+    nl = payload.index(b"\n")
+    width = height = None
+    fps_num, fps_den, colorspace = 30, 1, "C420"
+    for tag in payload[10:nl].split(b" "):
+        if not tag:
+            continue
+        k, v = chr(tag[0]), tag[1:].decode("ascii")
+        if k == "W":
+            width = int(v)
+        elif k == "H":
+            height = int(v)
+        elif k == "F":
+            num, den = v.split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif k == "C":
+            colorspace = "C" + v
+    fsize = _y4m_frame_size(width, height, colorspace)
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        body = payload[fnl + 1: fnl + 1 + fsize]
+        frames.append(
+            np.frombuffer(body, dtype=np.uint8, count=width * height)
+            .reshape(height, width)
+        )
+        pos = fnl + 1 + fsize
+    return width, height, fps_num, fps_den, frames
+
+
+def extract_video_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched Y4M metadata extraction — the real video-modality
+    instance of the decode stage.  ``mean_luma`` averages the Y plane
+    across all frames (chroma excluded: it is subsampled per the C tag
+    and not comparable across colorspaces)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in VIDEO_META_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, num, den, frames = decode_y4m(payload)
+                out["media_id"].append(mid)
+                out["n_bytes"].append(len(payload) if payload is not None else 0)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["fps_num"].append(num)
+                out["fps_den"].append(den)
+                out["n_frames"].append(len(frames))
+                out["duration_ms"].append(
+                    len(frames) * 1000 * den // num if num else None
+                )
+                # exact global mean: integer sum of sums / total count —
+                # bit-identical to the oracle's SUM/COUNT double division
+                # (a mean-of-frame-means would drift in the last ulp)
+                out["mean_luma"].append(
+                    sum(int(f.sum()) for f in frames)
+                    / (w * h * len(frames)) if frames else None
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=VIDEO_META_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, *, n_frames: int = 4) -> DataFrame:
+    """REAL frame sampling for Y4M payloads: evenly-spaced frame indices
+    (``idx = (i · total) // n``), each emitted as its raw luma plane —
+    the real-kernel instance of the :func:`sample_frames` 1→N contract
+    (row explosion inside Arrow, downstream stages see independent
+    (media_id, frame_idx, bytes) rows)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, _, _, _, frames = decode_y4m(payload)
+                if not frames:
+                    continue
+                k = min(n_frames, len(frames))
+                for i in range(k):
+                    ids.append(mid)
+                    idxs.append((i * len(frames)) // k)
+                    payloads.append(frames[(i * len(frames)) // k].tobytes())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_payload": payloads}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("n_frame_bytes", T.LongType(), True),
+    T.StructField("frame_mean", T.DoubleType(), True),
+])
+
+
+def frame_stats(frames: DataFrame) -> DataFrame:
+    """Per-frame byte stats over :data:`FRAME_SCHEMA` rows (any modality:
+    sampled video frames, byte-window stubs).  Mean is integer-sum /
+    count, so it is bit-identical to a SUM/COUNT oracle division."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in FRAME_STATS_SCHEMA.fieldNames()}
+            for mid, idx, payload in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame_payload"]
+            ):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["n_frame_bytes"].append(len(arr))
+                out["frame_mean"].append(
+                    int(arr.sum()) / len(arr) if len(arr) else None
+                )
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(run, schema=FRAME_STATS_SCHEMA)
+
+
+def synth_y4m_media(documents: DataFrame) -> DataFrame:
+    """Deterministic Y4M fixture generator: one C420 clip per document,
+    fully parameterized by ``doc_id`` (width ``8 + 2·(doc_id % 5)``,
+    height ``6 + 2·(doc_id % 3)``, ``2 + doc_id % 6`` frames at 25 fps,
+    luma at frame f / row r / col c = ``(doc_id + 17 f + 3 r + c) %
+    256``, chroma planes constant 128).  Closed-form in ``doc_id`` →
+    the REAL parse path gets a full value-hash oracle (header tag
+    parse, frame walking, plane-size arithmetic)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + 2 * (did % 5), 6 + 2 * (did % 3)
+                nf = 2 + did % 6
+                parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()]
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                for f in range(nf):
+                    luma = ((did + 17 * f + 3 * r + c) % 256).astype(np.uint8)
+                    chroma = np.full(w * h // 2, 128, dtype=np.uint8)
+                    parts.append(b"FRAME\n" + luma.tobytes() + chroma.tobytes())
+                ids.append(did)
+                payloads.append(b"".join(parts))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    return documents.select("doc_id").mapInPandas(run, schema=schema)
+
+
 def extract_features(media: DataFrame, *, batch_parallelism: int | None = None) -> DataFrame:
     """Decode + featurize binary payloads via Arrow-batched mapInPandas.
 

@@ -212,3 +212,87 @@ def stratum_cap(df: DataFrame, stratum_col: str, n_per_stratum: int, *,
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    target_shares: dict[str, float],
+    *,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Solve per-stratum sampling fractions that hit a target domain
+    mixture by DOWNSAMPLING only — the planning half of corpus mixing
+    (reference analog: per-source extract sizing was manual in the SAP
+    flows; a training mix needs it computed from the data).
+
+    With ``avail_s`` = total weight per stratum (``weight_col``, e.g. a
+    token count; row count when None), the largest total ``T`` whose
+    mix is exactly ``target_shares`` without upsampling satisfies
+    ``T = min_s avail_s / share_s`` over strata with ``share_s > 0``;
+    each stratum then takes ``share_s · T`` (fraction ``share_s · T /
+    avail_s``, and exactly one binding stratum has fraction 1).  Strata
+    absent from ``target_shares`` get share 0 → dropped.
+
+    Scale shape: ONE aggregation shuffle to stratum grain (map-side
+    combined); the minimization and the per-stratum arithmetic run on
+    the stratum-count-sized frame (broadcast scalar join, no second
+    pass over the data).  Fractions feed
+    :func:`stratified_sample_fraction` / :func:`apply_mixture_plan`,
+    which are shuffle-free maps.
+    """
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
+    avail = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(w).cast("double").alias("available")
+    )
+    share: Column = F.lit(0.0)
+    for stratum, s in sorted(target_shares.items()):
+        share = F.when(F.col("stratum") == stratum, F.lit(float(s))).otherwise(share)
+    planned = avail.withColumn("target_share", share)
+    t_total = planned.filter(F.col("target_share") > 0).agg(
+        F.min(F.col("available") / F.col("target_share")).alias("_t")
+    )
+    return (
+        planned.crossJoin(F.broadcast(t_total))
+        .select(
+            "stratum",
+            "available",
+            "target_share",
+            F.round(F.col("target_share") * F.col("_t"), 6).alias("take_weight"),
+            F.round(
+                F.when(
+                    F.col("target_share") > 0,
+                    F.col("target_share") * F.col("_t") / F.col("available"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("sampling_fraction"),
+        )
+    )
+
+
+def apply_mixture_plan(
+    df: DataFrame,
+    plan: DataFrame,
+    strata_col: str,
+    *,
+    key: str,
+    seed: int = 23,
+) -> DataFrame:
+    """Apply a :func:`mixture_plan` (or any (stratum, sampling_fraction)
+    frame) to the corpus: keep a row when its content-addressed hash
+    bucket falls under ``fraction · 1e6`` for its stratum — the
+    data-dependent-fractions twin of :func:`stratified_sample_fraction`
+    (same hash contract, so membership is retry-stable and externally
+    reproducible).  The plan is stratum-count-sized → broadcast join,
+    no shuffle on the corpus side.
+    """
+    bucket = F.pmod(X.hash64(F.col(key).cast("string"), seed=seed), F.lit(1_000_000))
+    return (
+        df.join(
+            F.broadcast(plan.select("stratum", "sampling_fraction")),
+            F.col(strata_col) == F.col("stratum"),
+            "left",
+        )
+        .filter(bucket < F.coalesce(F.col("sampling_fraction"), F.lit(0.0)) * 1_000_000)
+        .drop("stratum", "sampling_fraction")
+    )

@@ -1694,3 +1694,164 @@ def image_meta_bmp(star: Star) -> DataFrame:
 def image_resize_meta(star: Star) -> DataFrame:
     media = MM.resize_images(MM.synth_bmp_media(star.documents), width=8, height=5)
     return MM.extract_image_meta(media)
+
+
+# ---------------------------------------------------------------------------
+# Real video modality: synth_y4m_media emits genuine YUV4MPEG2 streams
+# (the standard raw-video interchange format) parameterized by doc_id
+# (w = 8 + 2(id%5), h = 6 + 2(id%3), nf = 2 + id%6 frames at 25 fps,
+# luma at (f, r, c) = (id + 17f + 3r + c) % 256, C420 chroma constant);
+# the Spark side PARSES them back (operators.multimodal.decode_y4m)
+# while the oracle computes every field closed-form — differential test
+# of header-tag parsing, FRAME walking, and C420 plane arithmetic.
+# Stream bytes = len("YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n") +
+# nf * (len("FRAME\n") + w*h*3/2).
+# ---------------------------------------------------------------------------
+
+_Y4M_DIMS_CTE = """
+    vdims AS (
+        SELECT doc_id,
+               8 + 2 * (doc_id % 5) AS w,
+               6 + 2 * (doc_id % 3) AS h,
+               2 + doc_id % 6 AS nf
+        FROM documents
+    ),
+    vf AS (SELECT unnest(generate_series(0, 7)) AS f),
+    vr AS (SELECT unnest(generate_series(0, 9)) AS r),
+    vc AS (SELECT unnest(generate_series(0, 15)) AS c)
+"""
+
+
+@register(
+    "video_meta_y4m",
+    f"""
+    WITH {_Y4M_DIMS_CTE},
+    px AS (
+        SELECT d.doc_id,
+               (d.doc_id + 17 * vf.f + 3 * vr.r + vc.c) % 256 AS v
+        FROM vdims d, vf, vr, vc
+        WHERE vf.f < d.nf AND vr.r < d.h AND vc.c < d.w
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(33 + len(CAST(d.w AS VARCHAR)) + len(CAST(d.h AS VARCHAR))
+                + d.nf * (6 + d.w * d.h * 3 // 2) AS BIGINT) AS n_bytes,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(25 AS INT) AS fps_num,
+           CAST(1 AS INT) AS fps_den,
+           CAST(d.nf AS INT) AS n_frames,
+           CAST(d.nf * 40 AS BIGINT) AS duration_ms,
+           CAST(SUM(p.v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_luma
+    FROM vdims d JOIN px p ON p.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.w, d.h, d.nf
+    """,
+)
+def video_meta_y4m(star: Star) -> DataFrame:
+    return MM.extract_video_meta(MM.synth_y4m_media(star.documents))
+
+
+# Evenly-spaced REAL frame sampling (k = min(3, nf), source frame
+# idx = (i·nf)//k) + per-frame luma stats; the sampled frame's pixel
+# values stay closed-form through the sample → raw-plane → stats chain.
+@register(
+    "video_frame_sample",
+    f"""
+    WITH {_Y4M_DIMS_CTE},
+    samples AS (
+        SELECT d.doc_id, d.w, d.h, d.nf,
+               (vf.f * d.nf) // least(3, d.nf) AS fidx
+        FROM vdims d, vf
+        WHERE vf.f < least(3, d.nf)
+    ),
+    px AS (
+        SELECT s.doc_id, s.fidx, s.w, s.h,
+               (s.doc_id + 17 * s.fidx + 3 * vr.r + vc.c) % 256 AS v
+        FROM samples s, vr, vc
+        WHERE vr.r < s.h AND vc.c < s.w
+    )
+    SELECT doc_id AS media_id,
+           CAST(fidx AS INT) AS frame_idx,
+           CAST(w * h AS BIGINT) AS n_frame_bytes,
+           CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frame_mean
+    FROM px
+    GROUP BY doc_id, fidx, w, h
+    """,
+)
+def video_frame_sample(star: Star) -> DataFrame:
+    frames = MM.sample_video_frames(MM.synth_y4m_media(star.documents), n_frames=3)
+    return MM.frame_stats(frames)
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture planning (operators.sampling.mixture_plan): solve the
+# per-language sampling fractions that hit a target domain mix by
+# downsampling only — T = min_s available_s / share_s, take_s = share_s·T.
+# ONE aggregation shuffle to stratum grain; the solve runs on the
+# stratum-sized frame.  The apply twin keeps membership content-addressed
+# (hash64 buckets, no rand()) with the plan broadcast into a map-side
+# filter — the corpus-side pass is shuffle-free.  Both engines compute
+# the fraction with the identical op order (share · T / available,
+# round 6) so the rounded doubles — and therefore the kept-row sets —
+# are bit-identical.
+# ---------------------------------------------------------------------------
+
+_TARGET_MIX = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+_MIX_SHARE_CASE = "CASE stratum " + " ".join(
+    f"WHEN '{k}' THEN CAST({v} AS DOUBLE)" for k, v in sorted(_TARGET_MIX.items())
+) + " ELSE CAST(0.0 AS DOUBLE) END"
+
+_MIX_PLAN_CTE = f"""
+    avail AS (
+        SELECT lang AS stratum, CAST(SUM(n_chars) AS DOUBLE) AS available
+        FROM documents GROUP BY lang
+    ),
+    planned AS (
+        SELECT stratum, available, {_MIX_SHARE_CASE} AS target_share
+        FROM avail
+    ),
+    tt AS (
+        SELECT MIN(available / target_share) AS _t
+        FROM planned WHERE target_share > 0
+    ),
+    mix_plan AS (
+        SELECT stratum, available, target_share,
+               round(target_share * _t, 6) AS take_weight,
+               round(CASE WHEN target_share > 0
+                          THEN target_share * _t / available
+                          ELSE CAST(0.0 AS DOUBLE) END, 6) AS sampling_fraction
+        FROM planned, tt
+    )
+"""
+
+
+@register(
+    "corpus_mixture_plan",
+    f"WITH {_MIX_PLAN_CTE} SELECT * FROM mix_plan",
+)
+def corpus_mixture_plan(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import mixture_plan
+
+    return mixture_plan(star.documents, "lang", _TARGET_MIX, weight_col="n_chars")
+
+
+@register(
+    "corpus_mixture_apply",
+    f"""
+    WITH {_MIX_PLAN_CTE}
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN mix_plan p ON p.stratum = d.lang
+    WHERE {_hash64_sql('CAST(d.doc_id AS VARCHAR)', 23)} % 1000000
+          < p.sampling_fraction * 1000000
+    """,
+)
+def corpus_mixture_apply(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import (
+        apply_mixture_plan,
+        mixture_plan,
+    )
+
+    plan = mixture_plan(star.documents, "lang", _TARGET_MIX, weight_col="n_chars")
+    return apply_mixture_plan(star.documents, plan, "lang", key="doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -168,3 +168,73 @@ def test_extract_image_meta_closed_form(spark, star):
         ) % 256
         assert r["max_luma"] == int(vals.max())
         assert abs(r["mean_luma"] - float(vals.mean())) < 1e-12
+
+
+def test_y4m_decode_hand_built_stream():
+    """REAL Y4M parse: a hand-assembled two-frame C420 stream must come
+    back with exactly the written dims, fps, and luma planes."""
+    import numpy as np
+
+    w, h = 4, 2
+    f0 = np.arange(8, dtype=np.uint8).reshape(h, w)
+    f1 = (np.arange(8, dtype=np.uint8) + 100).reshape(h, w)
+    chroma = bytes([128] * (w * h // 2))
+    payload = (
+        b"YUV4MPEG2 W4 H2 F30000:1001 Ip A1:1 C420jpeg\n"
+        + b"FRAME\n" + f0.tobytes() + chroma
+        + b"FRAME\n" + f1.tobytes() + chroma
+    )
+    gw, gh, num, den, frames = MM.decode_y4m(payload)
+    assert (gw, gh, num, den) == (4, 2, 30000, 1001)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], f0) and np.array_equal(frames[1], f1)
+
+
+def test_y4m_decode_gates_compressed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_y4m(b"\x00\x00\x00\x18ftypmp42 fake mp4")
+
+
+def test_extract_video_meta_closed_form(spark, star):
+    docs = star.documents.limit(12).select("doc_id")
+    got = {r["media_id"]: r for r in
+           MM.extract_video_meta(MM.synth_y4m_media(docs)).collect()}
+    assert len(got) == 12
+    for did, r in got.items():
+        w, h, nf = 8 + 2 * (did % 5), 6 + 2 * (did % 3), 2 + did % 6
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+        assert (r["fps_num"], r["fps_den"]) == (25, 1)
+        assert r["duration_ms"] == nf * 40
+        header = len(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n")
+        assert r["n_bytes"] == header + nf * (6 + w * h * 3 // 2)
+        total = sum(
+            (did + 17 * f + 3 * rr + cc) % 256
+            for f in range(nf) for rr in range(h) for cc in range(w)
+        )
+        assert abs(r["mean_luma"] - total / (w * h * nf)) < 1e-12
+
+
+def test_sample_video_frames_even_spacing_and_pixels(spark, star):
+    """Sampled frames carry the SOURCE frame index and the exact raw
+    luma plane of that frame."""
+    import numpy as np
+
+    docs = star.documents.limit(8).select("doc_id")
+    rows = MM.sample_video_frames(MM.synth_y4m_media(docs), n_frames=3).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert len(by_media) == 8
+    for did, rs in by_media.items():
+        w, h, nf = 8 + 2 * (did % 5), 6 + 2 * (did % 3), 2 + did % 6
+        k = min(3, nf)
+        assert sorted(r["frame_idx"] for r in rs) == [(i * nf) // k for i in range(k)]
+        for r in rs:
+            f = r["frame_idx"]
+            expect = (
+                (did + 17 * f + 3 * np.arange(h)[:, None] + np.arange(w)[None, :])
+                % 256
+            ).astype(np.uint8)
+            assert np.frombuffer(bytes(r["frame_payload"]), dtype=np.uint8).reshape(
+                h, w
+            ).tolist() == expect.tolist()

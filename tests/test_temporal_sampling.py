@@ -286,3 +286,53 @@ def test_stratum_cap_exact_bound_and_stability(spark, star):
     # and differs from naive smallest-id selection (hash order, not id order)
     naive = {r["doc_id"] for r in star.documents.orderBy("doc_id").limit(10).collect()}
     assert a != naive
+
+
+def test_mixture_plan_solves_downsample_only_mix(spark, star):
+    """The plan must (a) hit the target shares exactly in expectation,
+    (b) never upsample (all fractions <= 1), and (c) saturate the
+    binding stratum (exactly one fraction == 1)."""
+    from sap_data_pipeline_spark.operators.sampling import mixture_plan
+
+    target = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    plan = {r["stratum"]: r for r in
+            mixture_plan(star.documents, "lang", target,
+                         weight_col="n_chars").collect()}
+    assert set(plan) == set(target)
+    fracs = [r["sampling_fraction"] for r in plan.values()]
+    assert all(0 < f <= 1 for f in fracs)
+    assert sum(1 for f in fracs if f == 1.0) == 1  # binding stratum saturates
+    total_take = sum(r["take_weight"] for r in plan.values())
+    for lang, r in plan.items():
+        # planned takes reproduce the target mix
+        assert abs(r["take_weight"] / total_take - target[lang]) < 1e-6
+        # and never exceed what's available
+        assert r["take_weight"] <= r["available"] + 1e-9
+
+
+def test_mixture_plan_drops_unlisted_strata(spark, star):
+    from sap_data_pipeline_spark.operators.sampling import (
+        apply_mixture_plan,
+        mixture_plan,
+    )
+
+    target = {"en": 0.5, "de": 0.5}  # es/fr/zh unlisted -> dropped
+    plan = mixture_plan(star.documents, "lang", target, weight_col="n_chars")
+    kept = apply_mixture_plan(star.documents, plan, "lang", key="doc_id")
+    langs = {r["lang"] for r in kept.select("lang").distinct().collect()}
+    assert langs == {"en", "de"}
+
+
+def test_apply_mixture_plan_is_retry_stable(spark, star):
+    from sap_data_pipeline_spark.operators.sampling import (
+        apply_mixture_plan,
+        mixture_plan,
+    )
+
+    target = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+    plan = mixture_plan(star.documents, "lang", target, weight_col="n_chars")
+    a = {r["doc_id"] for r in
+         apply_mixture_plan(star.documents, plan, "lang", key="doc_id").collect()}
+    b = {r["doc_id"] for r in
+         apply_mixture_plan(star.documents, plan, "lang", key="doc_id").collect()}
+    assert a == b and len(a) > 0
