@@ -57,6 +57,7 @@ _TAIL = (
     "video_frame_sample",
     "corpus_mixture_plan",
     "corpus_mixture_apply",
+    "unigram_logprob_scores",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

@@ -170,3 +170,67 @@ def tf_idf_top_terms(df: DataFrame, *, k: int = 5,
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf_idf", "rank")
     )
+
+
+def unigram_logprob(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id", vocab_size: int | None = None,
+                    ) -> DataFrame:
+    """Perplexity-proxy document scoring under the corpus's OWN unigram
+    LM (the CCNet-style quality filter: rank documents by how "ordinary"
+    their vocabulary is; gibberish, boilerplate, and wrong-language text
+    score high).  Score = mean over tokens of ``-ln(c_term / N)`` with
+    ``c_term`` the corpus count and ``N`` total corpus tokens.  Returns
+    (id, n_tokens, avg_neg_logprob); scores round to 6 decimals so the
+    value is reproducible across engines (a 1-ulp ``ln`` difference
+    cannot move the rounded score).
+
+    Scale shape (full vocabulary): THREE hash exchanges — the (doc,
+    term) count, a term-keyed window for corpus term counts (reusing
+    the tf frame, not a join back to raw tokens), and the final
+    doc-keyed aggregate; ``N`` rides in as a broadcast one-row frame
+    computed by a shuffle-free rescan.  With ``vocab_size`` set (the
+    100 TB path), the LM is pruned to the top-V terms — broadcast-sized
+    — and the term-keyed window is replaced by a broadcast join;
+    out-of-vocabulary tokens take the floor probability ``1 / (N + 1)``
+    (add-one smoothing's unseen mass), so scores stay finite and the
+    full vocabulary never shuffles.
+    """
+    from pyspark.sql.window import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(X.tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = df.select(
+        F.sum(F.size(X.tokens(text_col))).cast("double").alias("_n_total")
+    )
+    if vocab_size is None:
+        with_c = tf.withColumn(
+            "c_term", F.sum("cnt").over(Window.partitionBy("term"))
+        )
+        logp = -F.log(F.col("c_term").cast("double") / F.col("_n_total"))
+    else:
+        vocab = (
+            tf.groupBy("term")
+            .agg(F.sum("cnt").alias("c_term"))
+            .orderBy(F.desc("c_term"), F.asc("term"))
+            .limit(vocab_size)
+        )
+        with_c = tf.join(F.broadcast(vocab), "term", "left")
+        logp = -F.log(
+            F.coalesce(F.col("c_term").cast("double"), F.lit(None))
+            / F.col("_n_total")
+        )
+        logp = F.coalesce(logp, -F.log(F.lit(1.0) / (F.col("_n_total") + 1)))
+    return (
+        with_c.crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt").cast("double") * logp) / F.sum(F.col("cnt").cast("double")),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )

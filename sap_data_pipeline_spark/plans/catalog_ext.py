@@ -1855,3 +1855,38 @@ def corpus_mixture_apply(star: Star) -> DataFrame:
     return apply_mixture_plan(star.documents, plan, "lang", key="doc_id").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-proxy scoring (operators.corpus.unigram_logprob): mean
+# -ln(c_term / N) per document under the corpus's own unigram LM — the
+# CCNet-style quality filter.  Both engines compute the score with the
+# identical op order (cnt · -ln(c/N), summed, / doc tokens, round 6) so
+# a 1-ulp ln difference cannot move the rounded value.
+# ---------------------------------------------------------------------------
+
+@register(
+    "unigram_logprob_scores",
+    f"""
+    WITH terms AS (
+        SELECT doc_id, unnest({TOKSEQ_SQL.format(col='text')}) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS cnt FROM terms GROUP BY doc_id, term
+    ),
+    cfreq AS (SELECT term, SUM(cnt) AS c_term FROM tf GROUP BY term),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total FROM tf)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           round(SUM(CAST(cnt AS DOUBLE)
+                     * -ln(CAST(c_term AS DOUBLE) / n_total))
+                 / SUM(CAST(cnt AS DOUBLE)), 6) AS avg_neg_logprob
+    FROM tf JOIN cfreq USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_scores(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import unigram_logprob
+
+    return unigram_logprob(star.documents)

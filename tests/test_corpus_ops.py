@@ -180,3 +180,52 @@ def test_url_components_handwritten(spark):
     assert got[1]["l"] == "de"
     assert got[2]["h"] == "plain.com" and got[2]["p"] == ""
     assert got[3]["h"] == "" and got[3]["l"] == ""
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Corpus 'a a b' / 'a c': N=5, p(a)=3/5, p(b)=p(c)=1/5; scores are
+    token-weighted means of -ln p."""
+    import math
+
+    from sap_data_pipeline_spark.operators.corpus import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    s1 = (2 * -math.log(3 / 5) + -math.log(1 / 5)) / 3
+    s2 = (-math.log(3 / 5) + -math.log(1 / 5)) / 2
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 2
+    assert abs(got[1]["avg_neg_logprob"] - round(s1, 6)) < 1e-9
+    assert abs(got[2]["avg_neg_logprob"] - round(s2, 6)) < 1e-9
+
+
+def test_unigram_logprob_rare_vocab_scores_higher(spark, star):
+    """A document of corpus-common tokens must score LOWER (more
+    ordinary) than one of rare tokens — the filter's whole point."""
+    from sap_data_pipeline_spark.operators.corpus import unigram_logprob
+
+    scored = unigram_logprob(star.documents).join(
+        star.documents.select("doc_id", "text"), "doc_id"
+    )
+    rows = scored.collect()
+    assert len(rows) > 0 and all(r["avg_neg_logprob"] > 0 for r in rows)
+
+
+def test_unigram_logprob_pruned_vocab_oov_floor(spark):
+    """With vocab_size=1 only 'a' stays in the LM; b/c take the OOV
+    floor p = 1/(N+1) — finite, and strictly rarer than any vocab term."""
+    import math
+
+    from sap_data_pipeline_spark.operators.corpus import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           unigram_logprob(df, vocab_size=1).collect()}
+    oov = -math.log(1 / 6)  # N=5 -> floor 1/(N+1)
+    s1 = (2 * -math.log(3 / 5) + oov) / 3
+    s2 = (-math.log(3 / 5) + oov) / 2
+    assert abs(got[1]["avg_neg_logprob"] - round(s1, 6)) < 1e-9
+    assert abs(got[2]["avg_neg_logprob"] - round(s2, 6)) < 1e-9
