@@ -58,6 +58,7 @@ _TAIL = (
     "corpus_mixture_plan",
     "corpus_mixture_apply",
     "unigram_logprob_scores",
+    "decontaminate_spans",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

@@ -263,6 +263,77 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame, *,
     )
 
 
+def decontaminate_spans(corpus: DataFrame, benchmark: DataFrame, *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = SHINGLE_N, context: int = 2,
+                        broadcast_drops: bool = True) -> DataFrame:
+    """Span-level decontamination: REMOVE the benchmark-overlapping token
+    spans (each matching n-gram plus ``context`` tokens either side)
+    instead of dropping whole documents — the GPT-3-style surgical
+    variant of :func:`ngram_contamination` (dropping a 50k-token doc
+    over one leaked question throws away 49.9k good tokens).
+
+    Returns one row per corpus document: (id, n_tokens, n_removed,
+    clean_text) where ``clean_text`` re-joins the surviving tokens of
+    the NORMALIZED token stream (original formatting is not
+    reconstructed — at training time the tokenized stream is what gets
+    consumed; offset-mapped raw-text surgery would need a spans-aware
+    tokenizer).
+
+    Scale shape: the benchmark n-gram set is DISTINCT-ed and broadcast
+    (map-side probe, as in :func:`ngram_contamination`); hit positions
+    expand to drop-spans with a FIXED fan-out of ``n + 2·context`` rows
+    per hit; the per-doc drop-sets aggregate on one shuffle bounded by
+    hit count — and since contamination is sparse by construction
+    (eval suites are tiny), the drop-set frame re-joins the corpus
+    BROADCAST (``broadcast_drops=False`` falls back to a doc-keyed
+    shuffle join for pathologically contaminated corpora).  The token
+    filter itself is a higher-order array expression — no UDF, no
+    second corpus shuffle.
+    """
+    grams = corpus.select(
+        F.col(id_col),
+        F.posexplode(X.word_ngrams(text_col, n)).alias("pos", "tok"),
+    )
+    bench = (
+        benchmark.select(
+            F.explode(F.array_distinct(X.word_ngrams(text_col, n))).alias("tok")
+        )
+        .distinct()
+    )
+    drops = (
+        grams.join(F.broadcast(bench), "tok")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("pos") - context, F.lit(0)),
+                    F.col("pos") + (n - 1) + context,
+                )
+            ).alias("dpos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("dpos").alias("_drop_pos"))
+    )
+    if broadcast_drops:
+        drops = F.broadcast(drops)
+    toks = corpus.select(F.col(id_col), X.tokens(text_col).alias("_toks"))
+    kept = F.when(
+        F.col("_drop_pos").isNull(), F.col("_toks")
+    ).otherwise(
+        F.filter("_toks", lambda t, i: ~F.array_contains("_drop_pos", i))
+    )
+    return (
+        toks.join(drops, id_col, "left")
+        .select(
+            id_col,
+            F.size("_toks").cast("long").alias("n_tokens"),
+            (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )
+
+
 def connected_components(ids: DataFrame, pairs: DataFrame, *,
                          id_col: str = "doc_id", max_iter: int = 25,
                          checkpoint_dir: str | None = None) -> DataFrame:

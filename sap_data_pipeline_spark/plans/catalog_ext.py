@@ -1890,3 +1890,65 @@ def unigram_logprob_scores(star: Star) -> DataFrame:
     from sap_data_pipeline_spark.operators.corpus import unigram_logprob
 
     return unigram_logprob(star.documents)
+
+
+# ---------------------------------------------------------------------------
+# Span-level decontamination (operators.dedup.decontaminate_spans):
+# remove each benchmark-overlapping n-gram span ± context tokens from
+# the normalized token stream instead of dropping the whole document.
+# Same doc_id % 97 bench/corpus split as benchmark_contamination; the
+# oracle rebuilds drop-sets with 1-based list indexes (Spark uses
+# 0-based array indexes — both sides stay index-consistent internally).
+# ---------------------------------------------------------------------------
+
+_DECON_CTX = 2
+
+@register(
+    "decontaminate_spans",
+    f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (
+        SELECT DISTINCT tok FROM shingles WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    corp AS (
+        SELECT doc_id, t FROM doctoklists WHERE doc_id % {_BENCH_MOD} <> 0
+    ),
+    positions AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - {D.SHINGLE_N - 1}, 0))) AS i
+        FROM corp
+    ),
+    hitpos AS (
+        SELECT doc_id, i FROM positions
+        WHERE ({_SHINGLE_CONCAT}) IN (SELECT tok FROM bench)
+    ),
+    dropsets AS (
+        SELECT doc_id, list_distinct(flatten(list(drange))) AS dp
+        FROM (
+            SELECT doc_id,
+                   generate_series(greatest(i - {_DECON_CTX}, 1),
+                                   i + {D.SHINGLE_N - 1} + {_DECON_CTX}) AS drange
+            FROM hitpos
+        ) GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT c.doc_id, c.t,
+               CASE WHEN dp IS NULL THEN c.t
+                    ELSE list_filter(c.t, (x, j) -> NOT list_contains(dp, j))
+               END AS k
+        FROM corp c LEFT JOIN dropsets USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(k) AS BIGINT) AS n_removed,
+           array_to_string(k, ' ') AS clean_text
+    FROM kept
+    """,
+)
+def decontaminate_spans_q(star: Star) -> DataFrame:
+    is_bench = F.pmod(F.col("doc_id"), F.lit(_BENCH_MOD)) == 0
+    return D.decontaminate_spans(
+        star.documents.filter(~is_bench),
+        star.documents.filter(is_bench),
+        context=_DECON_CTX,
+    )

@@ -450,3 +450,57 @@ def test_int8_quantization_codes_and_recall(spark, star):
              S.brute_force_topk(deq, queries_q, k=10, query_id_col="query_id").collect()}
     overlap = len(exact & quant) / len(exact)
     assert overlap >= 0.8, f"int8 recall collapsed: {overlap}"
+
+
+def test_decontaminate_spans_surgical_removal(spark):
+    """The matched n-gram plus `context` tokens either side must go; the
+    rest of the document survives (whole-doc dropping is the thing this
+    operator exists to avoid)."""
+    from sap_data_pipeline_spark.operators.dedup import decontaminate_spans
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "totally clean text with no overlap at all here friend"),
+         (3, "x y")],  # shorter than an n-gram: untouched
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "gamma delta epsilon")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           decontaminate_spans(corpus, bench, context=1).collect()}
+    assert got[1]["clean_text"] == "alpha eta theta iota kappa"
+    assert got[1]["n_removed"] == 5  # 3-gram + 1 either side
+    assert got[2]["n_removed"] == 0
+    assert got[2]["clean_text"].startswith("totally clean")
+    assert got[3] and got[3]["n_removed"] == 0 and got[3]["n_tokens"] == 2
+
+
+def test_decontaminate_spans_merges_overlapping_hits(spark):
+    """Adjacent hits must not double-remove shared positions: two
+    overlapping leaked 3-grams produce one merged span."""
+    from sap_data_pipeline_spark.operators.dedup import decontaminate_spans
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(99, "c d e"), (98, "d e f")], "doc_id long, text string"
+    )
+    got = decontaminate_spans(corpus, bench, context=0).collect()[0]
+    # hits at pos 2 and 3 -> drop 2..4 union 3..5 = {2,3,4,5}
+    assert got["n_removed"] == 4
+    assert got["clean_text"] == "a b g h"
+
+
+def test_decontaminate_spans_broadcasts_both_sides(spark):
+    """Bench grams AND drop-sets must reach the corpus as broadcast
+    joins — the corpus never shuffles (sparse-contamination contract)."""
+    import sap_data_pipeline_spark.plans.catalog_ext  # noqa: F401  (registers queries)
+    from sap_data_pipeline_spark.plans.catalog import QUERIES
+
+    plan = QUERIES["decontaminate_spans"](
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -195,3 +195,33 @@ def test_benchmark_contamination_broadcasts_and_single_agg(spark):
     plan = _plan(QUERIES["benchmark_contamination"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, "corpus-side shuffle join crept in"
+
+
+def test_apply_mixture_plan_broadcasts_plan(spark):
+    """The mixture plan must reach the corpus as a broadcast join (no
+    corpus-side shuffle), and the per-stratum filter must run map-side —
+    ONLY the plan-building aggregate may hash-exchange corpus rows."""
+    plan = _plan(QUERIES["corpus_mixture_apply"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "corpus-side shuffle join crept in"
+
+
+def test_unigram_logprob_three_exchanges(spark):
+    """Full-vocab form: (doc,term) count + term-keyed window + doc-keyed
+    aggregate = exactly THREE hash exchanges (the join formulation costs
+    more — every aggregate branch reshuffles on its way back)."""
+    plan = _plan(QUERIES["unigram_logprob_scores"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+
+
+def test_unigram_logprob_pruned_vocab_broadcasts(spark):
+    """The vocab_size path must broadcast the pruned LM: the corpus-side
+    probe joins a TakeOrdered top-V frame, never a term-keyed
+    SortMergeJoin over the full vocabulary."""
+    from sap_data_pipeline_spark.operators.corpus import unigram_logprob
+    from sap_data_pipeline_spark.sources.readers import load_star
+
+    star = load_star(spark, SF_DIR)
+    plan = _plan(unigram_logprob(star.documents, vocab_size=100))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
