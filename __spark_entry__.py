@@ -59,6 +59,7 @@ _TAIL = (
     "corpus_mixture_apply",
     "unigram_logprob_scores",
     "decontaminate_spans",
+    "media_sniff_dispatch",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

@@ -569,6 +569,86 @@ def synth_y4m_media(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(run, schema=schema)
 
 
+# --- Mixed-media front door: magic-byte dispatch over all real decoders ----
+
+MEDIA_KIND_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_frames", T.LongType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("mean_level", T.DoubleType(), True),
+])
+
+
+def sniff_media_meta(media: DataFrame) -> DataFrame:
+    """Heterogeneous media-dump front door: detect each payload's format
+    from its magic bytes and dispatch to the matching REAL decoder —
+    WAV (``RIFF..WAVE``), BMP (``BM``), Y4M (``YUV4MPEG2``).
+    Unrecognized payloads land as ``kind='unknown'`` rows (all-NULL
+    stats) instead of failing the batch — the quarantine discipline a
+    100 TB crawl dump needs, where a decode-crash-per-bad-blob kills
+    the job (same contract as the JSONL reader's corrupt-line frame).
+
+    ``mean_level`` is the modality's natural level stat: RMS amplitude
+    for audio, mean luma for images/video.  One Arrow-batched stage; no
+    per-modality re-scan of the payload column.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in MEDIA_KIND_SCHEMA.fieldNames()}
+
+            def emit(mid, kind, nb, w=None, h=None, sr=None, nf=None,
+                     dur=None, lvl=None):
+                for col, v in zip(
+                    MEDIA_KIND_SCHEMA.fieldNames(),
+                    (mid, kind, nb, w, h, sr, nf, dur, lvl),
+                ):
+                    out[col].append(v)
+
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                nb = len(p)
+                if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                    rate, _, nf, dur, rms, _ = decode_wav_meta(p)
+                    emit(mid, "wav", nb, sr=rate, nf=nf, dur=dur, lvl=rms)
+                elif p[:2] == b"BM" and nb >= 54:
+                    w, h, _, px = decode_bmp_pixels(p)
+                    emit(mid, "bmp", nb, w=w, h=h,
+                         lvl=float(px.mean()) if px is not None else None)
+                elif p.startswith(b"YUV4MPEG2"):
+                    w, h, num, den, frames = decode_y4m(p)
+                    total = sum(int(f.sum()) for f in frames)
+                    emit(mid, "y4m", nb, w=w, h=h, nf=len(frames),
+                         dur=len(frames) * 1000 * den // num if num else None,
+                         lvl=total / (w * h * len(frames)) if frames else None)
+                else:
+                    emit(mid, "unknown", nb)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=MEDIA_KIND_SCHEMA)
+
+
+def synth_mixed_media(documents: DataFrame) -> DataFrame:
+    """Mixed-media fixture: rotate documents through the three real
+    formats plus an unknown blob by ``doc_id % 4`` (0 → WAV, 1 → BMP,
+    2 → Y4M, 3 → raw text bytes), each synthesized with the same
+    closed-form parameters as the single-modality generators — so the
+    dispatch path gets the same full value-hash oracle."""
+    wav = synth_wav_media(documents.filter(F.col("doc_id") % 4 == 0))
+    bmp = synth_bmp_media(documents.filter(F.col("doc_id") % 4 == 1))
+    y4m = synth_y4m_media(documents.filter(F.col("doc_id") % 4 == 2))
+    unk = documents.filter(F.col("doc_id") % 4 == 3).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return wav.unionAll(bmp).unionAll(y4m).unionAll(unk)
+
+
 def extract_features(media: DataFrame, *, batch_parallelism: int | None = None) -> DataFrame:
     """Decode + featurize binary payloads via Arrow-batched mapInPandas.
 

@@ -1952,3 +1952,72 @@ def decontaminate_spans_q(star: Star) -> DataFrame:
         star.documents.filter(is_bench),
         context=_DECON_CTX,
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixed-media dump front door (operators.multimodal.sniff_media_meta):
+# magic-byte dispatch to the three REAL decoders + unknown-kind
+# quarantine rows, over a doc_id % 4 rotation of WAV / BMP / Y4M / raw
+# bytes.  Each branch's oracle reuses the single-modality closed forms.
+# ---------------------------------------------------------------------------
+
+@register(
+    "media_sniff_dispatch",
+    f"""
+    WITH {_BMP_DIMS_CTE},
+    {_Y4M_DIMS_CTE},
+    bpx AS (
+        SELECT d.doc_id,
+               (d.doc_id + 11 * rr.r + 5 * cc.c + chs.ch) % 256 AS v
+        FROM dims d, rr, cc, chs
+        WHERE rr.r < d.h AND cc.c < d.w AND d.doc_id % 4 = 1
+    ),
+    bmp_stats AS (
+        SELECT doc_id, CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lvl
+        FROM bpx GROUP BY doc_id
+    ),
+    vpx AS (
+        SELECT d.doc_id,
+               (d.doc_id + 17 * vf.f + 3 * vr.r + vc.c) % 256 AS v
+        FROM vdims d, vf, vr, vc
+        WHERE vf.f < d.nf AND vr.r < d.h AND vc.c < d.w AND d.doc_id % 4 = 2
+    ),
+    y4m_stats AS (
+        SELECT doc_id, CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lvl
+        FROM vpx GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id, 'wav' AS kind,
+           CAST(44 + 2 * (100 + doc_id % 400) AS BIGINT) AS n_bytes,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(100 + doc_id % 400 AS BIGINT) AS n_frames,
+           CAST(((100 + doc_id % 400) * 1000) // 8000 AS BIGINT) AS duration_ms,
+           CAST(doc_id % 1000 + 1 AS DOUBLE) AS mean_level
+    FROM documents WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT d.doc_id, 'bmp',
+           CAST(54 + ((3 * d.w + 3) // 4) * 4 * d.h AS BIGINT),
+           CAST(d.w AS INT), CAST(d.h AS INT),
+           CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           s.lvl
+    FROM dims d JOIN bmp_stats s ON s.doc_id = d.doc_id
+    WHERE d.doc_id % 4 = 1
+    UNION ALL
+    SELECT d.doc_id, 'y4m',
+           CAST(33 + len(CAST(d.w AS VARCHAR)) + len(CAST(d.h AS VARCHAR))
+                + d.nf * (6 + d.w * d.h * 3 // 2) AS BIGINT),
+           CAST(d.w AS INT), CAST(d.h AS INT),
+           CAST(NULL AS INT), CAST(d.nf AS BIGINT), CAST(d.nf * 40 AS BIGINT),
+           s.lvl
+    FROM vdims d JOIN y4m_stats s ON s.doc_id = d.doc_id
+    WHERE d.doc_id % 4 = 2
+    UNION ALL
+    SELECT doc_id, 'unknown',
+           CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT),
+           CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM documents WHERE doc_id % 4 = 3
+    """,
+)
+def media_sniff_dispatch(star: Star) -> DataFrame:
+    return MM.sniff_media_meta(MM.synth_mixed_media(star.documents))

@@ -238,3 +238,32 @@ def test_sample_video_frames_even_spacing_and_pixels(spark, star):
             assert np.frombuffer(bytes(r["frame_payload"]), dtype=np.uint8).reshape(
                 h, w
             ).tolist() == expect.tolist()
+
+
+def test_sniff_media_meta_dispatches_all_kinds(spark, star):
+    """Magic-byte dispatch: every modality routes to its real decoder,
+    unknown blobs quarantine as kind='unknown' rows instead of failing
+    the batch."""
+    from pyspark.sql import functions as F
+
+    # deterministic subset: limit() re-evaluates per filter branch
+    docs = star.documents.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    n_docs = docs.count()
+    got = {r["media_id"]: r for r in
+           MM.sniff_media_meta(MM.synth_mixed_media(docs)).collect()}
+    assert len(got) == n_docs > 0
+    for did, r in got.items():
+        expect_kind = ["wav", "bmp", "y4m", "unknown"][did % 4]
+        assert r["kind"] == expect_kind, (did, r["kind"])
+        if expect_kind == "wav":
+            assert r["sample_rate"] == 8000 and r["width"] is None
+            assert r["mean_level"] == float(did % 1000 + 1)
+        elif expect_kind == "bmp":
+            assert (r["width"], r["height"]) == (4 + did % 13, 3 + did % 7)
+            assert r["n_frames"] is None
+        elif expect_kind == "y4m":
+            assert r["n_frames"] == 2 + did % 6
+            assert r["duration_ms"] == (2 + did % 6) * 40
+        else:
+            assert r["width"] is None and r["mean_level"] is None
+            assert r["n_bytes"] > 0
