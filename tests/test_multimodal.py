@@ -267,3 +267,60 @@ def test_sniff_media_meta_dispatches_all_kinds(spark, star):
         else:
             assert r["width"] is None and r["mean_level"] is None
             assert r["n_bytes"] > 0
+
+
+def test_bmp_roundtrip_property():
+    """Property: encode→decode is identity for ANY uint8 pixel array
+    (hypothesis drives width/height/pixel contents, covering every
+    stride remainder and degenerate 1×1 images)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=23),
+        h=st.integers(min_value=1, max_value=11),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, seed):
+        px = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        gw, gh, bpp, got = MM.decode_bmp_pixels(MM.encode_bmp(px))
+        assert (gw, gh, bpp) == (w, h, 24)
+        assert np.array_equal(got, px)
+
+    check()
+
+
+def test_y4m_roundtrip_property():
+    """Property: synth-style Y4M assembly → decode recovers every frame
+    byte-exactly for arbitrary dims / frame counts / contents."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=2, max_value=24).filter(lambda v: v % 2 == 0),
+        h=st.integers(min_value=2, max_value=12).filter(lambda v: v % 2 == 0),
+        nf=st.integers(min_value=1, max_value=6),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, nf, seed):
+        rng = np.random.default_rng(seed)
+        frames = [
+            rng.integers(0, 256, size=(h, w), dtype=np.uint8) for _ in range(nf)
+        ]
+        chroma = bytes([128] * (w * h // 2))
+        payload = f"YUV4MPEG2 W{w} H{h} F25:1 C420\n".encode() + b"".join(
+            b"FRAME\n" + f.tobytes() + chroma for f in frames
+        )
+        gw, gh, num, den, got = MM.decode_y4m(payload)
+        assert (gw, gh, num, den) == (w, h, 25, 1)
+        assert len(got) == nf
+        for a, b in zip(got, frames):
+            assert np.array_equal(a, b)
+
+    check()
