@@ -206,6 +206,118 @@ class ParquetMergeTable:
         self.history.append(audit)
         return audit
 
+    def delete_keys(self, keys_df: DataFrame) -> dict:
+        """Forget-list DELETE (reference analog: ``MERGE … WHEN MATCHED
+        THEN DELETE`` / ``DELETE FROM t WHERE pk IN (…)``): remove every
+        row whose key appears in ``keys_df`` — the GDPR-erasure /
+        takedown primitive a corpus store needs as a first-class op.
+
+        Scale shape: the forget list is DISTINCT-ed and broadcast (it is
+        human-sized next to the table); with a partitioned table a
+        key-probe discovers the touched partitions and ONLY those
+        rewrite via dynamic partition overwrite — untouched partition
+        files stay byte-identical.  A partition whose rows are ALL
+        deleted cannot be expressed through dynamic overwrite (no rows
+        to write), so its directory is dropped explicitly.  Replay is
+        idempotent: re-deleting the same keys matches nothing and
+        no-ops.
+        """
+        from pyspark.sql import Observation
+
+        from sap_data_pipeline_spark.utils import retry_call
+
+        target = self.read()
+        before = target.count()
+        src = F.broadcast(keys_df.select(*self.keys).distinct())
+        if self.partition_by:
+            touched = [
+                tuple(r[c] for c in self.partition_by)
+                for r in target.join(src, self.keys, "left_semi")
+                .select(*self.partition_by)
+                .distinct()
+                .collect()  # bounded by the forget list, not the table
+            ]
+            if not touched:
+                audit = {"op": "delete", "rows_before": before,
+                         "rows_after": before, "deleted": 0,
+                         "empty_match": True}
+                self.history.append(audit)
+                return audit
+            pred = reduce(
+                Column.__or__,
+                [
+                    reduce(
+                        Column.__and__,
+                        [
+                            F.col(c).eqNullSafe(F.lit(v))
+                            for c, v in zip(self.partition_by, vals)
+                        ],
+                    )
+                    for vals in touched
+                ],
+            )
+
+            # partitions that keep at least one row — resolved BEFORE the
+            # overwrite (afterwards the emptied ones are indistinguishable
+            # from untouched ones on a re-read, since dynamic overwrite
+            # never writes them)
+            kept_parts = {
+                tuple(r[c] for c in self.partition_by)
+                for r in target.filter(pred)
+                .join(src, self.keys, "left_anti")
+                .select(*self.partition_by)
+                .distinct()
+                .collect()
+            }
+
+            def _write_pruned() -> tuple[int, int]:
+                obs_affected, obs_kept = Observation(), Observation()
+                affected = target.filter(pred).observe(
+                    obs_affected, F.count(F.lit(1)).alias("rows")
+                )
+                kept = affected.join(src, self.keys, "left_anti").observe(
+                    obs_kept, F.count(F.lit(1)).alias("rows")
+                )
+                (
+                    kept.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(*self.partition_by)
+                    .parquet(self.path)
+                )
+                return int(obs_affected.get["rows"]), int(obs_kept.get["rows"])
+
+            n_affected, n_kept = retry_call(
+                _write_pruned, attempts=self.retries, delay_s=self.retry_delay_s
+            )
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # written frame — a fully-emptied partition must be dropped
+            # by path (values here are dates/ints; exotic characters
+            # would need Spark's full escapePathName)
+            import shutil
+
+            for vals in touched:
+                if tuple(vals) not in kept_parts:
+                    sub = "/".join(
+                        f"{c}={v}" for c, v in zip(self.partition_by, vals)
+                    )
+                    shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
+            after = before - (n_affected - n_kept)
+            audit = {"op": "delete", "rows_before": before, "rows_after": after,
+                     "deleted": n_affected - n_kept}
+            self.history.append(audit)
+            return audit
+
+        kept = target.join(src, self.keys, "left_anti")
+        after = retry_call(
+            lambda: write_parquet_atomic(kept, self.path, partition_by=None),
+            attempts=self.retries,
+            delay_s=self.retry_delay_s,
+        )
+        audit = {"op": "delete", "rows_before": before, "rows_after": after,
+                 "deleted": before - after}
+        self.history.append(audit)
+        return audit
+
     def update_from(self, source: DataFrame, set_cols: Sequence[str]) -> dict:
         """Dim-enrichment UPDATE-join (``pipelines/etl_weekly_sales.py:98-106``):
         matched rows get ``set_cols`` from ``source``; no inserts."""

@@ -216,3 +216,68 @@ def test_write_clustered_file_pruning(spark, tmp_path):
         assert hi - lo < 100_000 / len(files) * 1.5
     for (_, hi), (lo2, _) in zip(spans, spans[1:]):
         assert hi <= lo2  # disjoint
+
+
+def test_delete_keys_unpartitioned(spark, tmp_path):
+    from sap_data_pipeline_spark.operators.merge import ParquetMergeTable
+
+    path = str(tmp_path / "fact_del")
+    t = ParquetMergeTable(spark, path, keys=["k"], retry_delay_s=0.0)
+    t.merge(spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "k string, v double"))
+    audit = t.delete_keys(spark.createDataFrame([("b",), ("zz",)], "k string"))
+    assert audit["deleted"] == 1 and audit["rows_after"] == 2
+    assert {r["k"] for r in t.read().collect()} == {"a", "c"}
+    # replay: same forget list matches nothing
+    audit2 = t.delete_keys(spark.createDataFrame([("b",)], "k string"))
+    assert audit2["deleted"] == 0 and audit2["rows_after"] == 2
+
+
+def test_delete_keys_partitioned_prunes_and_drops_emptied(spark, tmp_path):
+    """Partitioned forget-list DELETE: untouched partitions stay
+    byte-identical; a partition whose rows are ALL deleted disappears
+    from the table (dynamic overwrite can't express an empty one)."""
+    import os
+    from pathlib import Path
+
+    from sap_data_pipeline_spark.operators.merge import ParquetMergeTable
+
+    path = str(tmp_path / "fact_del_part")
+    t = ParquetMergeTable(
+        spark, path, keys=["Article", "Date"], partition_by=["Date"],
+        retry_delay_s=0.0,
+    )
+    t.merge(spark.createDataFrame(
+        [("A", "2024-01-01", 1.0), ("B", "2024-01-01", 2.0),
+         ("C", "2024-01-02", 3.0), ("D", "2024-01-03", 4.0)],
+        "Article string, Date string, Qty double",
+    ))
+
+    def files_in(p):
+        return {str(f): os.stat(f).st_mtime_ns
+                for f in Path(p).rglob("*.parquet")}
+
+    day3_before = {k: v for k, v in files_in(path).items()
+                   if "Date=2024-01-03" in k}
+    assert day3_before
+
+    # delete B@01-01 (partition keeps A) and C@01-02 (partition empties)
+    forget = spark.createDataFrame(
+        [("B", "2024-01-01"), ("C", "2024-01-02")],
+        "Article string, Date string",
+    )
+    audit = t.delete_keys(forget)
+    assert audit["deleted"] == 2 and audit["rows_after"] == 2
+
+    rows = {(r["Article"], str(r["Date"])) for r in t.read().collect()}
+    assert rows == {("A", "2024-01-01"), ("D", "2024-01-03")}
+    # emptied partition directory is gone
+    assert not (Path(path) / "Date=2024-01-02").exists()
+    # untouched partition files byte-identical
+    after = files_in(path)
+    for f, mtime in day3_before.items():
+        assert f in after and after[f] == mtime
+
+    # no-match replay is a no-op audit
+    audit2 = t.delete_keys(forget)
+    assert audit2.get("empty_match") and audit2["rows_after"] == 2
