@@ -633,3 +633,99 @@ def curate_corpus(
         "rows_after_exact_dedup": n_exact,
         "rows_final": n_final,
     }
+
+
+def build_training_corpus(
+    documents,
+    out_path: str,
+    *,
+    benchmark=None,
+    min_quality: float = 0.3,
+    target_mix: dict[str, float] | None = None,
+    mix_col: str = "lang",
+    mix_weight_col: str | None = None,
+    split_weights: dict[str, int] | None = None,
+    pack_budget: int = 2048,
+    n_shards: int = 8,
+) -> dict:
+    """The COMPLETE pretraining-data pipeline, every stage a catalog
+    operator, composed end-to-end:
+
+        quality gate → exact dedup → near-dup clustering (keep the
+        BEST-quality doc per component) → span-level benchmark
+        decontamination → target-mixture downsampling → deterministic
+        train/val/test split → token-budget sequence packing → atomic
+        write
+
+    This is the flow a "switch from the reference" user runs on a raw
+    corpus: each stage is independently oracled/tested; this function
+    adds only the plumbing and the per-stage loss audit (silent drops
+    are pipeline bugs).  Optional stages skip cleanly: no ``benchmark``
+    → no decontamination; no ``target_mix`` → no mixing.
+
+    Scale notes: stages reuse the operators' scale shapes (broadcast
+    probes, content-keyed shuffles, O(log d) clustering rounds); the
+    decontaminated text REPLACES ``text`` (and re-derives token counts)
+    so downstream packing budgets see post-surgery lengths.
+    """
+    from sap_data_pipeline_spark.functions import text as X
+    from sap_data_pipeline_spark.operators.dedup import (
+        decontaminate_spans,
+        exact_dedup,
+        keep_best_per_cluster,
+        minhash_dedup_pairs,
+    )
+    from sap_data_pipeline_spark.operators.sampling import (
+        apply_mixture_plan,
+        hash_split,
+        mixture_plan,
+        pack_by_offset,
+    )
+    from sap_data_pipeline_spark.sources.sinks import write_parquet_atomic
+
+    audit: dict = {"rows_raw": documents.count()}
+
+    gated = documents.filter(X.quality_score("text") >= min_quality)
+    audit["rows_after_quality"] = gated.count()
+
+    exact_kept = gated.join(exact_dedup(gated).select("doc_id"), "doc_id", "semi")
+    audit["rows_after_exact_dedup"] = exact_kept.count()
+
+    near_kept = keep_best_per_cluster(exact_kept, minhash_dedup_pairs(exact_kept))
+    audit["rows_after_near_dedup"] = near_kept.count()
+
+    if benchmark is not None:
+        cleaned = decontaminate_spans(near_kept, benchmark)
+        near_kept = (
+            near_kept.drop("text")
+            .join(cleaned.select("doc_id", "n_removed", "clean_text"), "doc_id")
+            .withColumnRenamed("clean_text", "text")
+        )
+        audit["tokens_removed_decontamination"] = (
+            near_kept.agg(F.sum("n_removed")).collect()[0][0] or 0
+        )
+        near_kept = near_kept.drop("n_removed")
+
+    if target_mix is not None:
+        plan = mixture_plan(near_kept, mix_col, target_mix,
+                            weight_col=mix_weight_col)
+        near_kept = apply_mixture_plan(near_kept, plan, mix_col, key="doc_id")
+        audit["rows_after_mixture"] = near_kept.count()
+
+    split = hash_split(near_kept, "doc_id", weights=split_weights)
+    # shard key embeds the split so no training bin straddles a
+    # train/val/test boundary
+    packed = pack_by_offset(
+        split.withColumn("n_tokens", X.token_count("text"))
+        .withColumn(
+            "shard",
+            F.concat_ws("-", F.col("split"), F.pmod(F.col("doc_id"), F.lit(n_shards))),
+        ),
+        "n_tokens",
+        budget=pack_budget,
+        shard_col="shard",
+        order_by=["doc_id"],
+    )
+    audit["rows_final"] = write_parquet_atomic(packed, out_path)
+    audit["n_bins"] = packed.select("shard", "split", "bin").distinct().count()
+    return audit

@@ -474,3 +474,77 @@ def test_curate_corpus_flow(spark, tmp_path):
     assert 3 not in kept                              # near-dup cluster loser
     assert 5 not in kept                              # quality loser
     assert audit["rows_final"] == len(kept)
+
+
+def test_build_training_corpus_end_to_end(spark, tmp_path, star):
+    """Full pretraining pipeline on real fixture docs: every stage's
+    audit is monotone non-increasing, bins respect the split boundary,
+    and a known leaked n-gram is surgically excised, not doc-dropped."""
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.etl import build_training_corpus
+
+    docs = star.documents.filter(F.col("doc_id") < 200)
+    bench = star.documents.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 210)
+    )
+    out = str(tmp_path / "corpus")
+    audit = build_training_corpus(
+        docs,
+        out,
+        benchmark=bench,
+        min_quality=0.1,
+        target_mix={"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+        pack_budget=256,
+        n_shards=4,
+    )
+    assert (
+        audit["rows_raw"]
+        >= audit["rows_after_quality"]
+        >= audit["rows_after_exact_dedup"]
+        >= audit["rows_after_near_dedup"]
+        >= audit["rows_after_mixture"]
+        == audit["rows_final"]
+        > 0
+    )
+    assert audit["tokens_removed_decontamination"] >= 0
+
+    packed = spark.read.parquet(out)
+    assert {"doc_id", "text", "split", "shard", "bin", "n_tokens",
+            "start_offset"} <= set(packed.columns)
+    # a shard never mixes splits (bins cannot straddle the boundary)
+    mixed = (
+        packed.groupBy("shard")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert mixed == 0
+    # offsets restart per shard and are cumulative in doc order
+    first = packed.groupBy("shard").agg(F.min("start_offset").alias("m")).collect()
+    assert all(r["m"] == 0 for r in first)
+
+
+def test_build_training_corpus_decontaminates_spans_not_docs(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.etl import build_training_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "unique prefix words here leaked secret answer key and an "
+             "ordinary long tail of perfectly good tokens to keep around "
+             "for training the model on useful content")],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en"))
+    bench = spark.createDataFrame(
+        [(99, "leaked secret answer key material")], "doc_id long, text string"
+    ).withColumn("lang", F.lit("en"))
+    out = str(tmp_path / "c2")
+    audit = build_training_corpus(
+        docs, out, benchmark=bench, min_quality=0.0, pack_budget=64, n_shards=1
+    )
+    assert audit["rows_final"] == 1  # the doc SURVIVES
+    assert audit["tokens_removed_decontamination"] > 0
+    text = spark.read.parquet(out).collect()[0]["text"]
+    assert "leaked secret answer" not in text
+    assert "useful content" in text
