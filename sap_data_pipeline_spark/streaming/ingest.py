@@ -92,6 +92,33 @@ def stream_merge_sink(
     return writer.start()
 
 
+def stream_deletion_sink(
+    stream: DataFrame,
+    table: ParquetMergeTable,
+    *,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch → forget-list DELETE: the erasure-request pipeline
+    (GDPR/takedown).  Deletion requests arrive as a file stream of key
+    rows; each micro-batch applies :meth:`ParquetMergeTable.delete_keys`
+    — broadcast key probe, partition-pruned rewrite — so compliance
+    latency is per-batch, not per-table-scan-schedule.  Replaying a
+    batch (restart between write and commit) re-deletes the same keys,
+    which matches nothing: the sink is idempotent by construction.
+    """
+
+    def erase(batch_df: DataFrame, batch_id: int) -> None:
+        table.delete_keys(batch_df)
+
+    writer = stream.writeStream.foreachBatch(erase).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def sessionize(
     events: DataFrame,
     *,

@@ -404,3 +404,38 @@ def test_stream_curate_incremental_signature_store(spark, tmp_path):
     q3.awaitTermination(120)
     assert spark.read.parquet(str(out)).count() == n_out
     assert spark.read.parquet(str(store)).count() == n_store
+
+
+def test_stream_deletion_sink_erasure_requests(spark, tmp_path):
+    """GDPR-stream: forget-list files arriving in a watch folder delete
+    their keys from the corpus table, exactly once, incrementally."""
+    from pyspark.sql import types as T
+
+    from sap_data_pipeline_spark.streaming.ingest import stream_deletion_sink
+
+    table = ParquetMergeTable(spark, str(tmp_path / "corpus"), keys=["doc_id"])
+    table.merge(spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"))
+
+    watch = tmp_path / "erasures"
+    watch.mkdir()
+    (watch / "req1.csv").write_text("doc_id\n3\n7\n")
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+    stream = stream_file_source(spark, str(watch), schema, fmt="csv")
+    q = stream_deletion_sink(stream, table,
+                             checkpoint_dir=str(tmp_path / "ckpt_del"))
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in table.read().collect()} == \
+        set(range(10)) - {3, 7}
+
+    # restart with same checkpoint: request not re-applied (and would
+    # no-op anyway); a new request is picked up incrementally
+    (watch / "req2.csv").write_text("doc_id\n0\n3\n")  # 3 already gone
+    stream2 = stream_file_source(spark, str(watch), schema, fmt="csv")
+    q2 = stream_deletion_sink(stream2, table,
+                              checkpoint_dir=str(tmp_path / "ckpt_del"))
+    q2.awaitTermination(120)
+    assert {r["doc_id"] for r in table.read().collect()} == \
+        set(range(10)) - {0, 3, 7}
+    assert table.history[-1]["deleted"] == 1  # idempotent on the re-sent key
