@@ -296,3 +296,43 @@ def apply_mixture_plan(
         .filter(bucket < F.coalesce(F.col("sampling_fraction"), F.lit(0.0)) * 1_000_000)
         .drop("stratum", "sampling_fraction")
     )
+
+
+def curriculum_bins(
+    df: DataFrame,
+    score_col: str,
+    *,
+    n_bins: int = 10,
+    bin_col: str = "curriculum_bin",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Curriculum binning: assign each row a difficulty/quality decile
+    (0 = lowest score … ``n_bins - 1`` = highest) so a training loader
+    can order or re-weight by bin.
+
+    The 100 TB-honest formulation: cutpoints come from ONE pass of
+    ``approx_percentile`` (Greenwald-Khanna sketch — mergeable, fixed
+    memory, driver receives ``n_bins - 1`` scalars), then re-enter the
+    corpus as a literal CASE ladder evaluated map-side — so binning
+    costs one aggregate plus a shuffle-free projection.  The exact
+    alternative (``ntile`` over a global ORDER BY) funnels the corpus
+    through a single-partition sort and is precisely the plan shape
+    this module avoids; at ``relative_error`` = 1e-3 the bin boundary
+    misplacement is bounded to ±0.1 % of rows per boundary, which a
+    curriculum (a coarse ordering heuristic) tolerates by design.
+    Ties across a cutpoint land in the lower bin on both sides of any
+    re-run: the cutpoints are deterministic for a given input, so
+    membership is reproducible.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = df.agg(
+        F.percentile_approx(
+            F.col(score_col), F.lit(qs), F.lit(int(1.0 / relative_error))
+        ).alias("c")
+    ).collect()[0]["c"]
+    label: Column = F.lit(n_bins - 1)
+    for b in range(n_bins - 2, -1, -1):
+        label = F.when(F.col(score_col) <= F.lit(cuts[b]), F.lit(b)).otherwise(label)
+    return df.withColumn(bin_col, label.cast("int"))

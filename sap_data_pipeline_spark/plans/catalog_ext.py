@@ -2021,3 +2021,15 @@ def decontaminate_spans_q(star: Star) -> DataFrame:
 )
 def media_sniff_dispatch(star: Star) -> DataFrame:
     return MM.sniff_media_meta(MM.synth_mixed_media(star.documents))
+
+
+# Curriculum binning (operators.sampling.curriculum_bins): approx-
+# percentile cutpoints (GK sketch, one aggregate) re-entering as a
+# literal CASE ladder — sketch cutpoints have no cross-engine twin →
+# rows-only check; occupancy/ordering bounds are test-gated.
+@register("curriculum_deciles")
+def curriculum_deciles(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import curriculum_bins
+
+    scored = star.documents.select("doc_id", X.quality_score("text").alias("q"))
+    return curriculum_bins(scored, "q", n_bins=10)

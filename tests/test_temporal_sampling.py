@@ -336,3 +336,50 @@ def test_apply_mixture_plan_is_retry_stable(spark, star):
     b = {r["doc_id"] for r in
          apply_mixture_plan(star.documents, plan, "lang", key="doc_id").collect()}
     assert a == b and len(a) > 0
+
+
+def test_curriculum_bins_approximately_uniform(spark, star):
+    """Deciles over quality_score: every bin within a tolerant band of
+    uniform occupancy (approx cutpoints; curricula tolerate boundary
+    fuzz by design), labels span 0..9, membership reproducible."""
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.functions.text import quality_score
+    from sap_data_pipeline_spark.operators.sampling import curriculum_bins
+
+    scored = star.documents.select(
+        "doc_id", quality_score("text").alias("q")
+    )
+    binned = curriculum_bins(scored, "q", n_bins=10)
+    counts = {r["curriculum_bin"]: r["n"] for r in
+              binned.groupBy("curriculum_bin").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    # tied cutpoints legally collapse a bin (ties land in the lower
+    # bin); most deciles must survive and all labels stay in range
+    assert set(counts) <= set(range(10)) and len(counts) >= 8
+    for b, n in counts.items():
+        assert n / total <= 0.3, (b, n, total)
+    # reproducible membership
+    a = {r["doc_id"]: r["curriculum_bin"] for r in binned.collect()}
+    b = {r["doc_id"]: r["curriculum_bin"] for r in
+         curriculum_bins(scored, "q", n_bins=10).collect()}
+    assert a == b
+    # ordering property over the bins present: max score of a bin never
+    # exceeds the min score two bins later (adjacent bins may
+    # interleave at the fuzzy boundary only)
+    stats = {r["curriculum_bin"]: (r["lo"], r["hi"]) for r in
+             binned.groupBy("curriculum_bin").agg(
+                 F.min("q").alias("lo"), F.max("q").alias("hi")).collect()}
+    present = sorted(stats)
+    for i in range(len(present) - 2):
+        assert stats[present[i]][1] <= stats[present[i + 2]][0] + 1e-9
+
+
+def test_curriculum_bins_rejects_bad_n(spark, star):
+    import pytest
+
+    from sap_data_pipeline_spark.operators.sampling import curriculum_bins
+
+    with pytest.raises(ValueError):
+        curriculum_bins(star.documents, "n_chars", n_bins=1)
