@@ -65,6 +65,7 @@ _TAIL = (
     "repetition_stats",
     "embedding_near_dup_pairs",
     "conditional_agg",
+    "ann_hamming_topk",
     "curriculum_deciles",
     "ann_ivf_topk",
     "approx_corpus_profile",

@@ -70,3 +70,26 @@ def dequant_scale(a: ColumnOrName) -> Column:
     """Per-vector dequantization scale (max|x| / 127); 0 for zero vectors."""
     m = abs_max(a)
     return F.when(m > 0, m / F.lit(127.0)).otherwise(F.lit(0.0))
+
+
+def sign_bits_word(a: ColumnOrName, start: int, width: int = 32) -> Column:
+    """Pack ``width`` sign bits of an embedding slice into ONE BIGINT,
+    MSB-first: bit for element ``start + i`` (1-based) lands at position
+    ``width - 1 - i``.  Words stay in the positive BIGINT range (width
+    ≤ 32), so they survive any engine's signed-integer semantics — the
+    same reason the 64-bit SimHash uses two hash words.
+
+    Binary (1-bit) embedding quantization: 32× smaller than float32,
+    and Hamming distance over the packed words (``bit_count(xor)``)
+    approximates angular distance — the memory-bound regime's ANN
+    representation.
+    """
+    idx = F.sequence(F.lit(start), F.lit(start + width - 1))
+    return F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * 2
+        + F.when(F.element_at(_c(a), i.cast("int")) > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )

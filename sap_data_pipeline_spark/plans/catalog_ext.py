@@ -2033,3 +2033,52 @@ def curriculum_deciles(star: Star) -> DataFrame:
 
     scored = star.documents.select("doc_id", X.quality_score("text").alias("q"))
     return curriculum_bins(scored, "q", n_bins=10)
+
+
+# ---------------------------------------------------------------------------
+# Binary-quantized ANN (operators.similarity.binary_quantize /
+# hamming_topk): sign bits packed MSB-first into two positive BIGINT
+# words (32 bits each — same signed-range discipline as 64-bit SimHash),
+# neighbors ranked by bit_count(xor) Hamming distance.  Integer-exact
+# on both engines → full value-hash oracle.
+# ---------------------------------------------------------------------------
+
+_SIGN_WORD_SQL = (
+    "CAST(list_sum(list_transform(generate_series(1, 32), "
+    "i -> CASE WHEN embedding[{off} + i] > 0 "
+    "THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+)
+
+
+@register(
+    "ann_hamming_topk",
+    f"""
+    WITH packed AS (
+        SELECT vec_id,
+               {_SIGN_WORD_SQL.format(off=0)} AS w0,
+               {_SIGN_WORD_SQL.format(off=32)} AS w1
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
+          FROM packed WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               CAST(bit_count(xor(q.qw0, c.w0))
+                    + bit_count(xor(q.qw1, c.w1)) AS INT) AS hamming
+        FROM q CROSS JOIN packed c
+        WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, hamming, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY hamming ASC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_hamming_topk(star: Star) -> DataFrame:
+    queries = star.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.hamming_topk(
+        star.embeddings, queries, k=5, query_id_col="query_id", dim=64
+    )

@@ -504,3 +504,49 @@ def test_decontaminate_spans_broadcasts_both_sides(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_binary_quantize_matches_numpy_packing(spark, star):
+    """Sign-bit words must equal an independent numpy MSB-first packing
+    of the same embeddings (bit i of word w = sign of element 32w+i)."""
+    import numpy as np
+
+    from sap_data_pipeline_spark.operators.similarity import binary_quantize
+
+    rows = binary_quantize(
+        star.embeddings.filter(F.col("vec_id") < 20), dim=64
+    ).select("vec_id", "embedding", "bq0", "bq1").collect()
+    assert len(rows) == 20
+    for r in rows:
+        v = np.array(r["embedding"])
+        for w, col in ((0, "bq0"), (1, "bq1")):
+            bits = (v[32 * w: 32 * (w + 1)] > 0).astype(np.int64)
+            expect = int(sum(b << (31 - i) for i, b in enumerate(bits)))
+            assert r[col] == expect, (r["vec_id"], col)
+            assert 0 <= r[col] < 2**32  # positive-BIGINT discipline
+
+
+def test_hamming_topk_matches_numpy_reference(spark, star):
+    import numpy as np
+
+    from sap_data_pipeline_spark.operators.similarity import hamming_topk
+
+    emb = {r["vec_id"]: np.array(r["embedding"]) for r in
+           star.embeddings.select("vec_id", "embedding").collect()}
+    queries = star.embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = hamming_topk(star.embeddings, queries, k=3,
+                       query_id_col="query_id", dim=64).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        qb = emb[qid] > 0
+        dists = sorted(
+            (int(np.count_nonzero((emb[nid] > 0) != qb)), nid)
+            for nid in emb if nid != qid
+        )
+        expect = dists[:3]
+        assert [(r["hamming"], r["neighbor_id"]) for r in
+                sorted(rs, key=lambda r: r["rank"])] == expect
