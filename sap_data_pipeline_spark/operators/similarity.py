@@ -276,3 +276,36 @@ def hamming_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "rank")
     )
+
+
+def hamming_rerank_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
+                        candidates: int = 50, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        query_id_col: str = "query_id", dim: int) -> DataFrame:
+    """The production two-stage ANN: cheap binary Hamming scan generates
+    ``candidates`` per query (1/32 of the float bytes), exact cosine
+    reranks only that short list — float math touches ``candidates``
+    vectors per query instead of the corpus.  Returns
+    (query_id, neighbor_id, cosine, rank).
+    """
+    cand = hamming_topk(
+        corpus, queries, k=candidates, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, dim=dim,
+    ).select("query_id", "neighbor_id")
+    vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qvecs = F.broadcast(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    scored = (
+        cand.join(vecs, "neighbor_id")
+        .join(qvecs, "query_id")
+        .withColumn("cosine", F.round(V.cosine("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

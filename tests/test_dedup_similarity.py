@@ -550,3 +550,22 @@ def test_hamming_topk_matches_numpy_reference(spark, star):
         expect = dists[:3]
         assert [(r["hamming"], r["neighbor_id"]) for r in
                 sorted(rs, key=lambda r: r["rank"])] == expect
+
+
+def test_hamming_rerank_recovers_brute_force(spark, star):
+    """With a generous candidate budget the rerank's top-k must closely
+    match exact brute force — and strictly beat raw Hamming ranking."""
+    queries = star.embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             S.brute_force_topk(star.embeddings, queries, k=5).collect()}
+    rerank = {(r["query_id"], r["neighbor_id"]) for r in
+              S.hamming_rerank_topk(star.embeddings, queries, k=5,
+                                    candidates=100, dim=64).collect()}
+    raw = {(r["query_id"], r["neighbor_id"]) for r in
+           S.hamming_topk(star.embeddings, queries, k=5, dim=64).collect()}
+    recall_rerank = len(exact & rerank) / len(exact)
+    recall_raw = len(exact & raw) / len(exact)
+    assert recall_rerank >= 0.8, recall_rerank
+    assert recall_rerank >= recall_raw
