@@ -66,6 +66,7 @@ _TAIL = (
     "embedding_near_dup_pairs",
     "conditional_agg",
     "ann_hamming_topk",
+    "cms_term_frequencies",
     "curriculum_deciles",
     "ann_ivf_topk",
     "approx_corpus_profile",

@@ -234,3 +234,55 @@ def unigram_logprob(df: DataFrame, *, text_col: str = "text",
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+def count_min_cells(df: DataFrame, *, text_col: str = "text",
+                    depth: int = 4, width: int = 1024,
+                    seed: int = 41) -> DataFrame:
+    """Build a Count-Min sketch of corpus token frequencies as a
+    (row, bucket, cnt) cell frame — ``depth × width`` cells regardless
+    of vocabulary size, the fixed-memory mergeable alternative to an
+    exact term-frequency table (mergeable: cell frames from corpus
+    shards ADD — union + re-aggregate — which an exact top-k cannot).
+
+    Scale shape: tokens explode map-side into ``depth`` (row, bucket)
+    keys each; ONE hash exchange aggregates to at most depth·width
+    cells.  Hashes are the portable md5-based ``hash64`` so an external
+    engine (or the DuckDB oracle) reconstructs the sketch BIT-EXACTLY —
+    the estimates, not just the contract, are cross-checkable.
+    """
+    toks = df.select(F.explode(X.tokens(text_col)).alias("term"))
+    rows = toks.select(
+        F.posexplode(
+            F.array(*[
+                F.pmod(X.hash64(F.col("term"), seed=seed + d), F.lit(width))
+                for d in range(depth)
+            ])
+        ).alias("row", "bucket")
+    )
+    return rows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def count_min_probe(cells: DataFrame, probes: DataFrame, *,
+                    term_col: str = "term", depth: int = 4,
+                    width: int = 1024, seed: int = 41) -> DataFrame:
+    """Probe a Count-Min cell frame: estimate(term) = min over rows of
+    the term's cell count.  Estimates NEVER undercount (each cell is a
+    superset of the term's occurrences); overcount is bounded by
+    collision mass ~ N/width per row, minimized across ``depth`` rows.
+    The cell frame is depth·width rows → broadcast to the probe side.
+    """
+    keyed = probes.select(
+        F.col(term_col),
+        F.posexplode(
+            F.array(*[
+                F.pmod(X.hash64(F.col(term_col), seed=seed + d), F.lit(width))
+                for d in range(depth)
+            ])
+        ).alias("row", "bucket"),
+    )
+    return (
+        keyed.join(F.broadcast(cells), ["row", "bucket"], "left")
+        .groupBy(term_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_estimate"))
+    )

@@ -2082,3 +2082,73 @@ def ann_hamming_topk(star: Star) -> DataFrame:
     return S.hamming_topk(
         star.embeddings, queries, k=5, query_id_col="query_id", dim=64
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (operators.corpus.count_min_cells / count_min_probe):
+# fixed-memory mergeable term-frequency sketch.  md5-based hashes make
+# the sketch itself reproducible in DuckDB, so the estimates (not just
+# the ≥-exact contract) are value-hash-checked: probe the exact top-20
+# terms and emit exact vs estimate side by side.
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W, _CMS_SEED = 4, 1024, 41
+
+_CMS_HASHES = ", ".join(
+    f"{_hash64_sql('term', _CMS_SEED + d)} % {_CMS_W}" for d in range(_CMS_D)
+)
+
+
+@register(
+    "cms_term_frequencies",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({TOKSEQ_SQL.format(col='text')}) AS tok
+        FROM documents
+    ),
+    exact AS (
+        SELECT tok AS term, COUNT(*) AS exact_cnt FROM toks GROUP BY tok
+    ),
+    top AS (
+        SELECT term, exact_cnt FROM exact
+        ORDER BY exact_cnt DESC, term ASC LIMIT 20
+    ),
+    keyed AS (
+        SELECT term, unnest([{_CMS_HASHES}]) AS bucket,
+               unnest(generate_series(0, {_CMS_D - 1})) AS row
+        FROM (SELECT tok AS term FROM toks)
+    ),
+    cells AS (
+        SELECT row, bucket, COUNT(*) AS cnt FROM keyed GROUP BY row, bucket
+    ),
+    probe AS (
+        SELECT t.term, unnest([{_CMS_HASHES.replace('term', 't.term')}]) AS bucket,
+               unnest(generate_series(0, {_CMS_D - 1})) AS row
+        FROM top t
+    )
+    SELECT p.term, t.exact_cnt,
+           CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_estimate
+    FROM probe p
+    JOIN top t ON t.term = p.term
+    LEFT JOIN cells c ON c.row = p.row AND c.bucket = p.bucket
+    GROUP BY p.term, t.exact_cnt
+    """,
+)
+def cms_term_frequencies(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import (
+        count_min_cells,
+        count_min_probe,
+    )
+
+    toks = star.documents.select(F.explode(X.tokens("text")).alias("term"))
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("term"))
+        .limit(20)
+    )
+    cells = count_min_cells(star.documents, depth=_CMS_D, width=_CMS_W,
+                            seed=_CMS_SEED)
+    est = count_min_probe(cells, top.select("term"), depth=_CMS_D,
+                          width=_CMS_W, seed=_CMS_SEED)
+    return top.join(est, "term").select("term", "exact_cnt", "cms_estimate")

@@ -229,3 +229,41 @@ def test_unigram_logprob_pruned_vocab_oov_floor(spark):
     s2 = (-math.log(3 / 5) + oov) / 2
     assert abs(got[1]["avg_neg_logprob"] - round(s1, 6)) < 1e-9
     assert abs(got[2]["avg_neg_logprob"] - round(s2, 6)) < 1e-9
+
+
+def test_count_min_never_undercounts_and_merges(spark, star):
+    """CMS contract: estimate >= exact for EVERY term; and the sketch is
+    mergeable — cells built per shard then re-aggregated equal the
+    single-pass sketch (the property that lets 100 TB shards sketch
+    independently)."""
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.functions import text as X
+    from sap_data_pipeline_spark.operators.corpus import (
+        count_min_cells,
+        count_min_probe,
+    )
+
+    docs = star.documents.filter(F.col("doc_id") < 100)
+    exact = (
+        docs.select(F.explode(X.tokens("text")).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    cells = count_min_cells(docs, width=256)
+    est = count_min_probe(cells, exact.select("term"), width=256)
+    joined = exact.join(est, "term").collect()
+    assert len(joined) > 20  # smoke fixture has a ~30-term vocabulary
+    assert all(r["cms_estimate"] >= r["exact_cnt"] for r in joined)
+    # width 256 over a small corpus: estimates stay close on average
+    over = sum(r["cms_estimate"] - r["exact_cnt"] for r in joined) / len(joined)
+    assert over < 50, over
+
+    # mergeability: shard sketches ADD
+    a = count_min_cells(docs.filter(F.col("doc_id") % 2 == 0), width=256)
+    b = count_min_cells(docs.filter(F.col("doc_id") % 2 == 1), width=256)
+    merged = (
+        a.unionAll(b).groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    single = {(r["row"], r["bucket"]): r["cnt"] for r in cells.collect()}
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == single
