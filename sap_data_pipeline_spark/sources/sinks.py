@@ -15,7 +15,8 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet_atomic(df: DataFrame, target_dir: str, *, partition_by: list[str] | None = None) -> int:
@@ -163,6 +164,64 @@ def write_clustered(
     """
     clustered = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
     return write_parquet_atomic(clustered, target_dir, partition_by=partition_by)
+
+
+def write_zordered(
+    df: DataFrame,
+    target_dir: str,
+    *,
+    zorder_by: list[str],
+    bits: int = 8,
+    n_files: int | None = None,
+    relative_error: float = 0.001,
+) -> int:
+    """Z-order (Morton-curve) clustered write over TWO OR MORE numeric
+    columns — multi-dimensional file skipping, where
+    :func:`write_clustered` only narrows one axis (its secondary sort
+    keys cycle through their full range inside every primary-key file,
+    so their min/max stats prune nothing).
+
+    Each column is quantized to a ``2^bits`` grid via approx-percentile
+    cutpoints (rank-space quantization — one sketch aggregate per
+    column; raw values would let one skewed column dominate the curve),
+    the grid cells' bits are interleaved into the Morton key, and rows
+    range-partition + sort on that key.  Files then cover small
+    HYPERCUBES of the key space: per-file min/max footer stats are
+    narrow on EVERY z-ordered column, so predicates on any of them skip
+    files at planning time — the Delta/Iceberg ``OPTIMIZE ZORDER``
+    layout, built from one extra shuffle.
+    """
+    if len(zorder_by) < 2:
+        raise ValueError("z-ordering needs >= 2 columns; use write_clustered for one")
+    if bits * len(zorder_by) > 63:
+        raise ValueError(f"bits={bits} x {len(zorder_by)} cols exceeds a signed long")
+    n_bins = 1 << bits
+    qs = [i / n_bins for i in range(1, n_bins)]
+    z = F.lit(0).cast("long")
+    for ci, col in enumerate(zorder_by):
+        cuts = df.agg(
+            F.percentile_approx(
+                F.col(col).cast("double"), F.lit(qs), F.lit(int(1.0 / relative_error))
+            ).alias("c")
+        ).collect()[0]["c"]
+        bin_id: Column = F.lit(n_bins - 1)
+        for b in range(n_bins - 2, -1, -1):
+            bin_id = F.when(F.col(col).cast("double") <= F.lit(cuts[b]), F.lit(b)).otherwise(bin_id)
+        bin_id = bin_id.cast("long")
+        # interleave: bit i of this column's bin lands at position
+        # i * n_cols + ci of the Morton key
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(bin_id, i).bitwiseAND(F.lit(1)),
+                i * len(zorder_by) + ci,
+            )
+    clustered = (
+        df.withColumn("_zorder", z)
+        .repartitionByRange(*([n_files] if n_files else []), "_zorder")
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+    )
+    return write_parquet_atomic(clustered, target_dir)
 
 
 def pd_isna(v) -> bool:

@@ -281,3 +281,54 @@ def test_delete_keys_partitioned_prunes_and_drops_emptied(spark, tmp_path):
     # no-match replay is a no-op audit
     audit2 = t.delete_keys(forget)
     assert audit2.get("empty_match") and audit2["rows_after"] == 2
+
+
+def test_write_zordered_narrows_both_columns(spark, tmp_path):
+    """Z-order vs single-axis clustering on (x, y): the z-ordered layout
+    must make per-file min/max spans narrow on BOTH columns, while
+    single-axis clustering leaves the second column's spans ~global
+    (its footer stats prune nothing)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from sap_data_pipeline_spark.sources.sinks import write_clustered, write_zordered
+
+    # 64x64 grid, shuffled arrival order
+    rows = [((i * 37) % 64, (i * 53) % 64, float(i)) for i in range(4096)]
+    df = spark.createDataFrame(rows, "x int, y int, v double").repartition(8)
+
+    zpath, cpath = str(tmp_path / "zord"), str(tmp_path / "clus")
+    write_zordered(df, zpath, zorder_by=["x", "y"], bits=6, n_files=16)
+    write_clustered(df.repartition(16), cpath, cluster_by=["x"])
+
+    def spans(path, col):
+        out = []
+        for f in Path(path).rglob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            names = [md.schema.column(j).name for j in range(md.num_columns)]
+            ci = names.index(col)
+            stats = [md.row_group(i).column(ci).statistics
+                     for i in range(md.num_row_groups)]
+            out.append(max(s.max for s in stats) - min(s.min for s in stats))
+        return sum(out) / len(out)
+
+    z_x, z_y = spans(zpath, "x"), spans(zpath, "y")
+    c_y = spans(cpath, "y")
+    # both axes narrow under z-order (16 files over a 64x64 grid ->
+    # file hypercubes ~16x16; allow generous slack for bin fuzz)
+    assert z_x <= 40 and z_y <= 40, (z_x, z_y)
+    # single-axis clustering leaves y unpruned
+    assert c_y >= 55, c_y
+    assert z_y < c_y
+
+
+def test_write_zordered_rejects_bad_args(spark, tmp_path):
+    import pytest
+
+    from sap_data_pipeline_spark.sources.sinks import write_zordered
+
+    df = spark.createDataFrame([(1, 2)], "x int, y int")
+    with pytest.raises(ValueError):
+        write_zordered(df, str(tmp_path / "z1"), zorder_by=["x"])
+    with pytest.raises(ValueError):
+        write_zordered(df, str(tmp_path / "z2"), zorder_by=["x", "y"], bits=32)
