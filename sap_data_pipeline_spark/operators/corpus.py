@@ -286,3 +286,29 @@ def count_min_probe(cells: DataFrame, probes: DataFrame, *,
         .groupBy(term_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_estimate"))
     )
+
+
+def sharded_distinct_estimate(df: DataFrame, col: str, *,
+                              shard_col: str,
+                              lg_k: int = 12) -> DataFrame:
+    """Shard-parallel distinct counting with MERGEABLE HLL sketches
+    (Apache DataSketches via Spark's ``hll_sketch_agg`` /
+    ``hll_union_agg``): each shard sketches independently, sketches
+    union associatively, and the estimate comes from the union — the
+    only distinct-count shape that works when shards are processed at
+    different times or sites (an exact distinct re-shuffles the union
+    of all shards; ``approx_count_distinct`` cannot expose its sketch
+    for reuse).
+
+    Returns one row: (n_shards, merged_estimate).  Per-shard sketch is
+    one partial-agg pass; the union reduces shard-count rows.
+    """
+    shard_sketches = df.groupBy(shard_col).agg(
+        F.hll_sketch_agg(F.col(col).cast("string"), F.lit(lg_k)).alias("sk")
+    )
+    return shard_sketches.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(
+            "merged_estimate"
+        ),
+    )

@@ -267,3 +267,25 @@ def test_count_min_never_undercounts_and_merges(spark, star):
     single = {(r["row"], r["bucket"]): r["cnt"] for r in cells.collect()}
     got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert got == single
+
+
+def test_sharded_distinct_estimate_merges_to_global(spark, star):
+    """HLL mergeability: per-shard sketches unioned must estimate the
+    GLOBAL distinct count (within HLL error), regardless of how rows
+    were sharded — the contract that lets 100 TB shards sketch
+    independently and merge later."""
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.operators.corpus import sharded_distinct_estimate
+
+    docs = star.documents.withColumn("shard", F.pmod("doc_id", F.lit(7)))
+    exact = docs.select("text").distinct().count()
+    row = sharded_distinct_estimate(docs, "text", shard_col="shard").collect()[0]
+    assert row["n_shards"] == 7
+    assert abs(row["merged_estimate"] - exact) / exact < 0.05
+
+    # shard layout barely moves the estimate (sketch merge is
+    # associative up to sparse->dense promotion rounding)
+    alt = docs.withColumn("shard", F.pmod("doc_id", F.lit(3)))
+    row2 = sharded_distinct_estimate(alt, "text", shard_col="shard").collect()[0]
+    assert abs(row2["merged_estimate"] - row["merged_estimate"]) / exact < 0.02
