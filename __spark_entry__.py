@@ -67,6 +67,7 @@ _TAIL = (
     "conditional_agg",
     "ann_hamming_topk",
     "cms_term_frequencies",
+    "warc_corpus_roundtrip",
     "curriculum_deciles",
     "ann_ivf_topk",
     "approx_corpus_profile",

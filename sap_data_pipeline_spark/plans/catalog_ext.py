@@ -2152,3 +2152,57 @@ def cms_term_frequencies(star: Star) -> DataFrame:
     est = count_min_probe(cells, top.select("term"), depth=_CMS_D,
                           width=_CMS_W, seed=_CMS_SEED)
     return top.join(est, "term").select("term", "exact_cnt", "cms_estimate")
+
+
+# ---------------------------------------------------------------------------
+# WARC corpus front door (sources/warc.py): Common Crawl's format, parsed
+# with stdlib only (per-record gzip members via zlib, Content-Length
+# record walking).  The round-trip query builds real .warc.gz bytes from
+# the documents table executor-side (one multi-record file per doc_id
+# % 25 group, plus warcinfo records readers must skip), pushes them
+# through the REAL parse path, and the oracle is the documents table
+# itself — closed form: HTTP head is 60 bytes + the UTF-8 body.
+# ---------------------------------------------------------------------------
+
+@register(
+    "warc_corpus_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(200 AS INT) AS http_status,
+           'text/plain; charset=utf-8' AS content_type,
+           COALESCE(text, '') AS body,
+           CAST(60 + octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+               AS n_payload_bytes
+    FROM documents
+    """,
+)
+def warc_corpus_roundtrip(star: Star) -> DataFrame:
+    import pandas as pd
+
+    from sap_data_pipeline_spark.sources import warc as W
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = [
+            (f"http://synth.example/{int(did)}", txt if txt is not None else "")
+            for did, txt in zip(pdf["doc_id"], pdf["text"])
+        ]
+        fid = int(pdf["fid"].iloc[0])
+        return pd.DataFrame({
+            "source_file": [f"mem://part-{fid}.warc.gz"],
+            "payload": [W.build_warc_bytes(recs, gzip_members=True)],
+        })
+
+    files = (
+        star.documents.select("doc_id", "text")
+        .withColumn("fid", F.pmod("doc_id", F.lit(25)))
+        .groupBy("fid")
+        .applyInPandas(build, "source_file string, payload binary")
+    )
+    parsed = W.parse_warc_frames(files).filter(F.col("record_type") == "response")
+    return parsed.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        "http_status",
+        "content_type",
+        F.col("body"),
+        "n_payload_bytes",
+    )

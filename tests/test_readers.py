@@ -229,3 +229,56 @@ def test_xlsx_writer_strips_illegal_control_chars(spark, tmp_path):
     header, rows = XL.read_xlsx(str(p))
     assert rows[0][0] == "badbytehere"
     assert rows[1][0] == "tab\tand\nnewline ok"
+
+
+def test_warc_reader_from_files(spark, tmp_path):
+    """read_warc_corpus over real .warc and .warc.gz files on disk:
+    binaryFile scan -> record explosion; warcinfo records skipped by
+    type filter; bodies and URIs round-trip exactly."""
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.sources import warc as W
+
+    recs1 = [("http://a.example/1", "hello warc world"),
+             ("http://a.example/2", "second document body")]
+    recs2 = [("http://b.example/3", "gzipped member record")]
+    (tmp_path / "f1.warc").write_bytes(W.build_warc_bytes(recs1))
+    (tmp_path / "f2.warc.gz").write_bytes(
+        W.build_warc_bytes(recs2, gzip_members=True))
+
+    out = W.read_warc_corpus(spark, str(tmp_path)).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["record_type"], []).append(r)
+    assert len(by_type["warcinfo"]) == 2          # one per file, passed through
+    responses = {r["target_uri"]: r for r in by_type["response"]}
+    assert set(responses) == {"http://a.example/1", "http://a.example/2",
+                              "http://b.example/3"}
+    assert responses["http://a.example/1"]["body"] == "hello warc world"
+    assert responses["http://b.example/3"]["body"] == "gzipped member record"
+    assert all(r["http_status"] == 200 for r in by_type["response"])
+    assert all(r["content_type"] == "text/plain; charset=utf-8"
+               for r in by_type["response"])
+
+
+def test_warc_parse_rejects_truncated_gzip():
+    import pytest
+
+    from sap_data_pipeline_spark.sources import warc as W
+
+    payload = W.build_warc_bytes([("http://x/1", "body")], gzip_members=True)
+    with pytest.raises(ValueError, match="truncated"):
+        W.parse_warc_records(payload[:-10])
+
+
+def test_warc_parse_body_with_crlf_sequences():
+    """Record walking is Content-Length-driven: a body containing
+    \\r\\n\\r\\n (the header terminator) must NOT split the record."""
+    from sap_data_pipeline_spark.sources import warc as W
+
+    tricky = "line one\r\n\r\nWARC/1.0 fake marker\r\n\r\nline two"
+    recs = W.parse_warc_records(
+        W.build_warc_bytes([("http://x/1", tricky)]))
+    responses = [r for r in recs if r["record_type"] == "response"]
+    assert len(responses) == 1
+    assert responses[0]["body"] == tricky
