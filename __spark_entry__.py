@@ -68,6 +68,7 @@ _TAIL = (
     "ann_hamming_topk",
     "cms_term_frequencies",
     "warc_corpus_roundtrip",
+    "warc_html_to_corpus",
     "curriculum_deciles",
     "ann_ivf_topk",
     "approx_corpus_profile",

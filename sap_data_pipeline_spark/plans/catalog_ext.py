@@ -2206,3 +2206,48 @@ def warc_corpus_roundtrip(star: Star) -> DataFrame:
         F.col("body"),
         "n_payload_bytes",
     )
+
+
+# The complete Common Crawl ingestion path: .warc.gz bytes → record
+# explosion → HTML text extraction → clean corpus rows.  Bodies are
+# HTML-wrapped executor-side; the oracle applies only the extractor's
+# whitespace collapse to the source text.
+@register(
+    "warc_html_to_corpus",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g')) AS text
+    FROM documents
+    """,
+)
+def warc_html_to_corpus(star: Star) -> DataFrame:
+    import pandas as pd
+
+    from sap_data_pipeline_spark.sources import warc as W
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = [
+            (
+                f"http://synth.example/{int(did)}",
+                "<html><head><title></title><style>p{}</style></head>"
+                f"<body><p>{txt if txt is not None else ''}</p></body></html>",
+            )
+            for did, txt in zip(pdf["doc_id"], pdf["text"])
+        ]
+        fid = int(pdf["fid"].iloc[0])
+        return pd.DataFrame({
+            "source_file": [f"mem://part-{fid}.warc.gz"],
+            "payload": [W.build_warc_bytes(recs, gzip_members=True)],
+        })
+
+    files = (
+        star.documents.select("doc_id", "text")
+        .withColumn("fid", F.pmod("doc_id", F.lit(25)))
+        .groupBy("fid")
+        .applyInPandas(build, "source_file string, payload binary")
+    )
+    parsed = W.parse_warc_frames(files).filter(F.col("record_type") == "response")
+    return parsed.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        X.extract_text_html("body").alias("text"),
+    )
