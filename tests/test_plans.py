@@ -225,3 +225,12 @@ def test_unigram_logprob_pruned_vocab_broadcasts(spark):
     plan = _plan(unigram_logprob(star.documents, vocab_size=100))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_cms_cells_single_exchange_probe_broadcast(spark):
+    """Count-Min build: tokens fan out map-side, cells aggregate on ONE
+    hash exchange; the probe side joins the depth×width cell frame
+    BROADCAST (never a shuffle join against the sketch)."""
+    plan = _plan(QUERIES["cms_term_frequencies"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # exact top-20, never a full sort
