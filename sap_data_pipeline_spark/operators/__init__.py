@@ -1,9 +1,16 @@
 from sap_data_pipeline_spark.operators import (
+    corpus,
     dedup,
     merge,
     multimodal,
     relational,
+    rollup,
+    sampling,
     similarity,
+    temporal,
 )
 
-__all__ = ["dedup", "merge", "multimodal", "relational", "similarity"]
+__all__ = [
+    "corpus", "dedup", "merge", "multimodal", "relational",
+    "rollup", "sampling", "similarity", "temporal",
+]
