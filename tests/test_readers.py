@@ -282,3 +282,29 @@ def test_warc_parse_body_with_crlf_sequences():
     responses = [r for r in recs if r["record_type"] == "response"]
     assert len(responses) == 1
     assert responses[0]["body"] == tricky
+
+
+def test_warc_roundtrip_property():
+    """Property: build→parse is identity for ANY body text (unicode,
+    embedded CRLF/header-terminator sequences, empty), with and without
+    per-record gzip members."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sap_data_pipeline_spark.sources import warc as W
+
+    body = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(bodies=st.lists(body, min_size=1, max_size=5), gz=st.booleans())
+    def check(bodies, gz):
+        recs = [(f"http://x.example/{i}", b) for i, b in enumerate(bodies)]
+        parsed = W.parse_warc_records(W.build_warc_bytes(recs, gzip_members=gz))
+        responses = [r for r in parsed if r["record_type"] == "response"]
+        assert [r["body"] for r in responses] == list(bodies)
+        assert [r["target_uri"] for r in responses] == [u for u, _ in recs]
+        assert parsed[0]["record_type"] == "warcinfo"
+
+    check()
