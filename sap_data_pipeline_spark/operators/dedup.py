@@ -356,9 +356,14 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
     schedule.  Labels use the id column's natural ordering, so string
     doc ids (URLs, content hashes) work as well as numeric ones.
 
-    Scale shape: each round is one shuffle-join of the (bounded) edge
-    list against the label frame, a min-aggregate on the same id key,
-    and one label self-join for the jump.  Label frames are
+    Scale shape: ONLY nodes that appear in an edge enter the loop —
+    on a real corpus, near-dup components cover a small fraction of
+    documents, and dragging the singleton majority through O(log d)
+    shuffle rounds would dominate the cost for no effect (they rejoin
+    as their own cluster after the fixpoint).  Each round is then one
+    shuffle-join of the (bounded) edge list against the label frame, a
+    min-aggregate on the same id key, and one label self-join for the
+    jump.  Label frames are
     checkpointed every round — iterative self-referencing plans
     otherwise grow lineage exponentially and re-execute round 1 under
     round N.  ``checkpoint_dir=None`` (default) uses
@@ -385,7 +390,21 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
         pairs.select(F.col("id_a").alias("dst"), F.col("id_b").alias("id"))
         .unionAll(pairs.select(F.col("id_b").alias("dst"), F.col("id_a").alias("id")))
     )  # computed once, re-joined every round
-    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    # ONLY nodes that appear in an edge enter the iterative loop: on a
+    # real corpus near-dup components cover a small fraction of
+    # documents, and singletons riding O(log d) shuffle rounds would
+    # dominate the cost for no effect (their label never changes).
+    # They rejoin as their own cluster after the fixpoint.
+    touched = edges.select("id").distinct()
+    singletons = (
+        ids.select(F.col(id_col).alias("id"))
+        .join(touched, "id", "left_anti")
+        .select(F.col("id"), F.col("id").alias("lbl"))
+    )
+    labels = (
+        ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+        .join(touched, "id", "left_semi")
+    )
     for _ in range(max_iter):
         # each id contributes exactly ONE "own" row (its current label);
         # propagated rows carry NULL own — so max(own) in the aggregate
@@ -429,7 +448,9 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
         ).collect()[0]["n"]
         labels = labels.select("id", "lbl")
         if not n_changed:  # labels only decrease: a zero-change round is the fixpoint
-            return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+            return labels.unionAll(singletons).select(
+                F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
+            )
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "pathological graph; raise max_iter or pre-collapse with exact dedup"
