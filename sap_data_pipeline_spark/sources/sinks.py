@@ -258,3 +258,37 @@ def export_excel(df: DataFrame, path: str, *, max_rows: int = 1_000_000) -> int:
     ]
     write_xlsx(path, [str(c) for c in head.columns], rows)
     return len(head)
+
+
+def export_jsonl_sharded(
+    df: DataFrame,
+    target_dir: str,
+    *,
+    docs_per_shard: int,
+    order_key: str,
+) -> int:
+    """Export a curated corpus as sharded JSONL — the handoff format
+    tokenizer/training-loader pipelines consume (one JSON document per
+    line, shards sized for loader parallelism).
+
+    Sharding is DETERMINISTIC: rows are range-partitioned and ordered
+    by ``order_key`` with ``ceil(n / docs_per_shard)`` shards, so a
+    re-export of the same corpus produces byte-identical shard
+    contents (loaders checkpoint by shard+offset; a nondeterministic
+    export invalidates resume points).  One range shuffle; each task
+    streams its shard as a single JSON-lines file.  Returns row count.
+    """
+    import math
+
+    n = df.count()
+    if n == 0:
+        raise ValueError("refusing to export an empty corpus")
+    n_shards = math.ceil(n / docs_per_shard)
+    (
+        df.repartitionByRange(n_shards, F.col(order_key))
+        .sortWithinPartitions(order_key)
+        .select(F.to_json(F.struct(*df.columns)).alias("value"))
+        .write.mode("overwrite")
+        .text(target_dir)
+    )
+    return n
