@@ -69,6 +69,7 @@ _TAIL = (
     "cms_term_frequencies",
     "warc_corpus_roundtrip",
     "warc_html_to_corpus",
+    "scd2_customer_history",
     "curriculum_deciles",
     "ann_ivf_topk",
     "approx_corpus_profile",

@@ -338,3 +338,84 @@ class ParquetMergeTable:
         audit = {"op": "update_from", "rows_before": before, "rows_after": after}
         self.history.append(audit)
         return audit
+
+
+def scd2_apply(
+    history: DataFrame | None,
+    updates: DataFrame,
+    *,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    effective: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 merge: versioned dimension
+    history with validity ranges, the warehouse pattern for "what did
+    this customer's segment look like WHEN the order shipped" (query
+    the result with :func:`operators.temporal.asof_join` or a
+    ``BETWEEN valid_from AND valid_to`` join).
+
+    Per update batch (``effective`` = that batch's effective-date
+    column): current rows (``valid_to IS NULL``) whose ``tracked``
+    values differ (null-safely) close at the update's effective date; a
+    new open version inserts for every changed or brand-new key;
+    unchanged keys and already-closed versions pass through untouched.
+    Re-applying the same batch is a no-op (current values then equal
+    the update — idempotent replay, same contract as ``merge``).
+
+    Pure frame transform (compose with ``write_parquet_atomic`` /
+    ``ParquetMergeTable`` for storage).  Scale shape: one key-keyed
+    join of the update batch against CURRENT rows only (closed history
+    — the bulk at 10-year depth — is untouched and never shuffles
+    when the table is stored partitioned on ``valid_to IS NULL``).
+    Batches must apply in effective-date order; out-of-order history
+    rewrites need a full rebuild, as in any warehouse.
+    """
+    upd = updates.select(
+        *keys,
+        *[F.col(c).alias(f"_u_{c}") for c in tracked],
+        F.col(effective).alias("_eff"),
+    ).dropDuplicates(list(keys))
+
+    if history is None:
+        return upd.select(
+            *keys,
+            *[F.col(f"_u_{c}").alias(c) for c in tracked],
+            F.col("_eff").alias(valid_from_col),
+            F.lit(None).cast(upd.schema["_eff"].dataType).alias(valid_to_col),
+        )
+
+    closed_history = history.filter(F.col(valid_to_col).isNotNull())
+    current = history.filter(F.col(valid_to_col).isNull())
+    joined = current.join(upd, list(keys), "left")
+    differs = reduce(
+        Column.__or__,
+        [~F.col(c).eqNullSafe(F.col(f"_u_{c}")) for c in tracked],
+    )
+    unchanged_current = joined.filter(F.col("_eff").isNull() | ~differs).select(
+        *history.columns
+    )
+    closing = joined.filter(F.col("_eff").isNotNull() & differs).select(
+        *[F.col(c) for c in keys],
+        *[F.col(c) for c in tracked],
+        F.col(valid_from_col),
+        F.col("_eff").alias(valid_to_col),
+    )
+    # new versions: changed keys + keys with no current row at all
+    changed_keys = joined.filter(F.col("_eff").isNotNull() & differs).select(*keys)
+    new_keys = upd.join(current.select(*keys), list(keys), "left_anti").select(*keys)
+    opening = upd.join(
+        changed_keys.unionByName(new_keys).distinct(), list(keys), "left_semi"
+    ).select(
+        *keys,
+        *[F.col(f"_u_{c}").alias(c) for c in tracked],
+        F.col("_eff").alias(valid_from_col),
+        F.lit(None).cast(upd.schema["_eff"].dataType).alias(valid_to_col),
+    )
+    return (
+        closed_history.select(*history.columns)
+        .unionByName(unchanged_current)
+        .unionByName(closing.select(*history.columns))
+        .unionByName(opening.select(*history.columns))
+    )

@@ -2251,3 +2251,44 @@ def warc_html_to_corpus(star: Star) -> DataFrame:
         F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
         X.extract_text_html("body").alias("text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension versioning (operators.merge.scd2_apply): two
+# deterministic update batches over the customer dim — batch 1 seeds the
+# history at 2024-01-01; batch 2 (2024-02-01) raises acctbal by 10 for
+# custkey % 3 == 0.  Closed form: those keys carry a closed v1 and an
+# open v2; everyone else keeps one open v1.
+# ---------------------------------------------------------------------------
+
+@register(
+    "scd2_customer_history",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           '2024-01-01' AS valid_from,
+           CASE WHEN c_custkey % 3 = 0 THEN '2024-02-01' END AS valid_to
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, c_mktsegment,
+           CAST(c_acctbal AS DOUBLE) + 10.0,
+           '2024-02-01', NULL
+    FROM customer WHERE c_custkey % 3 = 0
+    """,
+)
+def scd2_customer_history(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.merge import scd2_apply
+
+    base = star.customer.select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double")
+    )
+    batch1 = base.withColumn("eff", F.lit("2024-01-01"))
+    batch2 = base.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 10.0)
+        .otherwise(F.col("c_acctbal")),
+    ).withColumn("eff", F.lit("2024-02-01"))
+    h1 = scd2_apply(None, batch1, keys=["c_custkey"],
+                    tracked=["c_mktsegment", "c_acctbal"], effective="eff")
+    return scd2_apply(h1, batch2, keys=["c_custkey"],
+                      tracked=["c_mktsegment", "c_acctbal"], effective="eff")

@@ -332,3 +332,60 @@ def test_write_zordered_rejects_bad_args(spark, tmp_path):
         write_zordered(df, str(tmp_path / "z1"), zorder_by=["x"])
     with pytest.raises(ValueError):
         write_zordered(df, str(tmp_path / "z2"), zorder_by=["x", "y"], bits=32)
+
+
+def test_scd2_versions_close_and_open(spark):
+    from sap_data_pipeline_spark.operators.merge import scd2_apply
+
+    b1 = spark.createDataFrame(
+        [(1, "GOLD", "2024-01-01"), (2, "SILVER", "2024-01-01")],
+        "k long, tier string, eff string",
+    )
+    h1 = scd2_apply(None, b1, keys=["k"], tracked=["tier"], effective="eff")
+    assert {(r["k"], r["tier"], r["valid_from"], r["valid_to"])
+            for r in h1.collect()} == {
+        (1, "GOLD", "2024-01-01", None), (2, "SILVER", "2024-01-01", None)}
+
+    # batch 2: key 1 changes tier, key 2 unchanged, key 3 brand-new
+    b2 = spark.createDataFrame(
+        [(1, "PLAT", "2024-02-01"), (2, "SILVER", "2024-02-01"),
+         (3, "GOLD", "2024-02-01")],
+        "k long, tier string, eff string",
+    )
+    h2 = scd2_apply(h1, b2, keys=["k"], tracked=["tier"], effective="eff")
+    got = {(r["k"], r["tier"], r["valid_from"], r["valid_to"])
+           for r in h2.collect()}
+    assert got == {
+        (1, "GOLD", "2024-01-01", "2024-02-01"),   # closed
+        (1, "PLAT", "2024-02-01", None),           # new version
+        (2, "SILVER", "2024-01-01", None),         # untouched
+        (3, "GOLD", "2024-02-01", None),           # brand-new key
+    }
+
+    # idempotent replay: same batch again changes nothing
+    h3 = scd2_apply(h2, b2, keys=["k"], tracked=["tier"], effective="eff")
+    assert {(r["k"], r["tier"], r["valid_from"], r["valid_to"])
+            for r in h3.collect()} == got
+
+    # a third change closes only the current version, never reopens v1
+    b3 = spark.createDataFrame([(1, "IRON", "2024-03-01")],
+                               "k long, tier string, eff string")
+    h4 = scd2_apply(h3, b3, keys=["k"], tracked=["tier"], effective="eff")
+    v1 = [r for r in h4.collect() if r["k"] == 1]
+    assert {(r["tier"], r["valid_to"]) for r in v1} == {
+        ("GOLD", "2024-02-01"), ("PLAT", "2024-03-01"), ("IRON", None)}
+
+
+def test_scd2_null_safe_tracking(spark):
+    """NULL -> value and value -> NULL both count as changes; NULL ->
+    NULL does not (eqNullSafe semantics)."""
+    from sap_data_pipeline_spark.operators.merge import scd2_apply
+
+    b1 = spark.createDataFrame([(1, None, "d1"), (2, None, "d1")],
+                               "k long, v string, eff string")
+    h1 = scd2_apply(None, b1, keys=["k"], tracked=["v"], effective="eff")
+    b2 = spark.createDataFrame([(1, "x", "d2"), (2, None, "d2")],
+                               "k long, v string, eff string")
+    h2 = scd2_apply(h1, b2, keys=["k"], tracked=["v"], effective="eff")
+    rows = {(r["k"], r["v"], r["valid_to"]) for r in h2.collect()}
+    assert rows == {(1, None, "d2"), (1, "x", None), (2, None, None)}
