@@ -70,6 +70,7 @@ _TAIL = (
     "warc_corpus_roundtrip",
     "warc_html_to_corpus",
     "scd2_customer_history",
+    "events_dau_wau",
     "curriculum_deciles",
     "ann_ivf_topk",
     "approx_corpus_profile",

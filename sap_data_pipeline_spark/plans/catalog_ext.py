@@ -2292,3 +2292,61 @@ def scd2_customer_history(star: Star) -> DataFrame:
                     tracked=["c_mktsegment", "c_acctbal"], effective="eff")
     return scd2_apply(h1, batch2, keys=["c_custkey"],
                       tracked=["c_mktsegment", "c_acctbal"], effective="eff")
+
+
+# ---------------------------------------------------------------------------
+# Active-user retention rollup: DAU + trailing-7-day WAU per day.  The
+# trailing-distinct is the classic scale trap — a windowed
+# COUNT(DISTINCT) cannot partial-aggregate — so each distinct
+# (day, user) pair fans out to the ≤7 window-END days it contributes to
+# (BOUNDED fan-out) and both grains reduce with stock two-phase exact
+# distinct aggregation.  Window-end days beyond the observed range are
+# clipped via a broadcast max-day scalar.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_dau_wau",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    hi AS (SELECT max(day) AS hi FROM du),
+    dau AS (
+        SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day
+    ),
+    fan AS (
+        SELECT du.user_id, du.day + CAST(x.i AS INT) AS wday
+        FROM du, (SELECT unnest(generate_series(0, 6)) AS i) x
+    ),
+    wau AS (
+        SELECT wday, COUNT(DISTINCT user_id) AS wau_7d
+        FROM fan, hi WHERE wday <= hi
+        GROUP BY wday
+    )
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+           CAST(dau AS BIGINT) AS dau,
+           CAST(wau_7d AS BIGINT) AS wau_7d
+    FROM dau JOIN wau ON wau.wday = dau.day
+    """,
+)
+def events_dau_wau(star: Star) -> DataFrame:
+    du = star.events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    hi = du.agg(F.max("day").alias("_hi"))
+    wau = (
+        du.select(
+            F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("wday"),
+            "user_id",
+        )
+        .crossJoin(F.broadcast(hi))
+        .filter(F.col("wday") <= F.col("_hi"))
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("wau_7d"))
+    )
+    return dau.join(wau, dau["day"] == wau["wday"]).select(
+        F.date_format(dau["day"], "yyyy-MM-dd").alias("day"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau_7d").cast("long").alias("wau_7d"),
+    )
