@@ -71,6 +71,7 @@ _TAIL = (
     "warc_html_to_corpus",
     "scd2_customer_history",
     "events_dau_wau",
+    "events_retention_cohorts",
     "curriculum_deciles",
     "ann_ivf_topk",
     "approx_corpus_profile",

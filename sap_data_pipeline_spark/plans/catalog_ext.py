@@ -2350,3 +2350,40 @@ def events_dau_wau(star: Star) -> DataFrame:
         F.col("dau").cast("long").alias("dau"),
         F.col("wau_7d").cast("long").alias("wau_7d"),
     )
+
+
+# Retention cohort matrix: users grouped by first-activity day, counted
+# per trailing week offset — one distinct pass + a broadcast-joined
+# per-user cohort frame + one (cohort, offset) aggregate.
+@register(
+    "events_retention_cohorts",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(day) AS cohort_day FROM du GROUP BY user_id
+    )
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST((du.day - c.cohort_day) // 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS n_active
+    FROM du JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_day, week_offset
+    """,
+)
+def events_retention_cohorts(star: Star) -> DataFrame:
+    du = star.events.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    cohort = du.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        du.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.floor(F.datediff("day", "cohort_day") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "week_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+        )
+    )
