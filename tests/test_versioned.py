@@ -69,3 +69,43 @@ def test_vacuum_never_touches_referenced_files(spark, tmp_path):
     assert t.vacuum(keep_last=2) == 0
     assert _rows(t.read()) == [("a", 1), ("b", 2), ("c", 3)]
     assert _rows(t.read(2)) == [("a", 1), ("b", 2)]
+
+
+def test_streaming_producer_incremental_consumer(spark, tmp_path):
+    """The full incremental pipeline: a file stream appends a version
+    per micro-batch; a consumer job checkpoints the version it has
+    processed and reads ONLY the delta files on each run."""
+    from pyspark.sql import types as T
+
+    from sap_data_pipeline_spark.streaming.ingest import stream_file_source
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    (watch / "b1.csv").write_text("k\tv\na\t1\nb\t2\n")
+    (watch / "b2.csv").write_text("k\tv\nc\t3\n")
+
+    t = VersionedParquetTable(spark, str(tmp_path / "vt5"))
+    schema = T.StructType([T.StructField("k", T.StringType()),
+                           T.StructField("v", T.IntegerType())])
+    stream = stream_file_source(spark, str(watch), schema, fmt="csv")
+    q = (stream.writeStream
+         .foreachBatch(lambda batch, _bid: t.append(batch))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert t.current_version == 2
+
+    # consumer run 1: processes everything, checkpoints version 2
+    seen = _rows(t.changes_since(0))
+    assert seen == [("a", 1), ("b", 2), ("c", 3)]
+    consumer_ckpt = t.current_version
+
+    # new micro-batch arrives; consumer run 2 sees ONLY the delta
+    (watch / "b3.csv").write_text("k\tv\nd\t4\n")
+    stream2 = stream_file_source(spark, str(watch), schema, fmt="csv")
+    q2 = (stream2.writeStream
+          .foreachBatch(lambda batch, _bid: t.append(batch))
+          .option("checkpointLocation", str(tmp_path / "ckpt"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert _rows(t.changes_since(consumer_ckpt)) == [("d", 4)]
