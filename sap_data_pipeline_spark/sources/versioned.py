@@ -81,37 +81,102 @@ class VersionedParquetTable:
 
     # --- writes -------------------------------------------------------
 
-    def _write_files(self, df: DataFrame) -> list[str]:
-        batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex[:12])
-        df.write.mode("error").parquet(batch_dir)
-        return sorted(
-            os.path.join(dp, f)
-            for dp, _, fs in os.walk(batch_dir)
-            for f in fs
-            if f.endswith(".parquet")
-        )
+    def _write_files(self, df: DataFrame, partition_by: str | None = None) -> list:
+        """Write ``df`` into immutable files under a fresh batch dir and
+        return manifest entries.  With ``partition_by``, each partition
+        value gets its own subdirectory and the column STAYS IN THE
+        DATA (unlike Spark's ``partitionBy`` hive layout, which strips
+        it — path-list reads would lose the column); the per-value
+        write loop is bounded by partitions-per-batch, the same
+        driver-side bound ``ParquetMergeTable`` accepts."""
+        from pyspark.sql import functions as F
 
-    def append(self, df: DataFrame) -> int:
+        batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex[:12])
+
+        def walk(d: str, part: str | None) -> list:
+            return sorted(
+                (
+                    {"path": os.path.join(dp, f), "partition": part}
+                    for dp, _, fs in os.walk(d)
+                    for f in fs
+                    if f.endswith(".parquet")
+                ),
+                key=lambda e: e["path"],
+            )
+
+        if partition_by is None:
+            df.write.mode("error").parquet(batch_dir)
+            return walk(batch_dir, None)
+        out: list = []
+        vals = [r[0] for r in df.select(partition_by).distinct().collect()]
+        for i, v in enumerate(sorted(vals, key=str)):
+            sub = os.path.join(batch_dir, f"p{i}")
+            df.filter(F.col(partition_by).eqNullSafe(F.lit(v))).write.mode(
+                "error"
+            ).parquet(sub)
+            out.extend(walk(sub, str(v)))
+        return out
+
+    def append(self, df: DataFrame, *, partition_by: str | None = None) -> int:
         """Append-only commit: new files + ALL previous files — zero
-        rewrite, the shape corpus ingest needs."""
+        rewrite, the shape corpus ingest needs.  ``partition_by``
+        records each new file's partition value in the manifest so
+        later merges can share untouched partitions."""
         m = self._load_manifest()
         prev = self._files_of(None)
-        return self._commit(m, prev + self._write_files(df), "append")
+        return self._commit(
+            m, prev + self._write_files(df, partition_by), "append"
+        )
 
-    def merge(self, source: DataFrame, keys: list[str]) -> int:
-        """Keyed upsert commit: merged content lands in a FRESH file
-        set (previous versions keep their files — time travel across
-        merges works)."""
+    def merge(self, source: DataFrame, keys: list[str], *,
+              partition_by: str | None = None) -> int:
+        """Keyed upsert commit.  With ``partition_by``, only files of
+        partitions the source touches are rewritten; every other file
+        is SHARED with the previous version by reference — the
+        Iceberg-style sharing that keeps time travel viable on a
+        years-deep fact (a full-rewrite merge would copy 100 TB per
+        batch).  Files lacking partition metadata (unpartitioned
+        commits) always rewrite.  Without ``partition_by``, the merged
+        content lands in a fresh full file set."""
+        from pyspark.sql import functions as F
+
         from sap_data_pipeline_spark.operators.merge import merge_upsert_frames
 
         m = self._load_manifest()
-        current = self.read() if m["current"] else None
-        merged = (
-            source.dropDuplicates(keys)
-            if current is None
-            else merge_upsert_frames(current, source, keys)
-        )
-        return self._commit(m, self._write_files(merged), "merge")
+        current_files = self._files_of(None)
+        if not current_files:
+            first = source.dropDuplicates(keys)
+            return self._commit(m, self._write_files(first, partition_by), "merge")
+
+        if partition_by is None:
+            merged = merge_upsert_frames(self.read(), source, keys)
+            return self._commit(m, self._write_files(merged), "merge")
+
+        touched = {
+            str(r[partition_by])
+            for r in source.select(partition_by).distinct().collect()
+        }
+        shared = [
+            e for e in current_files
+            if e["partition"] is not None and e["partition"] not in touched
+        ]
+        affected_paths = [e["path"] for e in current_files if e not in shared]
+        if affected_paths:
+            affected = self.spark.read.parquet(*affected_paths).filter(
+                F.col(partition_by).isin(*touched)
+            )
+            # rows of affected files OUTSIDE touched partitions (only
+            # possible for unpartitioned legacy files) must survive too
+            bystanders = self.spark.read.parquet(*affected_paths).filter(
+                ~F.col(partition_by).isin(*touched)
+            )
+            merged = merge_upsert_frames(affected, source, keys).unionByName(
+                bystanders
+            )
+        else:
+            merged = source.dropDuplicates(keys)
+        new_files = self._write_files(merged, partition_by)
+        return self._commit(m, shared + new_files, "merge")
 
     def rollback(self, to_version: int) -> int:
         """Commit a NEW version pointing at an old version's files —
@@ -126,16 +191,17 @@ class VersionedParquetTable:
         files = self._files_of(version)
         if not files:
             raise ValueError("table has no committed data")
-        return self.spark.read.parquet(*files)
+        return self.spark.read.parquet(*[e["path"] for e in files])
 
     def changes_since(self, version: int) -> DataFrame:
         """Rows in files added AFTER ``version`` — the incremental
         consumer reads the delta, never the table.  Exact for append
-        lineage; a merge commit's delta is its whole (rewritten)
-        snapshot, which is the honest answer for upserts without
+        lineage; a merge commit's delta is the rewritten file set of
+        the partitions it touched (shared untouched files are not
+        re-delivered), which is the honest answer for upserts without
         row-level change tracking."""
-        old = set(self._files_of(version))
-        new = [f for f in self._files_of(None) if f not in old]
+        old = {e["path"] for e in self._files_of(version)}
+        new = [e["path"] for e in self._files_of(None) if e["path"] not in old]
         if not new:
             return self.read().limit(0)
         return self.spark.read.parquet(*new)
@@ -154,7 +220,7 @@ class VersionedParquetTable:
         }
         referenced: set[str] = set()
         for v in keep:
-            referenced.update(m["versions"][v]["files"])
+            referenced.update(e["path"] for e in m["versions"][v]["files"])
         all_files = {
             os.path.join(dp, f)
             for dp, _, fs in os.walk(self.data_dir)

@@ -109,3 +109,39 @@ def test_streaming_producer_incremental_consumer(spark, tmp_path):
           .trigger(availableNow=True).start())
     q2.awaitTermination(120)
     assert _rows(t.changes_since(consumer_ckpt)) == [("d", 4)]
+
+
+def test_partitioned_merge_shares_untouched_files(spark, tmp_path):
+    """Iceberg-style sharing: a merge touching one partition must reuse
+    every other partition's files BY REFERENCE (identical paths across
+    versions), and old versions must still read correctly."""
+    t = VersionedParquetTable(spark, str(tmp_path / "vt6"))
+    base = spark.createDataFrame(
+        [("a", "2024-01-01", 1), ("b", "2024-01-02", 2), ("c", "2024-01-03", 3)],
+        "k string, d string, v int",
+    )
+    t.merge(base, ["k", "d"], partition_by="d")
+    v1_files = {e["path"]: e["partition"] for e in t._files_of(1)}
+    assert set(v1_files.values()) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+
+    batch = spark.createDataFrame(
+        [("b", "2024-01-02", 99), ("x", "2024-01-02", 7)], "k string, d string, v int"
+    )
+    t.merge(batch, ["k", "d"], partition_by="d")
+    v2_files = {e["path"]: e["partition"] for e in t._files_of(2)}
+
+    shared = set(v1_files) & set(v2_files)
+    assert {v1_files[p] for p in shared} == {"2024-01-01", "2024-01-03"}
+    assert all(v2_files[p] == "2024-01-02"
+               for p in set(v2_files) - shared)
+
+    got = {(r["k"], r["d"]): r["v"] for r in t.read().collect()}
+    assert got == {("a", "2024-01-01"): 1, ("b", "2024-01-02"): 99,
+                   ("c", "2024-01-03"): 3, ("x", "2024-01-02"): 7}
+    # time travel to v1 still exact
+    old = {(r["k"], r["d"]): r["v"] for r in t.read(1).collect()}
+    assert old == {("a", "2024-01-01"): 1, ("b", "2024-01-02"): 2,
+                   ("c", "2024-01-03"): 3}
+    # delta since v1 = only the rewritten partition's rows
+    assert {(r["k"], r["v"]) for r in t.changes_since(1).collect()} == \
+        {("b", 99), ("x", 7)}
