@@ -208,6 +208,54 @@ class VersionedParquetTable:
 
     # --- maintenance --------------------------------------------------
 
+    def optimize(self, *, target_file_bytes: int = 128 * 1024 * 1024,
+                 min_files_to_compact: int = 2) -> int:
+        """Bin-pack the CURRENT version's small files into
+        ~``target_file_bytes`` files, committed as a new version — the
+        versioned twin of ``sinks.compact_parquet_table`` (streaming
+        appends accrete a file per micro-batch; scans shouldn't pay a
+        file-open per batch forever).  Partition groups already within
+        budget are SHARED by reference, over-budget groups rewrite;
+        older versions keep reading their original files until vacuum.
+        Returns the new version id, or the current one when everything
+        was already compact (no empty commit)."""
+        import math
+
+        m = self._load_manifest()
+        entries = self._files_of(None)
+        if not entries:
+            return m["current"]
+        groups: dict[str | None, list[dict]] = {}
+        for e in entries:
+            groups.setdefault(e["partition"], []).append(e)
+
+        batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex[:12])
+        new_entries: list = []
+        rewrote = False
+        for gi, (part, es) in enumerate(sorted(groups.items(), key=lambda kv: str(kv[0]))):
+            sizes = sum(os.path.getsize(e["path"]) for e in es)
+            n_target = max(1, math.ceil(sizes / target_file_bytes))
+            if len(es) < max(min_files_to_compact, n_target + 1):
+                new_entries.extend(es)  # already compact: share by reference
+                continue
+            rewrote = True
+            sub = os.path.join(batch_dir, f"g{gi}")
+            (
+                self.spark.read.parquet(*[e["path"] for e in es])
+                .repartition(n_target)
+                .write.mode("error")
+                .parquet(sub)
+            )
+            new_entries.extend(
+                {"path": os.path.join(dp, f), "partition": part}
+                for dp, _, fs in os.walk(sub)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        if not rewrote:
+            return m["current"]
+        return self._commit(m, sorted(new_entries, key=lambda e: e["path"]), "optimize")
+
     def vacuum(self, keep_last: int = 2) -> int:
         """Drop manifest entries older than the last ``keep_last``
         versions and delete data files no kept version references.

@@ -145,3 +145,27 @@ def test_partitioned_merge_shares_untouched_files(spark, tmp_path):
     # delta since v1 = only the rewritten partition's rows
     assert {(r["k"], r["v"]) for r in t.changes_since(1).collect()} == \
         {("b", 99), ("x", 7)}
+
+
+def test_optimize_compacts_as_new_version(spark, tmp_path):
+    """Many micro-batch appends -> optimize bin-packs into few files as
+    a NEW version; the pre-optimize version still reads its original
+    files; a second optimize no-ops (no empty commits)."""
+    t = VersionedParquetTable(spark, str(tmp_path / "vt7"))
+    for i in range(6):
+        t.append(spark.createDataFrame([(f"k{i}", i)], "k string, v int"))
+    assert t.current_version == 6
+    n_files_before = len(t._files_of(None))
+    assert n_files_before >= 6
+
+    v = t.optimize(target_file_bytes=1 << 20)
+    assert v == 7
+    assert len(t._files_of(None)) < n_files_before
+    assert _rows(t.read()) == [(f"k{i}", i) for i in range(6)]
+    assert _rows(t.read(6)) == [(f"k{i}", i) for i in range(6)]  # time travel
+
+    assert t.optimize(target_file_bytes=1 << 20) == 7  # already compact
+
+    # vacuum after optimize drops the small pre-compaction files
+    assert t.vacuum(keep_last=1) > 0
+    assert _rows(t.read()) == [(f"k{i}", i) for i in range(6)]
