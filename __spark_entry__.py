@@ -37,8 +37,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     the label-free embedding_near_dup_cells variant (the 100 TB path);
 #   * conditional_agg — SURVEY A4 is independently driver-evidenced through
 #     store_rp_report's conditional COUNT/AVG ladder;
+#   * multimodal_features — FakeDecoder byte-histogram features, subsumed
+#     by the promoted media_sniff_dispatch, which drives the REAL
+#     WAV/BMP/Y4M decoders (plus unknown-kind quarantine) through the
+#     same Arrow stage shape and verifies strictly more;
 #   * the rows-only queries (no SQL oracle by design).
 _TAIL = (
+    "multimodal_features",
     "simhash_near_dup_pairs64",
     "audio_meta_wav",
     "keep_best_per_cluster",
@@ -59,7 +64,6 @@ _TAIL = (
     "corpus_mixture_apply",
     "unigram_logprob_scores",
     "decontaminate_spans",
-    "media_sniff_dispatch",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",
