@@ -34,6 +34,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CommitConflict(Exception):
+    """Another writer claimed the next version first — re-read the
+    manifest and retry (appends commute; merges must re-merge)."""
+
+
 class VersionedParquetTable:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
@@ -44,13 +49,38 @@ class VersionedParquetTable:
 
     # --- manifest -----------------------------------------------------
 
+    def _claim_path(self, version: int) -> str:
+        return os.path.join(self.root, f"_manifest-v{version}.json")
+
     def _load_manifest(self) -> dict:
         if not os.path.exists(self.manifest_path):
-            return {"current": 0, "versions": {}}
-        with open(self.manifest_path) as f:
-            return json.load(f)
+            m = {"current": 0, "versions": {}}
+        else:
+            with open(self.manifest_path) as f:
+                m = json.load(f)
+        # crash roll-forward: a committer that claimed version N+1 and
+        # died before the pointer swap leaves an orphan claim file whose
+        # data files are fully written (files-first commit order) —
+        # adopt it, otherwise every later commit would conflict forever
+        while True:
+            claim = self._claim_path(m["current"] + 1)
+            if not os.path.exists(claim) or os.path.getsize(claim) == 0:
+                break
+            with open(claim) as f:
+                m = json.load(f)
+            tmp = self.manifest_path + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(m, f)
+            os.replace(tmp, self.manifest_path)
+        return m
 
-    def _commit(self, manifest: dict, files: list[str], op: str) -> int:
+    def _commit(self, manifest: dict, files: list, op: str) -> int:
+        """Optimistic-concurrency commit: atomically CLAIM the next
+        version id with ``O_CREAT|O_EXCL`` (exactly one writer per
+        version id — the compare-and-swap Iceberg does against its
+        catalog), write the full manifest into the claim file, then
+        swap the pointer.  A lost claim raises :class:`CommitConflict`
+        instead of silently clobbering the winner's commit."""
         version = manifest["current"] + 1
         manifest["versions"][str(version)] = {
             "files": files,
@@ -59,6 +89,17 @@ class VersionedParquetTable:
             "ts": time.time(),
         }
         manifest["current"] = version
+        try:
+            fd = os.open(
+                self._claim_path(version),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {version} already claimed by another writer"
+            ) from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
         tmp = self.manifest_path + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -117,15 +158,26 @@ class VersionedParquetTable:
             out.extend(walk(sub, str(v)))
         return out
 
-    def append(self, df: DataFrame, *, partition_by: str | None = None) -> int:
+    def append(self, df: DataFrame, *, partition_by: str | None = None,
+               max_retries: int = 5) -> int:
         """Append-only commit: new files + ALL previous files — zero
         rewrite, the shape corpus ingest needs.  ``partition_by``
         records each new file's partition value in the manifest so
-        later merges can share untouched partitions."""
-        m = self._load_manifest()
-        prev = self._files_of(None)
-        return self._commit(
-            m, prev + self._write_files(df, partition_by), "append"
+        later merges can share untouched partitions.  Appends COMMUTE,
+        so a :class:`CommitConflict` auto-retries against the fresh
+        manifest — the already-written data files are reused, only the
+        metadata commit repeats."""
+        new = self._write_files(df, partition_by)
+        for _ in range(max_retries):
+            m = self._load_manifest()
+            prev = self._files_of(None)
+            try:
+                return self._commit(m, prev + new, "append")
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"append lost the commit race {max_retries} times — "
+            "pathological writer contention"
         )
 
     def merge(self, source: DataFrame, keys: list[str], *,
@@ -283,4 +335,8 @@ class VersionedParquetTable:
         with open(tmp, "w") as f:
             json.dump(m, f)
         os.replace(tmp, self.manifest_path)
+        for v in range(1, m["current"] - keep_last + 1):  # stale claim files
+            claim = self._claim_path(v)
+            if os.path.exists(claim):
+                os.remove(claim)
         return len(doomed)

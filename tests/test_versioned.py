@@ -169,3 +169,55 @@ def test_optimize_compacts_as_new_version(spark, tmp_path):
     # vacuum after optimize drops the small pre-compaction files
     assert t.vacuum(keep_last=1) > 0
     assert _rows(t.read()) == [(f"k{i}", i) for i in range(6)]
+
+
+def test_commit_conflict_never_clobbers_the_winner(spark, tmp_path):
+    """Lost-update protection: a committer holding a STALE manifest must
+    get CommitConflict, not silently overwrite the winner's version."""
+    import pytest
+
+    from sap_data_pipeline_spark.sources.versioned import CommitConflict
+
+    t = VersionedParquetTable(spark, str(tmp_path / "vt8"))
+    t.append(spark.createDataFrame([("a", 1)], "k string, v int"))
+
+    stale = t._load_manifest()  # writer B reads...
+    t.append(spark.createDataFrame([("b", 2)], "k string, v int"))  # A wins v2
+
+    files = t._write_files(spark.createDataFrame([("c", 3)], "k string, v int"))
+    with pytest.raises(CommitConflict):
+        t._commit(stale, stale["versions"]["1"]["files"] + files, "append")
+    # the winner's commit is intact
+    assert _rows(t.read()) == [("a", 1), ("b", 2)]
+
+    # append()'s auto-retry resolves the race: all three rows land
+    t2 = VersionedParquetTable(spark, str(tmp_path / "vt8"))
+    t2.append(spark.createDataFrame([("c", 3)], "k string, v int"))
+    assert _rows(t2.read()) == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_crash_roll_forward_adopts_orphan_claim(spark, tmp_path):
+    """A committer that died between claim and pointer swap leaves an
+    orphan claim file; the next reader adopts it instead of conflicting
+    forever (its data files were fully written before the claim)."""
+    import json
+    import os
+
+    t = VersionedParquetTable(spark, str(tmp_path / "vt9"))
+    t.append(spark.createDataFrame([("a", 1)], "k string, v int"))
+
+    # simulate the crash: claim v2 exists, pointer still at v1
+    files = t._write_files(spark.createDataFrame([("b", 2)], "k string, v int"))
+    m = t._load_manifest()
+    m["versions"]["2"] = {"files": m["versions"]["1"]["files"] + files,
+                          "op": "append", "parent": 1, "ts": 0}
+    m["current"] = 2
+    with open(t._claim_path(2), "w") as f:
+        json.dump(m, f)
+    # pointer NOT updated — a fresh handle must roll forward to v2
+    t2 = VersionedParquetTable(spark, str(tmp_path / "vt9"))
+    assert t2.current_version == 2
+    assert _rows(t2.read()) == [("a", 1), ("b", 2)]
+    # and the next commit proceeds normally as v3
+    t2.append(spark.createDataFrame([("c", 3)], "k string, v int"))
+    assert t2.current_version == 3
