@@ -1,4 +1,5 @@
 from sap_data_pipeline_spark.sources import warc
+from sap_data_pipeline_spark.sources.versioned import VersionedParquetTable
 from sap_data_pipeline_spark.sources.readers import (
     Star,
     load_star,
@@ -8,6 +9,6 @@ from sap_data_pipeline_spark.sources.readers import (
 from sap_data_pipeline_spark.sources.sinks import write_parquet_atomic
 
 __all__ = [
-    "Star", "load_star", "read_jsonl_corpus", "read_sap_export",
-    "warc", "write_parquet_atomic",
+    "Star", "VersionedParquetTable", "load_star", "read_jsonl_corpus",
+    "read_sap_export", "warc", "write_parquet_atomic",
 ]
