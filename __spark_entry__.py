@@ -76,6 +76,7 @@ _TAIL = (
     "scd2_customer_history",
     "events_dau_wau",
     "events_retention_cohorts",
+    "events_funnel",
     "curriculum_deciles",
     "ann_ivf_topk",
     "approx_corpus_profile",

@@ -2387,3 +2387,80 @@ def events_retention_cohorts(star: Star) -> DataFrame:
             F.col("n_active").cast("long").alias("n_active"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (signup → view → click → purchase): how many users
+# complete each ordered prefix.  Spark side is the single-shuffle
+# formulation — per-user event arrays walked by a higher-order
+# F.aggregate state machine (stage advances on the first occurrence of
+# the next expected step), so the funnel costs ONE user-keyed exchange
+# regardless of funnel depth.  The oracle states the same semantics
+# declaratively as chained conditional mins (t_k = min ts of step k
+# after t_{k-1}) — equivalent given per-user-unique timestamps, which
+# the fixture guarantees.  Per-user state is bounded by funnel-typed
+# events only (same watermark-style caveat as sessionization).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+@register(
+    "events_funnel",
+    f"""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(ts) AS t FROM events e JOIN s1 USING (user_id)
+        WHERE event_type = '{_FUNNEL_STEPS[1]}' AND ts > s1.t GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(ts) AS t FROM events e JOIN s2 USING (user_id)
+        WHERE event_type = '{_FUNNEL_STEPS[2]}' AND ts > s2.t GROUP BY e.user_id
+    ),
+    s4 AS (
+        SELECT e.user_id, min(ts) AS t FROM events e JOIN s3 USING (user_id)
+        WHERE event_type = '{_FUNNEL_STEPS[3]}' AND ts > s3.t GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, '{_FUNNEL_STEPS[0]}' AS step,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL SELECT 2, '{_FUNNEL_STEPS[1]}',
+           CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL SELECT 3, '{_FUNNEL_STEPS[2]}',
+           CAST((SELECT count(*) FROM s3) AS BIGINT)
+    UNION ALL SELECT 4, '{_FUNNEL_STEPS[3]}',
+           CAST((SELECT count(*) FROM s4) AS BIGINT)
+    """,
+)
+def events_funnel(star: Star) -> DataFrame:
+    steps_arr = F.array(*[F.lit(s) for s in _FUNNEL_STEPS])
+    seq = (
+        star.events.filter(F.col("event_type").isin(_FUNNEL_STEPS))
+        .select("user_id", F.struct("ts", "event_type").alias("e"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("seq"))
+    )
+    reached = seq.select(
+        F.aggregate(
+            "seq",
+            F.lit(0),
+            lambda acc, e: F.when(
+                (acc < len(_FUNNEL_STEPS))
+                & (e["event_type"] == F.element_at(steps_arr, acc + 1)),
+                acc + 1,
+            ).otherwise(acc),
+        ).alias("reached")
+    )
+    return (
+        reached.filter(F.col("reached") > 0)
+        .select(F.explode(F.sequence(F.lit(1), F.col("reached"))).alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            "stage",
+            F.element_at(steps_arr, F.col("stage")).alias("step"),
+            "n_users",
+        )
+    )

@@ -111,3 +111,50 @@ def test_quality_report_single_pass(spark):
     # pre-adaptive plan under "== Initial Plan ==")
     plan = rpt._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert plan.count("Scan ExistingRDD") + plan.count("FileScan") == 1
+
+
+def test_events_funnel_walk_semantics(spark, tmp_path):
+    """The funnel state machine must require ORDER (a purchase before
+    the view doesn't count), allow gaps/repeats, and count each user at
+    every stage they reach."""
+    import sap_data_pipeline_spark.plans.catalog_ext  # noqa: F401  (registers)
+    from sap_data_pipeline_spark.plans.catalog import QUERIES
+    from sap_data_pipeline_spark.sources.readers import TABLES
+
+    # build a tiny star dir with ONLY events (other tables unused here)
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "star"
+    d.mkdir()
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    rows = [
+        # u1 completes all 4 in order (with noise + repeats)
+        (1, "2024-01-01 10:00:00", 1, "signup"),
+        (2, "2024-01-01 10:05:00", 1, "error"),
+        (3, "2024-01-01 10:10:00", 1, "view"),
+        (4, "2024-01-01 10:15:00", 1, "view"),
+        (5, "2024-01-01 10:20:00", 1, "click"),
+        (6, "2024-01-01 10:25:00", 1, "purchase"),
+        # u2: purchase BEFORE view -> stops after click
+        (7, "2024-01-02 09:00:00", 2, "signup"),
+        (8, "2024-01-02 09:01:00", 2, "purchase"),
+        (9, "2024-01-02 09:02:00", 2, "view"),
+        (10, "2024-01-02 09:03:00", 2, "click"),
+        # u3: never signs up -> reaches nothing
+        (11, "2024-01-03 08:00:00", 3, "view"),
+        (12, "2024-01-03 08:01:00", 3, "purchase"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props",
+    ).write.parquet(str(d / "events.parquet"))
+
+    got = {r["stage"]: (r["step"], r["n_users"]) for r in
+           QUERIES["events_funnel"](spark, str(d)).collect()}
+    assert got == {1: ("signup", 2), 2: ("view", 2),
+                   3: ("click", 2), 4: ("purchase", 1)}
