@@ -64,6 +64,7 @@ _TAIL = (
     "corpus_mixture_apply",
     "unigram_logprob_scores",
     "decontaminate_spans",
+    "dsir_logweights",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

@@ -298,6 +298,93 @@ def apply_mixture_plan(
     )
 
 
+def dsir_logweights(
+    corpus: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """DSIR importance weights: score every raw-corpus document by how
+    much it resembles a (small) target domain, using hashed n-gram
+    bag-of-features models — Data Selection via Importance Resampling
+    (Xie et al., NeurIPS 2023).  The standard pretraining-data targeting
+    move: ``target`` is the high-quality / in-domain slice (e.g. a
+    curated reference corpus), weights rank the raw corpus for selection.
+
+    Features are unigrams + bigrams hashed into ``buckets`` cells (the
+    paper's hashed n-gram model).  With add-one smoothing, bucket b has
+    target probability ``p_b = (p_cnt+1)/(N_p+B)`` and raw probability
+    ``q_b = (q_cnt+1)/(N_q+B)``; a document's log importance weight is
+    ``sum over its grams of ln(p_bucket) - ln(q_bucket)``.  Returns
+    ``(id, n_grams, dsir_logweight)`` — one row per document with at
+    least one token; the weight rounds to 6 decimals so a 1-ulp ``ln``
+    divergence cannot move the value across engines.
+
+    Scale shape: the corpus aggregates once to (doc, bucket) grain (ONE
+    exchange at sub-gram cardinality — map-side combine collapses
+    repeated grams); both LM count frames are re-aggregates of that
+    frame (≤ ``buckets`` rows), and the bucket→log-ratio table re-enters
+    the per-doc frame as a BROADCAST join, so the corpus never shuffles
+    a second time.  The target side is assumed target-domain-sized
+    (DSIR's premise); everything is content-addressed md5 hashing — no
+    rand(), retry-stable, externally reproducible.
+    """
+    b_lit = F.lit(buckets)
+
+    def doc_buckets(df: DataFrame) -> DataFrame:
+        toks = df.select(F.col(id_col), X.tokens(text_col).alias("_t"))
+        grams = toks.select(
+            F.col(id_col),
+            F.explode(F.concat(F.col("_t"), X.ngrams_from(F.col("_t"), 2))).alias("g"),
+        )
+        return (
+            grams.select(
+                F.col(id_col), F.pmod(X.hash64(F.col("g"), seed=seed), b_lit).alias("b")
+            )
+            .groupBy(id_col, "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    raw_db = doc_buckets(corpus)
+    q_counts = raw_db.groupBy("b").agg(F.sum("cnt").alias("q_cnt"))
+    p_counts = (
+        doc_buckets(target).groupBy("b").agg(F.sum("cnt").alias("p_cnt"))
+    )
+    n_q = q_counts.agg(F.sum("q_cnt").cast("double").alias("_nq"))
+    n_p = p_counts.agg(F.sum("p_cnt").cast("double").alias("_np"))
+    ratio = (
+        q_counts.join(p_counts, "b", "left")
+        .crossJoin(F.broadcast(n_q))
+        .crossJoin(F.broadcast(n_p))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("p_cnt"), F.lit(0)).cast("double") + 1.0)
+                    / (F.col("_np") + F.lit(float(buckets)))
+                )
+                - F.log(
+                    (F.col("q_cnt").cast("double") + 1.0)
+                    / (F.col("_nq") + F.lit(float(buckets)))
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        raw_db.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("cnt").cast("double") * F.col("lr")), 6).alias(
+                "dsir_logweight"
+            ),
+        )
+    )
+
+
 def curriculum_bins(
     df: DataFrame,
     score_col: str,

@@ -2464,3 +2464,71 @@ def events_funnel(star: Star) -> DataFrame:
             "n_users",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (operators.sampling.dsir_logweights): rank the
+# raw corpus by resemblance to a target domain via hashed n-gram
+# (unigram + bigram) bag-of-features LMs — Data Selection via Importance
+# Resampling (Xie et al., NeurIPS 2023).  Target slice here: the
+# English documents (a stand-in for any curated in-domain set).  Both
+# engines hash grams with the portable md5 hash64, aggregate to (doc,
+# bucket) grain once, and compute the identical smoothed
+# ln(p_b) - ln(q_b) op order before a 6-decimal round, so a 1-ulp ln
+# divergence cannot move the value.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET_LANG = "en"
+
+# unigrams + space-joined bigrams over the raw token sequence
+_DSIR_GRAMS_SQL = (
+    "list_concat(t, list_transform("
+    "generate_series(1, greatest(len(t) - 1, 0)), i -> t[i] || ' ' || t[i + 1]))"
+)
+
+
+@register(
+    "dsir_logweights",
+    f"""
+    WITH doctoks AS (
+        SELECT doc_id, lang, {TOKSEQ_SQL.format(col='text')} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, unnest({_DSIR_GRAMS_SQL}) AS g FROM doctoks
+    ),
+    db AS (
+        SELECT doc_id, lang,
+               {_hash64_sql('g', 7)} % {_DSIR_BUCKETS} AS b,
+               COUNT(*) AS cnt
+        FROM grams GROUP BY 1, 2, 3
+    ),
+    q AS (SELECT b, SUM(cnt) AS q_cnt FROM db GROUP BY b),
+    p AS (SELECT b, SUM(cnt) AS p_cnt FROM db
+          WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+    nq AS (SELECT CAST(SUM(q_cnt) AS DOUBLE) AS nq FROM q),
+    np AS (SELECT CAST(COALESCE(SUM(p_cnt), 0) AS DOUBLE) AS np FROM p),
+    ratio AS (
+        SELECT q.b,
+               ln((CAST(COALESCE(p.p_cnt, 0) AS DOUBLE) + 1.0)
+                  / (np.np + {_DSIR_BUCKETS}.0))
+               - ln((CAST(q.q_cnt AS DOUBLE) + 1.0)
+                    / (nq.nq + {_DSIR_BUCKETS}.0)) AS lr
+        FROM q LEFT JOIN p ON q.b = p.b CROSS JOIN np CROSS JOIN nq
+    )
+    SELECT db.doc_id,
+           CAST(SUM(db.cnt) AS BIGINT) AS n_grams,
+           round(SUM(CAST(db.cnt AS DOUBLE) * ratio.lr), 6) AS dsir_logweight
+    FROM db JOIN ratio ON db.b = ratio.b
+    GROUP BY db.doc_id
+    """,
+)
+def dsir_logweights_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import dsir_logweights
+
+    return dsir_logweights(
+        star.documents,
+        star.documents.filter(F.col("lang") == _DSIR_TARGET_LANG),
+        buckets=_DSIR_BUCKETS,
+        seed=7,
+    )

@@ -383,3 +383,75 @@ def test_curriculum_bins_rejects_bad_n(spark, star):
 
     with pytest.raises(ValueError):
         curriculum_bins(star.documents, "n_chars", n_bins=1)
+
+
+def test_dsir_logweights_hand_computed(spark):
+    """Two-bucket-world hand check: target favors 'good' vocabulary, so a
+    good-vocab doc must outweigh a bad-vocab doc; weights match a direct
+    python recomputation of the smoothed log-ratio model."""
+    import math
+
+    from sap_data_pipeline_spark.functions.text import hash64
+    from sap_data_pipeline_spark.operators.sampling import dsir_logweights
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "good good text"),
+            (2, "bad bad text"),
+            (3, "good text"),
+        ],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame([(10, "good good good text")], ["doc_id", "text"])
+    buckets, seed = 64, 7
+    out = {
+        r["doc_id"]: r
+        for r in dsir_logweights(corpus, target, buckets=buckets, seed=seed).collect()
+    }
+
+    # independent python model over the same gram/hash definitions
+    def grams(text):
+        toks = text.split()
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    hrows = spark.createDataFrame(
+        [(g,) for d in ["good good text", "bad bad text", "good text",
+                        "good good good text"] for g in set(grams(d))],
+        ["g"],
+    ).select("g", F.pmod(hash64(F.col("g"), seed=seed), F.lit(buckets)).alias("b"))
+    b_of = {r["g"]: r["b"] for r in hrows.distinct().collect()}
+
+    q_cnt: dict[int, int] = {}
+    p_cnt: dict[int, int] = {}
+    docs = {1: "good good text", 2: "bad bad text", 3: "good text"}
+    for d in docs.values():
+        for g in grams(d):
+            q_cnt[b_of[g]] = q_cnt.get(b_of[g], 0) + 1
+    for g in grams("good good good text"):
+        p_cnt[b_of[g]] = p_cnt.get(b_of[g], 0) + 1
+    nq, np_ = sum(q_cnt.values()), sum(p_cnt.values())
+    for doc_id, text in docs.items():
+        expect = sum(
+            math.log((p_cnt.get(b_of[g], 0) + 1) / (np_ + buckets))
+            - math.log((q_cnt[b_of[g]] + 1) / (nq + buckets))
+            for g in grams(text)
+        )
+        assert abs(out[doc_id]["dsir_logweight"] - expect) < 1e-5, doc_id
+        assert out[doc_id]["n_grams"] == len(grams(text))
+    # the in-domain doc ranks above the out-of-domain doc
+    assert out[1]["dsir_logweight"] > out[2]["dsir_logweight"]
+
+
+def test_dsir_logweights_corpus_never_shuffles_twice(star):
+    """Plan shape: the bucket→log-ratio table re-enters as a BROADCAST
+    join (the corpus-side frame must not hash-exchange for the join)."""
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.operators.sampling import dsir_logweights
+
+    plan = dsir_logweights(
+        star.documents, star.documents.filter(F.col("lang") == "en")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
