@@ -65,6 +65,7 @@ _TAIL = (
     "unigram_logprob_scores",
     "decontaminate_spans",
     "dsir_logweights",
+    "repeated_substring_stats",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

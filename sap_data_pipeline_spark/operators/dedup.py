@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sap_data_pipeline_spark.functions import text as X
 from sap_data_pipeline_spark.functions import vectors as V
@@ -330,6 +331,120 @@ def decontaminate_spans(corpus: DataFrame, benchmark: DataFrame, *,
             F.size("_toks").cast("long").alias("n_tokens"),
             (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
             F.array_join(kept, " ").alias("clean_text"),
+        )
+    )
+
+
+def repeated_substring_stats(corpus: DataFrame, *,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             width: int = 50) -> DataFrame:
+    """Exact repeated-substring detection: flag every ``width``-token
+    window whose exact content recurs ANYWHERE else in the corpus
+    (another document or the same one), keeping the first occurrence
+    (min id, then min position) as canonical — the distributed
+    formulation of suffix-array substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", which
+    removes repeated spans ≥ 50 tokens).
+
+    Returns one row per document with ≥ 1 token: (id, n_tokens,
+    n_windows, n_dup_windows, dup_token_frac) where ``dup_token_frac``
+    is the fraction of the doc's token positions covered by at least
+    one non-canonical duplicated window — the direct "how much of this
+    document is copied text" signal used to excise or drop.
+
+    Scale shape: a full suffix array is super-linear and
+    single-machine; rolling window fingerprints give the same ≥width
+    guarantee (any repeated span of length ≥ width contains a repeated
+    width-window) in TWO bounded shuffles — one fingerprint-keyed
+    exchange (count + first-occurrence rank over each fingerprint; md5
+    keys are uniform, skew-free) and one doc-keyed aggregate.  Window
+    expansion is a projection-tier explode (≈ one row per token, no
+    shuffle); covered-position counting is an interval-merge
+    ``F.aggregate`` over the sorted duplicate starts — O(dups) per doc,
+    never a positions explode.
+    """
+    if width < 1:
+        raise ValueError(f"width must be >= 1: {width}")
+    toks = corpus.select(F.col(id_col), X.tokens(text_col).alias("_t"))
+    starts = F.when(
+        F.size("_t") >= width,
+        F.sequence(F.lit(1), F.size("_t") - F.lit(width - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = toks.select(
+        F.col(id_col),
+        F.size("_t").alias("n_tokens"),
+        F.explode_outer(starts).alias("w1"),  # 1-based window start
+        F.col("_t"),
+    ).select(
+        id_col,
+        "n_tokens",
+        (F.col("w1") - 1).alias("pos"),
+        F.when(
+            F.col("w1").isNotNull(),
+            F.md5(F.concat_ws(" ", F.slice("_t", F.col("w1"), width))),
+        ).alias("fp"),
+    )
+    # Short docs carry a NULL fp; partitioning the rank window on raw fp
+    # would funnel EVERY sub-width document into one NULL-key partition
+    # (a guaranteed skew at corpus scale), so they get a per-doc
+    # surrogate key instead — unique keys, rank 1, never counted dup.
+    fp_key = F.coalesce(
+        F.col("fp"), F.concat(F.lit("short:"), F.col(id_col).cast("string"))
+    )
+    w_fp = Window.partitionBy(fp_key)
+    marked = wins.select(
+        id_col,
+        "n_tokens",
+        "pos",
+        (
+            F.col("fp").isNotNull()
+            & (
+                F.row_number().over(
+                    w_fp.orderBy(F.col(id_col).asc(), F.col("pos").asc())
+                )
+                > 1
+            )
+        ).alias("_dup"),
+    )
+    merge_state = F.struct(
+        F.lit(0).cast("long").alias("covered"), F.lit(0).cast("long").alias("last_end")
+    )
+    dup_starts = F.sort_array(
+        F.collect_list(F.when(F.col("_dup"), F.col("pos")))
+    )
+    covered = F.aggregate(
+        dup_starts,
+        merge_state,
+        lambda acc, s: F.struct(
+            (
+                acc["covered"]
+                + F.greatest(
+                    F.lit(0).cast("long"),
+                    s.cast("long") + width - F.greatest(s.cast("long"), acc["last_end"]),
+                )
+            ).alias("covered"),
+            F.greatest(acc["last_end"], s.cast("long") + width).alias("last_end"),
+        ),
+    )["covered"]
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.first("n_tokens").cast("long").alias("n_tokens"),
+            F.count(F.col("pos")).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).cast("long").alias(
+                "n_dup_windows"
+            ),
+            covered.alias("_covered"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            id_col,
+            "n_tokens",
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("_covered").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("dup_token_frac"),
         )
     )
 

@@ -2532,3 +2532,58 @@ def dsir_logweights_q(star: Star) -> DataFrame:
         buckets=_DSIR_BUCKETS,
         seed=7,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring stats (operators.dedup.repeated_substring_stats):
+# rolling width-token window fingerprints; a window recurring anywhere in
+# the corpus beyond its first (min doc, min pos) occurrence marks its
+# positions duplicated — the distributed stand-in for suffix-array
+# substring dedup (Lee et al. 2021).  The oracle states covered-position
+# counting as COUNT(DISTINCT position) over exploded window spans; the
+# Spark side computes the identical quantity with an O(dups) interval
+# merge — same semantics, no positions explode.
+# ---------------------------------------------------------------------------
+
+_RSS_W = 8
+
+
+@register(
+    "repeated_substring_stats",
+    f"""
+    WITH doctoks AS (
+        SELECT doc_id, {TOKSEQ_SQL.format(col='text')} AS t FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(list_slice(t, i, i + {_RSS_W} - 1), ' ')) AS fp
+        FROM doctoks, unnest(generate_series(1, len(t) - {_RSS_W} + 1)) AS u(i)
+        WHERE len(t) >= {_RSS_W}
+    ),
+    marked AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+        FROM wins
+    ),
+    dups AS (SELECT doc_id, pos FROM marked WHERE rn > 1),
+    dupstats AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup FROM dups GROUP BY doc_id
+    ),
+    covered AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS cov
+        FROM dups, unnest(generate_series(pos, pos + {_RSS_W} - 1)) AS g(p)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.t) AS BIGINT) AS n_tokens,
+           CAST(greatest(len(d.t) - {_RSS_W} + 1, 0) AS BIGINT) AS n_windows,
+           COALESCE(ds.n_dup, 0) AS n_dup_windows,
+           round(CAST(COALESCE(c.cov, 0) AS DOUBLE) / len(d.t), 6) AS dup_token_frac
+    FROM doctoks d
+    LEFT JOIN dupstats ds ON d.doc_id = ds.doc_id
+    LEFT JOIN covered c ON d.doc_id = c.doc_id
+    WHERE len(d.t) > 0
+    """,
+)
+def repeated_substring_stats_q(star: Star) -> DataFrame:
+    return D.repeated_substring_stats(star.documents, width=_RSS_W)

@@ -569,3 +569,76 @@ def test_hamming_rerank_recovers_brute_force(spark, star):
     recall_raw = len(exact & raw) / len(exact)
     assert recall_rerank >= 0.8, recall_rerank
     assert recall_rerank >= recall_raw
+
+
+def test_repeated_substring_stats_hand_computed(spark):
+    """width=3 windows: doc 2 copies a 5-token span of doc 1 (3 dup
+    windows covering 5 positions); doc 3 repeats its own trigram; doc 4
+    is unique; doc 5 is shorter than the window."""
+    from sap_data_pipeline_spark.operators.dedup import repeated_substring_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one alpha beta gamma delta epsilon two three"),
+            (3, "x y z pad1 pad2 x y z"),
+            (4, "unique tokens only here"),
+            (5, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repeated_substring_stats(df, width=3).collect()
+    }
+    # doc 1 is canonical everywhere: 4 windows, none dup
+    assert out[1]["n_windows"] == 4 and out[1]["n_dup_windows"] == 0
+    assert out[1]["dup_token_frac"] == 0.0
+    # doc 2: windows at pos 1,2,3 ("alpha beta gamma", "beta gamma delta",
+    # "gamma delta epsilon") duplicate doc 1 → cover positions 1..5 of 8
+    assert out[2]["n_windows"] == 6 and out[2]["n_dup_windows"] == 3
+    assert abs(out[2]["dup_token_frac"] - 5 / 8) < 1e-9
+    # doc 3: self-repeat "x y z" at pos 5 duplicates pos 0 → 3 of 8 tokens
+    assert out[3]["n_dup_windows"] == 1
+    assert abs(out[3]["dup_token_frac"] - 3 / 8) < 1e-9
+    # unique doc clean; short doc present with zero windows
+    assert out[4]["n_dup_windows"] == 0
+    assert out[5]["n_windows"] == 0 and out[5]["dup_token_frac"] == 0.0
+    assert out[5]["n_tokens"] == 2
+
+
+def test_repeated_substring_interval_merge_matches_distinct_count(spark):
+    """Property: the O(dups) interval-merge coverage equals brute-force
+    COUNT(DISTINCT covered position) on overlapping + disjoint spans."""
+    from sap_data_pipeline_spark.operators.dedup import repeated_substring_stats
+
+    # doc 11 = doc 10's text with two separated copied regions
+    base = "a b c d e f g h i j k l m n o p q r s t"
+    copy = "z1 a b c d e z2 z3 z4 z5 z6 m n o p q z7 z8"
+    df = spark.createDataFrame([(10, base), (11, copy)], ["doc_id", "text"])
+    width = 4
+    out = {r["doc_id"]: r for r in repeated_substring_stats(df, width=width).collect()}
+    toks = copy.split()
+    base_windows = {
+        " ".join(base.split()[i : i + width]) for i in range(len(base.split()) - width + 1)
+    }
+    covered: set[int] = set()
+    ndup = 0
+    for i in range(len(toks) - width + 1):
+        w = " ".join(toks[i : i + width])
+        if w in base_windows:
+            ndup += 1
+            covered.update(range(i, i + width))
+    assert out[11]["n_dup_windows"] == ndup and ndup > 0
+    # operator rounds to 6 decimals
+    assert abs(out[11]["dup_token_frac"] - len(covered) / len(toks)) < 1e-6
+
+
+def test_repeated_substring_rejects_bad_width(spark):
+    import pytest as _pytest
+
+    from sap_data_pipeline_spark.operators.dedup import repeated_substring_stats
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        repeated_substring_stats(df, width=0)
