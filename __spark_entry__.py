@@ -66,6 +66,12 @@ _TAIL = (
     "decontaminate_spans",
     "dsir_logweights",
     "repeated_substring_stats",
+    "pivot_revenue_by_nation_year",
+    "unpivot_revenue_long",
+    "cube_revenue_nation_year",
+    "topn_customers_per_nation",
+    "order_customer_set_ops",
+    "fuzzy_part_name_pairs",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

@@ -163,3 +163,77 @@ def full_outer_coalesce(
             expr = F.coalesce(expr, F.lit(fill[c]))
         out.append(expr.alias(c))
     return joined.select(*out)
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    n: int,
+    *,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-n rows per group by an explicit deterministic ordering
+    (callers must break ties — e.g. order by measure DESC, key ASC —
+    or survivors are nondeterministic across runs).
+
+    One shuffle on the group key; Spark's WindowGroupLimit pushes the
+    ``row_number() <= n`` bound below the sort, so every partition keeps
+    at most n candidates per group instead of sorting whole groups —
+    the per-group twin of TakeOrderedAndProject.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= n
+    )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    name_col: str,
+    block_cols: Sequence[str],
+    max_distance: int,
+    max_block: int = 1024,
+) -> DataFrame:
+    """Blocked fuzzy-match pairs: within each blocking-key group, emit
+    (id_a, id_b, name_a, name_b, distance) for every unordered pair with
+    Levenshtein edit distance ≤ ``max_distance`` — the record-linkage /
+    fuzzy-dedup primitive (catalog variants of the same product, typo'd
+    dimension members).
+
+    An unblocked fuzzy join is O(N²) and cannot exist at scale; blocking
+    bounds the pair space to Σ|block|², exactly like the LSH band join
+    (``dedup.bucketed_pairs``).  Blocks larger than ``max_block`` rows
+    are dropped (not truncated) so a degenerate blocking key degrades
+    recall, never memory — same drop-and-audit policy as LSH.  One
+    shuffle on the blocking key; ``levenshtein`` runs inside codegen.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("_id"), F.col(name_col).alias("_name"), *block_cols
+    )
+    capped = (
+        keyed.withColumn(
+            "_bn", F.count(F.lit(1)).over(Window.partitionBy(*block_cols))
+        )
+        .filter(F.col("_bn") <= max_block)
+        .drop("_bn")
+    )
+    a = capped.select(
+        *[F.col(c) for c in block_cols],
+        F.col("_id").alias("id_a"),
+        F.col("_name").alias("name_a"),
+    )
+    b = capped.select(
+        *[F.col(c) for c in block_cols],
+        F.col("_id").alias("id_b"),
+        F.col("_name").alias("name_b"),
+    )
+    return (
+        a.join(b, list(block_cols))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
+    )

@@ -1027,3 +1027,239 @@ def tpch_q5_local_supplier_volume(star: Star) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational extension pack: pivot / unpivot, CUBE, top-n per group,
+# INTERSECT/EXCEPT, blocked fuzzy matching — classic warehouse shapes
+# the reference's pandas surface never needed but any migrating user
+# will reach for.  All oracled; pivot compiles to the same conditional
+# aggregation the oracle states.
+# ---------------------------------------------------------------------------
+
+_PIVOT_YEARS = list(range(1995, 2002))
+
+
+def _nation_year_revenue(star: Star) -> DataFrame:
+    """Shared base: (n_name, yr, o_totalprice) — orders joined to its
+    broadcast dims, year extracted once."""
+    return (
+        star.orders.select(
+            "o_custkey",
+            F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+            "o_totalprice",
+        )
+        .join(
+            F.broadcast(star.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(star.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+
+
+_PIVOT_CELLS_SQL = ",\n           ".join(
+    f"CAST(COALESCE(SUM(CASE WHEN year(CAST(o.o_orderdate AS DATE)) = {y} "
+    f"THEN CAST(o.o_totalprice AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS y{y}"
+    for y in _PIVOT_YEARS
+)
+
+
+@register(
+    "pivot_revenue_by_nation_year",
+    f"""
+    SELECT n.n_name,
+           {_PIVOT_CELLS_SQL}
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def pivot_revenue_by_nation_year(star: Star) -> DataFrame:
+    """PIVOT: long fact → wide per-year revenue columns.  Catalyst
+    rewrites pivot into ONE conditional aggregation over the explicit
+    value list (no second scan, no per-value job — the values are
+    pinned, so the distinct-scan pivot would otherwise run is skipped);
+    absent cells coalesce to 0 so the wide frame is total."""
+    wide = (
+        _nation_year_revenue(star)
+        .groupBy("n_name")
+        .pivot("yr", _PIVOT_YEARS)
+        .agg(F.sum(F.col("o_totalprice").cast(sm.DEC)))
+    )
+    return wide.select(
+        "n_name",
+        *[
+            F.coalesce(F.col(str(y)).cast("double"), F.lit(0.0)).alias(f"y{y}")
+            for y in _PIVOT_YEARS
+        ],
+    )
+
+
+@register(
+    "unpivot_revenue_long",
+    """
+    SELECT n.n_name,
+           year(CAST(o.o_orderdate AS DATE)) AS yr,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def unpivot_revenue_long(star: Star) -> DataFrame:
+    """UNPIVOT (melt): the wide pivot back to (n_name, yr, revenue) long
+    form — proving the lossless inverse.  ``DataFrame.unpivot`` is a
+    zero-shuffle generator expression over the wide frame; the 0-filled
+    absent cells are dropped to recover the true long set (revenue sums
+    of positive prices are never exactly 0)."""
+    wide = pivot_revenue_by_nation_year(star)
+    return (
+        wide.unpivot(
+            ["n_name"],
+            [f"y{y}" for y in _PIVOT_YEARS],
+            "yr_label",
+            "revenue",
+        )
+        .filter(F.col("revenue") != 0.0)
+        .select(
+            "n_name",
+            F.substring("yr_label", 2, 4).cast("int").alias("yr"),
+            "revenue",
+        )
+    )
+
+
+@register(
+    "cube_revenue_nation_year",
+    """
+    SELECT COALESCE(n.n_name, 'ALL') AS n_name,
+           COALESCE(year(CAST(o.o_orderdate AS DATE)), -1) AS yr,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (n.n_name, year(CAST(o.o_orderdate AS DATE)))
+    """,
+)
+def cube_revenue_nation_year(star: Star) -> DataFrame:
+    """GROUP BY CUBE: all four grouping grains (nation×year, nation,
+    year, grand total) in ONE pass — Spark expands the cube map-side
+    and aggregates every grain through the same exchange, vs 4 separate
+    scans.  Labels are coalesced ('ALL' / -1; the data carries no NULL
+    nations or dates) so the subtotal rows are self-describing."""
+    return (
+        _nation_year_revenue(star)
+        .cube("n_name", "yr")
+        .agg(sm.dec_sum(F.col("o_totalprice"), "revenue"))
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("n_name"),
+            F.coalesce(F.col("yr"), F.lit(-1)).alias("yr"),
+            "revenue",
+        )
+    )
+
+
+@register(
+    "topn_customers_per_nation",
+    """
+    SELECT n.n_name, c.c_custkey, c.c_acctbal,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey
+           ) AS INT) AS rank
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    QUALIFY rank <= 3
+    """,
+)
+def topn_customers_per_nation(star: Star) -> DataFrame:
+    """Top-n per group (richest 3 customers per nation) via
+    operators.relational.top_n_per_group — WindowGroupLimit keeps ≤ n
+    candidates per group below the sort; ties broken by key for
+    deterministic survivors."""
+    from sap_data_pipeline_spark.operators.relational import top_n_per_group
+
+    joined = star.customer.join(
+        F.broadcast(star.nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return top_n_per_group(
+        joined,
+        ["n_name"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        3,
+    ).select("n_name", "c_custkey", "c_acctbal", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "order_customer_set_ops",
+    """
+    WITH y95 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) = 1995
+    ),
+    y97 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) = 1997
+    )
+    SELECT 'retained' AS op, o_custkey FROM (
+        SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y97
+    )
+    UNION ALL
+    SELECT 'churned' AS op, o_custkey FROM (
+        SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y97
+    )
+    """,
+)
+def order_customer_set_ops(star: Star) -> DataFrame:
+    """INTERSECT / EXCEPT: customers ordering in both 1995 and 1997
+    (retained) vs only 1995 (churned).  Spark plans both set ops as
+    aggregated joins (semi/anti over distinct keys) — each is one
+    exchange on the key, and the two branches share the year-slice
+    subplans."""
+    yr = F.year(F.col("o_orderdate").cast("date"))
+
+    def keys(y: int) -> DataFrame:
+        return star.orders.filter(yr == y).select("o_custkey").distinct()
+
+    y95, y97 = keys(1995), keys(1997)
+    retained = y95.intersect(y97).select(F.lit("retained").alias("op"), "o_custkey")
+    churned = y95.subtract(y97).select(F.lit("churned").alias("op"), "o_custkey")
+    return retained.unionByName(churned)
+
+
+@register(
+    "fuzzy_part_name_pairs",
+    """
+    WITH blocked AS (
+        SELECT p_partkey, p_name, p_type,
+               regexp_extract(p_name, '(\\S+)$', 1) AS noun
+        FROM part
+        QUALIFY COUNT(*) OVER (
+            PARTITION BY p_type, regexp_extract(p_name, '(\\S+)$', 1)
+        ) <= 1024
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+    FROM blocked a JOIN blocked b
+      ON a.p_type = b.p_type AND a.noun = b.noun AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def fuzzy_part_name_pairs(star: Star) -> DataFrame:
+    """Blocked fuzzy matching (operators.relational.fuzzy_self_pairs):
+    near-identical part names (edit distance ≤ 4) within a
+    (type, head-noun) block — catalog-variant linkage.  Pair space is
+    Σ|block|² with oversized blocks dropped, the LSH-band policy."""
+    from sap_data_pipeline_spark.operators.relational import fuzzy_self_pairs
+
+    blocked = star.part.withColumn(
+        "noun", F.regexp_extract(F.col("p_name"), r"(\S+)$", 1)
+    )
+    return fuzzy_self_pairs(
+        blocked,
+        id_col="p_partkey",
+        name_col="p_name",
+        block_cols=["p_type", "noun"],
+        max_distance=4,
+    ).withColumn("distance", F.col("distance").cast("int"))

@@ -158,3 +158,66 @@ def test_events_funnel_walk_semantics(spark, tmp_path):
            QUERIES["events_funnel"](spark, str(d)).collect()}
     assert got == {1: ("signup", 2), 2: ("view", 2),
                    3: ("click", 2), 4: ("purchase", 1)}
+
+
+def test_top_n_per_group_deterministic_ties(spark):
+    from sap_data_pipeline_spark.operators.relational import top_n_per_group
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, 9.0), ("a", 4, 1.0),
+         ("b", 5, 2.0)],
+        ["grp", "id", "score"],
+    )
+    out = top_n_per_group(
+        df, ["grp"], [F.col("score").desc(), F.col("id").asc()], 2
+    ).collect()
+    got = {(r["grp"], r["id"], r["rank"]) for r in out}
+    # score 9 first; the 5.0 tie breaks toward the lower id
+    assert got == {("a", 3, 1), ("a", 1, 2), ("b", 5, 1)}
+
+
+def test_top_n_per_group_uses_window_group_limit(star):
+    """Plan: the rank bound must push below the sort (WindowGroupLimit),
+    so partitions keep <= n candidates per group instead of sorting
+    whole groups."""
+    from sap_data_pipeline_spark.operators.relational import top_n_per_group
+    from pyspark.sql import functions as F
+
+    plan = (
+        top_n_per_group(
+            star.customer, ["c_nationkey"],
+            [F.col("c_acctbal").desc(), F.col("c_custkey").asc()], 3
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_fuzzy_self_pairs_blocks_and_bounds(spark):
+    from sap_data_pipeline_spark.operators.relational import fuzzy_self_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "red gear", "t1"),
+            (2, "red geer", "t1"),   # distance 1 to id 1
+            (3, "blue gear", "t1"),  # distance 2 to "red gear"? r->b,e->l,d->u = 3
+            (4, "red gear", "t2"),   # other block — never paired with t1
+            (5, "entirely different", "t1"),
+        ],
+        ["id", "name", "typ"],
+    )
+    out = fuzzy_self_pairs(
+        df, id_col="id", name_col="name", block_cols=["typ"], max_distance=2
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"], r["distance"]) for r in out}
+    assert (1, 2, 1) in pairs
+    assert all(a < b for a, b, _ in pairs)
+    assert not any(4 in (a, b) for a, b, _ in pairs)  # cross-block never joins
+    assert not any(5 in (a, b) for a, b, _ in pairs)  # beyond max_distance
+
+    # degenerate block (cap=2) drops, never truncates
+    capped = fuzzy_self_pairs(
+        df, id_col="id", name_col="name", block_cols=["typ"],
+        max_distance=20, max_block=2
+    ).collect()
+    assert {r["id_a"] for r in capped} <= {4}  # t1 block (4 rows) dropped whole
