@@ -306,6 +306,7 @@ def dsir_logweights(
     id_col: str = "doc_id",
     buckets: int = 4096,
     seed: int = 7,
+    materialize: bool = True,
 ) -> DataFrame:
     """DSIR importance weights: score every raw-corpus document by how
     much it resembles a (small) target domain, using hashed n-gram
@@ -323,14 +324,21 @@ def dsir_logweights(
     least one token; the weight rounds to 6 decimals so a 1-ulp ``ln``
     divergence cannot move the value across engines.
 
-    Scale shape: the corpus aggregates once to (doc, bucket) grain (ONE
+    Scale shape: the corpus aggregates to (doc, bucket) grain (one
     exchange at sub-gram cardinality — map-side combine collapses
     repeated grams); both LM count frames are re-aggregates of that
-    frame (≤ ``buckets`` rows), and the bucket→log-ratio table re-enters
-    the per-doc frame as a BROADCAST join, so the corpus never shuffles
-    a second time.  The target side is assumed target-domain-sized
-    (DSIR's premise); everything is content-addressed md5 hashing — no
-    rand(), retry-stable, externally reproducible.
+    frame (≤ ``buckets`` rows), and the bucket→log-ratio table
+    re-enters the per-doc frame as a BROADCAST join.  The (doc, bucket)
+    frame has TWO consumers (the raw-LM counts and the scoring join) —
+    a lineage diamond Spark recomputes by default — so ``materialize``
+    (default) pins it with a lazy ``localCheckpoint``, making the
+    corpus tokenize/explode/aggregate pass run ONCE; on a cluster with
+    executor loss concerns, persist the frame to reliable storage
+    instead (the same trade documented at
+    ``dedup.connected_components``).  The target side is assumed
+    target-domain-sized (DSIR's premise); everything is
+    content-addressed md5 hashing — no rand(), retry-stable,
+    externally reproducible.
     """
     b_lit = F.lit(buckets)
 
@@ -349,6 +357,8 @@ def dsir_logweights(
         )
 
     raw_db = doc_buckets(corpus)
+    if materialize:
+        raw_db = raw_db.localCheckpoint(eager=False)
     q_counts = raw_db.groupBy("b").agg(F.sum("cnt").alias("q_cnt"))
     p_counts = (
         doc_buckets(target).groupBy("b").agg(F.sum("cnt").alias("p_cnt"))
