@@ -72,6 +72,8 @@ _TAIL = (
     "topn_customers_per_nation",
     "order_customer_set_ops",
     "fuzzy_part_name_pairs",
+    "supplier_daily_gapfill",
+    "events_transition_matrix",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

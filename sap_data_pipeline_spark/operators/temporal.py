@@ -129,3 +129,79 @@ def explode_to_date_windows(
     return df.withColumn(start_col, F.explode(candidates)).join(
         F.broadcast(windows), start_col, "inner"
     )
+
+
+def resample_gapfill(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    *,
+    fill_zero: Sequence[str] = (),
+    fill_forward: Sequence[str] = (),
+) -> DataFrame:
+    """Regularize a sparse per-key daily series onto a dense date spine —
+    the `time_bucket_gapfill` shape: every key gets one row per calendar
+    day between its first and last observation, absent days filled by
+    policy (``fill_zero`` → 0, ``fill_forward`` → last observed value,
+    i.e. locf).  Input must already be at (key, day) grain.
+
+    Scale shape: the spine is generated per key from its own (min, max)
+    bounds — `sequence` + `explode`, so spine cardinality is
+    Σ span_days(key), never global_span × keys — and re-joins the
+    observations on (key, day).  The forward-fill is one
+    `last(ignorenulls)` window on the same key partitioning; with the
+    spine built from a re-aggregate of the input, AQE reuses the
+    (key)-keyed exchange.  Dense-output beware: a key spanning years
+    with one observation emits its full span — that is the operator's
+    contract (loaders want rectangular series), not an accident.
+    """
+    overlap = set(fill_zero) & set(fill_forward)
+    if overlap:
+        raise ValueError(f"columns in both fill policies: {sorted(overlap)}")
+    bounds = df.groupBy(key_col).agg(
+        F.min(date_col).alias("_d0"), F.max(date_col).alias("_d1")
+    )
+    spine = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_d0"), F.col("_d1"), F.expr("interval 1 day"))
+        ).alias(date_col),
+    )
+    out = spine.join(df, [key_col, date_col], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in fill_zero:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0).cast("double")))
+    for c in fill_forward:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+) -> DataFrame:
+    """First-order transition counts: for each key's event sequence in
+    ``order_col`` order, count (state → next state) adjacencies across
+    the whole corpus — the Markov-chain / clickstream-path summary
+    behind "what do users do after X".
+
+    One shuffle on the key; ``lead`` is a window over the per-key sort,
+    and the (from, to) aggregate reuses cheap narrow rows.  Terminal
+    events (no successor) drop out — row counts equal Σ(len(seq) - 1).
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    return (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )

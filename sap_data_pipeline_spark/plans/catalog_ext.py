@@ -2587,3 +2587,90 @@ _RSS_W = 8
 )
 def repeated_substring_stats_q(star: Star) -> DataFrame:
     return D.repeated_substring_stats(star.documents, width=_RSS_W)
+
+
+# ---------------------------------------------------------------------------
+# Dense resample + gap fill (operators.temporal.resample_gapfill): the
+# time_bucket_gapfill shape — per-supplier daily series on a dense date
+# spine between each key's own first/last observation; absent days take
+# 0 (flow measure) or the last observed value (locf, stock measure).
+# Spine cardinality is Σ span_days(key), generated per key — never
+# global_span × keys.
+# ---------------------------------------------------------------------------
+
+@register(
+    "supplier_daily_gapfill",
+    """
+    WITH daily AS (
+        SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM lineitem GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT suppkey, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    spine AS (
+        SELECT suppkey, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    )
+    SELECT s.suppkey, strftime(s.day, '%Y-%m-%d') AS day,
+           COALESCE(d.qty, 0) AS qty,
+           last_value(d.sum_price IGNORE NULLS) OVER (
+               PARTITION BY s.suppkey ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sum_price
+    FROM spine s LEFT JOIN daily d ON s.suppkey = d.suppkey AND s.day = d.day
+    """,
+)
+def supplier_daily_gapfill(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.temporal import resample_gapfill
+    from sap_data_pipeline_spark.plans import star_mapping as sm
+
+    daily = (
+        star.lineitem.select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("l_shipdate").cast("date").alias("day"),
+            "l_quantity",
+            "l_extendedprice",
+        )
+        .groupBy("suppkey", "day")
+        .agg(
+            sm.dec_sum(F.col("l_quantity"), "qty"),
+            sm.dec_sum(F.col("l_extendedprice"), "sum_price"),
+        )
+    )
+    return resample_gapfill(
+        daily, "suppkey", "day", fill_zero=["qty"], fill_forward=["sum_price"]
+    ).select(
+        "suppkey",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "qty",
+        "sum_price",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix (operators.temporal.transition_matrix):
+# first-order (state → next state) adjacency counts over each user's
+# time-ordered event sequence — the clickstream path summary.  Per-user
+# timestamps are unique in this schema, so the lead() order is total.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT event_type AS from_state,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS to_state
+        FROM events
+    )
+    SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE to_state IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_transition_matrix(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.temporal import transition_matrix
+
+    return transition_matrix(star.events, "user_id", "ts", "event_type")

@@ -455,3 +455,58 @@ def test_dsir_logweights_corpus_never_shuffles_twice(star):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_resample_gapfill_policies(spark):
+    import datetime as dt
+
+    from sap_data_pipeline_spark.operators.temporal import resample_gapfill
+    import pytest as _pytest
+
+    d = dt.date
+    df = spark.createDataFrame(
+        [
+            ("a", d(2020, 1, 1), 5.0, 10.0),
+            ("a", d(2020, 1, 4), 7.0, 20.0),
+            ("b", d(2020, 3, 1), 1.0, 2.0),
+        ],
+        ["k", "day", "flow", "stock"],
+    )
+    out = resample_gapfill(
+        df, "k", "day", fill_zero=["flow"], fill_forward=["stock"]
+    )
+    rows = {(r["k"], str(r["day"])): (r["flow"], r["stock"]) for r in out.collect()}
+    # dense spine per key's own bounds: a gets 4 days, b gets 1 — never
+    # a's span applied to b
+    assert len(rows) == 5
+    assert rows[("a", "2020-01-02")] == (0.0, 10.0)  # zero-fill + locf
+    assert rows[("a", "2020-01-03")] == (0.0, 10.0)
+    assert rows[("a", "2020-01-04")] == (7.0, 20.0)
+    assert rows[("b", "2020-03-01")] == (1.0, 2.0)
+
+    with _pytest.raises(ValueError):
+        resample_gapfill(df, "k", "day", fill_zero=["flow"], fill_forward=["flow"])
+
+
+def test_transition_matrix_hand_computed(spark):
+    import datetime as dt
+
+    from sap_data_pipeline_spark.operators.temporal import transition_matrix
+
+    t = dt.datetime
+    df = spark.createDataFrame(
+        [
+            (1, t(2020, 1, 1, 0), "a"),
+            (1, t(2020, 1, 1, 1), "b"),
+            (1, t(2020, 1, 1, 2), "a"),
+            (2, t(2020, 1, 1, 0), "a"),
+            (2, t(2020, 1, 1, 1), "b"),
+            (3, t(2020, 1, 1, 0), "c"),  # singleton: no transitions
+        ],
+        ["uid", "ts", "ev"],
+    )
+    out = {
+        (r["from_state"], r["to_state"]): r["n_transitions"]
+        for r in transition_matrix(df, "uid", "ts", "ev").collect()
+    }
+    assert out == {("a", "b"): 2, ("b", "a"): 1}
