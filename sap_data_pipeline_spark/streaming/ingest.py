@@ -434,3 +434,26 @@ def stream_curate_corpus_incremental(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_enrich_dims(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a live stream against a
+    batch dimension table — the streaming twin of the reference's
+    fact→dim joins (every micro-batch re-resolves the dim, so slowly
+    changing dims are picked up without restarting the query).
+
+    Stream-static joins never buffer stream state (each micro-batch is
+    joined as a batch); the static side is broadcast when under the
+    threshold, so the enrichment is map-side per batch.  Left join
+    keeps late-registered keys (dim miss → NULLs to backfill) instead
+    of silently dropping events; pass ``how='inner'`` to gate instead.
+    Stream-STREAM joins with time bounds live in
+    :func:`stream_interval_join`.
+    """
+    return stream.join(F.broadcast(dim), on, how)

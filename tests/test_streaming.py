@@ -439,3 +439,33 @@ def test_stream_deletion_sink_erasure_requests(spark, tmp_path):
     assert {r["doc_id"] for r in table.read().collect()} == \
         set(range(10)) - {0, 3, 7}
     assert table.history[-1]["deleted"] == 1  # idempotent on the re-sent key
+
+
+def test_stream_enrich_dims_broadcast_join(spark, tmp_path):
+    """Stream-static enrichment: each micro-batch joins the static dim
+    map-side; left join keeps dim-miss rows with NULLs (late-registered
+    keys are backfillable, never silently dropped)."""
+    from sap_data_pipeline_spark.streaming.ingest import stream_enrich_dims
+
+    watch = tmp_path / "watch_enrich"
+    watch.mkdir()
+    _write_csv(watch / "f1.csv", [("a", "s1", 1.0), ("b", "s2", 2.0), ("x", "s9", 3.0)])
+
+    dim = spark.createDataFrame(
+        [("s1", "west"), ("s2", "east")], ["Site", "Region"]
+    )
+    stream = stream_file_source(spark, str(watch), SCHEMA, fmt="csv")
+    enriched = stream_enrich_dims(stream, dim, "Site")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["Article"]: r["Region"]
+        for r in spark.sql("SELECT * FROM enriched_sink").collect()
+    }
+    assert rows == {"a": "west", "b": "east", "x": None}
