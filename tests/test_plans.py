@@ -234,3 +234,43 @@ def test_cms_cells_single_exchange_probe_broadcast(spark):
     plan = _plan(QUERIES["cms_term_frequencies"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan  # exact top-20, never a full sort
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, star):
+    """At 100 TB a selective dim-side filter should semi-prune the fact
+    scan BEFORE the shuffle: Spark's runtime bloom filter does this
+    automatically once the probe side exceeds
+    applicationSideScanSizeThreshold (10 GB default — i.e. exactly the
+    regime our local data never reaches). Force the thresholds down to
+    pin that the optimizer path stays available under our session
+    config; at cluster scale the defaults fire it unaided.
+
+    Raw parquet reads on purpose: the rule pattern-matches a scan-shaped
+    probe subtree, and load_star's local-only rebalance exchange masks
+    it (harmless — every load_star join in the catalog broadcasts its
+    dim side, which prunes better than a bloom probe anyway)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        filtered_orders = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(filtered_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
