@@ -74,6 +74,7 @@ _TAIL = (
     "fuzzy_part_name_pairs",
     "supplier_daily_gapfill",
     "events_transition_matrix",
+    "semantic_dedup_clusters",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

@@ -596,6 +596,37 @@ def near_dup_clusters(df: DataFrame, text_col: str = "text",
     )
 
 
+def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
+                   threshold: float = 0.3, n_cells: int = 8, nprobe: int = 2,
+                   checkpoint_dir: str | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate clusters
+    over an embedding column — cosine-similar pairs blocked by quantizer
+    cells, closed into components, one survivor per cluster.  Where
+    MinHash catches lexical copies, this catches paraphrases and
+    re-renderings that share no n-grams.
+
+    Composition of oracled stages: cell-blocked cosine pairs
+    (:func:`embedding_near_dup_pairs_by_cell` — Σ|cell|², never N²) →
+    :func:`connected_components` (O(log diameter) bounded shuffle
+    rounds) → per-cluster size + min-id survivor.  Returns one row per
+    vector: (id, cluster_id, cluster_size, is_survivor).
+    """
+    pairs = embedding_near_dup_pairs_by_cell(
+        emb, id_col=id_col, threshold=threshold, n_cells=n_cells, nprobe=nprobe
+    )
+    cc = connected_components(
+        emb.select(id_col), pairs.select("id_a", "id_b"),
+        id_col=id_col, checkpoint_dir=checkpoint_dir,
+    )
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
 def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, *,
                           id_col: str = "doc_id",
                           score: Column | None = None,

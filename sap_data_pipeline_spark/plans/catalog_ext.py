@@ -2674,3 +2674,84 @@ def events_transition_matrix(star: Star) -> DataFrame:
     from sap_data_pipeline_spark.operators.temporal import transition_matrix
 
     return transition_matrix(star.events, "user_id", "ts", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (operators.dedup.semantic_dedup): semantic near-dup clusters
+# over embeddings — the paraphrase-level complement to MinHash lexical
+# dedup (Abbas et al. 2023).  The oracle replays the cell-blocked pair
+# CTE of embedding_near_dup_cells verbatim, then closes the pair graph
+# with the same recursive-CTE fixpoint as near_dup_clusters; the min
+# reachable id is unique, so Spark's iterative propagation agrees
+# exactly.
+# ---------------------------------------------------------------------------
+
+_EMB_CAND_CTE = """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeded AS (
+        SELECT vec_id, v, md5('cell:' || CAST(vec_id AS VARCHAR)) AS r
+        FROM e ORDER BY r, vec_id LIMIT 8
+    ),
+    cents AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY r, vec_id) - 1 AS INT) AS cell,
+               v AS cv
+        FROM seeded
+    ),
+    dists AS (
+        SELECT e.vec_id, c.cell,
+               list_sum(list_transform(generate_series(1, len(e.v)),
+                        i -> (e.v[i] - c.cv[i]) ^ 2)) AS dist
+        FROM e CROSS JOIN cents c
+    ),
+    probed AS (
+        SELECT vec_id, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cell) AS rk
+            FROM dists
+        ) WHERE rk <= 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM probed a JOIN probed b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    simpairs AS (
+        SELECT id_a, id_b
+        FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                  JOIN e eb ON eb.vec_id = cand.id_b
+        WHERE round(list_dot_product(ea.v, eb.v)
+                    / (sqrt(list_dot_product(ea.v, ea.v))
+                       * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.3
+    )
+"""
+
+
+@register(
+    "semantic_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_EMB_CAND_CTE},
+    sedges AS (
+        SELECT id_a AS src, id_b AS dst FROM simpairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM simpairs
+    ),
+    sreach(src, dst) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.src, r.dst FROM sedges e JOIN sreach r ON r.src = e.dst
+    ),
+    scomp AS (
+        SELECT src AS vec_id, MIN(dst) AS cluster_id FROM sreach GROUP BY src
+    ),
+    ssizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM scomp GROUP BY cluster_id
+    )
+    SELECT c.vec_id, c.cluster_id, s.cluster_size,
+           c.vec_id = c.cluster_id AS is_survivor
+    FROM scomp c JOIN ssizes s USING (cluster_id)
+    """,
+)
+def semantic_dedup_clusters(star: Star) -> DataFrame:
+    return D.semantic_dedup(
+        star.embeddings, threshold=0.3, n_cells=8, nprobe=2
+    ).withColumn("cluster_size", F.col("cluster_size").cast("long"))

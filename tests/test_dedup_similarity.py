@@ -642,3 +642,32 @@ def test_repeated_substring_rejects_bad_width(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         repeated_substring_stats(df, width=0)
+
+
+def test_semantic_dedup_chains_and_singletons(spark):
+    """Paraphrase chain A~B, B~C (A≁C) must collapse into ONE cluster
+    with the min id surviving; an orthogonal vector stays a singleton
+    survivor."""
+    from sap_data_pipeline_spark.operators.dedup import semantic_dedup
+
+    def v(x, y):
+        return [float(x), float(y), 0.0, 0.0]
+
+    emb = spark.createDataFrame(
+        [
+            (1, v(1.0, 0.0)),        # ~ 2 (cos ≈ .995)
+            (2, v(1.0, 0.1)),        # ~ 1 and ~ 3
+            (3, v(1.0, 0.2)),        # ~ 2 (cos(1,3) ≈ .981 — still a chain via 2)
+            (9, v(0.0, 1.0)),        # orthogonal to all → singleton
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, threshold=0.9, n_cells=2, nprobe=2).collect()
+    }
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+    assert out[1]["cluster_size"] == 3
+    assert out[1]["is_survivor"] and not out[2]["is_survivor"]
+    assert out[9]["cluster_id"] == 9 and out[9]["cluster_size"] == 1
+    assert out[9]["is_survivor"]
