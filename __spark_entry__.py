@@ -75,6 +75,7 @@ _TAIL = (
     "supplier_daily_gapfill",
     "events_transition_matrix",
     "semantic_dedup_clusters",
+    "host_pagerank",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

@@ -1,0 +1,124 @@
+"""Link-graph analytics for crawl curation.
+
+A web-scale pretraining corpus carries a host-level link graph, and the
+standard curation signal over it is PageRank (the CommonCrawl/CCNet
+lineage uses harmonic centrality / PageRank percentiles to tier hosts
+by "authority" before sampling).  The reference pipeline has no graph
+step — this is extension surface, same family as the connected
+components in :mod:`operators.dedup` but with weighted mass propagation
+instead of min-label convergence.
+
+Scale shape (100 TB / 10^8-host graph): the edge list is the big frame
+and is shuffled ONCE (repartitioned by ``src`` and reused across every
+iteration); per-iteration cost is one shuffle-join of the rank frame
+(one row per host — orders of magnitude smaller than the edge list)
+against the pre-partitioned edges plus one aggregate on ``dst``.  The
+dangling-mass correction is a single-row aggregate cross-joined back in
+— it stays in the plan (broadcast of one row), never a driver collect.
+Fixed iteration count, so lineage depth is bounded and no convergence
+round-trips are needed; for large ``iterations`` pass ``checkpoint_dir``
+(same contract as ``connected_components``) to cut lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns one row per node ``(node, pr)`` where ``node`` ranges over
+    every distinct endpoint (source or destination) of ``edges``.
+    Duplicate edges are collapsed first — rank flows along DISTINCT
+    (src, dst) pairs, the usual convention for host graphs where edge
+    multiplicity reflects crawl redundancy, not endorsement strength.
+
+    Semantics per iteration (the classic power-iteration step)::
+
+        pr'(v) = (1-d)/N + d * ( sum_{u->v} pr(u)/outdeg(u)
+                                 + dangling_mass/N )
+
+    where ``dangling_mass`` is the summed rank of nodes with no
+    out-edges — their mass is redistributed uniformly, keeping the
+    ranks a probability distribution (sums to 1) at every step.
+
+    ``iterations`` is deliberately fixed (not convergence-driven): a
+    curation pipeline wants a deterministic, budget-bounded pass, and
+    rank *ordering* stabilises long before the values do.
+    """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition("src")  # the ONE shuffle of the big frame; reused per round
+        .persist()
+    )
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        # one driver scalar up front (node count) — same budget class as
+        # connected_components' per-round convergence scalar
+        n = nodes.count()
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+        for _ in range(iterations):
+            with_deg = ranks.join(
+                outdeg, ranks["node"] == outdeg["src"], "left"
+            ).select("node", "pr", "deg")
+            # dangling mass: single-row aggregate, broadcast back in —
+            # never leaves the plan
+            dangling = with_deg.where(F.col("deg").isNull()).agg(
+                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm")
+            )
+            contribs = (
+                with_deg.where(F.col("deg").isNotNull())
+                .join(e, with_deg["node"] == e["src"])
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("pr") / F.col("deg")).alias("w"),
+                )
+                .groupBy("node")
+                .agg(F.sum("w").alias("in_mass"))
+            )
+            ranks = ckpt(
+                nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("in_mass"), F.lit(0.0))
+                            + F.col("_dm") / F.lit(float(n))
+                        )
+                    ).alias("pr"),
+                )
+            )
+        return ranks
+    finally:
+        e.unpersist()
+        # nodes is referenced by the returned (checkpointed) frame only
+        # through materialized blocks, so unpersisting here is safe
+        nodes.unpersist()

@@ -2755,3 +2755,83 @@ def semantic_dedup_clusters(star: Star) -> DataFrame:
     return D.semantic_dedup(
         star.embeddings, threshold=0.3, n_cells=8, nprobe=2
     ).withColumn("cluster_size", F.col("cluster_size").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Host-graph PageRank (operators.graph.pagerank): the standard crawl-
+# curation authority signal (CCNet-style host tiering).  The synthetic
+# host graph is derived deterministically from doc_id residues — two
+# edge families give a many-to-many core (mod-89 × mod-83 endpoints
+# share one label space) plus a pure-sink family (hosts 89..95 appear
+# only as destinations), so the dangling-mass redistribution path is
+# exercised, not just defined.  The oracle unrolls the 3 power
+# iterations as CTEs — same math, aggregation order differs, and the
+# driver's 6-decimal rounding absorbs the ~1e-16 float drift.
+# ---------------------------------------------------------------------------
+
+_PR_EDGE_SQL = """
+    SELECT doc_id % 89 AS src, doc_id % 83 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id % 89 AS src, 89 + (doc_id % 7) AS dst FROM documents
+"""
+
+
+def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    ctes = [
+        f"raw AS ({_PR_EDGE_SQL})",
+        "e AS (SELECT DISTINCT src, dst FROM raw)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"""d{i} AS (
+        SELECT COALESCE(SUM(r.pr), 0.0) AS dm
+        FROM {p} r LEFT JOIN deg ON r.node = deg.src
+        WHERE deg.src IS NULL)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+        SELECT e.dst AS node, SUM(r.pr / deg.deg) AS m
+        FROM {p} r JOIN deg ON r.node = deg.src
+                   JOIN e   ON e.src  = r.node
+        GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+        SELECT nodes.node,
+               CAST({(1.0 - damping) / 1.0!r} AS DOUBLE) / (SELECT n FROM nn)
+               + CAST({damping!r} AS DOUBLE)
+                 * (COALESCE(c.m, 0.0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn))
+                 AS pr
+        FROM nodes LEFT JOIN c{i} c ON nodes.node = c.node)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS host_id, CAST(pr AS DOUBLE) AS pr
+    FROM r{iterations}
+    """
+    )
+
+
+@register("host_pagerank", _pagerank_oracle())
+def host_pagerank(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators import graph as G
+
+    docs = star.documents
+    e1 = docs.select(
+        (F.col("doc_id") % 89).alias("src"), (F.col("doc_id") % 83).alias("dst")
+    )
+    e2 = docs.select(
+        (F.col("doc_id") % 89).alias("src"),
+        (F.lit(89) + F.col("doc_id") % 7).alias("dst"),
+    )
+    ranks = G.pagerank(e1.unionAll(e2), iterations=3)
+    return ranks.select(
+        F.col("node").cast("long").alias("host_id"),
+        F.col("pr").cast("double").alias("pr"),
+    )

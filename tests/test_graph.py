@@ -1,0 +1,70 @@
+"""PageRank (operators.graph) — verified against a dense NumPy
+power-iteration reference on the same graph."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sap_data_pipeline_spark.operators.graph import pagerank
+
+
+def numpy_pagerank(edges, *, damping=0.85, iterations=3):
+    """Dense reference: same semantics (distinct edges, uniform init,
+    dangling mass redistributed uniformly each step)."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    m = np.zeros((n, n))
+    for u, v in edges:
+        m[idx[v], idx[u]] += 1.0
+    outdeg = m.sum(axis=0)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        dangling = pr[outdeg == 0].sum()
+        contrib = m @ np.divide(
+            pr, outdeg, out=np.zeros(n), where=outdeg > 0
+        )
+        pr = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    return {v: pr[idx[v]] for v in nodes}
+
+
+def run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r["node"]: r["pr"] for r in pagerank(df, **kw).collect()}
+
+
+def test_matches_numpy_reference(spark):
+    # many-to-many core + a sink (4) + a self-loop (3,3) + dup edge
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 4), (3, 3), (3, 4), (0, 1)]
+    got = run(spark, edges, iterations=4)
+    want = numpy_pagerank(edges, iterations=4)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_ranks_sum_to_one_with_dangling(spark):
+    # node 9 is a pure sink: its mass must be redistributed, not lost
+    edges = [(1, 2), (2, 3), (3, 1), (1, 9), (2, 9)]
+    got = run(spark, edges, iterations=5)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got[9] > (1 - 0.85) / len(got)  # sink still accrues rank
+
+
+def test_uniform_on_cycle(spark):
+    # a pure cycle is symmetric: every node keeps exactly 1/n
+    n = 6
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    got = run(spark, edges, iterations=3)
+    for v, pr in got.items():
+        assert pr == pytest.approx(1.0 / n, abs=1e-12)
+
+
+def test_authority_ordering(spark):
+    # everyone links to 0; 0 links out to 1 — 0 must outrank the rest
+    edges = [(i, 0) for i in range(1, 5)] + [(0, 1)]
+    got = run(spark, edges, iterations=3)
+    assert got[0] == max(got.values())
+    assert got[1] > got[2]  # 1 gets 0's entire out-mass
