@@ -1,6 +1,7 @@
 from sap_data_pipeline_spark.operators import (
     corpus,
     dedup,
+    graph,
     merge,
     multimodal,
     relational,
@@ -11,6 +12,6 @@ from sap_data_pipeline_spark.operators import (
 )
 
 __all__ = [
-    "corpus", "dedup", "merge", "multimodal", "relational",
+    "corpus", "dedup", "graph", "merge", "multimodal", "relational",
     "rollup", "sampling", "similarity", "temporal",
 ]
