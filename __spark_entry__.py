@@ -91,6 +91,7 @@ _TAIL = (
     "events_funnel",
     "curriculum_deciles",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "approx_corpus_profile",
 )
 

@@ -2835,3 +2835,22 @@ def host_pagerank(star: Star) -> DataFrame:
         F.col("node").cast("long").alias("host_id"),
         F.col("pr").cast("double").alias("pr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (operators.similarity.pq_topk): ADC scan over
+# m-byte codes + exact-cosine rerank of the short list — the FAISS IVFPQ
+# building block.  Rows-only by design: the codebooks come from a KMeans
+# training pass (no cross-engine twin); recall is gated against
+# brute_force_topk in tests instead.
+# ---------------------------------------------------------------------------
+
+@register("ann_pq_topk")
+def ann_pq_topk(star: Star) -> DataFrame:
+    queries = star.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.pq_topk(
+        star.embeddings, queries, k=5, dim=64, m=8, nbits=4,
+        query_id_col="query_id",
+    )
