@@ -274,3 +274,46 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, star):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_funnel_two_bounded_exchanges_no_join(spark):
+    """Funnel: one user-keyed exchange to build per-user sequences, one
+    tiny post-agg exchange for the per-step counts — never a join chain
+    (a per-step self-join funnel is O(steps) fact shuffles)."""
+    plan = _plan(QUERIES["events_funnel"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_transition_matrix_two_exchanges_no_join(spark):
+    """State transitions: user-keyed window + (from,to) aggregate — two
+    bounded exchanges, no join."""
+    plan = _plan(QUERIES["events_transition_matrix"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_gapfill_spine_join_is_broadcast_never_cartesian(spark):
+    """Gap-fill: the per-key date spine joins back broadcast — a plan
+    regression to CartesianProduct/BNLJ would be quadratic at scale."""
+    plan = _plan(QUERIES["supplier_daily_gapfill"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pivot_two_phase_agg_dims_broadcast(spark):
+    """Pivot: two-phase aggregate (≤2 exchanges), both dims broadcast —
+    the wide output never sort-merge-joins."""
+    plan = _plan(QUERIES["pivot_revenue_by_nation_year"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_cube_is_expand_plus_single_aggregate(spark):
+    """CUBE: one Expand node feeding ONE hash aggregate exchange — the
+    grouping-sets plan; a per-grain union would rescan the fact 4×."""
+    plan = _plan(QUERIES["cube_revenue_nation_year"](spark, SF_DIR))
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
