@@ -159,26 +159,47 @@ class VersionedParquetTable:
         return out
 
     def append(self, df: DataFrame, *, partition_by: str | None = None,
-               max_retries: int = 5) -> int:
+               max_retries: int = 5, op: str = "append") -> int:
         """Append-only commit: new files + ALL previous files — zero
         rewrite, the shape corpus ingest needs.  ``partition_by``
         records each new file's partition value in the manifest so
         later merges can share untouched partitions.  Appends COMMUTE,
         so a :class:`CommitConflict` auto-retries against the fresh
         manifest — the already-written data files are reused, only the
-        metadata commit repeats."""
+        metadata commit repeats.  ``op`` tags the commit in the
+        manifest lineage (see :meth:`append_once`)."""
         new = self._write_files(df, partition_by)
         for _ in range(max_retries):
             m = self._load_manifest()
             prev = self._files_of(None)
             try:
-                return self._commit(m, prev + new, "append")
+                return self._commit(m, prev + new, op)
             except CommitConflict:
                 continue
         raise CommitConflict(
             f"append lost the commit race {max_retries} times — "
             "pathological writer contention"
         )
+
+    def append_once(self, df: DataFrame, *, op_token: str,
+                    partition_by: str | None = None) -> int | None:
+        """Idempotent append: commit tagged ``op_token``; if a committed
+        version already carries that token, no-op and return ``None``.
+
+        This is the exactly-once handshake for at-least-once producers
+        (Structured Streaming ``foreachBatch`` redelivers a batch after
+        a crash between the sink write and the checkpoint commit): the
+        token — e.g. ``stream-append:<stream_id>:<batch_id>`` — rides
+        the manifest, so a redelivered batch finds its own commit and
+        skips.  The check-then-commit pair assumes one writer per
+        ``op_token`` stream (the Structured Streaming execution model —
+        a query's batches retry serially, never concurrently); unrelated
+        writers on other tokens race safely via the version claims.
+        """
+        m = self._load_manifest()
+        if any(v.get("op") == op_token for v in m["versions"].values()):
+            return None
+        return self.append(df, partition_by=partition_by, op=op_token)
 
     def merge(self, source: DataFrame, keys: list[str], *,
               partition_by: str | None = None) -> int:

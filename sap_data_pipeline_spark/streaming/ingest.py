@@ -457,3 +457,38 @@ def stream_enrich_dims(
     :func:`stream_interval_join`.
     """
     return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_versioned_append_sink(
+    stream: DataFrame,
+    table,
+    *,
+    checkpoint_dir: str,
+    stream_id: str = "stream",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch → :meth:`VersionedParquetTable.append_once`: streaming
+    ingest into the time-travel table with EXACTLY-ONCE commits.
+
+    ``foreachBatch`` is at-least-once (a crash between the sink write
+    and the checkpoint commit redelivers the batch); each batch commits
+    under the token ``stream-append:<stream_id>:<batch_id>``, so the
+    redelivery finds its own commit in the manifest lineage and no-ops
+    — no duplicate rows, no orphan version.  Every micro-batch becomes
+    one table version sharing all prior files (zero rewrite), and
+    downstream incremental consumers follow via ``changes_since`` /
+    ``diff`` — the streaming-producer side of the versioned-table
+    contract.
+    """
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        table.append_once(
+            batch_df, op_token=f"stream-append:{stream_id}:{batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -469,3 +469,45 @@ def test_stream_enrich_dims_broadcast_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enriched_sink").collect()
     }
     assert rows == {"a": "west", "b": "east", "x": None}
+
+
+def test_stream_versioned_append_exactly_once(spark, tmp_path):
+    """Streaming → versioned table: one version per micro-batch, shared
+    prior files, and a redelivered batch (at-least-once foreachBatch)
+    commits NOTHING the second time."""
+    from sap_data_pipeline_spark.sources.versioned import VersionedParquetTable
+    from sap_data_pipeline_spark.streaming.ingest import (
+        stream_versioned_append_sink,
+    )
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    _write_csv(watch / "f1.csv", [("a", "s1", 1.0), ("b", "s1", 2.0)])
+    _write_csv(watch / "f2.csv", [("c", "s2", 3.0)])
+
+    table = VersionedParquetTable(spark, str(tmp_path / "vt"))
+    stream = stream_file_source(spark, str(watch), SCHEMA, fmt="csv")
+    q = stream_versioned_append_sink(
+        stream, table, checkpoint_dir=str(tmp_path / "ckpt"), stream_id="s"
+    )
+    q.awaitTermination(120)
+
+    # one file per trigger → two versions, both time-travelable
+    assert table.current_version == 2
+    assert table.read().count() == 3
+    assert table.read(1).count() in (1, 2)  # batch order decides
+
+    # redelivery of an already-committed batch: no-op, version unmoved
+    batch0 = spark.createDataFrame([("a", "s1", 1.0)], "Article string, Site string, Qty double")
+    assert table.append_once(batch0, op_token="stream-append:s:0") is None
+    assert table.current_version == 2
+    assert table.read().count() == 3
+
+    # incremental consumer sees only the delta; restart processes nothing
+    assert table.changes_since(1).count() == table.read().count() - table.read(1).count()
+    stream2 = stream_file_source(spark, str(watch), SCHEMA, fmt="csv")
+    q2 = stream_versioned_append_sink(
+        stream2, table, checkpoint_dir=str(tmp_path / "ckpt"), stream_id="s"
+    )
+    q2.awaitTermination(60)
+    assert table.current_version == 2
