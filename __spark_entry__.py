@@ -76,6 +76,8 @@ _TAIL = (
     "events_transition_matrix",
     "semantic_dedup_clusters",
     "host_pagerank",
+    "salted_join_segment_revenue",
+    "quality_zscore_by_lang",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

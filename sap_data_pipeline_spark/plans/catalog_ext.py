@@ -2854,3 +2854,103 @@ def ann_pq_topk(star: Star) -> DataFrame:
         star.embeddings, queries, k=5, dim=64, m=8, nbits=4,
         query_id_col="query_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe salted join, driver-evidenced (operators.relational.salted_join
+# was test-only): revenue per market segment through the salted
+# orders⋈customer join.  The salt NEVER changes results — the oracle is
+# the PLAIN join — which is exactly the operator's contract: spread one
+# hot key over `salt` reducers, keep row-identical output.
+# ---------------------------------------------------------------------------
+
+@register(
+    "salted_join_segment_revenue",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def salted_join_segment_revenue(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators import relational as R
+    from sap_data_pipeline_spark.plans import star_mapping as sm
+
+    big = star.orders.select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    small = star.customer.select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return (
+        R.salted_join(big, small, ["custkey"], salt=8)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            sm.dec_sum(F.col("o_totalprice"), "revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language quality z-scores: the curation signal behind
+# "keep the top-X% per language" policies (a GLOBAL quality cut starves
+# low-resource languages whose score distribution sits lower).  Moments
+# aggregate per language through exact DECIMAL sums (order-independent,
+# engine-portable — same trick as every dec_sum) and re-enter broadcast;
+# the document frame itself never shuffles (a lang-partitioned window
+# would put the dominant language's entire row set in one partition).
+# ---------------------------------------------------------------------------
+
+@register(
+    "quality_zscore_by_lang",
+    f"""
+    WITH {_QUALITY_CTES},
+    scored AS (
+        SELECT d.doc_id, d.lang, q.quality
+        FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+    ),
+    mom AS (
+        SELECT lang,
+               CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(quality AS DECIMAL(18,6))
+                        * CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM scored GROUP BY 1
+    )
+    SELECT sc.doc_id, sc.lang, sc.quality,
+           CASE WHEN (mom.sq / mom.n) - (mom.s / mom.n) * (mom.s / mom.n) > 1e-12
+                THEN round((sc.quality - mom.s / mom.n)
+                           / sqrt((mom.sq / mom.n) - (mom.s / mom.n) * (mom.s / mom.n)), 4)
+                ELSE 0.0 END AS z
+    FROM scored sc JOIN mom ON sc.lang = mom.lang
+    """,
+)
+def quality_zscore_by_lang(star: Star) -> DataFrame:
+    from pyspark.sql.types import DecimalType
+
+    dec = DecimalType(18, 6)
+    scored = star.documents.select(
+        "doc_id", "lang", X.quality_score("text").alias("quality")
+    )
+    mom = scored.groupBy("lang").agg(
+        F.sum(F.col("quality").cast(dec)).cast("double").alias("s"),
+        F.sum(F.col("quality").cast(dec) * F.col("quality").cast(dec))
+        .cast("double").alias("sq"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("sq") / F.col("n") - mean * mean
+    return (
+        scored.join(F.broadcast(mom), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            F.when(var > 1e-12, F.round((F.col("quality") - mean) / F.sqrt(var), 4))
+            .otherwise(F.lit(0.0))
+            .alias("z"),
+        )
+    )
