@@ -78,6 +78,8 @@ _TAIL = (
     "host_pagerank",
     "salted_join_segment_revenue",
     "quality_zscore_by_lang",
+    "events_daily_anomaly_mad",
+    "compression_ratio_scores",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

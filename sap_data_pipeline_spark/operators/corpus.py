@@ -312,3 +312,50 @@ def sharded_distinct_estimate(df: DataFrame, col: str, *,
             "merged_estimate"
         ),
     )
+
+
+def compression_ratio(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio — the Dolma/RedPajama-style
+    repetition proxy: boilerplate-heavy or looping text compresses far
+    below natural prose (ratio = compressed/raw bytes; natural English
+    sits around 0.3–0.5, templated spam well under 0.2), and unlike the
+    Gopher word-level metrics it also catches character-level and
+    long-range repetition.
+
+    Returns (id, n_bytes, n_compressed, compression_ratio).
+
+    This is one of the repo's few Python stages: Spark has no
+    compression expression, so the codec runs in an Arrow-batched
+    ``mapInPandas`` (same legitimacy class as the multimodal decoders —
+    C-speed zlib per document, batch transfer via Arrow, ZERO shuffles;
+    the stage is a pure per-row map that pipelines with the scan).
+    """
+    import zlib
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("n_compressed", T.IntegerType()),
+        T.StructField("compression_ratio", T.DoubleType()),
+    ])
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            nb = raw.str.len()
+            nc = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_bytes": nb.astype("int32"),
+                "n_compressed": nc.astype("int32"),
+                "compression_ratio": (
+                    nc / nb.where(nb > 0, other=pd.NA)
+                ).astype("float64").fillna(0.0).round(6),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(score, schema)

@@ -2954,3 +2954,82 @@ def quality_zscore_by_lang(star: Star) -> DataFrame:
             .alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust daily anomaly flags (median/MAD): the ops-side health check for
+# a continuously-ingesting pipeline — "did any event type's daily volume
+# jump off its own baseline?"  Mean/stddev breaks on the very outliers
+# it should find; median ± k·MAD is the standard robust rule.  Exact
+# medians are safe HERE because they aggregate the per-(type, day)
+# count frame — types × days rows, thousands at most — never raw events;
+# the only corpus-scale pass is the first (type, day) count.
+# Both engines interpolate the even-n median identically
+# (Spark `percentile` ≡ DuckDB `quantile_cont`).
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_daily_anomaly_mad",
+    """
+    WITH daily AS (
+        SELECT event_type, strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(n_events, 0.5) AS med
+        FROM daily GROUP BY 1
+    ),
+    dev AS (
+        SELECT d.event_type, d.day, d.n_events, m.med,
+               abs(d.n_events - m.med) AS adev
+        FROM daily d JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT dev.event_type, dev.day, dev.n_events,
+           round(dev.med, 6) AS med, round(mad.mad, 6) AS mad,
+           dev.adev > 3 * mad.mad AS is_anomaly
+    FROM dev JOIN mad USING (event_type)
+    """,
+)
+def events_daily_anomaly_mad(star: Star) -> DataFrame:
+    daily = (
+        star.events.groupBy(
+            "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n_events", F.lit(0.5)).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type", "day", "n_events",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            (F.col("adev") > 3 * F.col("mad")).alias("is_anomaly"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio repetition proxy (operators.corpus.compression_ratio):
+# rows-only — DuckDB has no zlib expression; the codec math is pinned by
+# a differential test against direct zlib instead.
+# ---------------------------------------------------------------------------
+
+@register("compression_ratio_scores")
+def compression_ratio_scores(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators import corpus as CO
+
+    return CO.compression_ratio(star.documents)

@@ -4,6 +4,7 @@ import math
 
 from pyspark.sql import functions as F
 
+from sap_data_pipeline_spark.operators import corpus as CO
 from sap_data_pipeline_spark.operators.corpus import chunk_documents, tf_idf_top_terms
 
 
@@ -289,3 +290,27 @@ def test_sharded_distinct_estimate_merges_to_global(spark, star):
     alt = docs.withColumn("shard", F.pmod("doc_id", F.lit(3)))
     row2 = sharded_distinct_estimate(alt, "text", shard_col="shard").collect()[0]
     assert abs(row2["merged_estimate"] - row["merged_estimate"]) / exact < 0.02
+
+
+def test_compression_ratio_differential_vs_zlib(spark):
+    """Pin the codec math: every emitted row equals direct zlib on the
+    same text; repetitive text compresses visibly below unique text."""
+    import zlib
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "the quick brown fox jumps over one lazy sleeping dog"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in CO.compression_ratio(df).collect()}
+    assert len(got) == 4
+    for i, txt in rows:
+        raw = (txt or "").encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        assert got[i]["n_bytes"] == len(raw)
+        assert got[i]["n_compressed"] == comp
+        want = round(comp / len(raw), 6) if raw else 0.0
+        assert abs(got[i]["compression_ratio"] - want) < 1e-9
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"]
