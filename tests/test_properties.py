@@ -164,3 +164,47 @@ def test_connected_components_matches_union_find(spark, edges):
     got = {r["doc_id"]: r["cluster_id"]
            for r in connected_components(ids, pairs).collect()}
     assert got == want
+
+
+_batch = st.dictionaries(
+    st.integers(min_value=0, max_value=7),
+    st.integers(min_value=-50, max_value=50),
+    max_size=8,
+)
+
+
+@PROP
+@given(d1=_batch, d2=_batch)
+def test_versioned_diff_matches_dict_diff(spark, d1, d2):
+    """diff(v1, v2) over merge lineage must equal the plain dict diff:
+    inserts = keys only in v2, deletes = only in v1, updates = value
+    changed; identical keys never appear."""
+    import shutil
+    import tempfile
+
+    from sap_data_pipeline_spark.sources.versioned import VersionedParquetTable
+
+    if not d1 or not d2:
+        return  # merge() requires non-empty batches; empty-diff covered in unit tests
+    root = tempfile.mkdtemp()
+    try:
+        t = VersionedParquetTable(spark, root)
+        t.merge(spark.createDataFrame(list(d1.items()), "k int, v int"), ["k"])
+        t.merge(spark.createDataFrame(list(d2.items()), "k int, v int"), ["k"])
+        got = {
+            r["k"]: (r["change_type"], r["n_from"], r["n_to"])
+            for r in t.diff(["k"], 1, 2).collect()
+        }
+        # merge is an UPSERT: v2 = d1 overlaid with d2 — keys absent
+        # from the source persist, so a merge lineage can never produce
+        # deletes (delete coverage lives in the rollback unit test)
+        s2 = {**d1, **d2}
+        want = {}
+        for k in s2:
+            if k not in d1:
+                want[k] = ("insert", 0, 1)
+            elif d1[k] != s2[k]:
+                want[k] = ("update", 1, 1)
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
