@@ -201,8 +201,22 @@ class VersionedParquetTable:
             return None
         return self.append(df, partition_by=partition_by, op=op_token)
 
+    def merge_once(self, source: DataFrame, keys: list[str], *,
+                   op_token: str, partition_by: str | None = None) -> int | None:
+        """Idempotent keyed upsert: the :meth:`append_once` handshake for
+        MERGE batches.  A replayed merge batch is already CONTENT-equal
+        (upserting the same rows twice converges), but it would still
+        commit a spurious extra version; the token check skips it, so
+        ``changes_since``/``diff`` consumers never see a phantom delta
+        and history stays one version per logical batch.  Same
+        single-writer-per-token assumption as :meth:`append_once`."""
+        m = self._load_manifest()
+        if any(v.get("op") == op_token for v in m["versions"].values()):
+            return None
+        return self.merge(source, keys, partition_by=partition_by, op=op_token)
+
     def merge(self, source: DataFrame, keys: list[str], *,
-              partition_by: str | None = None) -> int:
+              partition_by: str | None = None, op: str = "merge") -> int:
         """Keyed upsert commit.  With ``partition_by``, only files of
         partitions the source touches are rewritten; every other file
         is SHARED with the previous version by reference — the
@@ -219,11 +233,11 @@ class VersionedParquetTable:
         current_files = self._files_of(None)
         if not current_files:
             first = source.dropDuplicates(keys)
-            return self._commit(m, self._write_files(first, partition_by), "merge")
+            return self._commit(m, self._write_files(first, partition_by), op)
 
         if partition_by is None:
             merged = merge_upsert_frames(self.read(), source, keys)
-            return self._commit(m, self._write_files(merged), "merge")
+            return self._commit(m, self._write_files(merged), op)
 
         touched = {
             str(r[partition_by])
@@ -249,7 +263,7 @@ class VersionedParquetTable:
         else:
             merged = source.dropDuplicates(keys)
         new_files = self._write_files(merged, partition_by)
-        return self._commit(m, shared + new_files, "merge")
+        return self._commit(m, shared + new_files, op)
 
     def rollback(self, to_version: int) -> int:
         """Commit a NEW version pointing at an old version's files —

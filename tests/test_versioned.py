@@ -283,3 +283,20 @@ def test_diff_sees_through_rollback_and_shares_files(spark, tmp_path):
     assert _diff_rows(t.diff(["k"], 2, 3)) == [("b", "update", 1, 1)]
     # and v1 vs v3 are file-identical: zero changed files, empty diff
     assert t.diff(["k"], 1, 3).count() == 0
+
+
+def test_merge_once_skips_replayed_batch(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "vt"))
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    b1 = spark.createDataFrame([("b", 20), ("c", 3)], "k string, v int")
+    assert t.merge_once(b0, ["k"], op_token="cdc:0") == 1
+    assert t.merge_once(b1, ["k"], op_token="cdc:1") == 2
+    # replay of batch 1: content-equal but must not mint a version
+    assert t.merge_once(b1, ["k"], op_token="cdc:1") is None
+    assert t.current_version == 2
+    assert _rows(t.read()) == [("a", 1), ("b", 20), ("c", 3)]
+    # diff across the batches reflects exactly one logical change set
+    assert _diff_rows(t.diff(["k"], 1, 2)) == [
+        ("b", "update", 1, 1),
+        ("c", "insert", 0, 1),
+    ]
