@@ -81,6 +81,8 @@ def pagerank(
         # one driver scalar up front (node count) — same budget class as
         # connected_components' per-round convergence scalar
         n = nodes.count()
+        if n == 0:  # empty link batch: zero rows, stable schema, no 1/0
+            return nodes.select("node", F.lit(0.0).alias("pr"))
         ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
         for _ in range(iterations):
             with_deg = ranks.join(

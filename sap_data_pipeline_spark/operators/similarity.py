@@ -343,6 +343,22 @@ def pq_train_codebooks(corpus: DataFrame, *, vec_col: str = "embedding",
     return codebooks
 
 
+def _subspace_sqdist(vec_col: str, j: int, sub: int, centroid: list[float]):
+    """Squared L2 distance of a vector's j-th subspace slice to one
+    codebook centroid — the single source of truth for PQ distance math
+    (used by both encoding and the query-side ADC tables; a metric change
+    applied to one side only would silently desynchronize them)."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub),
+            F.array(*[F.lit(v) for v in centroid]),
+            lambda x, m: (x - m) * (x - m),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]], *,
               vec_col: str = "embedding",
               code_col: str = "pq_code") -> DataFrame:
@@ -360,15 +376,7 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]], *,
         cells = F.array(*[
             F.struct(
                 F.lit(c).alias("code"),
-                F.aggregate(
-                    F.zip_with(
-                        F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub),
-                        F.array(*[F.lit(v) for v in cent]),
-                        lambda x, mta: (x - mta) * (x - mta),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
+                _subspace_sqdist(vec_col, j, sub, cent).alias("dist"),
             )
             for c, cent in enumerate(book)
         ])
@@ -413,18 +421,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     ).select("neighbor_id", "pq_code")
     # per-query distance table: dtab[j][c] = ||q_sub_j - codebook[j][c]||²
     dtab = F.array(*[
-        F.array(*[
-            F.aggregate(
-                F.zip_with(
-                    F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub),
-                    F.array(*[F.lit(v) for v in cent]),
-                    lambda x, mta: (x - mta) * (x - mta),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for cent in book
-        ])
+        F.array(*[_subspace_sqdist(vec_col, j, sub, cent) for cent in book])
         for j, book in enumerate(codebooks)
     ])
     q = F.broadcast(

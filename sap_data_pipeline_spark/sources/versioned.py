@@ -181,6 +181,15 @@ class VersionedParquetTable:
             "pathological writer contention"
         )
 
+    def _token_committed(self, op_token: str) -> bool:
+        """True if a committed version carries ``op_token`` — including
+        versions vacuum() has since pruned (their op strings are retired
+        into the manifest, so exactly-once survives retention)."""
+        m = self._load_manifest()
+        if any(v.get("op") == op_token for v in m["versions"].values()):
+            return True
+        return op_token in m.get("retired_ops", [])
+
     def append_once(self, df: DataFrame, *, op_token: str,
                     partition_by: str | None = None) -> int | None:
         """Idempotent append: commit tagged ``op_token``; if a committed
@@ -196,8 +205,7 @@ class VersionedParquetTable:
         a query's batches retry serially, never concurrently); unrelated
         writers on other tokens race safely via the version claims.
         """
-        m = self._load_manifest()
-        if any(v.get("op") == op_token for v in m["versions"].values()):
+        if self._token_committed(op_token):
             return None
         return self.append(df, partition_by=partition_by, op=op_token)
 
@@ -210,8 +218,7 @@ class VersionedParquetTable:
         ``changes_since``/``diff`` consumers never see a phantom delta
         and history stays one version per logical batch.  Same
         single-writer-per-token assumption as :meth:`append_once`."""
-        m = self._load_manifest()
-        if any(v.get("op") == op_token for v in m["versions"].values()):
+        if self._token_committed(op_token):
             return None
         return self.merge(source, keys, partition_by=partition_by, op=op_token)
 
@@ -336,8 +343,13 @@ class VersionedParquetTable:
         def read_paths(paths: list[str]) -> DataFrame | None:
             return self.spark.read.parquet(*paths) if paths else None
 
+        # every join below goes through a single `_k` STRUCT surrogate:
+        # struct equality treats NULL fields as equal, so NULL-keyed rows
+        # diff like any other (bare multi-column equi-joins would drop
+        # them silently — NULL != NULL)
+        kstruct = F.struct(*[F.col(k) for k in keys]).alias("_k")
         cand_parts = [
-            d.select(*keys) for d in (read_paths(only_from), read_paths(only_to))
+            d.select(kstruct) for d in (read_paths(only_from), read_paths(only_to))
             if d is not None
         ]
         cand = cand_parts[0]
@@ -346,10 +358,11 @@ class VersionedParquetTable:
         cand = cand.distinct()
 
         def side(version: int | None) -> DataFrame:
-            snap = self.read(version).join(F.broadcast(cand), keys, "left_semi")
-            cols = sorted(snap.columns)
+            snap = self.read(version).withColumn("_k", kstruct)
+            snap = snap.join(F.broadcast(cand), "_k", "left_semi")
+            cols = sorted(c for c in snap.columns if c != "_k")
             h = F.md5(F.to_json(F.struct(*cols)))
-            return snap.groupBy(*keys, h.alias("_h")).agg(
+            return snap.groupBy("_k", h.alias("_h")).agg(
                 F.count(F.lit(1)).alias("_n")
             )
 
@@ -357,20 +370,20 @@ class VersionedParquetTable:
         b = side(to_version)
         delta = (
             a.withColumnRenamed("_n", "_na")
-            .join(b.withColumnRenamed("_n", "_nb"), [*keys, "_h"], "full_outer")
+            .join(b.withColumnRenamed("_n", "_nb"), ["_k", "_h"], "full_outer")
             .filter(
                 F.coalesce(F.col("_na"), F.lit(0)) != F.coalesce(F.col("_nb"), F.lit(0))
             )
-            .select(*keys)
+            .select("_k")
             .distinct()
         )
-        pres_a = a.groupBy(*keys).agg(F.sum("_n").alias("n_from"))
-        pres_b = b.groupBy(*keys).agg(F.sum("_n").alias("n_to"))
+        pres_a = a.groupBy("_k").agg(F.sum("_n").alias("n_from"))
+        pres_b = b.groupBy("_k").agg(F.sum("_n").alias("n_to"))
         return (
-            delta.join(pres_a, keys, "left")
-            .join(pres_b, keys, "left")
+            delta.join(pres_a, "_k", "left")
+            .join(pres_b, "_k", "left")
             .select(
-                *keys,
+                *[F.col(f"_k.{k}").alias(k) for k in keys],
                 F.when(F.col("n_from").isNotNull() & F.col("n_to").isNotNull(), "update")
                 .when(F.col("n_to").isNotNull(), "insert")
                 .otherwise("delete")
@@ -452,6 +465,11 @@ class VersionedParquetTable:
         doomed = all_files - referenced
         for f in doomed:
             os.remove(f)
+        retired = m.get("retired_ops", [])
+        retired += [
+            e["op"] for v, e in m["versions"].items() if v not in keep
+        ]
+        m["retired_ops"] = retired  # keeps *_once tokens valid post-vacuum
         m["versions"] = {v: e for v, e in m["versions"].items() if v in keep}
         tmp = self.manifest_path + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:

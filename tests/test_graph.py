@@ -68,3 +68,10 @@ def test_authority_ordering(spark):
     got = run(spark, edges, iterations=3)
     assert got[0] == max(got.values())
     assert got[1] > got[2]  # 1 gets 0's entire out-mass
+
+
+def test_empty_edge_frame_yields_empty_ranks(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(df, iterations=3)
+    assert out.columns == ["node", "pr"]
+    assert out.count() == 0

@@ -300,3 +300,27 @@ def test_merge_once_skips_replayed_batch(spark, tmp_path):
         ("b", "update", 1, 1),
         ("c", "insert", 0, 1),
     ]
+
+
+def test_append_once_token_survives_vacuum(spark, tmp_path):
+    """Exactly-once must outlive retention: vacuum prunes the version
+    that carried a stream batch's token, yet the replayed batch still
+    no-ops (tokens are retired into the manifest, not dropped)."""
+    t = VersionedParquetTable(spark, str(tmp_path / "vt"))
+    b = spark.createDataFrame([("a", 1)], "k string, v int")
+    assert t.append_once(b, op_token="stream-append:s:0") == 1
+    for i in range(3):  # push the token's version out of retention
+        t.append(spark.createDataFrame([(f"x{i}", i)], "k string, v int"))
+    t.vacuum(keep_last=2)
+    assert t.append_once(b, op_token="stream-append:s:0") is None
+    assert t.read().count() == 4  # no duplicate rows
+
+
+def test_diff_handles_null_keys(spark, tmp_path):
+    """NULL-keyed rows must appear in the diff like any other (plain
+    equi-joins would silently drop them: NULL != NULL)."""
+    t = VersionedParquetTable(spark, str(tmp_path / "vt"))
+    t.append(spark.createDataFrame([(None, 1), ("a", 1)], "k string, v int"))
+    t.append(spark.createDataFrame([(None, 2)], "k string, v int"))
+    got = _diff_rows(t.diff(["k"], 1, 2))
+    assert got == [(None, "update", 1, 2)]
