@@ -80,6 +80,8 @@ _TAIL = (
     "quality_zscore_by_lang",
     "events_daily_anomaly_mad",
     "compression_ratio_scores",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_shipping",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

@@ -1029,6 +1029,85 @@ def tpch_q5_local_supplier_volume(star: Star) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(star: Star) -> DataFrame:
+    """TPC-H Q10 (adapted to the available columns): top-20 customers by
+    revenue lost to returned items in a quarter.  The plan shape that
+    matters at scale: lineitem is the ONLY big frame — the return-flag
+    and quarter gates push into both scans, customer/nation ride
+    broadcast, and the top-20 is TakeOrderedAndProject (k rows per
+    partition), never a global sort.  Ties cannot straddle the LIMIT:
+    (revenue, custkey) is a total order on DECIMAL-exact revenue."""
+    o = star.orders.filter(
+        F.col("o_orderdate").cast("date").between("1996-01-01", "1996-03-31")
+    )
+    l = star.lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(star.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(star.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            sm.dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"
+            )
+        )
+        .withColumn("c_acctbal", F.col("c_acctbal").cast("double"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
+    )
+
+
+@register(
+    "tpch_q12_priority_shipping",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+    GROUP BY 1
+    """,
+)
+def tpch_q12_priority_shipping(star: Star) -> DataFrame:
+    """TPC-H Q12 (adapted: return-flag stands in for ship-mode): did
+    late/cheap shipping classes starve high-priority orders?  One
+    fact-fact join on the order key and a 3-group conditional aggregate;
+    the ship-date gate pushes into the lineitem scan."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l = star.lineitem.filter(
+        F.col("l_shipdate").cast("date").between("1996-01-01", "1996-12-31")
+    )
+    return (
+        l.join(star.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational extension pack: pivot / unpivot, CUBE, top-n per group,
 # INTERSECT/EXCEPT, blocked fuzzy matching — classic warehouse shapes

@@ -317,3 +317,14 @@ def test_cube_is_expand_plus_single_aggregate(spark):
     plan = _plan(QUERIES["cube_revenue_nation_year"](spark, SF_DIR))
     assert plan.count("Expand") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_q10_pushdown_and_take_ordered(spark):
+    """Q10: return-flag and quarter gates reach both fact scans, dims
+    broadcast, and the top-20 is TakeOrderedAndProject — never a global
+    sort."""
+    plan = _plan(QUERIES["tpch_q10_returned_items"](spark, SF_DIR))
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert plan.count("TakeOrderedAndProject") == 1
+    assert "SortMergeJoin" not in plan
