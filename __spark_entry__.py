@@ -82,6 +82,7 @@ _TAIL = (
     "compression_ratio_scores",
     "tpch_q10_returned_items",
     "tpch_q12_priority_shipping",
+    "events_key_skew_report",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

@@ -3033,3 +3033,61 @@ def compression_ratio_scores(star: Star) -> DataFrame:
     from sap_data_pipeline_spark.operators import corpus as CO
 
     return CO.compression_ratio(star.documents)
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostic: the pre-flight check before keying a 100 TB
+# shuffle — per-key weight of the heaviest keys plus the skew ratio
+# (max/avg).  A ratio ≫ spark.sql.adaptive.skewJoin thresholds says
+# "salt this key or pre-aggregate" BEFORE the job strands one reducer.
+# One count aggregate + a TakeOrdered top-k; the second moment rides the
+# same pass (no re-scan).
+# ---------------------------------------------------------------------------
+
+_SKEW_K = 10
+
+@register(
+    "events_key_skew_report",
+    f"""
+    WITH per_key AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(MAX(n) AS DOUBLE) AS max_n,
+               CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_n
+        FROM per_key
+    )
+    SELECT p.user_id, p.n,
+           CAST(p.rk AS INT) AS rank,
+           round(s.max_n / s.avg_n, 6) AS skew_ratio
+    FROM (
+        SELECT user_id, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS rk
+        FROM per_key
+    ) p CROSS JOIN stats s
+    WHERE p.rk <= {_SKEW_K}
+    """,
+)
+def events_key_skew_report(star: Star) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    per_key = star.events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    stats = per_key.agg(
+        F.max("n").cast("double").alias("max_n"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_n"),
+    )
+    # top-k FIRST (TakeOrderedAndProject — k rows per partition, never a
+    # global-sort window over every key), THEN rank the k survivors
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    top = (
+        per_key.orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(_SKEW_K)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "user_id", "n", "rank",
+        F.round(F.col("max_n") / F.col("avg_n"), 6).alias("skew_ratio"),
+    )
