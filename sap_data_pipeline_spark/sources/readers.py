@@ -303,3 +303,79 @@ def read_jsonl_corpus(
         F.col("value").alias("raw_line"), "_source_file"
     )
     return clean, quarantine
+
+
+def read_parquet_evolving(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas — the long-lived-table reality (ingest v1 lacked a column,
+    v2 added one, v3 widened a type) that a plain read either fails on
+    or silently serves with the first file's schema.
+
+    Without ``target_schema``, delegates to ``mergeSchema=true`` (union
+    of all file footers; columns missing in a file read as NULL) — note
+    Spark's footer merge accepts added/removed columns but REFUSES
+    cross-file type changes.  With ``target_schema``, files are grouped
+    by their footer schema and each group is read in one scan and
+    CONTRACTED to the target: missing columns materialize as typed
+    NULLs, extra columns drop, and every column casts to the target
+    type — which is exactly what makes cross-file widening (v int →
+    v bigint) readable.  Only widening/identity casts are accepted; a
+    narrowing cast (long→int, double→float) raises instead of silently
+    truncating history.
+
+    Scale note: footer inspection is driver-side per DISTINCT schema
+    group discovery (one listing + one footer read per file) — cheap up
+    to tens of thousands of files; compact (`optimize`) first beyond
+    that.  Per-row cost is a flat projection, no shuffle.
+    """
+    if target_schema is None:
+        return spark.read.option("mergeSchema", "true").parquet(path)
+
+    import os
+
+    files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+    groups: dict[str, list[str]] = {}
+    for fp in files:  # footer-only read, no job
+        key = spark.read.parquet(fp).schema.simpleString()
+        groups.setdefault(key, []).append(fp)
+
+    widen_ok = {
+        ("int", "bigint"), ("smallint", "int"), ("smallint", "bigint"),
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("float", "double"), ("int", "double"), ("bigint", "double"),
+        ("int", "decimal"), ("bigint", "decimal"), ("date", "timestamp"),
+    }
+
+    def contract(df: DataFrame) -> DataFrame:
+        have = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for f in target_schema.fields:
+            if f.name not in have:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                continue
+            src, dst = have[f.name].simpleString(), f.dataType.simpleString()
+            if src != dst and (src, dst.split("(")[0]) not in widen_ok:
+                raise ValueError(
+                    f"column {f.name!r}: narrowing/incompatible cast "
+                    f"{src} -> {dst}; widen the target instead"
+                )
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    out = None
+    for paths in groups.values():
+        part = contract(spark.read.parquet(*paths))
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -348,3 +348,48 @@ def test_export_jsonl_sharded_roundtrip(spark, tmp_path, star):
     out2 = str(tmp_path / "shards2")
     export_jsonl_sharded(docs, out2, docs_per_shard=16, order_key="doc_id")
     assert digest(out) == digest(out2)
+
+
+def test_read_parquet_evolving_contracts_to_target(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from sap_data_pipeline_spark.sources.readers import read_parquet_evolving
+
+    root = str(tmp_path / "evolving")
+    # generation 1: (k int, v int) — no `extra`, narrow int
+    spark.createDataFrame([(1, 10)], "k int, v int").write.parquet(root + "/g=1")
+    # generation 2: adds `note`, widens v to long
+    spark.createDataFrame(
+        [(2, 20_000_000_000, "late")], "k int, v long, note string"
+    ).write.parquet(root + "/g=2")
+
+    target = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("note", T.StringType()),
+        T.StructField("added_later", T.DoubleType()),
+    ])
+    got = {r["k"]: r for r in read_parquet_evolving(
+        spark, root, target_schema=target
+    ).collect()}
+    assert [f.dataType.simpleString() for f in
+            read_parquet_evolving(spark, root, target_schema=target).schema.fields
+            ] == ["int", "bigint", "string", "double"]
+    assert got[1]["v"] == 10 and got[1]["note"] is None and got[1]["added_later"] is None
+    assert got[2]["v"] == 20_000_000_000 and got[2]["note"] == "late"
+
+
+def test_read_parquet_evolving_rejects_narrowing(spark, tmp_path):
+    import pytest
+    from pyspark.sql import types as T
+
+    from sap_data_pipeline_spark.sources.readers import read_parquet_evolving
+
+    root = str(tmp_path / "evonarrow")
+    spark.createDataFrame([(1, 20_000_000_000)], "k int, v long").write.parquet(root)
+    target = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("v", T.IntegerType()),  # long -> int would truncate
+    ])
+    with pytest.raises(ValueError, match="narrowing"):
+        read_parquet_evolving(spark, root, target_schema=target)
