@@ -334,9 +334,18 @@ def stream_curate_corpus_incremental(
     min_quality: float = 0.3,
     id_col: str = "doc_id",
     available_now: bool = True,
+    versioned: bool = False,
 ) -> StreamingQuery:
     """Incremental NEAR-dup curation: each micro-batch probes an
     accumulated LSH signature store instead of re-clustering the corpus.
+
+    ``versioned=True`` lands survivors in a
+    :class:`~sap_data_pipeline_spark.sources.versioned.VersionedParquetTable`
+    at ``out_path`` instead of a plain merge table: every surviving
+    micro-batch becomes one time-travelable version (committed
+    exactly-once under a ``stream-curate:<batch_id>`` token, so replays
+    mint no phantom versions) and downstream consumers diff/follow the
+    curated corpus incrementally.
 
     ``stream_curate_corpus`` defers near-dedup to a periodic batch pass
     whose cost is O(corpus) every time it runs.  This flow keeps a
@@ -419,7 +428,16 @@ def stream_curate_corpus_incremental(
         survivors = survivors.localCheckpoint(eager=True)
         if not survivors.take(1):
             return
-        ParquetMergeTable(sp, out_path, keys=[id_col]).merge(survivors)
+        if versioned:
+            from sap_data_pipeline_spark.sources.versioned import (
+                VersionedParquetTable,
+            )
+
+            VersionedParquetTable(sp, out_path).merge_once(
+                survivors, [id_col], op_token=f"stream-curate:{batch_id}"
+            )
+        else:
+            ParquetMergeTable(sp, out_path, keys=[id_col]).merge(survivors)
         (
             bands.join(survivors.select(id_col, "fingerprint"), id_col)
             .select(id_col, "fingerprint", "band", "bkey")

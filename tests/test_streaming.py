@@ -511,3 +511,61 @@ def test_stream_versioned_append_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination(60)
     assert table.current_version == 2
+
+
+def test_stream_curate_incremental_versioned_sink(spark, tmp_path):
+    """versioned=True: each surviving micro-batch is one time-travelable
+    version of the curated corpus, committed exactly-once."""
+    import json
+
+    from sap_data_pipeline_spark.sources.versioned import VersionedParquetTable
+    from sap_data_pipeline_spark.streaming.ingest import (
+        stream_curate_corpus_incremental,
+    )
+
+    watch = tmp_path / "vc_in"
+    watch.mkdir()
+    d1 = ("the quick brown fox jumps over the lazy dog near the river "
+          "bank with many common words appearing throughout this text")
+    d2 = ("completely different content about machine learning and "
+          "the data pipelines that process it for training models")
+    (watch / "b1.jsonl").write_text(json.dumps({"doc_id": 1, "text": d1}))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    out = tmp_path / "vc_out"
+    kwargs = dict(
+        checkpoint_dir=str(tmp_path / "vc_ckpt"),
+        signature_store=str(tmp_path / "vc_store"),
+        min_quality=0.5, versioned=True,
+    )
+    q = stream_curate_corpus_incremental(
+        spark, str(watch), schema, str(out), **kwargs)
+    q.awaitTermination(120)
+    t = VersionedParquetTable(spark, str(out))
+    assert t.current_version == 1
+    assert {r["doc_id"] for r in t.read().collect()} == {1}
+
+    (watch / "b2.jsonl").write_text(json.dumps({"doc_id": 2, "text": d2}))
+    q2 = stream_curate_corpus_incremental(
+        spark, str(watch), schema, str(out), **kwargs)
+    q2.awaitTermination(120)
+    assert t.current_version == 2
+    assert {r["doc_id"] for r in t.read(1).collect()} == {1}      # time travel
+    assert {r["doc_id"] for r in t.read().collect()} == {1, 2}
+    assert _diff_rows_docs(t.diff(["doc_id"], 1, 2)) == [(2, "insert")]
+
+    # replay with a fresh checkpoint: fingerprint probe empties the
+    # batch, merge_once backstops — no phantom versions either way
+    q3 = stream_curate_corpus_incremental(
+        spark, str(watch), schema, str(out),
+        checkpoint_dir=str(tmp_path / "vc_ckpt_replay"),
+        signature_store=str(tmp_path / "vc_store"),
+        min_quality=0.5, versioned=True)
+    q3.awaitTermination(120)
+    assert t.current_version == 2
+
+
+def _diff_rows_docs(df):
+    return sorted((r["doc_id"], r["change_type"]) for r in df.collect())
