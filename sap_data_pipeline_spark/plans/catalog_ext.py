@@ -3072,9 +3072,12 @@ _SKEW_K = 10
 def events_key_skew_report(star: Star) -> DataFrame:
     from pyspark.sql.window import Window
 
+    # the expensive pass is the per-key count (full events scan +
+    # map-side partial agg); BOTH consumers below read it through one
+    # lazy localCheckpoint, so the corpus is scanned once, not twice
     per_key = star.events.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    )
+    ).localCheckpoint(eager=False)
     stats = per_key.agg(
         F.max("n").cast("double").alias("max_n"),
         (F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_n"),

@@ -328,3 +328,14 @@ def test_tpch_q10_pushdown_and_take_ordered(spark):
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert plan.count("TakeOrderedAndProject") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_zscore_broadcast_moments_single_exchange(spark):
+    """Per-lang z-scores: ONE narrow exchange for the moment aggregate,
+    moments re-enter broadcast — the document frame never hash-shuffles
+    (a lang-partitioned window would put the dominant language in one
+    partition)."""
+    plan = _plan(QUERIES["quality_zscore_by_lang"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
