@@ -729,3 +729,92 @@ def build_training_corpus(
     audit["rows_final"] = write_parquet_atomic(packed, out_path)
     audit["n_bins"] = packed.select("shard", "split", "bin").distinct().count()
     return audit
+
+
+def refresh_packed_corpus_incremental(
+    table,
+    out_root: str,
+    *,
+    from_version: int | None = None,
+    pack_budget: int = 2048,
+    n_shards: int = 8,
+    split_weights: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+) -> dict:
+    """Incremental refresh of the packed training layout from a
+    versioned curated corpus: re-pack ONLY the shards touched since
+    ``from_version``, reuse every other shard's files untouched.
+
+    The full pipeline (:func:`build_training_corpus`) packs the whole
+    corpus; on a 100 TB table where a daily curation batch changes a
+    fraction of documents, re-packing everything re-reads and re-writes
+    ~all of it.  This flow exploits two facts: (a) split and shard
+    assignment are CONTENT-ADDRESSED (md5 split of the doc id, shard =
+    ``split-doc_id%n``) — a document's shard never depends on other
+    documents; (b) packing is shard-local.  So the shards affected by a
+    change set are exactly the shards of the changed/deleted doc ids,
+    computable from :meth:`VersionedParquetTable.diff` WITHOUT reading
+    unchanged data, and every other shard's packed output is already
+    correct byte-for-byte.
+
+    Writes one directory per shard under ``out_root`` (overwriting only
+    affected shards) and returns an audit dict.  ``from_version=None``
+    (or a diff that touches everything) degrades to a full repack —
+    same result, no special casing.
+
+    Scale shape: the diff prunes to changed files; the repack reads the
+    current snapshot semi-joined to affected shards only (shard is
+    derived map-side, so the filter prunes before any shuffle); per
+    affected shard, one window over that shard's rows.
+    """
+    from sap_data_pipeline_spark.functions import text as X
+    from sap_data_pipeline_spark.operators.sampling import hash_split, pack_by_offset
+
+    def with_shard(df):
+        return hash_split(df, id_col, weights=split_weights).withColumn(
+            "shard",
+            F.concat_ws("-", F.col("split"), F.pmod(F.col(id_col), F.lit(n_shards))),
+        )
+
+    to_version = table.current_version
+    audit: dict = {"from_version": from_version, "to_version": to_version}
+
+    if from_version is not None:
+        changed = with_shard(table.diff([id_col], from_version, to_version))
+        affected = sorted(
+            r["shard"] for r in changed.select("shard").distinct().collect()
+        )
+        audit["n_changed_docs"] = changed.count()
+    else:
+        affected = None  # full build
+
+    full = with_shard(table.read(to_version))
+    if affected is not None:
+        if not affected:
+            audit.update(n_affected_shards=0, n_reused_shards="all")
+            return audit
+        full = full.filter(F.col("shard").isin(affected))
+
+    packed = pack_by_offset(
+        full.withColumn("n_tokens", X.token_count("text")),
+        "n_tokens",
+        budget=pack_budget,
+        shard_col="shard",
+        order_by=[id_col],
+    )
+    shards_written = sorted(
+        r["shard"] for r in packed.select("shard").distinct().collect()
+    )
+    for s in shards_written:  # per-shard atomic dir swap, others untouched
+        packed.filter(F.col("shard") == s).write.mode("overwrite").parquet(
+            f"{out_root}/shard={s}"
+        )
+    # a shard whose every doc was deleted must not keep stale files
+    if affected is not None:
+        import shutil
+
+        for s in set(affected) - set(shards_written):
+            shutil.rmtree(f"{out_root}/shard={s}", ignore_errors=True)
+    audit["n_affected_shards"] = len(affected or shards_written)
+    audit["shards_written"] = shards_written
+    return audit

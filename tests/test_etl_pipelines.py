@@ -548,3 +548,58 @@ def test_build_training_corpus_decontaminates_spans_not_docs(spark, tmp_path):
     text = spark.read.parquet(out).collect()[0]["text"]
     assert "leaked secret answer" not in text
     assert "useful content" in text
+
+
+def test_refresh_packed_corpus_incremental(spark, tmp_path):
+    """Incremental repack: only shards holding changed docs rewrite;
+    untouched shard files stay byte-identical; the refreshed layout
+    equals a from-scratch repack of the new version."""
+    import os
+
+    from sap_data_pipeline_spark.etl import refresh_packed_corpus_incremental
+    from sap_data_pipeline_spark.sources.versioned import VersionedParquetTable
+
+    def digest(root):
+        out = {}
+        for dp, _, fs in os.walk(root):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dp, f)
+                    shard = [x for x in p.split(os.sep) if x.startswith("shard=")][0]
+                    with open(p, "rb") as fh:
+                        out.setdefault(shard, []).append(hash(fh.read()))
+        return {k: sorted(v) for k, v in out.items()}
+
+    docs = [(i, f"document number {i} with some text tokens " * 3) for i in range(40)]
+    t = VersionedParquetTable(spark, str(tmp_path / "corpus"))
+    t.merge(spark.createDataFrame(docs, "doc_id long, text string"), ["doc_id"])
+
+    out = str(tmp_path / "packed")
+    a0 = refresh_packed_corpus_incremental(t, out, n_shards=4, pack_budget=64)
+    base = digest(out)
+    assert len(base) > 1
+
+    # change ONE doc
+    t.merge(spark.createDataFrame(
+        [(7, "a completely rewritten document body with new tokens " * 3)],
+        "doc_id long, text string"), ["doc_id"])
+    a1 = refresh_packed_corpus_incremental(
+        t, out, from_version=a0["to_version"], n_shards=4, pack_budget=64)
+    assert a1["n_changed_docs"] == 1
+    assert a1["n_affected_shards"] == 1
+    after = digest(out)
+    changed = {s for s in base if base[s] != after.get(s)}
+    assert changed == {f"shard={a1['shards_written'][0]}"}
+
+    # parity: incremental result == full repack of the same version
+    ref = str(tmp_path / "packed_ref")
+    refresh_packed_corpus_incremental(t, ref, n_shards=4, pack_budget=64)
+    ref_rows = spark.read.parquet(ref + "/shard=*").drop("shard")
+    inc_rows = spark.read.parquet(out + "/shard=*").drop("shard")
+    assert inc_rows.exceptAll(ref_rows).count() == 0
+    assert ref_rows.exceptAll(inc_rows).count() == 0
+
+    # no changes → nothing touched
+    a2 = refresh_packed_corpus_incremental(
+        t, out, from_version=a1["to_version"], n_shards=4, pack_budget=64)
+    assert a2["n_affected_shards"] == 0
