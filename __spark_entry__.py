@@ -83,6 +83,7 @@ _TAIL = (
     "tpch_q10_returned_items",
     "tpch_q12_priority_shipping",
     "events_key_skew_report",
+    "bpe_token_stats",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

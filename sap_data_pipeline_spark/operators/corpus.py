@@ -359,3 +359,142 @@ def compression_ratio(df: DataFrame, *, text_col: str = "text",
             })
 
     return df.select(id_col, text_col).mapInPandas(score, schema)
+
+
+def bpe_train(df: DataFrame, *, text_col: str = "text",
+              n_merges: int = 200, word_limit: int = 50_000,
+              min_count: int = 2) -> list[tuple[str, str]]:
+    """Train byte-pair-encoding merges (Sennrich et al. 2016) on the
+    corpus; returns the ordered merge list (the tokenizer model).
+
+    The distributed part is the single corpus pass that builds the
+    WORD-FREQUENCY table (whitespace words, lowercased — matching
+    ``functions.text.tokens``); BPE's merge loop then runs driver-side
+    over that table, which is the standard formulation: merge counts
+    depend only on (word, freq) pairs, and the table is heavy-hitter
+    bounded (``word_limit`` top words by frequency — the tail can't
+    influence early merges), exactly the KMeans-on-a-sample trade the
+    IVF/PQ trainers make.  Words carry an end-of-word marker ``</w>``
+    so merges never cross word boundaries.
+    """
+    from sap_data_pipeline_spark.functions import text as X
+
+    rows = (
+        df.select(F.explode(X.tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_count)
+        .orderBy(F.col("freq").desc(), F.col("w").asc())
+        .limit(word_limit)
+        .collect()
+    )
+    # driver-side classic BPE over the bounded word-freq table
+    vocab: dict[tuple[str, ...], int] = {
+        (*list(r["w"]), "</w>"): r["freq"] for r in rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + freq
+        if not pairs:
+            break
+        # deterministic argmax: count desc, then lexicographic pair
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab = {}
+        for syms, freq in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = freq
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode(text: str, merges: list[tuple[str, str]],
+               _cache: dict | None = None) -> list[str]:
+    """Apply trained merges to one text (greedy lowest-rank-first — the
+    canonical BPE encoder).  Pure Python; exposed for tests and used
+    per-row inside the Arrow batches of :func:`bpe_token_counts`."""
+    import re
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    words = re.findall(r"\S+", text.lower())
+    out: list[str] = []
+    for w in words:
+        if _cache is not None and w in _cache:
+            out.extend(_cache[w])
+            continue
+        syms = [*list(w), "</w>"]
+        while len(syms) > 1:
+            ranked = [
+                (ranks[(a, b)], i)
+                for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                if (a, b) in ranks
+            ]
+            if not ranked:
+                break
+            _, i = min(ranked)
+            syms[i:i + 2] = [syms[i] + syms[i + 1]]
+        if _cache is not None:
+            _cache[w] = syms
+        out.extend(syms)
+    return out
+
+
+def bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]], *,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document BPE token counts under a trained merge list —
+    the REAL token budget a trained tokenizer would bill, vs the
+    whitespace/regex proxies in ``functions.text``.
+
+    Returns (id, n_bpe_tokens, n_words, tokens_per_word).
+
+    Iterative merge application isn't expressible as a native column
+    expression, so this is an Arrow-batched ``mapInPandas`` stage (the
+    documented legitimate-Python class); a per-batch WORD cache makes
+    the cost proportional to distinct words per batch, not corpus
+    length — Zipf does the heavy lifting.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("n_bpe_tokens", T.IntegerType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("tokens_per_word", T.DoubleType()),
+    ])
+
+    def count(batches):
+        import re
+
+        for pdf in batches:
+            cache: dict = {}
+            n_tok, n_words = [], []
+            for txt in pdf[text_col].fillna(""):
+                toks = bpe_encode(txt, merges, cache)
+                n_tok.append(len(toks))
+                n_words.append(len(re.findall(r"\S+", txt.lower())))
+            nt = pd.Series(n_tok, dtype="int32")
+            nw = pd.Series(n_words, dtype="int32")
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_bpe_tokens": nt,
+                "n_words": nw,
+                "tokens_per_word": (nt / nw.where(nw > 0, 1)).round(6),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(count, schema)

@@ -3094,3 +3094,21 @@ def events_key_skew_report(star: Star) -> DataFrame:
         "user_id", "n", "rank",
         F.round(F.col("max_n") / F.col("avg_n"), 6).alias("skew_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real BPE tokenization (operators.corpus.bpe_train/bpe_token_counts):
+# train merges on the corpus word-frequency table (one distributed
+# pass; the merge loop runs driver-side over the bounded table — the
+# standard formulation), then bill every document's REAL token budget
+# under the trained tokenizer.  Rows-only: iterative merge application
+# has no SQL twin; the encoder is pinned by the canonical Sennrich
+# walkthrough + direct-encode differential tests.
+# ---------------------------------------------------------------------------
+
+@register("bpe_token_stats")
+def bpe_token_stats(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators import corpus as CO
+
+    merges = CO.bpe_train(star.documents, n_merges=100)
+    return CO.bpe_token_counts(star.documents, merges)

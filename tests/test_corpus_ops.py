@@ -314,3 +314,51 @@ def test_compression_ratio_differential_vs_zlib(spark):
         want = round(comp / len(raw), 6) if raw else 0.0
         assert abs(got[i]["compression_ratio"] - want) < 1e-9
     assert got[1]["compression_ratio"] < got[2]["compression_ratio"]
+
+
+def test_bpe_train_canonical_merges(spark):
+    """The Sennrich walkthrough corpus: ties broken deterministically
+    (count desc, lexicographic pair) — first three merges must build
+    'est</w>' from the shared suffix of newest/widest."""
+    words = (["low"] * 5) + (["lower"] * 2) + (["newest"] * 6) + (["widest"] * 3)
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    merges = CO.bpe_train(df, n_merges=3, min_count=1)
+    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>")]
+
+
+def test_bpe_encode_applies_ranked_merges(spark):
+    merges = [("e", "s"), ("es", "t"), ("est", "</w>")]
+    assert CO.bpe_encode("newest", merges) == ["n", "e", "w", "est</w>"]
+    assert CO.bpe_encode("widest newest", merges) == [
+        "w", "i", "d", "est</w>", "n", "e", "w", "est</w>",
+    ]
+    # unknown chars fall through as singletons + end marker
+    assert CO.bpe_encode("xy", merges) == ["x", "y", "</w>"]
+
+
+def test_bpe_token_counts_matches_direct_encode(spark):
+    rows = [
+        (1, "the newest widest thing"),
+        (2, "lower and lower it goes"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = CO.bpe_train(df, n_merges=10, min_count=1)
+    got = {r["doc_id"]: r for r in CO.bpe_token_counts(df, merges).collect()}
+    for i, txt in rows:
+        want = len(CO.bpe_encode(txt, merges))
+        assert got[i]["n_bpe_tokens"] == want
+        assert got[i]["n_words"] == len(txt.split())
+    assert got[3]["n_bpe_tokens"] == 0
+    # more merges can only shorten encodings
+    merges2 = CO.bpe_train(df, n_merges=40, min_count=1)
+    got2 = {r["doc_id"]: r["n_bpe_tokens"]
+            for r in CO.bpe_token_counts(df, merges2).collect()}
+    assert all(got2[i] <= got[i]["n_bpe_tokens"] for i, _ in rows)
+
+
+def test_bpe_train_deterministic(spark, star):
+    docs = star.documents.limit(60)
+    m1 = CO.bpe_train(docs, n_merges=25)
+    m2 = CO.bpe_train(docs, n_merges=25)
+    assert m1 == m2 and len(m1) == 25
