@@ -84,6 +84,7 @@ _TAIL = (
     "tpch_q12_priority_shipping",
     "events_key_skew_report",
     "bpe_token_stats",
+    "events_prefix_match_enrich",
     "minhash_signatures",
     "simhash_sketches",
     "repetition_stats",

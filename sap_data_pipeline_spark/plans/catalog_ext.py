@@ -3112,3 +3112,104 @@ def bpe_token_stats(star: Star) -> DataFrame:
 
     merges = CO.bpe_train(star.documents, n_merges=100)
     return CO.bpe_token_counts(star.documents, merges)
+
+
+# ---------------------------------------------------------------------------
+# Longest-prefix-match enrichment (the CIDR/ASN/geo lookup shape): each
+# event synthesizes a deterministic IPv4 from its ids; a three-tier
+# prefix dim (/8, /16, /24 — denser tiers built from residue classes so
+# every tier actually matches) resolves by the LONGEST matching prefix.
+# Scale shape: the row side expands to a FIXED 3 candidate keys
+# (one per prefix width — never a theta/range join), the prefix dim
+# broadcasts, and the winner is an argmax over ≤3 matches via one
+# per-row aggregate — the fact never shuffles.
+# ---------------------------------------------------------------------------
+
+_PFX_SQL = """
+    SELECT event_id,
+           CAST(10 + event_id % 4 AS VARCHAR) || '.'
+             || CAST(event_id % 256 AS VARCHAR) || '.'
+             || CAST((event_id * 7) % 256 AS VARCHAR) || '.'
+             || CAST((event_id * 13) % 256 AS VARCHAR) AS ip
+    FROM events
+"""
+_PFX_DIM_SQL = """
+    SELECT CAST(10 + r % 4 AS VARCHAR) || '.' AS prefix,
+           8 AS bits, 'net8-' || CAST(r AS VARCHAR) AS asn
+    FROM range(4) t(r)
+    UNION ALL
+    SELECT CAST(10 + r % 4 AS VARCHAR) || '.' || CAST(r AS VARCHAR) || '.' AS prefix,
+           16 AS bits, 'net16-' || CAST(r AS VARCHAR) AS asn
+    FROM range(64) t(r)
+    UNION ALL
+    SELECT CAST(10 + r % 4 AS VARCHAR) || '.' || CAST(r AS VARCHAR) || '.'
+             || CAST((r * 7) % 256 AS VARCHAR) || '.' AS prefix,
+           24 AS bits, 'net24-' || CAST(r AS VARCHAR) AS asn
+    FROM range(16) t(r)
+"""
+
+@register(
+    "events_prefix_match_enrich",
+    f"""
+    WITH ips AS ({_PFX_SQL}),
+    dim AS ({_PFX_DIM_SQL}),
+    cand AS (
+        SELECT i.event_id, i.ip, d.bits, d.asn
+        FROM ips i JOIN dim d
+          ON d.prefix = CASE d.bits
+               WHEN 8  THEN split_part(i.ip, '.', 1) || '.'
+               WHEN 16 THEN split_part(i.ip, '.', 1) || '.' || split_part(i.ip, '.', 2) || '.'
+               ELSE split_part(i.ip, '.', 1) || '.' || split_part(i.ip, '.', 2) || '.'
+                      || split_part(i.ip, '.', 3) || '.'
+             END
+    )
+    SELECT event_id, ip,
+           CAST(MAX(bits) AS INT) AS matched_bits,
+           MAX_BY(asn, bits) AS asn
+    FROM cand GROUP BY 1, 2
+    """,
+)
+def events_prefix_match_enrich(star: Star) -> DataFrame:
+    e = star.events.select(
+        "event_id",
+        F.concat_ws(
+            ".",
+            (F.lit(10) + F.col("event_id") % 4).cast("string"),
+            (F.col("event_id") % 256).cast("string"),
+            ((F.col("event_id") * 7) % 256).cast("string"),
+            ((F.col("event_id") * 13) % 256).cast("string"),
+        ).alias("ip"),
+    )
+    spark = star.events.sparkSession
+    dim_rows = (
+        [(f"{10 + r % 4}.", 8, f"net8-{r}") for r in range(4)]
+        + [(f"{10 + r % 4}.{r}.", 16, f"net16-{r}") for r in range(64)]
+        + [(f"{10 + r % 4}.{r}.{(r * 7) % 256}.", 24, f"net24-{r}") for r in range(16)]
+    )
+    dim = spark.createDataFrame(dim_rows, "prefix string, bits int, asn string")
+    # one broadcast LEFT join per prefix width + priority coalesce —
+    # no explode, no fact-side shuffle, no re-aggregate: the fact rows
+    # stream through three map-side hash probes (each dim tier is
+    # prefix-unique, so every probe yields at most one match)
+    parts = F.split(F.col("ip"), "\\.")
+    keyed = e.select(
+        "event_id", "ip",
+        F.concat(parts[0], F.lit(".")).alias("_k8"),
+        F.concat(parts[0], F.lit("."), parts[1], F.lit(".")).alias("_k16"),
+        F.concat(parts[0], F.lit("."), parts[1], F.lit("."), parts[2], F.lit(".")).alias("_k24"),
+    )
+    out = keyed
+    for bits in (8, 16, 24):
+        tier = F.broadcast(
+            dim.filter(F.col("bits") == bits)
+            .select(F.col("prefix").alias(f"_p{bits}"), F.col("asn").alias(f"_asn{bits}"))
+        )
+        out = out.join(tier, F.col(f"_k{bits}") == F.col(f"_p{bits}"), "left")
+    return out.select(
+        "event_id", "ip",
+        F.when(F.col("_asn24").isNotNull(), 24)
+        .when(F.col("_asn16").isNotNull(), 16)
+        .when(F.col("_asn8").isNotNull(), 8)
+        .cast("int").alias("matched_bits"),
+        F.coalesce("_asn24", "_asn16", "_asn8").alias("asn"),
+    ).filter(F.col("matched_bits").isNotNull())
