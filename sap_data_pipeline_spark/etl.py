@@ -776,15 +776,19 @@ def refresh_packed_corpus_incremental(
             F.concat_ws("-", F.col("split"), F.pmod(F.col(id_col), F.lit(n_shards))),
         )
 
+    import os
+    import shutil
+
     to_version = table.current_version
     audit: dict = {"from_version": from_version, "to_version": to_version}
 
     if from_version is not None:
-        changed = with_shard(table.diff([id_col], from_version, to_version))
-        affected = sorted(
-            r["shard"] for r in changed.select("shard").distinct().collect()
-        )
-        audit["n_changed_docs"] = changed.count()
+        # one diff computation feeds both the shard list and the count
+        changed_rows = with_shard(
+            table.diff([id_col], from_version, to_version)
+        ).select("shard").collect()
+        affected = sorted({r["shard"] for r in changed_rows})
+        audit["n_changed_docs"] = len(changed_rows)
     else:
         affected = None  # full build
 
@@ -795,13 +799,16 @@ def refresh_packed_corpus_incremental(
             return audit
         full = full.filter(F.col("shard").isin(affected))
 
+    # materialize ONCE: the per-shard writes below (and the shard list)
+    # must not each re-execute the read+split+count+window lineage —
+    # that would be one full corpus pass per shard
     packed = pack_by_offset(
         full.withColumn("n_tokens", X.token_count("text")),
         "n_tokens",
         budget=pack_budget,
         shard_col="shard",
         order_by=[id_col],
-    )
+    ).localCheckpoint(eager=True)
     shards_written = sorted(
         r["shard"] for r in packed.select("shard").distinct().collect()
     )
@@ -809,12 +816,20 @@ def refresh_packed_corpus_incremental(
         packed.filter(F.col("shard") == s).write.mode("overwrite").parquet(
             f"{out_root}/shard={s}"
         )
-    # a shard whose every doc was deleted must not keep stale files
-    if affected is not None:
-        import shutil
-
-        for s in set(affected) - set(shards_written):
-            shutil.rmtree(f"{out_root}/shard={s}", ignore_errors=True)
+    # stale dirs must go: in incremental mode, an affected shard whose
+    # every doc was deleted; in a full rebuild, any shard of a previous
+    # layout (different n_shards/splits) that this layout no longer has
+    stale = (
+        set(affected) - set(shards_written)
+        if affected is not None
+        else {
+            d[len("shard="):]
+            for d in (os.listdir(out_root) if os.path.isdir(out_root) else [])
+            if d.startswith("shard=")
+        } - set(shards_written)
+    )
+    for s in stale:
+        shutil.rmtree(f"{out_root}/shard={s}", ignore_errors=True)
     audit["n_affected_shards"] = len(affected or shards_written)
     audit["shards_written"] = shards_written
     return audit

@@ -361,6 +361,34 @@ def compression_ratio(df: DataFrame, *, text_col: str = "text",
     return df.select(id_col, text_col).mapInPandas(score, schema)
 
 
+def _bpe_words(text: str) -> list[str]:
+    """Word pre-tokenization shared by BPE ENCODING — lowercase, split on
+    non-alphanumerics — chosen to coincide with the Spark-side
+    ``functions.text.tokens`` used by TRAINING (``[^\p{L}\p{N}]+``
+    split): training and billing must see the same words or punctuated
+    corpora get systematically over-billed (an ``end.`` word would never
+    fire the ``(d, </w>)`` merges learned from ``end``)."""
+    import re
+
+    return re.findall(r"[^\W_]+", text.lower(), re.UNICODE)
+
+
+def _bpe_encode_word(word: str, ranks: dict) -> list[str]:
+    """Greedy lowest-rank-first merge application to ONE word."""
+    syms = [*list(word), "</w>"]
+    while len(syms) > 1:
+        ranked = [
+            (ranks[(a, b)], i)
+            for i, (a, b) in enumerate(zip(syms, syms[1:]))
+            if (a, b) in ranks
+        ]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        syms[i:i + 2] = [syms[i] + syms[i + 1]]
+    return syms
+
+
 def bpe_train(df: DataFrame, *, text_col: str = "text",
               n_merges: int = 200, word_limit: int = 50_000,
               min_count: int = 2) -> list[tuple[str, str]]:
@@ -368,14 +396,15 @@ def bpe_train(df: DataFrame, *, text_col: str = "text",
     corpus; returns the ordered merge list (the tokenizer model).
 
     The distributed part is the single corpus pass that builds the
-    WORD-FREQUENCY table (whitespace words, lowercased — matching
-    ``functions.text.tokens``); BPE's merge loop then runs driver-side
-    over that table, which is the standard formulation: merge counts
-    depend only on (word, freq) pairs, and the table is heavy-hitter
-    bounded (``word_limit`` top words by frequency — the tail can't
-    influence early merges), exactly the KMeans-on-a-sample trade the
-    IVF/PQ trainers make.  Words carry an end-of-word marker ``</w>``
-    so merges never cross word boundaries.
+    WORD-FREQUENCY table (``functions.text.tokens`` words — the same
+    pre-tokenization :func:`bpe_token_counts` applies at encode time);
+    BPE's merge loop then runs driver-side over that table, which is
+    the standard formulation: merge counts depend only on (word, freq)
+    pairs, and the table is heavy-hitter bounded (``word_limit`` top
+    words by frequency — the tail can't influence early merges),
+    exactly the KMeans-on-a-sample trade the IVF/PQ trainers make.
+    Words carry an end-of-word marker ``</w>`` so merges never cross
+    word boundaries.
     """
     from sap_data_pipeline_spark.functions import text as X
 
@@ -424,28 +453,16 @@ def bpe_train(df: DataFrame, *, text_col: str = "text",
 def bpe_encode(text: str, merges: list[tuple[str, str]],
                _cache: dict | None = None) -> list[str]:
     """Apply trained merges to one text (greedy lowest-rank-first — the
-    canonical BPE encoder).  Pure Python; exposed for tests and used
-    per-row inside the Arrow batches of :func:`bpe_token_counts`."""
-    import re
-
+    canonical BPE encoder), using the SAME word pre-tokenization as
+    training.  Pure Python; exposed for tests — the distributed path is
+    :func:`bpe_token_counts`."""
     ranks = {pair: i for i, pair in enumerate(merges)}
-    words = re.findall(r"\S+", text.lower())
     out: list[str] = []
-    for w in words:
+    for w in _bpe_words(text):
         if _cache is not None and w in _cache:
             out.extend(_cache[w])
             continue
-        syms = [*list(w), "</w>"]
-        while len(syms) > 1:
-            ranked = [
-                (ranks[(a, b)], i)
-                for i, (a, b) in enumerate(zip(syms, syms[1:]))
-                if (a, b) in ranks
-            ]
-            if not ranked:
-                break
-            _, i = min(ranked)
-            syms[i:i + 2] = [syms[i] + syms[i + 1]]
+        syms = _bpe_encode_word(w, ranks)
         if _cache is not None:
             _cache[w] = syms
         out.extend(syms)
@@ -463,9 +480,11 @@ def bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]], *,
 
     Iterative merge application isn't expressible as a native column
     expression, so this is an Arrow-batched ``mapInPandas`` stage (the
-    documented legitimate-Python class); a per-batch WORD cache makes
-    the cost proportional to distinct words per batch, not corpus
-    length — Zipf does the heavy lifting.
+    documented legitimate-Python class).  The merge-rank table is built
+    ONCE per batch and a per-batch WORD cache makes encode cost
+    proportional to distinct words per batch, not corpus length — Zipf
+    does the heavy lifting; word counts come from the same single split
+    the encoder uses (no second regex pass).
     """
     import pandas as pd
 
@@ -479,15 +498,21 @@ def bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]], *,
     ])
 
     def count(batches):
-        import re
-
+        ranks = {pair: i for i, pair in enumerate(merges)}
         for pdf in batches:
             cache: dict = {}
             n_tok, n_words = [], []
             for txt in pdf[text_col].fillna(""):
-                toks = bpe_encode(txt, merges, cache)
-                n_tok.append(len(toks))
-                n_words.append(len(re.findall(r"\S+", txt.lower())))
+                words = _bpe_words(txt)
+                total = 0
+                for w in words:
+                    syms = cache.get(w)
+                    if syms is None:
+                        syms = _bpe_encode_word(w, ranks)
+                        cache[w] = syms
+                    total += len(syms)
+                n_tok.append(total)
+                n_words.append(len(words))
             nt = pd.Series(n_tok, dtype="int32")
             nw = pd.Series(n_words, dtype="int32")
             yield pd.DataFrame({

@@ -338,6 +338,12 @@ def read_parquet_evolving(
 
     import os
 
+    if not os.path.isdir(path):  # non-local URI: footer grouping needs listing
+        raise ValueError(
+            f"target_schema contraction walks the filesystem and only "
+            f"supports local paths; {path!r} is not a local directory — "
+            "use target_schema=None (mergeSchema) for remote tables"
+        )
     files = sorted(
         os.path.join(dp, f)
         for dp, _, fs in os.walk(path)
@@ -346,17 +352,43 @@ def read_parquet_evolving(
     )
     if not files:
         raise ValueError(f"no parquet files under {path!r}")
+    if any(
+        "=" in part
+        for f in files
+        for part in os.path.dirname(os.path.relpath(f, path)).split(os.sep)
+        if part
+    ):
+        raise ValueError(
+            "Hive-style partition directories detected under "
+            f"{path!r}: per-file footers lack the partition column, so "
+            "target_schema contraction would NULL it — read with "
+            "target_schema=None (mergeSchema) instead"
+        )
     groups: dict[str, list[str]] = {}
     for fp in files:  # footer-only read, no job
         key = spark.read.parquet(fp).schema.simpleString()
         groups.setdefault(key, []).append(fp)
 
+    int_digits = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
     widen_ok = {
         ("int", "bigint"), ("smallint", "int"), ("smallint", "bigint"),
         ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
         ("float", "double"), ("int", "double"), ("bigint", "double"),
-        ("int", "decimal"), ("bigint", "decimal"), ("date", "timestamp"),
+        ("date", "timestamp"),
     }
+
+    def widens(src_t: T.DataType, dst_t: T.DataType) -> bool:
+        src, dst = src_t.simpleString(), dst_t.simpleString()
+        if src == dst or (src, dst) in widen_ok:
+            return True
+        if isinstance(dst_t, T.DecimalType):
+            room = dst_t.precision - dst_t.scale  # integral digits available
+            if isinstance(src_t, T.DecimalType):
+                return (room >= src_t.precision - src_t.scale
+                        and dst_t.scale >= src_t.scale)
+            if src in int_digits:  # int family → decimal with enough digits
+                return room >= int_digits[src]
+        return False
 
     def contract(df: DataFrame) -> DataFrame:
         have = {f.name: f.dataType for f in df.schema.fields}
@@ -365,11 +397,11 @@ def read_parquet_evolving(
             if f.name not in have:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
                 continue
-            src, dst = have[f.name].simpleString(), f.dataType.simpleString()
-            if src != dst and (src, dst.split("(")[0]) not in widen_ok:
+            if not widens(have[f.name], f.dataType):
                 raise ValueError(
                     f"column {f.name!r}: narrowing/incompatible cast "
-                    f"{src} -> {dst}; widen the target instead"
+                    f"{have[f.name].simpleString()} -> {f.dataType.simpleString()}; "
+                    "widen the target instead"
                 )
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         return df.select(*cols)

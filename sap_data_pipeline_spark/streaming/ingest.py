@@ -335,6 +335,7 @@ def stream_curate_corpus_incremental(
     id_col: str = "doc_id",
     available_now: bool = True,
     versioned: bool = False,
+    stream_id: str = "curate",
 ) -> StreamingQuery:
     """Incremental NEAR-dup curation: each micro-batch probes an
     accumulated LSH signature store instead of re-clustering the corpus.
@@ -343,9 +344,12 @@ def stream_curate_corpus_incremental(
     :class:`~sap_data_pipeline_spark.sources.versioned.VersionedParquetTable`
     at ``out_path`` instead of a plain merge table: every surviving
     micro-batch becomes one time-travelable version (committed
-    exactly-once under a ``stream-curate:<batch_id>`` token, so replays
-    mint no phantom versions) and downstream consumers diff/follow the
-    curated corpus incrementally.
+    exactly-once under a ``stream-curate:<stream_id>:<batch_id>`` token,
+    so replays mint no phantom versions) and downstream consumers
+    diff/follow the curated corpus incrementally.  Batch-id tokens are
+    scoped to a CHECKPOINT lineage: if the checkpoint directory is ever
+    recreated, pass a fresh ``stream_id`` too — a recycled (stream,
+    batch) pair would skip commits for genuinely new data.
 
     ``stream_curate_corpus`` defers near-dedup to a periodic batch pass
     whose cost is O(corpus) every time it runs.  This flow keeps a
@@ -434,7 +438,8 @@ def stream_curate_corpus_incremental(
             )
 
             VersionedParquetTable(sp, out_path).merge_once(
-                survivors, [id_col], op_token=f"stream-curate:{batch_id}"
+                survivors, [id_col],
+                op_token=f"stream-curate:{stream_id}:{batch_id}",
             )
         else:
             ParquetMergeTable(sp, out_path, keys=[id_col]).merge(survivors)

@@ -362,3 +362,15 @@ def test_bpe_train_deterministic(spark, star):
     m1 = CO.bpe_train(docs, n_merges=25)
     m2 = CO.bpe_train(docs, n_merges=25)
     assert m1 == m2 and len(m1) == 25
+
+
+def test_bpe_train_encode_tokenization_consistent(spark):
+    """Punctuated corpus: training sees word 'end' (the Spark-side
+    tokens split), so encoding 'end.' must fire the same merges — a
+    split mismatch would over-bill every punctuated word."""
+    df = spark.createDataFrame([(1, "end. end. end. end.")], "doc_id long, text string")
+    merges = CO.bpe_train(df, n_merges=3, min_count=1)
+    assert merges == [("d", "</w>"), ("e", "n"), ("en", "d</w>")]
+    assert CO.bpe_encode("end.", merges) == ["end</w>"]
+    got = CO.bpe_token_counts(df, merges).collect()[0]
+    assert got["n_bpe_tokens"] == 4 and got["n_words"] == 4

@@ -603,3 +603,24 @@ def test_refresh_packed_corpus_incremental(spark, tmp_path):
     a2 = refresh_packed_corpus_incremental(
         t, out, from_version=a1["to_version"], n_shards=4, pack_budget=64)
     assert a2["n_affected_shards"] == 0
+
+
+def test_refresh_packed_corpus_full_rebuild_removes_stale_layout(spark, tmp_path):
+    """A full rebuild with a different shard count must not leave the old
+    layout's dirs behind (stale dirs double-serve documents)."""
+    import os
+
+    from sap_data_pipeline_spark.etl import refresh_packed_corpus_incremental
+    from sap_data_pipeline_spark.sources.versioned import VersionedParquetTable
+
+    docs = [(i, f"doc {i} body tokens here") for i in range(20)]
+    t = VersionedParquetTable(spark, str(tmp_path / "corpus"))
+    t.merge(spark.createDataFrame(docs, "doc_id long, text string"), ["doc_id"])
+    out = str(tmp_path / "packed")
+    refresh_packed_corpus_incremental(t, out, n_shards=8, pack_budget=64)
+    n8 = {d for d in os.listdir(out) if d.startswith("shard=")}
+    refresh_packed_corpus_incremental(t, out, n_shards=2, pack_budget=64)
+    n2 = {d for d in os.listdir(out) if d.startswith("shard=")}
+    assert len(n2) < len(n8)
+    total = spark.read.parquet(out + "/shard=*").count()
+    assert total == 20  # every doc exactly once — no stale double-serving

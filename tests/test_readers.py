@@ -357,11 +357,11 @@ def test_read_parquet_evolving_contracts_to_target(spark, tmp_path):
 
     root = str(tmp_path / "evolving")
     # generation 1: (k int, v int) — no `extra`, narrow int
-    spark.createDataFrame([(1, 10)], "k int, v int").write.parquet(root + "/g=1")
+    spark.createDataFrame([(1, 10)], "k int, v int").write.parquet(root + "/gen1")
     # generation 2: adds `note`, widens v to long
     spark.createDataFrame(
         [(2, 20_000_000_000, "late")], "k int, v long, note string"
-    ).write.parquet(root + "/g=2")
+    ).write.parquet(root + "/gen2")
 
     target = T.StructType([
         T.StructField("k", T.IntegerType()),
@@ -393,3 +393,36 @@ def test_read_parquet_evolving_rejects_narrowing(spark, tmp_path):
     ])
     with pytest.raises(ValueError, match="narrowing"):
         read_parquet_evolving(spark, root, target_schema=target)
+
+
+def test_read_parquet_evolving_decimal_widening_and_guards(spark, tmp_path):
+    import pytest
+    from pyspark.sql import types as T
+
+    from sap_data_pipeline_spark.sources.readers import read_parquet_evolving
+
+    root = str(tmp_path / "evodec")
+    spark.sql("SELECT CAST(1.25 AS DECIMAL(10,2)) AS v").write.parquet(root)
+    # decimal widening accepted
+    wide = T.StructType([T.StructField("v", T.DecimalType(18, 6))])
+    assert [f.dataType.simpleString() for f in
+            read_parquet_evolving(spark, root, target_schema=wide).schema.fields
+            ] == ["decimal(18,6)"]
+    # decimal narrowing (fewer integral digits) rejected
+    narrow = T.StructType([T.StructField("v", T.DecimalType(4, 2))])
+    with pytest.raises(ValueError, match="narrowing"):
+        read_parquet_evolving(spark, root, target_schema=narrow)
+    # int → decimal without room for 10 digits rejected
+    root2 = str(tmp_path / "evoint")
+    spark.createDataFrame([(2147483647,)], "v int").write.parquet(root2)
+    small = T.StructType([T.StructField("v", T.DecimalType(5, 0))])
+    with pytest.raises(ValueError, match="narrowing"):
+        read_parquet_evolving(spark, root2, target_schema=small)
+    # hive-partitioned layout rejected (footers lack the partition col)
+    root3 = str(tmp_path / "evopart")
+    spark.createDataFrame([(1, "a")], "k int, dt string").write.partitionBy(
+        "dt").parquet(root3)
+    tgt = T.StructType([T.StructField("k", T.IntegerType()),
+                        T.StructField("dt", T.StringType())])
+    with pytest.raises(ValueError, match="partition"):
+        read_parquet_evolving(spark, root3, target_schema=tgt)
