@@ -569,3 +569,75 @@ def test_stream_curate_incremental_versioned_sink(spark, tmp_path):
 
 def _diff_rows_docs(df):
     return sorted((r["doc_id"], r["change_type"]) for r in df.collect())
+
+
+def test_stream_interval_join_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """leftOuter stream-stream interval join: a purchase with no prior
+    click must surface with NULL click columns — but only once the
+    watermark has passed its eviction bound (pushed here by a later
+    sentinel row), which is exactly the bounded-state outer-join
+    semantics."""
+    import datetime as dt
+
+    from sap_data_pipeline_spark.streaming.ingest import stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    psrc, csrc = tmp_path / "po_src", tmp_path / "co_src"
+    spark.createDataFrame(
+        [(1, t0, 101), (1, t0 + dt.timedelta(minutes=30), 102)],
+        "user_id long, p_ts timestamp, p_id long",
+    ).write.parquet(str(psrc))
+    spark.createDataFrame(
+        [(1, t0 - dt.timedelta(minutes=10), 201)],
+        "user_id long, c_ts timestamp, c_id long",
+    ).write.parquet(str(csrc))
+    # purchase 101 matches click 201 (10 min prior); purchase 102 has no
+    # click within the hour BEFORE it?  201 is 40 min prior → matches too;
+    # so use a third purchase far outside any click window:
+    spark.createDataFrame(
+        [(2, t0 + dt.timedelta(minutes=5), 103)],
+        "user_id long, p_ts timestamp, p_id long",
+    ).write.mode("append").parquet(str(psrc))
+
+    out = tmp_path / "outer_out"
+
+    def run():
+        pstream = spark.readStream.schema(
+            "user_id long, p_ts timestamp, p_id long").parquet(str(psrc))
+        cstream = spark.readStream.schema(
+            "user_id long, c_ts timestamp, c_id long").parquet(str(csrc))
+        joined = stream_interval_join(
+            pstream, cstream, ["user_id"], left_ts="p_ts", right_ts="c_ts",
+            within="1 hour", left_watermark="10 minutes",
+            right_watermark="10 minutes", how="leftOuter",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["p_id"], r["c_id"])
+            for r in spark.read.parquet(str(out)).select("p_id", "c_id").collect()
+        }
+
+    got1 = run()
+    assert (101, 201) in got1 and (102, 201) in got1  # inner matches emit
+
+    # future sentinels on BOTH streams: the join's watermark is the MIN
+    # of the two inputs, so both must advance before 103's state evicts
+    spark.createDataFrame(
+        [(9, t0 + dt.timedelta(hours=6), 999)],
+        "user_id long, p_ts timestamp, p_id long",
+    ).write.mode("append").parquet(str(psrc))
+    spark.createDataFrame(
+        [(9, t0 + dt.timedelta(hours=6), 998)],
+        "user_id long, c_ts timestamp, c_id long",
+    ).write.mode("append").parquet(str(csrc))
+    got2 = run()
+    assert (103, None) in got1 | got2  # the unmatched purchase surfaced
