@@ -101,6 +101,7 @@ _TAIL = (
     "curriculum_deciles",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "approx_corpus_profile",
 )
 

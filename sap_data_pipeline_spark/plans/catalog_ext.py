@@ -3213,3 +3213,17 @@ def events_prefix_match_enrich(star: Star) -> DataFrame:
         .cast("int").alias("matched_bits"),
         F.coalesce("_asn24", "_asn16", "_asn8").alias("asn"),
     ).filter(F.col("matched_bits").isNotNull())
+
+
+@register("ann_ivfpq_topk")
+def ann_ivfpq_topk(star: Star) -> DataFrame:
+    """IVF cells × PQ codes × cosine rerank — the composed FAISS IVFPQ
+    layout; rows-only (two KMeans training passes), recall-gated in
+    tests like its IVF and PQ components."""
+    queries = star.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivfpq_topk(
+        star.embeddings, queries, k=5, dim=64, n_cells=8, nprobe=4,
+        m=8, nbits=4, query_id_col="query_id",
+    )

@@ -744,3 +744,27 @@ def test_pq_raw_adc_orders_like_l2(spark, star):
     want = {i for _, i in true_l2}
     overlap = len(got & want) / quarter
     assert overlap >= 0.5, f"ADC ordering diverged from true L2: {overlap}"
+
+
+def test_ivfpq_topk_recall_against_brute_force(spark, star):
+    queries = star.embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(star.embeddings, queries, k=5)
+    approx = S.ivfpq_topk(
+        star.embeddings, queries, k=5, dim=64, n_cells=8, nprobe=4, m=8, nbits=4
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # two lossy stages stack (cell pruning × ADC): uniform random data is
+    # the worst case for both — still must beat random-subset recall
+    assert recall >= 0.2, f"IVFPQ recall collapsed: {recall}"
+    # and the candidate generation must stay sublinear: with nprobe=4 of
+    # 8 cells, each query's candidate set is a strict subset of the corpus
+    raw = S.ivfpq_topk(
+        star.embeddings.limit(100), queries.limit(2), k=50, dim=64,
+        n_cells=8, nprobe=2, m=8, nbits=4,
+    )
+    per_q = raw.groupBy("query_id").count().collect()
+    assert all(r["count"] < 100 for r in per_q)
