@@ -292,22 +292,9 @@ def hamming_rerank_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
         corpus, queries, k=candidates, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, dim=dim,
     ).select("query_id", "neighbor_id")
-    vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    qvecs = F.broadcast(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    )
-    scored = (
-        cand.join(vecs, "neighbor_id")
-        .join(qvecs, "query_id")
-        .withColumn("cosine", F.round(V.cosine("qv", "cv"), 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    return _cosine_rerank(
+        cand, corpus, queries, k,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )
 
 
@@ -388,6 +375,67 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]], *,
     return df.withColumn(code_col, F.array(*codes).cast("array<int>"))
 
 
+def _pq_dtab(codebooks, vec_col: str):
+    """Per-query ADC distance table: dtab[j][c] = ||q_sub_j − codebook[j][c]||²
+    — shared by every PQ consumer so the table math can't desynchronize."""
+    sub = len(codebooks[0][0])
+    return F.array(*[
+        F.array(*[_subspace_sqdist(vec_col, j, sub, cent) for cent in book])
+        for j, book in enumerate(codebooks)
+    ])
+
+
+def _adc_expr():
+    """ADC score over a joined (query, code) row: m positional lookups
+    summed.  (A function, not a module constant — Column construction
+    needs an active session.)"""
+    return F.aggregate(
+        F.zip_with(
+            F.col("_dtab"), F.col("pq_code"),
+            lambda table, code: F.element_at(table, code + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _adc_shortlist(scored: DataFrame, k: int) -> DataFrame:
+    """ADC top-``4k`` candidate ids per query (deterministic ties)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4 * k)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _cosine_rerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+                   k: int, *, id_col: str, vec_col: str,
+                   query_id_col: str) -> DataFrame:
+    """Exact-cosine rerank of a (query_id, neighbor_id) short list — the
+    shared tail of every two-stage ANN here (Hamming, PQ, IVFPQ): float
+    vectors are fetched only for the short list."""
+    vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qvecs = F.broadcast(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    rescored = (
+        cand.join(vecs, "neighbor_id")
+        .join(qvecs, "query_id")
+        .withColumn("cosine", F.round(V.cosine("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
             id_col: str = "vec_id", vec_col: str = "embedding",
             query_id_col: str = "query_id", dim: int, m: int = 4,
@@ -414,65 +462,32 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
         corpus, vec_col=vec_col, dim=dim, m=m, nbits=nbits, seed=seed,
         sample_fraction=sample_fraction,
     )
-    sub = dim // m
     cb = pq_encode(
         corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
         codebooks, vec_col=vec_col,
     ).select("neighbor_id", "pq_code")
-    # per-query distance table: dtab[j][c] = ||q_sub_j - codebook[j][c]||²
-    dtab = F.array(*[
-        F.array(*[_subspace_sqdist(vec_col, j, sub, cent) for cent in book])
-        for j, book in enumerate(codebooks)
-    ])
     q = F.broadcast(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col))
-        .withColumn("_dtab", dtab)
-        .withColumnRenamed(vec_col, "qv")
-    )
-    # ADC score: m positional lookups, summed via a zip over subspace index
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("_dtab"), F.col("pq_code"),
-            lambda table, code: F.element_at(table, code + F.lit(1)),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        .withColumn("_dtab", _pq_dtab(codebooks, vec_col))
+        .select("query_id", "_dtab")
     )
     scored = (
         q.crossJoin(cb)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("adc_dist", F.round(adc, 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+        .withColumn("adc_dist", F.round(_adc_expr(), 6))
     )
     if not rerank:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+        )
         return (
             scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "adc_dist", "rank")
         )
-    cand = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 4 * k)
-        .select("query_id", "neighbor_id")
-    )
-    vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    qvecs = F.broadcast(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    )
-    rescored = (
-        cand.join(vecs, "neighbor_id")
-        .join(qvecs, "query_id")
-        .withColumn("cosine", F.round(V.cosine("qv", "cv"), 6))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    return _cosine_rerank(
+        _adc_shortlist(scored, k), corpus, queries, k,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )
 
 
@@ -508,7 +523,6 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
         corpus, vec_col=vec_col, dim=dim, m=m, nbits=nbits, seed=seed,
         sample_fraction=sample_fraction,
     )
-    sub = dim // m
     cb = _assign_cells(
         pq_encode(
             corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
@@ -516,55 +530,23 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
         ),
         centroids, vec_col=vec_col, nprobe=1,
     ).select("neighbor_id", "pq_code", "ivf_cell")
-    dtab = F.array(*[
-        F.array(*[_subspace_sqdist(vec_col, j, sub, cent) for cent in book])
-        for j, book in enumerate(codebooks)
-    ])
+    # distance table computed BEFORE the nprobe explode — one table per
+    # query rides the broadcast, not one copy per probed cell
     qb = F.broadcast(
         _assign_cells(
-            queries.select(F.col(query_id_col).alias("query_id"), vec_col),
+            queries.select(F.col(query_id_col).alias("query_id"), vec_col)
+            .withColumn("_dtab", _pq_dtab(codebooks, vec_col)),
             centroids, vec_col=vec_col, nprobe=nprobe,
-        )
-        .withColumn("_dtab", dtab)
-        .withColumnRenamed(vec_col, "qv")
-        .select("query_id", "qv", "_dtab", "ivf_cell")
+        ).select("query_id", "_dtab", "ivf_cell")
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("_dtab"), F.col("pq_code"),
-            lambda table, code: F.element_at(table, code + F.lit(1)),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # corpus side carries nprobe=1, so a (query, neighbor) pair occurs at
+    # most once after the cell join — no dedup pass needed
     scored = (
         qb.join(cb, "ivf_cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("adc_dist", F.round(adc, 6))
+        .withColumn("adc_dist", F.round(_adc_expr(), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
-    )
-    cand = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 4 * k)
-        .select("query_id", "neighbor_id")
-    )
-    vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    qvecs = F.broadcast(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    )
-    rescored = (
-        cand.join(vecs, "neighbor_id")
-        .join(qvecs, "query_id")
-        .withColumn("cosine", F.round(V.cosine("qv", "cv"), 6))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    return _cosine_rerank(
+        _adc_shortlist(scored, k), corpus, queries, k,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )
