@@ -339,3 +339,15 @@ def test_zscore_broadcast_moments_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_prefix_match_three_broadcast_probes_no_explode(spark):
+    """Longest-prefix enrichment: three broadcast hash probes and a
+    priority coalesce — a regression to Generate(explode)+shuffle or a
+    nested-loop join would break the map-side contract."""
+    plan = _plan(QUERIES["events_prefix_match_enrich"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" not in plan  # no explode in the fact path
+    assert plan.count("Exchange hashpartitioning") == 0
