@@ -153,25 +153,23 @@ def _assign_cells(df: DataFrame, centroids: list[list[float]], *,
                   vec_col: str, nprobe: int) -> DataFrame:
     """Rank cells by L2 distance per row, keep the nearest ``nprobe``.
 
-    Pure column expressions over the centroid literals (no model object in
-    the hot path): centroid count is tiny, so this is a flat map-side
-    compute — no shuffle, no Python.
+    Pure column expressions over one centroid-matrix literal (no model
+    object in the hot path): centroid count is tiny, so this is a flat
+    map-side compute — no shuffle, no Python.  The single nested-array
+    literal keeps driver-side Column construction O(1) in n_cells.
     """
-    cells = F.array(*[
-        F.struct(
-            F.lit(i).alias("cell"),
+    v = F.col(vec_col).cast("array<double>")
+    cells = F.transform(
+        F.lit([list(map(float, c)) for c in centroids]),
+        lambda cent, i: F.struct(
+            i.cast("int").alias("cell"),
             F.aggregate(
-                F.zip_with(
-                    F.col(vec_col).cast("array<double>"),
-                    F.array(*[F.lit(v) for v in c]),
-                    lambda x, m: (x - m) * (x - m),
-                ),
+                F.zip_with(v, cent, lambda x, m: (x - m) * (x - m)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             ).alias("dist"),
-        )
-        for i, c in enumerate(centroids)
-    ])
+        ),
+    )
     ranked = F.slice(F.array_sort(cells, lambda a, b: F.when(a["dist"] < b["dist"], -1)
                                   .when(a["dist"] > b["dist"], 1).otherwise(0)), 1, nprobe)
     return df.withColumn("_cells", ranked).withColumn(
@@ -183,7 +181,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", n_cells: int = 16,
              nprobe: int = 4, seed: int = 7,
-             sample_fraction: float | None = None) -> DataFrame:
+             sample_fraction: float | None = None,
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF ANN: corpus in its nearest cell, queries probe ``nprobe`` cells,
     exact cosine re-rank inside the probed cells.
 
@@ -191,11 +190,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     sized so cells ≈ |corpus|/n_cells rows fit an executor; AQE
     skew-splits hot cells), then the per-query top-k window.  Recall < 1
     by design; gated against ``brute_force_topk`` in tests.
+
+    ``centroids`` accepts a pretrained coarse quantizer (from
+    :func:`ivf_train_cells`) for train-once/serve-many.
     """
-    _, centroids = ivf_train_cells(
-        corpus, vec_col=vec_col, n_cells=n_cells, seed=seed,
-        sample_fraction=sample_fraction,
-    )
+    if centroids is None:
+        _, centroids = ivf_train_cells(
+            corpus, vec_col=vec_col, n_cells=n_cells, seed=seed,
+            sample_fraction=sample_fraction,
+        )
     cb = _assign_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
         centroids, vec_col="cv", nprobe=1,
@@ -320,29 +323,38 @@ def pq_train_codebooks(corpus: DataFrame, *, vec_col: str = "embedding",
     base = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
     if sample_fraction is not None:
         base = base.sample(fraction=sample_fraction, seed=seed)
-    codebooks = []
-    for j in range(m):
-        train = base.select(
-            array_to_vector(F.slice("v", j * sub + 1, sub)).alias("features")
-        )
-        model = KMeans(k=2 ** nbits, seed=seed + j, maxIter=20).fit(train)
-        codebooks.append([list(map(float, c)) for c in model.clusterCenters()])
+    # m KMeans fits iterate over the same (sampled) training frame —
+    # persist it once instead of re-reading the source m×20 times.  The
+    # fits are independent per subspace and each is scheduling-overhead
+    # bound (many tiny iteration jobs), so submit them concurrently —
+    # Spark's scheduler interleaves jobs from separate threads.
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = base.persist()
+    try:
+        def _fit(j: int) -> list[list[float]]:
+            train = base.select(
+                array_to_vector(F.slice("v", j * sub + 1, sub)).alias("features")
+            )
+            model = KMeans(k=2 ** nbits, seed=seed + j, maxIter=20).fit(train)
+            return [list(map(float, c)) for c in model.clusterCenters()]
+
+        with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+            codebooks = list(pool.map(_fit, range(m)))
+    finally:
+        base.unpersist()
     return codebooks
 
 
-def _subspace_sqdist(vec_col: str, j: int, sub: int, centroid: list[float]):
-    """Squared L2 distance of a vector's j-th subspace slice to one
-    codebook centroid — the single source of truth for PQ distance math
-    (used by both encoding and the query-side ADC tables; a metric change
-    applied to one side only would silently desynchronize them)."""
+def _sqdist_cols(x, c):
+    """Squared L2 distance between two array<double> Columns — the single
+    source of truth for PQ distance math (used by both encoding and the
+    query-side ADC tables; a metric change applied to one side only would
+    silently desynchronize them)."""
     return F.aggregate(
-        F.zip_with(
-            F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub),
-            F.array(*[F.lit(v) for v in centroid]),
-            lambda x, m: (x - m) * (x - m),
-        ),
+        F.zip_with(x, c, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
-        lambda acc, x: acc + x,
+        lambda acc, v: acc + v,
     )
 
 
@@ -358,31 +370,39 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]], *,
     is what a 100 TB ANN scan reads instead of the float embeddings.
     """
     sub = len(codebooks[0][0])
-    codes = []
-    for j, book in enumerate(codebooks):
-        cells = F.array(*[
-            F.struct(
-                F.lit(c).alias("code"),
-                _subspace_sqdist(vec_col, j, sub, cent).alias("dist"),
-            )
-            for c, cent in enumerate(book)
-        ])
-        best = F.array_sort(
-            cells, lambda a, b: F.when(a["dist"] < b["dist"], -1)
-            .when(a["dist"] > b["dist"], 1).otherwise(0)
-        )[0]["code"]
-        codes.append(best)
-    return df.withColumn(code_col, F.array(*codes).cast("array<int>"))
+    v = F.col(vec_col).cast("array<double>")
+    # One nested-array literal for the whole codebook set (a single py4j
+    # call) + transform-with-index, instead of 2^nbits per-centroid
+    # expression trees per subspace — per-literal Column construction was
+    # the dominant cost (seconds of driver time at m=8/nbits=8).
+    # argmin = array_position(dists, array_min(dists)): both sides see
+    # the identical computed double, and array_position returns the
+    # FIRST match, preserving the lowest-code tie-break of a stable sort.
+    dtab = F.transform(
+        F.lit([[list(map(float, c)) for c in book] for book in codebooks]),
+        lambda book, j: F.transform(
+            book, lambda cent: _sqdist_cols(F.slice(v, j * sub + 1, sub), cent)
+        ),
+    )
+    codes = F.transform(
+        dtab,
+        lambda dists: (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+    return df.withColumn(code_col, codes)
 
 
 def _pq_dtab(codebooks, vec_col: str):
     """Per-query ADC distance table: dtab[j][c] = ||q_sub_j − codebook[j][c]||²
-    — shared by every PQ consumer so the table math can't desynchronize."""
+    — same codebook-literal + _sqdist_cols math as pq_encode so the table
+    can't desynchronize from the codes."""
     sub = len(codebooks[0][0])
-    return F.array(*[
-        F.array(*[_subspace_sqdist(vec_col, j, sub, cent) for cent in book])
-        for j, book in enumerate(codebooks)
-    ])
+    v = F.col(vec_col).cast("array<double>")
+    return F.transform(
+        F.lit([[list(map(float, c)) for c in book] for book in codebooks]),
+        lambda book, j: F.transform(
+            book, lambda cent: _sqdist_cols(F.slice(v, j * sub + 1, sub), cent)
+        ),
+    )
 
 
 def _adc_expr():
@@ -441,7 +461,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
             query_id_col: str = "query_id", dim: int, m: int = 4,
             nbits: int = 4, seed: int = 7,
             sample_fraction: float | None = None,
-            rerank: bool = True) -> DataFrame:
+            rerank: bool = True,
+            codebooks: list[list[list[float]]] | None = None) -> DataFrame:
     """PQ ANN with asymmetric distance computation (ADC): corpus rows are
     scanned as ``m``-byte codes; each query precomputes its
     ``m × 2^nbits`` subspace-distance table map-side, and the approximate
@@ -457,11 +478,16 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     (query_id, neighbor_id, cosine, rank) — reranked — or
     (query_id, neighbor_id, adc_dist, rank) raw.  Recall < 1 by design;
     gated against ``brute_force_topk`` in tests.
+
+    ``codebooks`` accepts pretrained codebooks (from
+    :func:`pq_train_codebooks`) — train-once/serve-many is the
+    production pattern; per-call training is only the convenience path.
     """
-    codebooks = pq_train_codebooks(
-        corpus, vec_col=vec_col, dim=dim, m=m, nbits=nbits, seed=seed,
-        sample_fraction=sample_fraction,
-    )
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            corpus, vec_col=vec_col, dim=dim, m=m, nbits=nbits, seed=seed,
+            sample_fraction=sample_fraction,
+        )
     cb = pq_encode(
         corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
         codebooks, vec_col=vec_col,
@@ -496,7 +522,9 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
                query_id_col: str = "query_id", dim: int,
                n_cells: int = 16, nprobe: int = 4, m: int = 4,
                nbits: int = 4, seed: int = 7,
-               sample_fraction: float | None = None) -> DataFrame:
+               sample_fraction: float | None = None,
+               centroids: list[list[float]] | None = None,
+               codebooks: list[list[list[float]]] | None = None) -> DataFrame:
     """IVF + PQ — the full FAISS IVFPQ layout both building blocks
     document: the IVF coarse quantizer makes candidate generation
     SUBLINEAR (each query touches ``nprobe`` of ``n_cells`` cells), and
@@ -514,15 +542,21 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     ``n_cells`` keys with AQE skew-split; per-query distance tables
     ride the broadcast query frame exactly as in :func:`pq_topk`.
     Returns (query_id, neighbor_id, cosine, rank).
+
+    ``centroids``/``codebooks`` accept pretrained models (from
+    :func:`ivf_train_cells` / :func:`pq_train_codebooks`) so the two
+    KMeans passes run once per corpus, not once per query batch.
     """
-    _, centroids = ivf_train_cells(
-        corpus, vec_col=vec_col, n_cells=n_cells, seed=seed,
-        sample_fraction=sample_fraction,
-    )
-    codebooks = pq_train_codebooks(
-        corpus, vec_col=vec_col, dim=dim, m=m, nbits=nbits, seed=seed,
-        sample_fraction=sample_fraction,
-    )
+    if centroids is None:
+        _, centroids = ivf_train_cells(
+            corpus, vec_col=vec_col, n_cells=n_cells, seed=seed,
+            sample_fraction=sample_fraction,
+        )
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            corpus, vec_col=vec_col, dim=dim, m=m, nbits=nbits, seed=seed,
+            sample_fraction=sample_fraction,
+        )
     cb = _assign_cells(
         pq_encode(
             corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
