@@ -635,6 +635,20 @@ def curate_corpus(
     }
 
 
+def shard_key(id_col: str, n_shards: int, split_col: str = "split"):
+    """Content-addressed shard id ``{split}-{id % n_shards}`` — the ONE
+    definition shared by :func:`build_training_corpus` and
+    :func:`refresh_packed_corpus_incremental`.  The incremental refresh
+    reuses unchanged shards byte-for-byte, which is only sound while
+    both writers derive shards identically; a second copy of this
+    expression would let them drift apart silently.  Embedding the
+    split means no training bin ever straddles a train/val/test
+    boundary."""
+    return F.concat_ws(
+        "-", F.col(split_col), F.pmod(F.col(id_col), F.lit(n_shards))
+    )
+
+
 def build_training_corpus(
     documents,
     out_path: str,
@@ -713,14 +727,9 @@ def build_training_corpus(
         audit["rows_after_mixture"] = near_kept.count()
 
     split = hash_split(near_kept, "doc_id", weights=split_weights)
-    # shard key embeds the split so no training bin straddles a
-    # train/val/test boundary
     packed = pack_by_offset(
         split.withColumn("n_tokens", X.token_count("text"))
-        .withColumn(
-            "shard",
-            F.concat_ws("-", F.col("split"), F.pmod(F.col("doc_id"), F.lit(n_shards))),
-        ),
+        .withColumn("shard", shard_key("doc_id", n_shards)),
         "n_tokens",
         budget=pack_budget,
         shard_col="shard",
@@ -740,6 +749,7 @@ def refresh_packed_corpus_incremental(
     n_shards: int = 8,
     split_weights: dict[str, int] | None = None,
     id_col: str = "doc_id",
+    scratch_dir: str | None = None,
 ) -> dict:
     """Incremental refresh of the packed training layout from a
     versioned curated corpus: re-pack ONLY the shards touched since
@@ -766,14 +776,30 @@ def refresh_packed_corpus_incremental(
     current snapshot semi-joined to affected shards only (shard is
     derived map-side, so the filter prunes before any shuffle); per
     affected shard, one window over that shard's rows.
+
+    Layout safety: the shard layout params (``n_shards``,
+    ``split_weights``, ``pack_budget``) are persisted in a
+    ``_layout.json`` sidecar under ``out_root``.  An incremental call
+    whose params differ from the on-disk layout would compute affected
+    shards under the NEW layout and leave old-layout shard dirs
+    double-serving documents — so a mismatch forces a full repack
+    (recorded in the audit as ``layout_changed``).
+
+    Durability: ``scratch_dir`` (when given) materializes the repack as
+    a parquet intermediate instead of ``localCheckpoint`` — a reliable
+    on-disk copy that survives executor loss, mirroring the
+    ``checkpoint_dir`` contract of :func:`operators.graph.pagerank`.
+    Leave it ``None`` only where re-running the job on failure is
+    acceptable.
     """
+    import json as _json
+
     from sap_data_pipeline_spark.functions import text as X
     from sap_data_pipeline_spark.operators.sampling import hash_split, pack_by_offset
 
     def with_shard(df):
         return hash_split(df, id_col, weights=split_weights).withColumn(
-            "shard",
-            F.concat_ws("-", F.col("split"), F.pmod(F.col(id_col), F.lit(n_shards))),
+            "shard", shard_key(id_col, n_shards)
         )
 
     import os
@@ -781,6 +807,25 @@ def refresh_packed_corpus_incremental(
 
     to_version = table.current_version
     audit: dict = {"from_version": from_version, "to_version": to_version}
+
+    layout = {
+        "n_shards": n_shards,
+        "split_weights": split_weights,
+        "pack_budget": pack_budget,
+    }
+    sidecar = os.path.join(out_root, "_layout.json")
+    if from_version is not None and os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            on_disk = _json.load(fh)
+        if on_disk != layout:
+            audit["layout_changed"] = {"from": on_disk, "to": layout}
+            from_version = None  # full repack — old-layout dirs get swept
+    elif from_version is not None and not os.path.exists(sidecar):
+        # pre-sidecar layout on disk (or first write): can't prove the
+        # incremental reuse contract holds — rebuild once to mint it
+        audit["layout_changed"] = {"from": None, "to": layout}
+        from_version = None
+    audit["from_version"] = from_version
 
     if from_version is not None:
         # one diff computation feeds both the shard list and the count
@@ -801,14 +846,24 @@ def refresh_packed_corpus_incremental(
 
     # materialize ONCE: the per-shard writes below (and the shard list)
     # must not each re-execute the read+split+count+window lineage —
-    # that would be one full corpus pass per shard
+    # that would be one full corpus pass per shard.  With a scratch_dir
+    # the materialization is a durable parquet intermediate (survives
+    # executor loss; localCheckpoint pins blocks to executor storage
+    # with no lineage fallback).
     packed = pack_by_offset(
         full.withColumn("n_tokens", X.token_count("text")),
         "n_tokens",
         budget=pack_budget,
         shard_col="shard",
         order_by=[id_col],
-    ).localCheckpoint(eager=True)
+    )
+    scratch_path = None
+    if scratch_dir is not None:
+        scratch_path = os.path.join(scratch_dir, f"_repack_v{to_version}")
+        packed.write.mode("overwrite").parquet(scratch_path)
+        packed = table.spark.read.parquet(scratch_path)
+    else:
+        packed = packed.localCheckpoint(eager=True)
     shards_written = sorted(
         r["shard"] for r in packed.select("shard").distinct().collect()
     )
@@ -830,6 +885,11 @@ def refresh_packed_corpus_incremental(
     )
     for s in stale:
         shutil.rmtree(f"{out_root}/shard={s}", ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
+    with open(sidecar, "w") as fh:
+        _json.dump(layout, fh)
+    if scratch_path is not None:
+        shutil.rmtree(scratch_path, ignore_errors=True)
     audit["n_affected_shards"] = len(affected or shards_written)
     audit["shards_written"] = shards_written
     return audit

@@ -370,10 +370,14 @@ def read_parquet_evolving(
         groups.setdefault(key, []).append(fp)
 
     int_digits = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
+    # bigint->double is deliberately absent: doubles carry 53 mantissa
+    # bits, so values above 2^53 would round silently — the exact lossy
+    # cast this guard exists to reject.  int->double is exact (32 < 53).
     widen_ok = {
         ("int", "bigint"), ("smallint", "int"), ("smallint", "bigint"),
         ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
-        ("float", "double"), ("int", "double"), ("bigint", "double"),
+        ("float", "double"), ("int", "double"),
+        ("smallint", "double"), ("tinyint", "double"),
         ("date", "timestamp"),
     }
 

@@ -624,3 +624,69 @@ def test_refresh_packed_corpus_full_rebuild_removes_stale_layout(spark, tmp_path
     assert len(n2) < len(n8)
     total = spark.read.parquet(out + "/shard=*").count()
     assert total == 20  # every doc exactly once — no stale double-serving
+
+
+def test_refresh_packed_corpus_layout_sidecar_forces_full_repack(spark, tmp_path):
+    """An INCREMENTAL call whose layout params differ from the on-disk
+    layout (recorded in _layout.json) must degrade to a full repack:
+    affected shards computed under the new layout would otherwise leave
+    old-layout dirs double-serving documents."""
+    import os
+
+    from sap_data_pipeline_spark.etl import refresh_packed_corpus_incremental
+    from sap_data_pipeline_spark.sources.versioned import VersionedParquetTable
+
+    docs = [(i, f"doc {i} body tokens here") for i in range(20)]
+    t = VersionedParquetTable(spark, str(tmp_path / "corpus"))
+    t.merge(spark.createDataFrame(docs, "doc_id long, text string"), ["doc_id"])
+    out = str(tmp_path / "packed")
+    a0 = refresh_packed_corpus_incremental(t, out, n_shards=8, pack_budget=64)
+    assert os.path.exists(os.path.join(out, "_layout.json"))
+
+    # one changed doc + a DIFFERENT n_shards on the incremental call
+    t.merge(spark.createDataFrame(
+        [(3, "rewritten body with different tokens")],
+        "doc_id long, text string"), ["doc_id"])
+    a1 = refresh_packed_corpus_incremental(
+        t, out, from_version=a0["to_version"], n_shards=2, pack_budget=64)
+    assert a1["layout_changed"]["from"]["n_shards"] == 8
+    assert a1["from_version"] is None  # degraded to full repack
+    dirs = {d for d in os.listdir(out) if d.startswith("shard=")}
+    assert all(d.rsplit("-", 1)[-1] in {"0", "1"} for d in dirs)  # new layout only
+    assert spark.read.parquet(out + "/shard=*").count() == 20  # no double-serving
+
+    # next incremental under the SAME layout is incremental again
+    t.merge(spark.createDataFrame(
+        [(5, "another rewrite with new words")],
+        "doc_id long, text string"), ["doc_id"])
+    a2 = refresh_packed_corpus_incremental(
+        t, out, from_version=a1["to_version"], n_shards=2, pack_budget=64)
+    assert "layout_changed" not in a2
+    assert a2["n_changed_docs"] == 1
+
+
+def test_refresh_packed_corpus_scratch_dir_durable_materialization(spark, tmp_path):
+    """scratch_dir materializes the repack as a durable parquet
+    intermediate (vs localCheckpoint): identical output, scratch swept
+    on success."""
+    import os
+
+    from sap_data_pipeline_spark.etl import refresh_packed_corpus_incremental
+    from sap_data_pipeline_spark.sources.versioned import VersionedParquetTable
+
+    docs = [(i, f"doc {i} body tokens here") for i in range(20)]
+    t = VersionedParquetTable(spark, str(tmp_path / "corpus"))
+    t.merge(spark.createDataFrame(docs, "doc_id long, text string"), ["doc_id"])
+
+    out_a = str(tmp_path / "packed_a")
+    out_b = str(tmp_path / "packed_b")
+    scratch = str(tmp_path / "scratch")
+    refresh_packed_corpus_incremental(t, out_a, n_shards=4, pack_budget=64)
+    refresh_packed_corpus_incremental(
+        t, out_b, n_shards=4, pack_budget=64, scratch_dir=scratch)
+
+    a = spark.read.parquet(out_a + "/shard=*")
+    b = spark.read.parquet(out_b + "/shard=*")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert not any(d.startswith("_repack_") for d in os.listdir(scratch)) \
+        if os.path.isdir(scratch) else True

@@ -426,3 +426,24 @@ def test_read_parquet_evolving_decimal_widening_and_guards(spark, tmp_path):
                         T.StructField("dt", T.StringType())])
     with pytest.raises(ValueError, match="partition"):
         read_parquet_evolving(spark, root3, target_schema=tgt)
+
+
+def test_read_parquet_evolving_rejects_bigint_to_double(spark, tmp_path):
+    """bigint -> double is LOSSY above 2^53 (53 mantissa bits) — the
+    evolving reader's no-silent-truncation guarantee must reject it,
+    while the exact int -> double widening stays allowed."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from sap_data_pipeline_spark.sources.readers import read_parquet_evolving
+
+    root = str(tmp_path / "evolossy")
+    spark.createDataFrame(
+        [(1, (1 << 53) + 1)], "k int, v long"
+    ).write.parquet(root)
+    target = T.StructType([
+        T.StructField("k", T.DoubleType()),   # int -> double: exact, OK
+        T.StructField("v", T.DoubleType()),   # bigint -> double: lossy
+    ])
+    with pytest.raises(ValueError, match="narrowing|incompatible"):
+        read_parquet_evolving(spark, root, target_schema=target)
