@@ -122,5 +122,8 @@ def pagerank(
     finally:
         e.unpersist()
         # nodes is referenced by the returned (checkpointed) frame only
-        # through materialized blocks, so unpersisting here is safe
+        # through materialized blocks — contract pinned by
+        # test_graph.test_returned_frame_survives_internal_unpersist
+        # (consumes the returned frame after a cache clear + GC, both
+        # checkpoint modes)
         nodes.unpersist()

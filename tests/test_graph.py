@@ -75,3 +75,31 @@ def test_empty_edge_frame_yields_empty_ranks(spark):
     out = pagerank(df, iterations=3)
     assert out.columns == ["node", "pr"]
     assert out.count() == 0
+
+
+@pytest.mark.parametrize("use_dir", [False, True])
+def test_returned_frame_survives_internal_unpersist(spark, tmp_path, use_dir):
+    """Persistence contract (graph.py): pagerank unpersists its internal
+    `e`/`nodes` frames on exit — the returned frame must stay consumable
+    and CORRECT afterwards, including after every cached/persisted block
+    in the session is dropped and the plan re-evaluates from scratch.
+    Pinned under both localCheckpoint (checkpoint_dir=None) and reliable
+    checkpoint modes."""
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 4), (3, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    kw = {"checkpoint_dir": str(tmp_path / "ck")} if use_dir else {}
+    ranks = pagerank(df, iterations=3, **kw)
+
+    want = numpy_pagerank(edges, iterations=3)
+    first = {r["node"]: r["pr"] for r in ranks.collect()}
+
+    # drop every SQL-cached block, force JVM GC, then re-consume: the
+    # frame must re-evaluate (from checkpoint data or lineage) without
+    # touching the now-unpersisted internals
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    second = {r["node"]: r["pr"] for r in ranks.collect()}
+
+    assert first == second
+    for v in want:
+        assert second[v] == pytest.approx(want[v], abs=1e-12)

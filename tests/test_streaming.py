@@ -641,3 +641,102 @@ def test_stream_interval_join_left_outer_emits_unmatched_after_watermark(
     ).write.mode("append").parquet(str(csrc))
     got2 = run()
     assert (103, None) in got1 | got2  # the unmatched purchase surfaced
+
+
+def test_stream_versioned_append_crash_window_redelivery(spark, tmp_path):
+    """THE at-least-once crash window: foreachBatch's append_once
+    SUCCEEDED but the query died before the streaming checkpoint
+    recorded batch 0.  Simulated by committing batch 0's token directly
+    (sink effect, no checkpoint), then starting the stream on a cold
+    checkpoint — Structured Streaming redelivers batch 0, and the token
+    handshake must mint NO phantom version and show incremental
+    consumers each batch exactly once."""
+    from sap_data_pipeline_spark.sources.versioned import VersionedParquetTable
+    from sap_data_pipeline_spark.streaming.ingest import (
+        stream_file_source,
+        stream_versioned_append_sink,
+    )
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    _write_csv(watch / "f1.csv", [("a", "s1", 1.0), ("b", "s1", 2.0)])
+
+    table = VersionedParquetTable(spark, str(tmp_path / "vt"))
+    # crash-window state: the batch-0 commit exists, the checkpoint doesn't
+    pre = spark.createDataFrame(
+        [("a", "s1", 1.0), ("b", "s1", 2.0)],
+        "Article string, Site string, Qty double",
+    )
+    assert table.append_once(pre, op_token="stream-append:s:0") == 1
+
+    # restart from the cold checkpoint: batch 0 (= f1) is redelivered
+    stream = stream_file_source(spark, str(watch), SCHEMA, fmt="csv")
+    q = stream_versioned_append_sink(
+        stream, table, checkpoint_dir=str(tmp_path / "ckpt"), stream_id="s"
+    )
+    q.awaitTermination(120)
+    assert table.current_version == 1          # no phantom version
+    assert table.read().count() == 2           # no duplicate rows
+    assert table.changes_since(0).count() == 2  # batch seen exactly once
+
+    # the stream continues normally past the healed batch
+    _write_csv(watch / "f2.csv", [("c", "s2", 3.0)])
+    stream2 = stream_file_source(spark, str(watch), SCHEMA, fmt="csv")
+    q2 = stream_versioned_append_sink(
+        stream2, table, checkpoint_dir=str(tmp_path / "ckpt"), stream_id="s"
+    )
+    q2.awaitTermination(120)
+    assert table.current_version == 2
+    assert table.read().count() == 3
+    assert {r["Article"] for r in table.changes_since(1).collect()} == {"c"}
+
+
+def test_stream_curate_crash_between_merge_and_signature_write(spark, tmp_path):
+    """The curation sink's two writes can't commit atomically; this pins
+    the worst crash window: merge_once COMMITTED, the signature-store
+    append and the streaming checkpoint both lost.  On redelivery the
+    fingerprint probe finds nothing (store has no trace), survivors are
+    recomputed in full — and the stream-curate token must still prevent
+    a phantom version while the signature store heals."""
+    import json
+
+    from sap_data_pipeline_spark.sources.versioned import VersionedParquetTable
+    from sap_data_pipeline_spark.streaming.ingest import (
+        stream_curate_corpus_incremental,
+    )
+
+    watch = tmp_path / "cw_in"
+    watch.mkdir()
+    text = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank with many common words appearing throughout this text")
+    (watch / "b1.jsonl").write_text(json.dumps({"doc_id": 1, "text": text}))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    out = tmp_path / "cw_out"
+    store = tmp_path / "cw_store"
+
+    # crash-window state: the version exists (merge_once succeeded for
+    # batch 0 of stream 'curate'), but neither the signature store nor
+    # the checkpoint recorded anything
+    t = VersionedParquetTable(spark, str(out))
+    from sap_data_pipeline_spark.functions import text as X
+
+    pre = spark.createDataFrame([(1, text)], "doc_id long, text string") \
+        .withColumn("fingerprint", X.md5_fingerprint("text"))
+    t.merge_once(pre, ["doc_id"], op_token="stream-curate:curate:0")
+    assert t.current_version == 1
+
+    q = stream_curate_corpus_incremental(
+        spark, str(watch), schema, str(out),
+        checkpoint_dir=str(tmp_path / "cw_ckpt"),
+        signature_store=str(store),
+        min_quality=0.5, versioned=True)
+    q.awaitTermination(120)
+
+    assert t.current_version == 1                       # no phantom version
+    assert {r["doc_id"] for r in t.read().collect()} == {1}
+    # the signature store healed: redelivery minted the missing entries
+    sigs = spark.read.parquet(str(store))
+    assert sigs.filter(F.col("doc_id") == 1).count() > 0
