@@ -41,8 +41,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     by the promoted media_sniff_dispatch, which drives the REAL
 #     WAV/BMP/Y4M decoders (plus unknown-kind quarantine) through the
 #     same Arrow stage shape and verifies strictly more;
-#   * the rows-only queries (no SQL oracle by design).
+#   * the rows-only queries (no SQL oracle by design);
+#   * r6 rotation (making room for tpch_q6/q14/q18): tpch_q3 — its
+#     selective-join + top-k shape is evidenced by the in-window
+#     tpch_q18 (top-100 over a HAVING semi-join) and tail tpch_q10;
+#     events_cohort_retention — cohort family double-evidenced with
+#     events_retention_cohorts; doc_fingerprints — subsumed by
+#     exact_dedup_documents, which groups by the same md5 fingerprint.
 _TAIL = (
+    "tpch_q3_shipping_priority",
+    "events_cohort_retention",
+    "doc_fingerprints",
     "multimodal_features",
     "simhash_near_dup_pairs64",
     "audio_meta_wav",

@@ -1108,6 +1108,134 @@ def tpch_q12_priority_shipping(star: Star) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(star: Star) -> DataFrame:
+    """TPC-H Q6: revenue increase from eliminating small discounts — a
+    pure scan-filter-aggregate, the cheapest honest scan-speed
+    yardstick.  All three predicates push into the parquet scan
+    (PushedFilters on shipdate/discount/quantity), no join, no
+    exchange beyond the single-row partial-agg combine; at 100 TB this
+    is bandwidth-bound and nothing else."""
+    return (
+        star.lineitem.filter(
+            F.col("l_shipdate").cast("date").between("1996-01-01", "1996-12-31")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            sm.dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT CAST(100.00 * SUM(CAST(CASE WHEN p.p_type LIKE 'PROMO%'
+                                       THEN l.l_extendedprice * (1.0 - l.l_discount)
+                                       ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue_pct,
+           CAST(SUM(CAST(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1.0 - l.l_discount)
+                              ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+               AS promo_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-03-01' AND DATE '1996-03-31'
+    """,
+)
+def tpch_q14_promo_revenue(star: Star) -> DataFrame:
+    """TPC-H Q14: share of a month's revenue from promotional parts —
+    fact→dim join + conditional aggregate.  The month gate pushes into
+    the lineitem scan; part rides broadcast (a dim), so the only
+    exchange is the single-row combine."""
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"),
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+    ).otherwise(F.lit(0.0))
+    total = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        star.lineitem.filter(
+            F.col("l_shipdate").cast("date").between("1996-03-01", "1996-03-31")
+        )
+        .join(F.broadcast(star.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo.cast(sm.DEC)).cast("double")
+                / F.sum(total.cast(sm.DEC)).cast("double")
+            ).alias("promo_revenue_pct"),
+            sm.dec_sum(promo, "promo_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           big.sum_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_customers(star: Star) -> DataFrame:
+    """TPC-H Q18 (threshold 250, scaled to this data's ~4-line orders):
+    customers who placed very large-quantity orders — the group-by
+    HAVING semi-join shape.  The HAVING aggregate IS the join input
+    (no re-aggregation after the join); orders joins it on the same
+    order key the aggregate already shuffled on, so AQE can reuse the
+    exchange.  Deliberately NOT a broadcast: the >threshold order set
+    grows linearly with the fact at 100 TB — a shuffle join on the
+    order key is the scale-safe default, and the top-100 is
+    TakeOrderedAndProject on the DECIMAL-exact total order
+    (o_totalprice, o_orderkey), never a global sort."""
+    big = (
+        star.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(sm.DEC)).alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("l_orderkey", F.col("_sq").cast("double").alias("sum_qty"))
+    )
+    return (
+        star.orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(star.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            C.format_iso_date(F.col("o_orderdate").cast("date")).alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational extension pack: pivot / unpivot, CUBE, top-n per group,
 # INTERSECT/EXCEPT, blocked fuzzy matching — classic warehouse shapes

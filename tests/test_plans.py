@@ -351,3 +351,42 @@ def test_prefix_match_three_broadcast_probes_no_explode(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate" not in plan  # no explode in the fact path
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_tpch_q6_all_predicates_pushed_no_join(spark):
+    """Q6 is the scan-speed yardstick: every predicate reaches the
+    parquet scan, the read schema is pruned to the four referenced
+    columns, and nothing but the single-row agg combine follows."""
+    # formatted mode: the long PushedFilters list is "..."-truncated in
+    # the simple plan string
+    jdf = QUERIES["tpch_q6_forecast_revenue"](spark, SF_DIR)._jdf
+    plan = jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThanOrEqual(l_discount,0.07)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "Join" not in plan
+    # projection pruned at the scan: price+discount+the filter columns
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double," in plan
+
+
+def test_tpch_q14_month_gate_pushed_part_broadcast(spark):
+    """Q14: the month gate reaches the lineitem scan and part joins as
+    a broadcast dim — no shuffle of the fact."""
+    plan = _plan(QUERIES["tpch_q14_promo_revenue"](spark, SF_DIR))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_tpch_q18_having_aggregate_feeds_join_take_ordered(spark):
+    """Q18: ONE aggregation of lineitem (the HAVING output is the join
+    input — no re-aggregation after the join), customer broadcast, and
+    the top-100 is TakeOrderedAndProject, never a global sort."""
+    plan = _plan(QUERIES["tpch_q18_large_volume_customers"](spark, SF_DIR))
+    assert plan.count("HashAggregate") == 2  # partial + final of ONE agg
+    assert plan.count("TakeOrderedAndProject") == 1
+    assert "Sort " not in plan  # no global sort operator
