@@ -90,6 +90,10 @@ _TAIL = (
     "events_daily_anomaly_mad",
     "compression_ratio_scores",
     "tpch_q10_returned_items",
+    "tpch_q4_order_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_lapsed_customers",
     "tpch_q12_priority_shipping",
     "events_key_skew_report",
     "bpe_token_stats",

@@ -1236,6 +1236,181 @@ def tpch_q18_large_volume_customers(star: Star) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY
+      )
+    GROUP BY 1
+    """,
+)
+def tpch_q4_order_priority(star: Star) -> DataFrame:
+    """TPC-H Q4 (adapted: 'late' = shipped >90 days after ordering, the
+    available-date equivalent of commit<receipt): priority distribution
+    of orders with at least one late line — the EXISTS shape.  Spark
+    expresses it as a LEFT SEMI join with a non-equi residual: one
+    shuffle on the order key, lineitem never multiplies the order rows
+    (semi stops at first match), and the quarter gate pushes into the
+    orders scan."""
+    o = star.orders.filter(
+        F.col("o_orderdate").cast("date").between("1996-01-01", "1996-03-31")
+    )
+    li = star.lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate").cast("date")
+                > F.date_add(F.col("o_orderdate").cast("date"), 90)
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    )
+    GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(star: Star) -> DataFrame:
+    """TPC-H Q13: how many customers placed k orders, INCLUDING k=0 —
+    the left-outer count-distribution shape (an inner join would
+    silently drop order-less customers; COUNT(o_orderkey) counts
+    non-null matches so they land in the zero bucket).  One shuffle on
+    the customer key for the first aggregate; the distribution
+    re-aggregates on the tiny c_count domain."""
+    per_cust = (
+        star.customer.select("c_custkey")
+        .join(
+            star.orders.select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def tpch_q17_small_quantity_revenue(star: Star) -> DataFrame:
+    """TPC-H Q17: revenue lost to small orders of one brand's parts —
+    the correlated-scalar-subquery shape, decorrelated into a per-part
+    aggregate joined back on the part key.  The brand filter (broadcast
+    part dim) prunes lineitem FIRST, so the per-part average runs over
+    the pruned fact, one shuffle on l_partkey reused by the
+    threshold join.  Cross-engine determinism: l_quantity is
+    integer-valued, so AVG sums exactly in double on both engines and
+    the 0.2·avg comparison cannot flip on summation order."""
+    brand_parts = F.broadcast(
+        star.part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    )
+    li = star.lineitem.join(
+        brand_parts, F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresh = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_thresh")
+    )
+    return (
+        li.join(thresh, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_thresh"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(sm.DEC)).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q22_lapsed_customers",
+    """
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS a
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND CAST(o.o_orderdate AS DATE) >= DATE '2001-01-01'
+      )
+    GROUP BY 1
+    """,
+)
+def tpch_q22_lapsed_customers(star: Star) -> DataFrame:
+    """TPC-H Q22 (adapted: nation key stands in for the phone country
+    code, 'lapsed' = no orders since 2001): high-balance customers who
+    stopped ordering — global scalar subquery + NOT EXISTS.  The
+    average re-enters as a broadcast single row (never a shuffle); the
+    anti-join runs against the date-pruned DISTINCT custkey set.  The
+    average divides an exact DECIMAL sum so the balance comparison is
+    bit-identical across engines."""
+    avg_bal = F.broadcast(
+        star.customer.filter(F.col("c_acctbal") > 0.0).agg(
+            (
+                F.sum(F.col("c_acctbal").cast(sm.DEC)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_avg_bal")
+        )
+    )
+    recent = star.orders.filter(
+        F.col("o_orderdate").cast("date") >= F.lit("2001-01-01")
+    ).select("o_custkey")
+    return (
+        star.customer.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            sm.dec_sum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational extension pack: pivot / unpivot, CUBE, top-n per group,
 # INTERSECT/EXCEPT, blocked fuzzy matching — classic warehouse shapes

@@ -390,3 +390,21 @@ def test_tpch_q18_having_aggregate_feeds_join_take_ordered(spark):
     assert plan.count("HashAggregate") == 2  # partial + final of ONE agg
     assert plan.count("TakeOrderedAndProject") == 1
     assert "Sort " not in plan  # no global sort operator
+
+
+def test_tpch_q4_semi_join_no_multiplication(spark):
+    """Q4: the EXISTS compiles to a LEFT SEMI join (orders never
+    multiply per matching lineitem) with the quarter gate pushed to the
+    orders scan."""
+    plan = _plan(QUERIES["tpch_q4_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_tpch_q22_scalar_broadcast_anti_join(spark):
+    """Q22: the global average enters as a broadcast single row and the
+    lapsed check is an anti-join — no shuffle of customer beyond the
+    final group-by."""
+    plan = _plan(QUERIES["tpch_q22_lapsed_customers"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
