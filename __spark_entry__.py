@@ -87,6 +87,8 @@ _TAIL = (
     "host_pagerank",
     "salted_join_segment_revenue",
     "quality_zscore_by_lang",
+    "gopher_quality_flags",
+    "gopher_repetition_chars",
     "events_daily_anomaly_mad",
     "compression_ratio_scores",
     "tpch_q10_returned_items",

@@ -201,6 +201,90 @@ def repetition_stats(tok_col: Column, bigram_col: Column) -> list[Column]:
     ]
 
 
+def max_run_chars(arr: Column) -> Column:
+    """Max over distinct elements of ``count × char-length`` — the
+    "characters contained in the most common n-gram" numerator of the
+    Gopher repetition filters (Rae et al. 2021, §A1.1).
+
+    Linear per row: sort the array once, then a single-pass
+    ``F.aggregate`` run-length scan (``top_multiplicity``'s
+    O(distinct·n) form is fine for token arrays but n-gram arrays grow
+    with document length, so this takes the O(n log n) path).  Returns
+    0 for empty arrays.  No shuffle, no UDF.
+    """
+    s = F.array_sort(arr)
+    state0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    out = F.aggregate(
+        s,
+        state0,
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                (
+                    F.when(g == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1).cast("long"))
+                    * F.length(g).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return out
+
+
+def line_array(c: ColumnOrName) -> Column:
+    """Trimmed, non-blank lines of the raw text (array<string>)."""
+    return F.filter(
+        F.transform(F.split(_c(c), "\n", -1), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def dup_line_stats(lines: Column) -> list[Column]:
+    """Gopher line-level repetition metrics over a PRE-COMPUTED line
+    array (same projection-tier contract as :func:`repetition_stats`):
+
+    * ``n_lines``             — non-blank line count
+    * ``dup_line_frac``       — 1 − distinct/total lines
+    * ``dup_line_char_frac``  — chars inside lines occurring ≥2 times
+      / total line chars
+
+    The char fraction walks the DISTINCT lines and counts each one's
+    occurrences with a nested filter — O(L²) per document, but L (lines
+    per doc) is bounded small where n-gram arrays are not, so the
+    transparent form wins over a run-length scan here.  No shuffle.
+    """
+    ls = _c(lines)
+    n = F.size(ls)
+    tot_chars = F.aggregate(
+        ls, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dup_chars = F.aggregate(
+        F.array_distinct(ls),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc
+        + F.when(
+            F.size(F.filter(ls, lambda x: x == d)) >= 2,
+            F.size(F.filter(ls, lambda x: x == d)).cast("long") * F.length(d),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+    def frac(num, den):
+        return F.when(den > 0, F.round(num.cast("double") / den.cast("double"), 6)).otherwise(F.lit(0.0))
+
+    return [
+        n.cast("long").alias("n_lines"),
+        frac(n - F.size(F.array_distinct(ls)), n).alias("dup_line_frac"),
+        frac(dup_chars, tot_chars).alias("dup_line_char_frac"),
+    ]
+
+
 ROLLING_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 ROLLING_BASE = 31
 

@@ -3264,3 +3264,225 @@ def ann_ivfpq_topk(star: Star) -> DataFrame:
         centroids=_ivf_centroids_cached(star),
         codebooks=_pq_codebooks_cached(star),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/MassiveText quality-gate battery (Rae et al. 2021, §A1.1,
+# public paper): the document-level rule filters a pretraining pipeline
+# runs BEFORE any model-based scoring.  Pure per-row column expressions
+# (no shuffle, no UDF) over the shared tokenizer; the flags stay
+# UNROUNDED internally (every input to a comparison is an exact count
+# or an IEEE division of exact counts, so both engines decide each gate
+# bit-identically) and the reported ratios round for display.  Line
+# gates (bullets/ellipsis) are degenerate on the single-line testdata —
+# their semantics are pinned by multi-line fixtures in test_cleaning.
+# ---------------------------------------------------------------------------
+
+@register(
+    "gopher_quality_flags",
+    f"""
+    WITH feat AS (
+        SELECT doc_id, text AS raw,
+               {TOKSEQ_SQL.format(col='text')} AS toks,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          x -> trim(x)), x -> x <> '') AS lines
+        FROM documents
+    ),
+    f2 AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS mwl,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(len(regexp_extract_all(raw, '(#|\\.\\.\\.|…)')) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS symr,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '\\p{{L}}'))) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS alphaf,
+               CAST(len(list_distinct(list_filter(toks, t -> list_contains([{_EN_SW}], t)))) AS BIGINT) AS n_stop,
+               CASE WHEN len(lines) > 0
+                    THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE)
+                         / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS bulletf,
+               CASE WHEN len(lines) > 0
+                    THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS DOUBLE)
+                         / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS ellf
+        FROM feat
+    )
+    SELECT doc_id, n_words,
+           round(mwl, 4) AS mean_word_len,
+           round(symr, 4) AS symbol_word_ratio,
+           round(alphaf, 4) AS alpha_word_frac,
+           n_stop,
+           round(bulletf, 4) AS bullet_line_frac,
+           round(ellf, 4) AS ellipsis_line_frac,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS INT) AS flag_words,
+           CAST(CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1 ELSE 0 END AS INT) AS flag_mwl,
+           CAST(CASE WHEN symr <= 0.1 THEN 1 ELSE 0 END AS INT) AS flag_symbols,
+           CAST(CASE WHEN alphaf >= 0.8 THEN 1 ELSE 0 END AS INT) AS flag_alpha,
+           CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS flag_stopwords,
+           CAST(CASE WHEN bulletf <= 0.9 THEN 1 ELSE 0 END AS INT) AS flag_bullets,
+           CAST(CASE WHEN ellf <= 0.3 THEN 1 ELSE 0 END AS INT) AS flag_ellipsis,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000 AND mwl >= 3.0 AND mwl <= 10.0
+                      AND symr <= 0.1 AND alphaf >= 0.8 AND n_stop >= 2
+                      AND bulletf <= 0.9 AND ellf <= 0.3
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM f2
+    """,
+)
+def gopher_quality_flags(star: Star) -> DataFrame:
+    toks = X.tokens("text")
+    lines = X.line_array("text")
+    base = star.documents.select(
+        "doc_id", "text", toks.alias("_t"), lines.alias("_l")
+    )
+    t, l = F.col("_t"), F.col("_l")
+    nt, nl = F.size(t).cast("double"), F.size(l).cast("double")
+
+    def ratio(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    mwl = ratio(
+        F.aggregate(t, F.lit(0).cast("long"), lambda a, x: a + F.length(x)), nt
+    )
+    symr = ratio(F.regexp_count(F.col("text"), F.lit(r"(#|\.\.\.|…)")), nt)
+    alphaf = ratio(F.size(F.filter(t, lambda x: x.rlike(r"\p{L}"))), nt)
+    sw = F.array(*[F.lit(w) for w in X._STOPWORDS["en"]])
+    n_stop = F.size(
+        F.array_distinct(F.filter(t, lambda x: F.array_contains(sw, x)))
+    ).cast("long")
+    bulletf = ratio(F.size(F.filter(l, lambda x: x.rlike(r"^[-*•]"))), nl)
+    ellf = ratio(F.size(F.filter(l, lambda x: x.rlike(r"(\.\.\.|…)$"))), nl)
+
+    n_words = F.size(t).cast("long")
+    gates = {
+        "flag_words": (n_words >= 50) & (n_words <= 100000),
+        "flag_mwl": (mwl >= 3.0) & (mwl <= 10.0),
+        "flag_symbols": symr <= 0.1,
+        "flag_alpha": alphaf >= 0.8,
+        "flag_stopwords": n_stop >= 2,
+        "flag_bullets": bulletf <= 0.9,
+        "flag_ellipsis": ellf <= 0.3,
+    }
+    keep = None
+    for g in gates.values():
+        keep = g if keep is None else (keep & g)
+    return base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(symr, 4).alias("symbol_word_ratio"),
+        F.round(alphaf, 4).alias("alpha_word_frac"),
+        n_stop.alias("n_stop"),
+        F.round(bulletf, 4).alias("bullet_line_frac"),
+        F.round(ellf, 4).alias("ellipsis_line_frac"),
+        *[v.cast("int").alias(k) for k, v in gates.items()],
+        keep.cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition CHAR-fraction metrics — the character-coverage
+# complement of repetition_stats' count fractions: what share of the
+# document's characters sit inside (a) the most common word 2-/3-gram,
+# (b) lines that occur more than once.  Shuffle-free per-row
+# expressions: the n-gram maxima use a sorted run-length scan
+# (max_run_chars, O(n log n) per doc — n-gram arrays grow with the
+# document where line arrays stay small).  Line metrics are degenerate
+# on the single-line testdata; their semantics are pinned by multi-line
+# fixtures in test_cleaning.
+# ---------------------------------------------------------------------------
+
+@register(
+    "gopher_repetition_chars",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               {TOKSEQ_SQL.format(col='text')} AS t,
+               {NORM_SQL.format(col='text')} AS norm,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          x -> trim(x)), x -> x <> '') AS lines
+        FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id, g, count(*) * length(g) AS chars
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 1, 0)),
+                       i -> t[i] || ' ' || t[i + 1])) AS g
+            FROM base)
+        GROUP BY 1, 2
+    ),
+    g3 AS (
+        SELECT doc_id, g, count(*) * length(g) AS chars
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 0)),
+                       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+            FROM base)
+        GROUP BY 1, 2
+    ),
+    top2 AS (SELECT doc_id, max(chars) AS c2 FROM g2 GROUP BY 1),
+    top3 AS (SELECT doc_id, max(chars) AS c3 FROM g3 GROUP BY 1),
+    lf AS (
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CASE WHEN len(lines) > 0
+                    THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                         / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS dlf,
+               CASE WHEN list_sum(list_transform(lines, x -> length(x))) > 0
+                    THEN CAST(list_sum(list_transform(list_distinct(lines),
+                             d -> CASE WHEN len(list_filter(lines, x -> x = d)) >= 2
+                                       THEN len(list_filter(lines, x -> x = d)) * length(d)
+                                       ELSE 0 END)) AS DOUBLE)
+                         / CAST(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE)
+                    ELSE 0.0 END AS dlcf
+        FROM base
+    )
+    SELECT b.doc_id,
+           round(CASE WHEN length(b.norm) > 0
+                      THEN CAST(coalesce(top2.c2, 0) AS DOUBLE) / CAST(length(b.norm) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS top_bigram_char_frac,
+           round(CASE WHEN length(b.norm) > 0
+                      THEN CAST(coalesce(top3.c3, 0) AS DOUBLE) / CAST(length(b.norm) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS top_trigram_char_frac,
+           lf.n_lines,
+           round(lf.dlf, 6) AS dup_line_frac,
+           round(lf.dlcf, 6) AS dup_line_char_frac
+    FROM base b
+    LEFT JOIN top2 ON b.doc_id = top2.doc_id
+    LEFT JOIN top3 ON b.doc_id = top3.doc_id
+    JOIN lf ON b.doc_id = lf.doc_id
+    """,
+)
+def gopher_repetition_chars(star: Star) -> DataFrame:
+    toks = X.tokens("text")
+    base = star.documents.select(
+        "doc_id",
+        toks.alias("_t"),
+        X.normalize_text("text").alias("_norm"),
+        X.line_array("text").alias("_l"),
+    ).select(
+        "doc_id",
+        "_norm",
+        "_l",
+        X.ngrams_from(F.col("_t"), 2).alias("_g2"),
+        X.ngrams_from(F.col("_t"), 3).alias("_g3"),
+    )
+    nchars = F.length(F.col("_norm")).cast("double")
+
+    def cfrac(grams):
+        return F.when(
+            nchars > 0,
+            F.round(X.max_run_chars(grams).cast("double") / nchars, 6),
+        ).otherwise(F.lit(0.0))
+
+    line_stats = X.dup_line_stats(F.col("_l"))
+    return base.select(
+        "doc_id",
+        cfrac(F.col("_g2")).alias("top_bigram_char_frac"),
+        cfrac(F.col("_g3")).alias("top_trigram_char_frac"),
+        *line_stats,
+    )
