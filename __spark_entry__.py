@@ -110,6 +110,7 @@ _TAIL = (
     "warc_corpus_roundtrip",
     "warc_html_to_corpus",
     "scd2_customer_history",
+    "scd2_asof_enrich",
     "events_dau_wau",
     "events_retention_cohorts",
     "events_funnel",

@@ -3486,3 +3486,65 @@ def gopher_repetition_chars(star: Star) -> DataFrame:
         cfrac(F.col("_g3")).alias("top_trigram_char_frac"),
         *line_stats,
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time enrichment — the CONSUMPTION side of
+# scd2_customer_history: every order picks up the dimension version
+# valid AT ITS ORDER DATE (equi-join on the key + validity-range
+# residual, so Catalyst plans a broadcast HASH join with a filter —
+# never a nested-loop range join).  History here is the deterministic
+# two-batch synthetic (v1 effective 1995-01-01; custkey%3==0 gain +10
+# balance effective 1998-01-01), giving the closed-form oracle: orders
+# before 1998 see v1, later orders of the changed keys see v2.
+# valid_from is inclusive, valid_to exclusive — the scd2_apply contract.
+# ---------------------------------------------------------------------------
+
+@register(
+    "scd2_asof_enrich",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+           c.c_mktsegment AS segment_at_order,
+           CAST(c.c_acctbal AS DOUBLE)
+             + CASE WHEN c.c_custkey % 3 = 0
+                     AND CAST(o.o_orderdate AS DATE) >= DATE '1998-01-01'
+                    THEN 10.0 ELSE 0.0 END AS acctbal_at_order
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def scd2_asof_enrich(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.merge import scd2_apply
+
+    base = star.customer.select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double")
+    )
+    batch1 = base.withColumn("eff", F.lit("1995-01-01"))
+    batch2 = base.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 10.0)
+        .otherwise(F.col("c_acctbal")),
+    ).withColumn("eff", F.lit("1998-01-01"))
+    h1 = scd2_apply(None, batch1, keys=["c_custkey"],
+                    tracked=["c_mktsegment", "c_acctbal"], effective="eff")
+    hist = scd2_apply(h1, batch2, keys=["c_custkey"],
+                      tracked=["c_mktsegment", "c_acctbal"], effective="eff")
+    od = F.col("o_orderdate").cast("date")
+    return (
+        star.orders.join(
+            F.broadcast(hist),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (od >= F.col("valid_from").cast("date"))
+            & (
+                F.col("valid_to").isNull()
+                | (od < F.col("valid_to").cast("date"))
+            ),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format(od, "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("c_mktsegment").alias("segment_at_order"),
+            F.col("c_acctbal").alias("acctbal_at_order"),
+        )
+    )

@@ -408,3 +408,12 @@ def test_tpch_q22_scalar_broadcast_anti_join(spark):
     plan = _plan(QUERIES["tpch_q22_lapsed_customers"](spark, SF_DIR))
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_scd2_asof_enrich_hash_join_not_nested_loop(spark):
+    """Point-in-time SCD2 lookup: the validity range must ride as a
+    residual on the custkey equi-join (broadcast HASH join) — a
+    nested-loop range join here would be quadratic at scale."""
+    plan = _plan(QUERIES["scd2_asof_enrich"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
