@@ -89,6 +89,7 @@ _TAIL = (
     "quality_zscore_by_lang",
     "gopher_quality_flags",
     "gopher_repetition_chars",
+    "token_containment_pairs",
     "events_daily_anomaly_mad",
     "compression_ratio_scores",
     "tpch_q10_returned_items",

@@ -216,6 +216,47 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     return j
 
 
+def token_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            threshold: float = 0.8,
+                            max_bucket_size: int = LSH_MAX_BUCKET) -> DataFrame:
+    """Asymmetric token-set CONTAINMENT over LSH candidates:
+    ``C(A→B) = |A∩B| / |A|`` — the quote/partial-copy detector Jaccard
+    misses (a 50-token doc fully embedded in a 5,000-token doc has
+    Jaccard ≈ 0.01 but containment 1.0 in one direction).
+
+    Emits (id_a, id_b, containment_ab, containment_ba) where EITHER
+    direction ≥ ``threshold``.  Candidate generation reuses the minhash
+    band buckets, which are tuned for Jaccard — pairs with high
+    containment but near-zero Jaccard may not share a band, so recall
+    is banded-candidate-bounded (the classic fix is a containment-tuned
+    sketch, e.g. bottom-k over the smaller set); the verify stage here
+    is exact on whatever the bands surface.  Same scale shape as
+    :func:`ngram_jaccard_pairs`: bucketed candidates, token sets joined
+    back only for the short list.
+    """
+    cands = minhash_dedup_pairs(df, text_col, id_col,
+                                max_bucket_size=max_bucket_size)
+    toks = df.select(F.col(id_col), F.array_distinct(X.tokens(text_col)).alias("toks"))
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+
+    def c(den):
+        return F.when(F.size(den) > 0, F.round(inter / F.size(den).cast("double"), 6)).otherwise(F.lit(0.0))
+
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("containment_ab", c(F.col("toks_a")))
+        .withColumn("containment_ba", c(F.col("toks_b")))
+        .filter(
+            (F.col("containment_ab") >= threshold)
+            | (F.col("containment_ba") >= threshold)
+        )
+        .select("id_a", "id_b", "containment_ab", "containment_ba")
+    )
+
+
 def ngram_contamination(corpus: DataFrame, benchmark: DataFrame, *,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = SHINGLE_N) -> DataFrame:

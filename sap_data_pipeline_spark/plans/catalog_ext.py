@@ -174,6 +174,35 @@ def ngram_jaccard_pairs_q(star: Star) -> DataFrame:
     return D.ngram_jaccard_pairs(star.documents, threshold=0.7)
 
 
+@register(
+    "token_containment_pairs",
+    f"""
+    WITH {_CAND_CTE},
+    doctoks AS (
+        SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM documents
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               CASE WHEN len(a.toks) > 0
+                    THEN round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                               / CAST(len(a.toks) AS DOUBLE), 6) ELSE 0.0 END
+                   AS containment_ab,
+               CASE WHEN len(b.toks) > 0
+                    THEN round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                               / CAST(len(b.toks) AS DOUBLE), 6) ELSE 0.0 END
+                   AS containment_ba
+        FROM cands c
+        JOIN doctoks a ON a.doc_id = c.id_a
+        JOIN doctoks b ON b.doc_id = c.id_b
+    )
+    SELECT * FROM scored
+    WHERE containment_ab >= 0.8 OR containment_ba >= 0.8
+    """,
+)
+def token_containment_pairs_q(star: Star) -> DataFrame:
+    return D.token_containment_pairs(star.documents, threshold=0.8)
+
+
 # Sketch bit i votes on bit i%60 of seeded hash word h{i//60}; bit 63's
 # addend is the two's-complement sign-bit constant (see
 # operators.dedup.simhash / simhash_bit_value — a 1<<63 literal overflows

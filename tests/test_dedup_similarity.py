@@ -772,3 +772,27 @@ def test_ivfpq_topk_recall_against_brute_force(spark, star):
     per_q = raw.groupBy("query_id").count().collect()
     assert len(per_q) > 0
     assert all(r["count"] < 99 for r in per_q), per_q
+
+
+def test_token_containment_detects_partial_copy(spark):
+    """A short doc fully embedded in a long doc: Jaccard is small but
+    containment(short->long) is 1.0 — the asymmetric detector's whole
+    point.  The embedded pair must surface with containment_ab or _ba
+    at 1.0 while plain Jaccard at 0.7 misses it."""
+    short = " ".join(f"alpha{i} beta{i}" for i in range(20))  # 40 tokens
+    long_doc = short + " " + " ".join(f"pad{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc),
+         (3, "entirely different text about warehouse pipelines and shuffles")],
+        "doc_id long, text string",
+    )
+    got = D.token_containment_pairs(df, threshold=0.9).collect()
+    pairs = {(r["id_a"], r["id_b"]): (r["containment_ab"], r["containment_ba"])
+             for r in got}
+    assert (1, 2) in pairs
+    ab, ba = pairs[(1, 2)]
+    assert max(ab, ba) == 1.0 and abs(min(ab, ba) - 40 / 60) < 1e-4
+    # and Jaccard at its default threshold does NOT report this pair
+    jac = {(r["id_a"], r["id_b"]) for r in
+           D.ngram_jaccard_pairs(df, threshold=0.7).collect()}
+    assert (1, 2) not in jac
