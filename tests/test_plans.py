@@ -417,3 +417,72 @@ def test_scd2_asof_enrich_hash_join_not_nested_loop(spark):
     plan = _plan(QUERIES["scd2_asof_enrich"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A date-partitioned fact joined to a selectively-filtered dim must
+    get a dynamic partition pruning subquery on the scan — at 100 TB
+    this is the difference between reading one day and the table."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 20_000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("2024-01-"),
+                 F.lpad((F.col("id") % 28 + 1).cast("string"), 2, "0")
+                 ).alias("Date"),
+        (F.col("id") % 7).alias("qty"),
+    )
+    path = str(tmp_path / "dpp_fact")
+    fact.write.partitionBy("Date").parquet(path)
+    dim = spark.createDataFrame(
+        [("2024-01-05", "HOLIDAY"), ("2024-01-06", "NORMAL")],
+        "Date string, kind string",
+    )
+    q = (
+        spark.read.parquet(path)
+        .join(dim.filter(F.col("kind") == "HOLIDAY"), "Date")
+        .groupBy("Date").agg(F.sum("qty").alias("s"))
+    )
+    plan = _explain_formatted(q)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert q.count() == 1
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """A join with one pathologically hot key must trigger AQE's skew
+    split (skew=true in the final adaptive plan) once the sort-merge
+    path is forced — the runtime half of the salting story: even
+    WITHOUT manual salting, the engine re-plans the hot partition."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # one hot key (0) with 300k rows; 100 cold keys with 100 each
+        left = spark.range(0, 300_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        ).unionAll(
+            spark.range(0, 10_000).select(
+                (F.col("id") % 100 + 1).alias("k"), F.col("id").alias("v"))
+        )
+        right = spark.range(0, 101).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+        j = left.join(right, "k")
+        # execute THIS df's plan (count() builds a different one) so the
+        # adaptive plan finalizes before inspection
+        assert len(j.collect()) == 310_000
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
