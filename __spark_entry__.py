@@ -90,6 +90,7 @@ _TAIL = (
     "gopher_quality_flags",
     "gopher_repetition_chars",
     "token_containment_pairs",
+    "customer_balance_quantiles_by_nation",
     "events_daily_anomaly_mad",
     "compression_ratio_scores",
     "tpch_q10_returned_items",

@@ -3577,3 +3577,37 @@ def scd2_asof_enrich(star: Star) -> DataFrame:
             F.col("c_acctbal").alias("acctbal_at_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group percentiles — the interpolated order statistics every
+# profiling/capacity query needs.  EXACT percentile sorts within each
+# group, which is the right trade while groups are bounded (25 nations
+# here; a per-customer grain would be millions of tiny sorts — still
+# fine — but an UNGROUPED exact percentile over the full fact is a
+# global sort: that path belongs to the GK-sketch approx variant,
+# `curriculum_deciles`).  Spark's percentile() and DuckDB's
+# quantile_cont use the same linear interpolation over exact doubles —
+# verified bit-identical before registration.
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_balance_quantiles_by_nation",
+    """
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+           round(quantile_cont(c_acctbal, 0.50), 6) AS p50,
+           round(quantile_cont(c_acctbal, 0.75), 6) AS p75,
+           round(quantile_cont(c_acctbal, 0.95), 6) AS p95
+    FROM customer GROUP BY 1
+    """,
+)
+def customer_balance_quantiles_by_nation(star: Star) -> DataFrame:
+    return star.customer.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.percentile("c_acctbal", 0.25), 6).alias("p25"),
+        F.round(F.percentile("c_acctbal", 0.50), 6).alias("p50"),
+        F.round(F.percentile("c_acctbal", 0.75), 6).alias("p75"),
+        F.round(F.percentile("c_acctbal", 0.95), 6).alias("p95"),
+    )
