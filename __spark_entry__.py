@@ -91,6 +91,8 @@ _TAIL = (
     "gopher_repetition_chars",
     "token_containment_pairs",
     "customer_balance_quantiles_by_nation",
+    "temperature_mix_plan",
+    "bm25_search_topk",
     "events_daily_anomaly_mad",
     "compression_ratio_scores",
     "tpch_q10_returned_items",

@@ -270,6 +270,74 @@ def mixture_plan(
     )
 
 
+def temperature_mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    *,
+    alpha: float = 0.5,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Temperature-smoothed mixture targets: ``target_s ∝ p_s^alpha``
+    where ``p_s`` is the observed share — the multilingual-LM sampling
+    rule (exponential smoothing, Devlin et al. 2019 / Conneau et al.
+    2020) that keeps head languages from drowning the tail without
+    hand-writing target shares.  ``alpha=1`` reproduces the observed
+    mix; ``alpha=0`` is uniform; 0.5-0.7 are the published defaults.
+
+    Feeds the same solve as :func:`mixture_plan`: T = min available/
+    target, per-stratum take and fraction.  Cross-engine determinism:
+    observed shares divide exact integer sums; the smoothed weights are
+    quantized to integer micro-units (floor(x·1e6 + 0.5)) BEFORE
+    normalizing, so the normalizing sum is an exact integer sum —
+    immune to float summation order — and every downstream value
+    derives from identical doubles.  ``alpha=0.5`` runs through sqrt
+    (correctly rounded per IEEE on every engine); other alphas use
+    pow, whose last-ulp behavior is library-specific — fine for
+    planning, but pin alpha=0.5 where bit-reproducibility matters.
+    One aggregation shuffle to stratum grain; everything after runs on
+    the stratum-sized frame.
+    """
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
+    avail = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(w).cast("double").alias("available")
+    )
+    tot = avail.agg(F.sum("available").alias("_total"))
+    p = F.col("available") / F.col("_total")
+    smoothed = F.sqrt(p) if alpha == 0.5 else F.pow(p, F.lit(float(alpha)))
+    weighted = (
+        avail.crossJoin(F.broadcast(tot))
+        .withColumn("_p", p)
+        .withColumn(
+            "_wmicro",
+            F.floor(smoothed * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
+        )
+    )
+    wsum = weighted.agg(F.sum("_wmicro").alias("_wsum"))
+    planned = weighted.crossJoin(F.broadcast(wsum)).withColumn(
+        "target_share",
+        F.col("_wmicro").cast("double") / F.col("_wsum").cast("double"),
+    )
+    t_total = planned.filter(F.col("target_share") > 0).agg(
+        F.min(F.col("available") / F.col("target_share")).alias("_t")
+    )
+    return (
+        planned.crossJoin(F.broadcast(t_total))
+        .select(
+            "stratum",
+            "available",
+            F.round(F.col("_p"), 6).alias("observed_share"),
+            F.round(F.col("target_share"), 6).alias("target_share"),
+            F.round(
+                F.when(
+                    F.col("target_share") > 0,
+                    F.col("target_share") * F.col("_t") / F.col("available"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("sampling_fraction"),
+        )
+    )
+
+
 def apply_mixture_plan(
     df: DataFrame,
     plan: DataFrame,

@@ -3611,3 +3611,132 @@ def customer_balance_quantiles_by_nation(star: Star) -> DataFrame:
         F.round(F.percentile("c_acctbal", 0.75), 6).alias("p75"),
         F.round(F.percentile("c_acctbal", 0.95), 6).alias("p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-smoothed mixture planning (sampling.temperature_mixture_plan,
+# alpha=0.5): target_s ∝ sqrt(observed share) — the multilingual
+# exponential-smoothing rule.  Determinism contract: observed shares
+# divide exact integer sums; smoothed weights quantize to integer
+# micro-units before normalizing (exact integer sum, order-immune);
+# alpha=0.5 rides sqrt, correctly rounded per IEEE in both engines.
+# ---------------------------------------------------------------------------
+
+@register(
+    "temperature_mix_plan",
+    """
+    WITH avail AS (
+        SELECT lang AS stratum, CAST(SUM(n_chars) AS DOUBLE) AS available
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(available) AS total FROM avail),
+    weighted AS (
+        SELECT stratum, available, available / total AS p,
+               CAST(floor(sqrt(available / total) * 1000000.0 + 0.5) AS BIGINT) AS wmicro
+        FROM avail, tot
+    ),
+    ws AS (SELECT SUM(wmicro) AS wsum FROM weighted),
+    planned AS (
+        SELECT stratum, available, p,
+               CAST(wmicro AS DOUBLE) / CAST(wsum AS DOUBLE) AS target_share
+        FROM weighted, ws
+    ),
+    tt AS (SELECT MIN(available / target_share) AS t FROM planned WHERE target_share > 0)
+    SELECT stratum, available,
+           round(p, 6) AS observed_share,
+           round(target_share, 6) AS target_share,
+           round(CASE WHEN target_share > 0
+                      THEN target_share * t / available ELSE 0.0 END, 6)
+               AS sampling_fraction
+    FROM planned, tt
+    """,
+)
+def temperature_mix_plan(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import temperature_mixture_plan
+
+    return temperature_mixture_plan(
+        star.documents, "lang", alpha=0.5, weight_col="n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search (Robertson-Sparck Jones / Okapi BM25, public
+# formula; k1=1.2, b=0.75): top-k documents for a fixed term set — the
+# lexical-retrieval complement of the ANN embedding search.  One
+# corpus aggregate (N, avgdl, per-term document frequencies — all
+# exact integer sums) re-enters broadcast; scoring is a map-side
+# expression over the token array; the top-k is TakeOrderedAndProject
+# on (rounded score, doc_id).  The ln() inside idf is the one
+# engine-library float; the final round(4) absorbs last-ulp drift.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["table", "hash", "merge"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "bm25_search_topk",
+    f"""
+    WITH doctoks AS (
+        SELECT doc_id, {TOKSEQ_SQL.format(col='text')} AS t FROM documents
+    ),
+    lens AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS dl FROM doctoks),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN list_contains(t, '{w}') THEN 1 ELSE 0 END) AS DOUBLE) AS df_{w}"
+                   for w in _BM25_TERMS)}
+        FROM lens
+    ),
+    scored AS (
+        SELECT l.doc_id,
+               round({" + ".join(
+                   f"(ln(1.0 + (s.n - s.df_{w} + 0.5) / (s.df_{w} + 0.5))"
+                   f" * (CAST(len(list_filter(l.t, x -> x = '{w}')) AS DOUBLE) * {_BM25_K1 + 1.0})"
+                   f" / (CAST(len(list_filter(l.t, x -> x = '{w}')) AS DOUBLE)"
+                   f"    + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl)))"
+                   for w in _BM25_TERMS)}, 4) AS score
+        FROM lens l, stats s
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def bm25_search_topk(star: Star) -> DataFrame:
+    lens = star.documents.select(
+        "doc_id", X.tokens("text").alias("t")
+    ).withColumn("dl", F.size("t").cast("double"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+        *[
+            F.sum(
+                F.when(F.array_contains("t", w), 1).otherwise(0)
+            ).cast("double").alias(f"df_{w}")
+            for w in _BM25_TERMS
+        ],
+    )
+    score = None
+    for w in _BM25_TERMS:
+        tf = F.size(F.filter(F.col("t"), lambda x: x == F.lit(w))).cast("double")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n") - F.col(f"df_{w}") + 0.5) / (F.col(f"df_{w}") + 0.5)
+        )
+        part = (
+            idf
+            * (tf * F.lit(_BM25_K1 + 1.0))
+            / (
+                tf
+                + F.lit(_BM25_K1)
+                * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = part if score is None else score + part
+    return (
+        lens.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )

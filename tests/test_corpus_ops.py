@@ -374,3 +374,28 @@ def test_bpe_train_encode_tokenization_consistent(spark):
     assert CO.bpe_encode("end.", merges) == ["end</w>"]
     got = CO.bpe_token_counts(df, merges).collect()[0]
     assert got["n_bpe_tokens"] == 4 and got["n_words"] == 4
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    """BM25 sanity on a crafted corpus: the doc dense in the query terms
+    outranks one with a single hit; a doc with none scores 0."""
+    from sap_data_pipeline_spark.plans import catalog_ext as CE
+    from sap_data_pipeline_spark.plans.catalog import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table hash merge table hash merge table join scan"),
+            (2, "one table appears among many other unrelated words here"),
+            (3, "entirely different tokens with no query words at all"),
+        ],
+        "doc_id long, text string",
+    )
+
+    class FakeStar:
+        documents = docs
+
+    got = CE.bm25_search_topk(FakeStar).collect()
+    order = [r["doc_id"] for r in got]
+    scores = {r["doc_id"]: r["score"] for r in got}
+    assert order[0] == 1
+    assert scores[1] > scores[2] > scores[3] == 0.0

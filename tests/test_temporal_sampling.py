@@ -510,3 +510,28 @@ def test_transition_matrix_hand_computed(spark):
         for r in transition_matrix(df, "uid", "ts", "ev").collect()
     }
     assert out == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_temperature_mixture_plan_smooths_toward_tail(spark):
+    """alpha=1 reproduces the observed mix; alpha=0.5 moves share from
+    the head stratum to the tail (the smoothing's whole point); every
+    fraction stays in (0, 1] with exactly one binding stratum."""
+    from sap_data_pipeline_spark.operators.sampling import (
+        temperature_mixture_plan,
+    )
+
+    rows = [(i, "en") for i in range(900)] + [(i + 900, "mi") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    p1 = {r["stratum"]: r for r in
+          temperature_mixture_plan(df, "lang", alpha=1.0).collect()}
+    assert abs(p1["en"]["target_share"] - 0.9) < 1e-4
+    assert abs(p1["mi"]["target_share"] - 0.1) < 1e-4
+
+    p5 = {r["stratum"]: r for r in
+          temperature_mixture_plan(df, "lang", alpha=0.5).collect()}
+    assert p5["mi"]["target_share"] > 0.1       # tail gains
+    assert p5["en"]["target_share"] < 0.9       # head yields
+    fracs = [r["sampling_fraction"] for r in p5.values()]
+    assert all(0 < f <= 1.0 for f in fracs)
+    assert any(abs(f - 1.0) < 1e-6 for f in fracs)  # binding stratum
