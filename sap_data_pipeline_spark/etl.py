@@ -695,36 +695,57 @@ def build_training_corpus(
         mixture_plan,
         pack_by_offset,
     )
+    from pyspark.sql import Observation
+
     from sap_data_pipeline_spark.sources.sinks import write_parquet_atomic
 
-    audit: dict = {"rows_raw": documents.count()}
+    # Audit cost discipline (r6): the old version ran one eager .count()
+    # per stage — four full pipeline rescans at 100 TB.  Now:
+    #   * raw/quality/exact-dedup counts fold into ONE combined
+    #     aggregate over the raw corpus (count, conditional count,
+    #     conditional distinct-fingerprint — a single scan), run after
+    #     the write;
+    #   * near-dedup/decontamination/mixture counts ride df.observe()
+    #     accumulators drained after the final write — zero extra
+    #     passes.  Observations are attached ONLY to frames whose first
+    #     executing action is the final write: a frame consumed by the
+    #     dedup operators' localCheckpoint materializations latches its
+    #     CollectMetrics EMPTY (the checkpoint job is not a SQL query
+    #     execution), permanently losing the count — which is why the
+    #     early-stage counts use the combined aggregate instead.
+    obs: dict[str, Observation] = {}
+    audit: dict = {}
 
     gated = documents.filter(X.quality_score("text") >= min_quality)
-    audit["rows_after_quality"] = gated.count()
-
     exact_kept = gated.join(exact_dedup(gated).select("doc_id"), "doc_id", "semi")
-    audit["rows_after_exact_dedup"] = exact_kept.count()
 
-    near_kept = keep_best_per_cluster(exact_kept, minhash_dedup_pairs(exact_kept))
-    audit["rows_after_near_dedup"] = near_kept.count()
+    obs["rows_after_near_dedup"] = Observation("rows_after_near_dedup")
+    near_kept = keep_best_per_cluster(
+        exact_kept, minhash_dedup_pairs(exact_kept)
+    ).observe(obs["rows_after_near_dedup"], F.count(F.lit(1)).alias("n"))
 
     if benchmark is not None:
+        obs["tokens_removed"] = Observation("tokens_removed")
         cleaned = decontaminate_spans(near_kept, benchmark)
         near_kept = (
             near_kept.drop("text")
             .join(cleaned.select("doc_id", "n_removed", "clean_text"), "doc_id")
             .withColumnRenamed("clean_text", "text")
+            .observe(
+                obs["tokens_removed"],
+                F.coalesce(F.sum("n_removed"), F.lit(0)).alias("n"),
+            )
+            .drop("n_removed")
         )
-        audit["tokens_removed_decontamination"] = (
-            near_kept.agg(F.sum("n_removed")).collect()[0][0] or 0
-        )
-        near_kept = near_kept.drop("n_removed")
 
     if target_mix is not None:
+        obs["rows_after_mixture"] = Observation("rows_after_mixture")
         plan = mixture_plan(near_kept, mix_col, target_mix,
                             weight_col=mix_weight_col)
         near_kept = apply_mixture_plan(near_kept, plan, mix_col, key="doc_id")
-        audit["rows_after_mixture"] = near_kept.count()
+        near_kept = near_kept.observe(
+            obs["rows_after_mixture"], F.count(F.lit(1)).alias("n")
+        )
 
     split = hash_split(near_kept, "doc_id", weights=split_weights)
     packed = pack_by_offset(
@@ -736,7 +757,30 @@ def build_training_corpus(
         order_by=["doc_id"],
     )
     audit["rows_final"] = write_parquet_atomic(packed, out_path)
-    audit["n_bins"] = packed.select("shard", "split", "bin").distinct().count()
+    # the write was the action — drain the stage observations now
+    for key, ob in obs.items():
+        name = "tokens_removed_decontamination" if key == "tokens_removed" else key
+        audit[name] = ob.get["n"] or 0
+    # early-stage counts: one combined scan of the raw corpus (count +
+    # conditional count + conditional distinct fingerprint), replacing
+    # three separate pipeline re-executions
+    q = X.quality_score("text")
+    early = documents.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.count(F.when(q >= min_quality, 1)).alias("gated"),
+        F.count_distinct(
+            F.when(q >= min_quality, X.md5_fingerprint("text"))
+        ).alias("exact"),
+    ).collect()[0]
+    audit["rows_raw"] = early["raw"]
+    audit["rows_after_quality"] = early["gated"]
+    audit["rows_after_exact_dedup"] = early["exact"]
+    # n_bins reads the WRITTEN table, not the packed lineage — a scan of
+    # the output beats re-running the whole pipeline for one distinct
+    audit["n_bins"] = (
+        packed.sparkSession.read.parquet(out_path)
+        .select("shard", "split", "bin").distinct().count()
+    )
     return audit
 
 
