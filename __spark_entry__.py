@@ -66,6 +66,7 @@ _TAIL = (
     "embedding_quantize_int8",
     "stratum_cap_by_lang",
     "image_meta_bmp",
+    "image_meta_png",
     "image_resize_meta",
     "video_meta_y4m",
     "video_frame_sample",

@@ -380,6 +380,208 @@ VIDEO_META_SCHEMA = T.StructType([
 ])
 
 
+# ---------------------------------------------------------------------------
+# PNG (ISO/IEC 15948, the public spec): a REAL stdlib decoder/encoder —
+# zlib inflate + all five scanline filters — closing the biggest image
+# env-gate (PNG is the web's dominant lossless format).  Supported
+# profile: 8-bit, color type 2 (RGB) / 6 (RGBA), non-interlaced; other
+# profiles return header metadata with NULL pixels (same contract as
+# non-24-bit BMPs); non-PNG payloads raise the env-gate.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + tag + data
+        + struct.pack(">I", zlib.crc32(tag + data))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels, filters=None) -> bytes:
+    """Encode an (h, w, ch) uint8 array (ch 3=RGB or 4=RGBA) as an
+    8-bit non-interlaced PNG.  ``filters`` (per-row filter-type list)
+    defaults to 0; the synthetic fixtures pass ``row % 5`` so every
+    decode exercises ALL five filter reconstructions — a filter bug
+    anywhere breaks the closed-form pixel oracle."""
+    import struct
+    import zlib
+
+    h, w, ch = pixels.shape
+    color_type = 2 if ch == 3 else 6
+    bpp = ch
+    raw = pixels.reshape(h, w * ch)
+    lines = []
+    prior = bytes(w * ch)
+    for r in range(h):
+        ft = 0 if filters is None else int(filters[r]) % 5
+        line = bytes(raw[r])
+        if ft == 0:
+            filt = line
+        else:
+            fb = bytearray(len(line))
+            for x in range(len(line)):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                pred = {1: a, 2: b, 3: (a + b) // 2, 4: _paeth(a, b, c)}[ft]
+                fb[x] = (line[x] - pred) % 256
+            filt = bytes(fb)
+        lines.append(bytes([ft]) + filt)
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL decode of an 8-bit RGB/RGBA non-interlaced PNG: chunk walk
+    (IHDR/IDAT*/IEND with CRC-verified framing), zlib inflate of the
+    concatenated IDAT stream, and per-scanline reconstruction of all
+    five filter types (None/Sub/Up/Average/Paeth).  Returns
+    (width, height, color_type, pixels) with pixels an (h, w, ch)
+    uint8 array, or NULL pixels for unsupported PNG profiles
+    (palette/16-bit/interlaced).  Non-PNG payloads raise
+    ``NotImplementedError`` — the codec env-gate (JPEG/WebP need codec
+    libraries)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or len(payload) < 8 or payload[:8] != PNG_SIG:
+        raise NotImplementedError(
+            "payload is not a PNG; lossy/compressed formats (JPEG/WebP) "
+            "need a codec library (env-gated, see real_decode)"
+        )
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8: pos + 8 + ln]
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if zlib.crc32(tag + data) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, flt, interlace = hdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if depth != 8 or color_type not in (2, 6) or interlace != 0:
+        return w, h, color_type, None
+    bpp = channels
+    stride = w * channels
+    raw = zlib.decompress(b"".join(idat))
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = bytes(stride)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1: (r + 1) * (stride + 1)]
+        if ft == 0:
+            recon = bytearray(line)
+        elif ft == 2:  # Up vectorizes: recon = line + prior
+            recon = bytearray(
+                (np.frombuffer(line, np.uint8)
+                 + np.frombuffer(prior, np.uint8)).astype(np.uint8).tobytes()
+            )
+        else:  # Sub/Average/Paeth carry a left dependency — per byte
+            recon = bytearray(stride)
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                pred = {1: a, 3: (a + b) // 2, 4: _paeth(a, b, c)}[ft]
+                recon[x] = (line[x] + pred) % 256
+        out[r] = np.frombuffer(bytes(recon), np.uint8)
+        prior = bytes(recon)
+    return w, h, color_type, out.reshape(h, w, channels)
+
+
+PNG_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("color_type", T.IntegerType(), True),
+    T.StructField("mean_luma", T.DoubleType(), True),
+    T.StructField("max_luma", T.IntegerType(), True),
+])
+
+
+def extract_png_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched PNG decode + stats — the PNG instance of the image
+    decode stage.  ``n_bytes`` is deliberately absent from the output:
+    PNG byte size depends on the zlib compressor, so it has no
+    closed-form oracle (every other column is exact in ``doc_id``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in PNG_META_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ct, px = decode_png_pixels(bytes(payload))
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(px.shape[2] if px is not None else None)
+                out["color_type"].append(ct)
+                out["mean_luma"].append(float(px.mean()) if px is not None else None)
+                out["max_luma"].append(int(px.max()) if px is not None else None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=PNG_META_SCHEMA)
+
+
+def synth_png_media(documents: DataFrame) -> DataFrame:
+    """Deterministic PNG fixture: per document, width ``4 + doc_id %
+    13``, height ``3 + doc_id % 7``, channels ``3 + doc_id % 2`` (RGB
+    and RGBA both exercised), channel byte ``(doc_id + 11 r + 5 c +
+    ch) % 256`` — and row filters ``r % 5``, so decoding walks every
+    PNG filter type under the closed-form value-hash oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, ch = 4 + did % 13, 3 + did % 7, 3 + did % 2
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                chs = np.arange(ch)[None, None, :]
+                px = ((did + 11 * r + 5 * c + chs) % 256).astype(np.uint8)
+                ids.append(did)
+                payloads.append(encode_png(px, filters=range(h)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    return documents.select("doc_id").mapInPandas(run, schema=schema)
+
+
 def _y4m_frame_size(width: int, height: int, colorspace: str) -> int:
     if colorspace.startswith("C444"):
         return width * height * 3
@@ -587,7 +789,8 @@ MEDIA_KIND_SCHEMA = T.StructType([
 def sniff_media_meta(media: DataFrame) -> DataFrame:
     """Heterogeneous media-dump front door: detect each payload's format
     from its magic bytes and dispatch to the matching REAL decoder —
-    WAV (``RIFF..WAVE``), BMP (``BM``), Y4M (``YUV4MPEG2``).
+    WAV (``RIFF..WAVE``), BMP (``BM``), PNG (8-byte signature),
+    Y4M (``YUV4MPEG2``).
     Unrecognized payloads land as ``kind='unknown'`` rows (all-NULL
     stats) instead of failing the batch — the quarantine discipline a
     100 TB crawl dump needs, where a decode-crash-per-bad-blob kills
@@ -619,6 +822,10 @@ def sniff_media_meta(media: DataFrame) -> DataFrame:
                 elif p[:2] == b"BM" and nb >= 54:
                     w, h, _, px = decode_bmp_pixels(p)
                     emit(mid, "bmp", nb, w=w, h=h,
+                         lvl=float(px.mean()) if px is not None else None)
+                elif p[:8] == PNG_SIG:
+                    w, h, _, px = decode_png_pixels(p)
+                    emit(mid, "png", nb, w=w, h=h,
                          lvl=float(px.mean()) if px is not None else None)
                 elif p.startswith(b"YUV4MPEG2"):
                     w, h, num, den, frames = decode_y4m(p)

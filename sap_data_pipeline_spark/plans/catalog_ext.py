@@ -3740,3 +3740,45 @@ def bm25_search_topk(star: Star) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG decode under the closed-form oracle (operators.multimodal
+# decode_png_pixels): the synthetic fixtures use row filters r % 5, so
+# this query's value hash proves ALL FIVE PNG filter reconstructions
+# (None/Sub/Up/Average/Paeth) and the zlib IDAT walk — any unfilter or
+# chunk-framing bug changes mean/max luma.  channels = 3 + doc_id % 2
+# exercises RGB and RGBA.  n_bytes is deliberately absent (zlib output
+# size has no closed form).
+# ---------------------------------------------------------------------------
+
+@register(
+    "image_meta_png",
+    """
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+               3 + doc_id % 2 AS nch
+        FROM documents
+    ),
+    rr AS (SELECT unnest(generate_series(0, 8)) AS r),
+    cc AS (SELECT unnest(generate_series(0, 15)) AS c),
+    chs AS (SELECT unnest(generate_series(0, 3)) AS ch),
+    px AS (
+        SELECT d.doc_id,
+               (d.doc_id + 11 * rr.r + 5 * cc.c + chs.ch) % 256 AS v
+        FROM dims d, rr, cc, chs
+        WHERE rr.r < d.h AND cc.c < d.w AND chs.ch < d.nch
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(d.nch AS INT) AS channels,
+           CAST(CASE WHEN d.nch = 3 THEN 2 ELSE 6 END AS INT) AS color_type,
+           CAST(SUM(p.v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_luma,
+           CAST(MAX(p.v) AS INT) AS max_luma
+    FROM dims d JOIN px p ON p.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.w, d.h, d.nch
+    """,
+)
+def image_meta_png(star: Star) -> DataFrame:
+    return MM.extract_png_meta(MM.synth_png_media(star.documents))
