@@ -86,6 +86,7 @@ _TAIL = (
     "events_transition_matrix",
     "semantic_dedup_clusters",
     "host_pagerank",
+    "doc_tree_root_depth",
     "salted_join_segment_revenue",
     "quality_zscore_by_lang",
     "gopher_quality_flags",

@@ -3782,3 +3782,40 @@ def bm25_search_topk(star: Star) -> DataFrame:
 )
 def image_meta_png(star: Star) -> DataFrame:
     return MM.extract_png_meta(MM.synth_png_media(star.documents))
+
+
+# ---------------------------------------------------------------------------
+# Recursive-hierarchy expansion (operators.graph.tree_root_depth): the
+# capability a SQL Server user reaches RECURSIVE CTEs for (org charts,
+# BOM explosion, category trees) — Spark has no recursive CTE, so the
+# operator is a pointer-DOUBLING driver loop, O(log depth) rounds.  The
+# oracle IS a recursive CTE (DuckDB), walking each node to the root —
+# the two formulations agreeing is the semantic proof.  Synthetic
+# hierarchy: binary tree over doc_id (parent = (id-1) DIV 2, root 0).
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_tree_root_depth",
+    """
+    WITH RECURSIVE up AS (
+        SELECT doc_id AS node, doc_id AS cur, CAST(0 AS BIGINT) AS d
+        FROM documents
+        UNION ALL
+        SELECT node, (cur - 1) // 2, d + 1 FROM up WHERE cur > 0
+    )
+    SELECT node, CAST(0 AS BIGINT) AS root, MAX(d) AS depth
+    FROM up GROUP BY node
+    """,
+)
+def doc_tree_root_depth(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.graph import tree_root_depth
+
+    edges = star.documents.filter(F.col("doc_id") > 0).select(
+        F.col("doc_id").alias("child"),
+        F.expr("(doc_id - 1) DIV 2").alias("parent"),
+    )
+    return tree_root_depth(edges).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("root").cast("long").alias("root"),
+        F.col("depth").cast("long").alias("depth"),
+    )

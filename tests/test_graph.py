@@ -103,3 +103,45 @@ def test_returned_frame_survives_internal_unpersist(spark, tmp_path, use_dir):
     assert first == second
     for v in want:
         assert second[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_tree_root_depth_forest_and_roots(spark):
+    """A two-tree forest: every node resolves to ITS root with the
+    right depth; a self-loop counts as a root declaration."""
+    from sap_data_pipeline_spark.operators.graph import tree_root_depth
+
+    edges = [(1, 0), (2, 0), (3, 1), (4, 3),     # tree rooted at 0
+             (11, 10), (12, 11),                  # tree rooted at 10
+             (20, 20)]                            # isolated root self-loop
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got = {r["node"]: (r["root"], r["depth"])
+           for r in tree_root_depth(df).collect()}
+    assert got[0] == (0, 0) and got[4] == (0, 3) and got[3] == (0, 2)
+    assert got[10] == (10, 0) and got[12] == (10, 2)
+    assert got[20] == (20, 0)
+
+
+def test_tree_root_depth_cycle_raises(spark):
+    """A cycle (bad data) must raise, not spin."""
+    from sap_data_pipeline_spark.operators.graph import tree_root_depth
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "child long, parent long")
+    with pytest.raises(RuntimeError, match="cycle"):
+        tree_root_depth(df, max_iter=6)
+
+
+def test_tree_root_depth_log_rounds(spark):
+    """A 200-deep chain converges inside a log-bounded round budget —
+    the pointer-doubling pin (level-at-a-time recursion would need 200
+    rounds and trip the budget)."""
+    import math
+
+    from sap_data_pipeline_spark.operators.graph import tree_root_depth
+
+    n = 200
+    df = spark.createDataFrame([(i, i - 1) for i in range(1, n + 1)],
+                               "child long, parent long")
+    budget = math.ceil(math.log2(n)) + 4  # 12
+    got = {r["node"]: r["depth"]
+           for r in tree_root_depth(df, max_iter=budget).collect()}
+    assert got[n] == n and got[0] == 0
