@@ -83,6 +83,7 @@ _TAIL = (
     "order_customer_set_ops",
     "fuzzy_part_name_pairs",
     "supplier_daily_gapfill",
+    "events_trailing_hour_stats",
     "events_transition_matrix",
     "semantic_dedup_clusters",
     "host_pagerank",

@@ -3819,3 +3819,49 @@ def doc_tree_root_depth(star: Star) -> DataFrame:
         F.col("root").cast("long").alias("root"),
         F.col("depth").cast("long").alias("depth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frames — the frame type the reference's T-SQL
+# RANGE/rows-preceding reports use and the bounded-interval complement
+# of the sessionize/sliding-window family: per user, trailing-1-hour
+# event count and value sum at every event.  RANGE frames bound by the
+# ORDER-BY VALUE (peers included), not row position — both engines
+# frame on the identical epoch-second BIGINT, and the windowed sum runs
+# through DECIMAL so frame-internal summation order can't drift.  One
+# user-keyed exchange; the frame evaluation is sort-local.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_trailing_hour_stats",
+    """
+    SELECT event_id, user_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def events_trailing_hour_stats(star: Star) -> DataFrame:
+    from pyspark.sql.types import DecimalType
+
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return star.events.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum(F.col("value").cast(DecimalType(18, 6))).over(w)
+        .cast("double").alias("sum_1h"),
+    )
