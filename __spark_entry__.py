@@ -72,6 +72,7 @@ _TAIL = (
     "video_frame_sample",
     "corpus_mixture_plan",
     "corpus_mixture_apply",
+    "corpus_shard_manifest",
     "unigram_logprob_scores",
     "decontaminate_spans",
     "dsir_logweights",

@@ -3865,3 +3865,44 @@ def events_trailing_hour_stats(star: Star) -> DataFrame:
         F.sum(F.col("value").cast(DecimalType(18, 6))).over(w)
         .cast("double").alias("sum_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard integrity manifest — the verification artifact for bulk corpus
+# movement (replication, engine migration, backup restore): per shard,
+# row count, key bounds, and an ORDER-INSENSITIVE content digest
+# (bit_xor of md5-derived 64-bit row hashes — XOR commutes and can't
+# overflow, so the digest is layout/partitioning/visit-order invariant
+# and any single changed/missing/duplicated row flips it).  One shuffle
+# to shard grain, map-side combinable.
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_shard_manifest",
+    f"""
+    SELECT doc_id % 8 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id,
+           bit_xor({_hash64_sql("concat(CAST(doc_id AS VARCHAR), ':', text)", 5)}) AS content_digest
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def corpus_shard_manifest(star: Star) -> DataFrame:
+    h = X.hash64(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text")),
+        seed=5,
+    )
+    return (
+        star.documents.select(
+            (F.col("doc_id") % 8).alias("shard"), "doc_id", h.alias("h")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.expr("bit_xor(h)").alias("content_digest"),
+        )
+    )
