@@ -55,6 +55,7 @@ _TAIL = (
     "multimodal_features",
     "simhash_near_dup_pairs64",
     "audio_meta_wav",
+    "audio_meta_ulaw",
     "keep_best_per_cluster",
     "jsonl_corpus_roundtrip",
     "chunk_documents",

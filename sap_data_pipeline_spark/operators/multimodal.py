@@ -114,10 +114,24 @@ def decode_wav_meta(payload: bytes) -> tuple:
             "payload is not RIFF/WAVE; compressed formats need a codec "
             "library (env-gated, see real_decode)"
         )
-    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-        n_ch, sampwidth = w.getnchannels(), w.getsampwidth()
-        rate, n_frames = w.getframerate(), w.getnframes()
-        raw = w.readframes(n_frames)
+    try:
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+            n_ch, sampwidth = w.getnchannels(), w.getsampwidth()
+            rate, n_frames = w.getframerate(), w.getnframes()
+            raw = w.readframes(n_frames)
+    except wave.Error:
+        # non-PCM WAVE (stdlib wave only reads format 1): parse the RIFF
+        # chunks ourselves — µ-law (G.711 format 7) gets a REAL decode,
+        # other compressed formats report header metadata with NULL stats
+        fmt, n_ch, rate, _bits, data = _parse_riff_fmt_data(bytes(payload))
+        n_frames = len(data) // max(n_ch, 1)
+        duration_ms = n_frames * 1000 // rate if rate else None
+        if fmt == 7:  # µ-law: one byte per sample
+            vals = ulaw_expand(data)
+            peak = int(abs(vals).max()) if len(vals) else None
+            rms = math.sqrt(float((vals.astype("int64") ** 2).mean())) if len(vals) else None
+            return rate, n_ch, n_frames, duration_ms, rms, peak
+        return rate, n_ch, n_frames, duration_ms, None, None
     duration_ms = n_frames * 1000 // rate if rate else None
     rms = peak = None
     if sampwidth == 2 and raw:
@@ -125,6 +139,43 @@ def decode_wav_meta(payload: bytes) -> tuple:
         peak = max(abs(s) for s in samples)
         rms = math.sqrt(sum(s * s for s in samples) / len(samples))
     return rate, n_ch, n_frames, duration_ms, rms, peak
+
+
+def _parse_riff_fmt_data(payload: bytes) -> tuple:
+    """Minimal RIFF chunk walk: returns (format_code, n_channels,
+    sample_rate, bits_per_sample, data_bytes).  Raises on missing
+    fmt/data chunks (malformed container)."""
+    import struct
+
+    pos, fmt = 12, None
+    data = b""
+    while pos + 8 <= len(payload):
+        tag, ln = payload[pos: pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8: pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks pad to even offsets
+    if fmt is None:
+        raise ValueError("RIFF/WAVE without a fmt chunk")
+    code, n_ch, rate, _brate, _align, bits = fmt
+    return code, n_ch, rate, bits, data
+
+
+def ulaw_expand(data: bytes):
+    """G.711 µ-law → linear 14-bit samples (ITU-T G.711, public spec),
+    vectorized: u = ~b; magnitude = ((mantissa·8 + 132) << exponent)
+    − 132, negated when the (post-complement) sign bit is set."""
+    import numpy as np
+
+    b = np.frombuffer(data, dtype=np.uint8)
+    u = (~b) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = (u & 0x0F).astype(np.int32)
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int32)
 
 
 def extract_wav_meta(media: DataFrame) -> DataFrame:
@@ -148,6 +199,39 @@ def extract_wav_meta(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=WAV_META_SCHEMA)
+
+
+def synth_ulaw_media(documents: DataFrame) -> DataFrame:
+    """Deterministic µ-law WAV fixture: mono 8 kHz G.711 (format 7),
+    ``50 + doc_id % 100`` one-byte samples, byte i = ``(doc_id·7 +
+    i·13) % 256`` — closed-form in ``doc_id`` so the REAL µ-law
+    expansion gets a full value-hash oracle (the DuckDB twin applies
+    the G.711 formula arithmetically)."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 50 + did % 100
+                data = bytes((did * 7 + i * 13) % 256 for i in range(n))
+                fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+                body = (
+                    b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", n) + data + (b"\x00" if n % 2 else b"")
+                )
+                ids.append(did)
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    return documents.select("doc_id").mapInPandas(run, schema=schema)
 
 
 def synth_wav_media(documents: DataFrame) -> DataFrame:

@@ -3906,3 +3906,80 @@ def corpus_shard_manifest(star: Star) -> DataFrame:
             F.expr("bit_xor(h)").alias("content_digest"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# µ-law audio decode under the closed-form oracle: the synthetic G.711
+# payloads decode through the REAL RIFF chunk walk + vectorized µ-law
+# expansion (stdlib wave rejects format 7, so this exercises the
+# non-PCM fallback path end-to-end), while the DuckDB twin applies the
+# G.711 formula arithmetically — any chunk-walk or expansion bug
+# changes rms/peak.
+# ---------------------------------------------------------------------------
+
+@register(
+    "audio_meta_ulaw",
+    """
+    WITH dims AS (
+        SELECT doc_id, 50 + doc_id % 100 AS n FROM documents
+    ),
+    ii AS (SELECT unnest(generate_series(0, 149)) AS i),
+    samp AS (
+        SELECT d.doc_id,
+               255 - (d.doc_id * 7 + ii.i * 13) % 256 AS u
+        FROM dims d, ii WHERE ii.i < d.n
+    ),
+    expanded AS (
+        SELECT doc_id,
+               CASE WHEN u >= 128
+                    THEN -((((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132)
+                    ELSE (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+               END AS v
+        FROM samp
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(d.n AS BIGINT) AS n_frames,
+           CAST(d.n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           round(sqrt(CAST(SUM(CAST(e.v AS BIGINT) * CAST(e.v AS BIGINT)) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)), 6) AS rms_amplitude,
+           CAST(MAX(abs(e.v)) AS INT) AS peak_amplitude
+    FROM dims d JOIN expanded e ON e.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.n
+    """,
+)
+def audio_meta_ulaw(star: Star) -> DataFrame:
+    import pandas as pd_  # noqa: F401
+
+    media = MM.synth_ulaw_media(star.documents)
+
+    from pyspark.sql import types as T_
+
+    schema = T_.StructType([
+        T_.StructField("media_id", T_.LongType(), False),
+        T_.StructField("sample_rate", T_.IntegerType(), True),
+        T_.StructField("n_channels", T_.IntegerType(), True),
+        T_.StructField("n_frames", T_.LongType(), True),
+        T_.StructField("duration_ms", T_.LongType(), True),
+        T_.StructField("rms_amplitude", T_.DoubleType(), True),
+        T_.StructField("peak_amplitude", T_.IntegerType(), True),
+    ])
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, n_ch, nf, dur, rms, peak = MM.decode_wav_meta(bytes(payload))
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(n_ch)
+                out["n_frames"].append(nf)
+                out["duration_ms"].append(dur)
+                out["rms_amplitude"].append(round(rms, 6) if rms is not None else None)
+                out["peak_amplitude"].append(peak)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=schema)

@@ -395,3 +395,47 @@ def test_sniff_dispatch_recognizes_png(spark):
     assert (got[1]["width"], got[1]["height"]) == (6, 4)
     assert abs(got[1]["mean_level"] - 7.0) < 1e-9
     assert got[2]["kind"] == "unknown"
+
+
+def test_ulaw_expansion_matches_audioop(spark):
+    """G.711 µ-law expansion differential against stdlib audioop over
+    all 256 byte values (falls back to known table points if audioop
+    is gone — it leaves in Python 3.13)."""
+    import numpy as np
+
+    from sap_data_pipeline_spark.operators.multimodal import ulaw_expand
+
+    data = bytes(range(256))
+    mine = ulaw_expand(data)
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+        ref = np.frombuffer(audioop.ulaw2lin(data, 2), dtype="<i2")
+        assert (mine == ref).all()
+    except ImportError:
+        assert mine[0] == -32124 and mine[0xFF] == 0 and mine[0x7F] == 0
+
+
+def test_decode_wav_meta_ulaw_and_unknown_formats(spark):
+    """The non-PCM RIFF fallback: µ-law payloads get real stats; an
+    unknown compressed format reports header metadata with NULL stats
+    instead of crashing (stdlib wave raises on both)."""
+    import struct
+
+    from sap_data_pipeline_spark.operators import multimodal as MM
+
+    def wav(fmt_code, data, bits=8):
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, bits)
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    rate, ch, nf, dur, rms, peak = MM.decode_wav_meta(wav(7, bytes([0x00, 0xFF])))
+    assert (rate, ch, nf) == (8000, 1, 2)
+    assert peak == 32124 and rms is not None  # real µ-law expansion
+
+    rate, ch, nf, dur, rms, peak = MM.decode_wav_meta(wav(85, b"\x01\x02\x03"))
+    assert rate == 8000 and rms is None and peak is None  # MP3-in-RIFF: header only
