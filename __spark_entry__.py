@@ -68,6 +68,7 @@ _TAIL = (
     "stratum_cap_by_lang",
     "image_meta_bmp",
     "image_meta_png",
+    "image_meta_gif",
     "image_resize_meta",
     "video_meta_y4m",
     "video_frame_sample",

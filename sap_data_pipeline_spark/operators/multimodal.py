@@ -911,6 +911,10 @@ def sniff_media_meta(media: DataFrame) -> DataFrame:
                     w, h, _, px = decode_png_pixels(p)
                     emit(mid, "png", nb, w=w, h=h,
                          lvl=float(px.mean()) if px is not None else None)
+                elif p[:4] == b"GIF8":
+                    w, h, _, px = decode_gif_pixels(p)
+                    emit(mid, "gif", nb, w=w, h=h,
+                         lvl=float(px.mean()) if px is not None else None)
                 elif p.startswith(b"YUV4MPEG2"):
                     w, h, num, den, frames = decode_y4m(p)
                     total = sum(int(f.sum()) for f in frames)
@@ -1026,3 +1030,279 @@ def resize_stub(media: DataFrame, *, width: int, height: int) -> DataFrame:
         yield  # pragma: no cover
 
     return media.mapInPandas(run, schema=media.schema)
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a, public spec incl. Appendix F LZW): a REAL stdlib
+# decoder/encoder — variable-width LSB-first LZW with code-width growth
+# and clear handling, global color table, optional interlacing (the
+# 4-pass row order).  First frame only (animation = repeated image
+# blocks; the corpus decode stage wants the poster frame).  Non-GIF
+# payloads raise the codec env-gate.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode_gif(data: bytes, min_code: int, npix: int) -> list:
+    """GIF LZW: codes start at min_code+1 bits (LSB-first), the table
+    grows by one entry per emitted code, and the code width bumps when
+    the table fills the current width (cap 12 bits)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out: list = []
+    table: list = []
+    width = min_code + 1
+    prev = None
+    acc = nbits = 0
+    pos = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [[i] for i in range(clear)] + [None, None]
+        width = min_code + 1
+        prev = None
+
+    reset()
+    while len(out) < npix:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # truncated stream: return what we have
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def _lzw_encode_gif(indices, min_code: int) -> bytes:
+    """The matching GIF LZW encoder (real dictionary growth, not the
+    all-literals trick — decodes must walk the table-extension path)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    emit(clear, width)
+    buf = b""
+    for px in indices:
+        nxt = buf + bytes([int(px)])
+        if nxt in table:
+            buf = nxt
+            continue
+        emit(table[buf], width)
+        table[nxt] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        buf = bytes([int(px)])
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_row_order(h: int) -> list:
+    """Interlaced row order: pass 1 rows 0,8,16…, pass 2 rows 4,12…,
+    pass 3 rows 2,6…, pass 4 rows 1,3,5…"""
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    return order
+
+
+def encode_gif(indices, palette, *, interlace: bool = False) -> bytes:
+    """Encode an (h, w) uint8 index array + [(r,g,b), …] palette as a
+    single-frame GIF89a (global color table, real LZW)."""
+    import struct
+
+    import numpy as np
+
+    h, w = indices.shape
+    ncolors = len(palette)
+    bits = max(1, (ncolors - 1).bit_length())
+    gct_size = 1 << bits
+    min_code = max(2, bits)
+    rows = indices[_gif_row_order(h)] if interlace else indices
+    lzw = _lzw_encode_gif(np.asarray(rows).reshape(-1), min_code)
+    sub = b"".join(
+        bytes([len(lzw[i: i + 255])]) + lzw[i: i + 255]
+        for i in range(0, len(lzw), 255)
+    ) + b"\x00"
+    gct = b"".join(bytes(c) for c in palette) + b"\x00\x00\x00" * (gct_size - ncolors)
+    screen = struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    return (
+        b"GIF89a" + screen + gct + img + bytes([min_code]) + sub + b"\x3B"
+    )
+
+
+def decode_gif_pixels(payload: bytes):
+    """REAL decode of a single-frame GIF: header + logical screen
+    descriptor, global/local color tables, extension-block skipping,
+    variable-width LZW, and interlace reordering.  Returns
+    (width, height, interlaced, pixels) with pixels (h, w, 3) uint8
+    RGB.  Non-GIF payloads raise ``NotImplementedError``."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 13 or payload[:4] != b"GIF8":
+        raise NotImplementedError(
+            "payload is not a GIF; other compressed image formats need "
+            "a codec library (env-gated, see real_decode)"
+        )
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1: pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode_gif(b"".join(chunks), min_code, iw * ih)
+            interlaced = bool(ipacked & 0x40)
+            arr = np.array(idx[: iw * ih], dtype=np.int32).reshape(ih, iw)
+            if interlaced:
+                un = np.empty_like(arr)
+                un[_gif_row_order(ih)] = arr
+                arr = un
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            return iw, ih, interlaced, ct[arr].astype(np.uint8)
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF without an image block")
+
+
+GIF_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("interlaced", T.IntegerType(), True),
+    T.StructField("mean_rgb", T.DoubleType(), True),
+    T.StructField("max_rgb", T.IntegerType(), True),
+    T.StructField("pos_weighted_sum", T.LongType(), True),
+])
+
+
+def extract_gif_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched GIF decode + stats.  ``pos_weighted_sum`` =
+    Σ v·(31r + 7c + ch + 1) is POSITION-DEPENDENT by construction — an
+    interlace-reorder or row/col transposition bug changes it even when
+    the order-invariant mean/max survive."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in GIF_META_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, il, px = decode_gif_pixels(bytes(payload))
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                wgt = (31 * r + 7 * c + ch + 1).astype(np.int64)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["interlaced"].append(int(il))
+                out["mean_rgb"].append(float(px.mean()))
+                out["max_rgb"].append(int(px.max()))
+                out["pos_weighted_sum"].append(int((px.astype(np.int64) * wgt).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=GIF_META_SCHEMA)
+
+
+def synth_gif_media(documents: DataFrame) -> DataFrame:
+    """Deterministic GIF fixture: width ``4 + doc_id % 13``, height
+    ``3 + doc_id % 7``, palette size ``4 + doc_id % 5``, pixel index
+    ``(doc_id + 3r + 5c) % ncolors``, palette ``j → (7j, 11j, 13j) %
+    256``, interlaced when ``doc_id`` is odd — every decode walks the
+    real LZW (dictionary growth included) and half of them the 4-pass
+    interlace reorder, all under the closed-form value-hash oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nc = 4 + did % 13, 3 + did % 7, 4 + did % 5
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                idx = ((did + 3 * r + 5 * c) % nc).astype(np.uint8)
+                pal = [((j * 7) % 256, (j * 11) % 256, (j * 13) % 256)
+                       for j in range(nc)]
+                ids.append(did)
+                payloads.append(encode_gif(idx, pal, interlace=bool(did % 2)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    return documents.select("doc_id").mapInPandas(run, schema=schema)

@@ -3983,3 +3983,44 @@ def audio_meta_ulaw(star: Star) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# GIF decode under the closed-form oracle: real variable-width LZW
+# (dictionary growth + clear codes) and, for odd doc_ids, the 4-pass
+# interlace reorder — `pos_weighted_sum` is position-dependent, so an
+# interlace bug breaks the hash even though mean/max wouldn't notice.
+# ---------------------------------------------------------------------------
+
+@register(
+    "image_meta_gif",
+    """
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+               4 + doc_id % 5 AS nc, CAST(doc_id % 2 AS INT) AS il
+        FROM documents
+    ),
+    rr AS (SELECT unnest(generate_series(0, 8)) AS r),
+    cc AS (SELECT unnest(generate_series(0, 15)) AS c),
+    chs AS (SELECT unnest(generate_series(0, 2)) AS ch),
+    px AS (
+        SELECT d.doc_id,
+               (((d.doc_id + 3 * rr.r + 5 * cc.c) % d.nc)
+                * CASE chs.ch WHEN 0 THEN 7 WHEN 1 THEN 11 ELSE 13 END) % 256 AS v,
+               31 * rr.r + 7 * cc.c + chs.ch + 1 AS wgt
+        FROM dims d, rr, cc, chs
+        WHERE rr.r < d.h AND cc.c < d.w
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           d.il AS interlaced,
+           CAST(SUM(p.v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_rgb,
+           CAST(MAX(p.v) AS INT) AS max_rgb,
+           CAST(SUM(CAST(p.v AS BIGINT) * p.wgt) AS BIGINT) AS pos_weighted_sum
+    FROM dims d JOIN px p ON p.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.w, d.h, d.il
+    """,
+)
+def image_meta_gif(star: Star) -> DataFrame:
+    return MM.extract_gif_meta(MM.synth_gif_media(star.documents))

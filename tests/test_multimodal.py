@@ -439,3 +439,46 @@ def test_decode_wav_meta_ulaw_and_unknown_formats(spark):
 
     rate, ch, nf, dur, rms, peak = MM.decode_wav_meta(wav(85, b"\x01\x02\x03"))
     assert rate == 8000 and rms is None and peak is None  # MP3-in-RIFF: header only
+
+
+def test_gif_roundtrip_growth_clear_interlace(spark):
+    """GIF LZW round trip: random palettes/sizes, interlaced and not,
+    plus a large low-entropy image that forces dictionary growth
+    through multiple code widths and a mid-stream CLEAR."""
+    import numpy as np
+
+    from sap_data_pipeline_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(3)
+    for h, w, nc, il in [(5, 7, 4, False), (16, 23, 16, True), (40, 50, 100, True)]:
+        pal = [((j * 7) % 256, (j * 11) % 256, (j * 13) % 256) for j in range(nc)]
+        idx = rng.randint(0, nc, size=(h, w)).astype(np.uint8)
+        w2, h2, il2, px = decode_gif_pixels(encode_gif(idx, pal, interlace=il))
+        assert (w2, h2, il2) == (w, h, il)
+        assert (px == np.array(pal, dtype=np.uint8)[idx]).all()
+
+    idx = (np.arange(200 * 300) % 7).reshape(200, 300).astype(np.uint8)
+    pal = [(j, j, j) for j in range(8)]
+    _, _, _, px = decode_gif_pixels(encode_gif(idx, pal))
+    assert (px[..., 0] == idx).all()
+
+
+def test_gif_gate_and_corruption(spark):
+    """Non-GIF payloads hit the codec env-gate; a truncated LZW stream
+    degrades (prefix decode), an invalid code raises."""
+    import numpy as np
+    import pytest
+
+    from sap_data_pipeline_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        decode_gif_pixels,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_gif_pixels(b"\x89PNG not a gif")
+    with pytest.raises(ValueError, match="corrupt"):
+        # code 300 with an empty table at width 3 is out of range
+        _lzw_decode_gif(bytes([0b11111111, 0b11111111]), 2, 10)
