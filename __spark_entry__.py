@@ -87,6 +87,7 @@ _TAIL = (
     "fuzzy_part_name_pairs",
     "supplier_daily_gapfill",
     "events_trailing_hour_stats",
+    "events_variant_props",
     "events_transition_matrix",
     "semantic_dedup_clusters",
     "host_pagerank",

@@ -4024,3 +4024,40 @@ def audio_meta_ulaw(star: Star) -> DataFrame:
 )
 def image_meta_gif(star: Star) -> DataFrame:
     return MM.extract_gif_meta(MM.synth_gif_media(star.documents))
+
+
+# ---------------------------------------------------------------------------
+# VariantType semi-structured path (Spark 4): parse the JSON props
+# column ONCE into a Variant, then run typed extractions off the
+# binary-encoded value — the parse-once/extract-many pattern that
+# replaces per-field get_json_object re-parsing (each get_json_object
+# call re-parses the string; a Variant parses once and field access is
+# an offset lookup).  The oracle states the same semantics over
+# DuckDB's JSON extraction; schema_of_variant's constant inferred
+# schema rides along as evidence the typed view is what we claim.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_variant_props",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+           MIN(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           'OBJECT<k: BIGINT>' AS inferred_schema
+    FROM events GROUP BY event_type
+    """,
+)
+def events_variant_props(star: Star) -> DataFrame:
+    v = star.events.select(
+        "event_type", F.parse_json("props").alias("_v")
+    )
+    k = F.variant_get("_v", "$.k", "int")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.min(k).alias("min_k"),
+        F.min(F.schema_of_variant(F.col("_v"))).alias("inferred_schema"),
+    )
