@@ -82,6 +82,7 @@ _TAIL = (
     "pivot_revenue_by_nation_year",
     "unpivot_revenue_long",
     "cube_revenue_nation_year",
+    "grouping_sets_revenue",
     "topn_customers_per_nation",
     "order_customer_set_ops",
     "fuzzy_part_name_pairs",

@@ -50,6 +50,10 @@ HEADLINE = [
     "unigram_logprob_scores",
     "decontaminate_spans",
     "ann_ivfpq_topk",
+    # round-6 additions: the new iterative hierarchy op and the
+    # regex-scan-heavy quality battery
+    "doc_tree_root_depth",
+    "gopher_quality_flags",
 ]
 
 

@@ -1544,6 +1544,47 @@ def cube_revenue_nation_year(star: Star) -> DataFrame:
 
 
 @register(
+    "grouping_sets_revenue",
+    """
+    SELECT COALESCE(n.n_name, 'ALL') AS n_name,
+           COALESCE(year(CAST(o.o_orderdate AS DATE)), -1) AS yr,
+           CAST(GROUPING(n.n_name) * 2
+                + GROUPING(year(CAST(o.o_orderdate AS DATE))) AS INT) AS gid,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name, year(CAST(o.o_orderdate AS DATE))),
+                            (year(CAST(o.o_orderdate AS DATE))), ())
+    """,
+)
+def grouping_sets_revenue(star: Star) -> DataFrame:
+    """GROUP BY GROUPING SETS — the hand-picked-grains sibling of CUBE
+    (here: nation×year, year, grand total — deliberately NOT the
+    nation-only grain, which is what distinguishes this from the cube):
+    Spark expands only the requested grains map-side and aggregates
+    them through one exchange.  ``grouping_id`` disambiguates subtotal
+    rows from genuine 'ALL'-valued data, the standard warehouse
+    idiom."""
+    base = _nation_year_revenue(star)
+    return (
+        base.groupingSets(
+            [["n_name", "yr"], ["yr"], []], "n_name", "yr"
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            sm.dec_sum(F.col("o_totalprice"), "revenue"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("n_name"),
+            F.coalesce(F.col("yr"), F.lit(-1)).alias("yr"),
+            "gid",
+            "revenue",
+        )
+    )
+
+
+@register(
     "topn_customers_per_nation",
     """
     SELECT n.n_name, c.c_custkey, c.c_acctbal,
