@@ -339,6 +339,103 @@ class ParquetMergeTable:
         self.history.append(audit)
         return audit
 
+    def sync_snapshot(self, source: DataFrame) -> dict:
+        """Full snapshot sync — the tri-clause MERGE (``WHEN MATCHED
+        UPDATE / WHEN NOT MATCHED INSERT / WHEN NOT MATCHED BY SOURCE
+        DELETE``): after the call the table's content equals ``source``
+        exactly, including deleting keys the source no longer carries —
+        the dim-refresh shape where the upstream export IS the truth.
+
+        Scale shape (partitioned table): both sides reduce to one
+        content digest per partition (order-insensitive bit_xor of full
+        row hashes — the shard-manifest trick); only partitions whose
+        digests differ rewrite via dynamic partition overwrite,
+        source-only partitions write fresh, target-only partitions drop
+        by path, and every identical partition's files stay
+        byte-identical on disk.  Replaying the same source is a
+        ZERO-rewrite no-op — digest equality short-circuits before any
+        write.  Unpartitioned tables atomically full-rewrite (no
+        sub-table unit to share).
+        """
+        import shutil
+
+        source = source.dropDuplicates(self.keys)
+        if not self.exists():
+            after = write_parquet_atomic(
+                source, self.path, partition_by=self.partition_by or None
+            )
+            audit = {"op": "sync_snapshot", "rows_before": 0, "rows_after": after,
+                     "partitions_rewritten": "all"}
+            self.history.append(audit)
+            return audit
+        target = self.read()
+        before = target.count()
+        if not self.partition_by:
+            after = write_parquet_atomic(source, self.path)
+            audit = {"op": "sync_snapshot", "rows_before": before,
+                     "rows_after": after, "partitions_rewritten": "all"}
+            self.history.append(audit)
+            return audit
+
+        cols = sorted(target.columns)
+        hcol = F.conv(
+            F.substring(F.md5(F.to_json(F.struct(*cols))), 1, 15), 16, 10
+        ).cast("long")
+        tdig = {
+            tuple(r[c] for c in self.partition_by): r["_dig"]
+            for r in target.withColumn("h", hcol)
+            .groupBy(*self.partition_by).agg(F.expr("bit_xor(h)").alias("_dig"))
+            .collect()
+        }
+        sdig = {
+            tuple(r[c] for c in self.partition_by): r["_dig"]
+            for r in source.withColumn("h", hcol)
+            .groupBy(*self.partition_by).agg(F.expr("bit_xor(h)").alias("_dig"))
+            .collect()
+        }
+        changed = sorted(
+            p for p in set(tdig) | set(sdig)
+            if tdig.get(p) != sdig.get(p) and p in sdig
+        )
+        dropped = sorted(set(tdig) - set(sdig))
+        if changed:
+            pred = reduce(
+                Column.__or__,
+                [
+                    reduce(
+                        Column.__and__,
+                        [
+                            F.col(c).eqNullSafe(F.lit(v))
+                            for c, v in zip(self.partition_by, p)
+                        ],
+                    )
+                    for p in changed
+                ],
+            )
+            (
+                source.filter(pred)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*self.partition_by)
+                .parquet(self.path)
+            )
+        for p in dropped:
+            sub = "/".join(
+                f"{c}={v}" for c, v in zip(self.partition_by, p)
+            )
+            shutil.rmtree(f"{self.path}/{sub}", ignore_errors=True)
+        after = self.read().count()
+        audit = {
+            "op": "sync_snapshot",
+            "rows_before": before,
+            "rows_after": after,
+            "partitions_rewritten": len(changed),
+            "partitions_dropped": len(dropped),
+            "partitions_unchanged": len(set(tdig) & set(sdig)) - len(changed),
+        }
+        self.history.append(audit)
+        return audit
+
 
 def scd2_apply(
     history: DataFrame | None,

@@ -292,3 +292,20 @@ def export_jsonl_sharded(
         .text(target_dir)
     )
     return n
+
+
+def export_orc(df: DataFrame, path: str, *, partition_by: list[str] | None = None) -> None:
+    """ORC export — the columnar interchange format for Hive/Presto-side
+    consumers (reference analog: the SQL-Server handoff's "write where
+    the other system reads"; Spark's ORC writer is native/vectorized,
+    no extra dependency)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC scan (predicate pushdown + column pruning work as with
+    parquet — ORC carries the same min/max stripe statistics)."""
+    return spark.read.orc(path)

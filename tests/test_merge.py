@@ -389,3 +389,60 @@ def test_scd2_null_safe_tracking(spark):
     h2 = scd2_apply(h1, b2, keys=["k"], tracked=["v"], effective="eff")
     rows = {(r["k"], r["v"], r["valid_to"]) for r in h2.collect()}
     assert rows == {(1, None, "d2"), (1, "x", None), (2, None, None)}
+
+
+def test_sync_snapshot_partitioned_shares_unchanged_partitions(spark, tmp_path):
+    """Tri-clause MERGE (snapshot sync): after the call the table equals
+    the source exactly — updates applied, missing keys DELETED — while
+    partitions whose content didn't change keep byte-identical files,
+    and replaying the same source rewrites NOTHING."""
+    import os
+
+    from sap_data_pipeline_spark.operators.merge import ParquetMergeTable
+
+    def digest(root):
+        out = {}
+        for dp, _, fs in os.walk(root):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    part = [x for x in dp.split(os.sep) if x.startswith("Region=")]
+                    with open(os.path.join(dp, f), "rb") as fh:
+                        out.setdefault(part[0] if part else "", []).append(
+                            hash(fh.read()))
+        return {k: sorted(v) for k, v in out.items()}
+
+    t = ParquetMergeTable(
+        spark, str(tmp_path / "dim"), keys=["Article"], partition_by=["Region"]
+    )
+    t.merge(spark.createDataFrame(
+        [(1, "N", 10.0), (2, "N", 20.0), (3, "S", 30.0), (4, "W", 40.0)],
+        "Article long, Region string, Price double"))
+    base = digest(str(tmp_path / "dim"))
+
+    # source: updates article 1 (N changes), drops article 3 (S empties),
+    # leaves W untouched
+    src = spark.createDataFrame(
+        [(1, "N", 11.0), (2, "N", 20.0), (4, "W", 40.0)],
+        "Article long, Region string, Price double")
+    a1 = t.sync_snapshot(src)
+    assert a1["partitions_rewritten"] == 1      # N only
+    assert a1["partitions_dropped"] == 1        # S gone
+    assert a1["partitions_unchanged"] == 1      # W untouched
+    after = digest(str(tmp_path / "dim"))
+    assert after["Region=W"] == base["Region=W"]  # byte-identical
+    rows = {(r["Article"], r["Region"], r["Price"]) for r in t.read().collect()}
+    assert rows == {(1, "N", 11.0), (2, "N", 20.0), (4, "W", 40.0)}
+
+    # idempotent replay: zero rewrites, bytes untouched everywhere
+    a2 = t.sync_snapshot(src)
+    assert a2["partitions_rewritten"] == 0 and a2["partitions_dropped"] == 0
+    assert digest(str(tmp_path / "dim")) == after
+
+
+def test_sync_snapshot_unpartitioned_full_replace(spark, tmp_path):
+    from sap_data_pipeline_spark.operators.merge import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "d2"), keys=["k"])
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.sync_snapshot(spark.createDataFrame([(2, "B"), (5, "e")], "k long, v string"))
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {(2, "B"), (5, "e")}

@@ -208,3 +208,53 @@ def test_versioned_diff_matches_dict_diff(spark, d1, d2):
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@PROP
+@given(
+    st.integers(min_value=1, max_value=20),   # h
+    st.integers(min_value=1, max_value=24),   # w
+    st.sampled_from([3, 4]),                  # channels
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_codec_roundtrip_property(spark, h, w, ch, seed):
+    """Any 8-bit RGB/RGBA image survives encode→decode pixel-exact,
+    whatever per-row filters the encoder was told to use."""
+    import numpy as np
+
+    from sap_data_pipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    px = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    filters = rng.randint(0, 5, size=h)
+    w2, h2, _, out = decode_png_pixels(encode_png(px, filters=filters))
+    assert (w2, h2) == (w, h) and (out == px).all()
+
+
+@PROP
+@given(
+    st.integers(min_value=1, max_value=24),   # h
+    st.integers(min_value=1, max_value=24),   # w
+    st.integers(min_value=2, max_value=64),   # palette size
+    st.booleans(),                            # interlace
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_codec_roundtrip_property(spark, h, w, nc, il, seed):
+    """Any paletted image survives encode→decode pixel-exact, interlaced
+    or not — the LZW width-growth/clear pairing can't drift."""
+    import numpy as np
+
+    from sap_data_pipeline_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    pal = [tuple(int(x) for x in rng.randint(0, 256, 3)) for _ in range(nc)]
+    idx = rng.randint(0, nc, size=(h, w)).astype(np.uint8)
+    w2, h2, il2, px = decode_gif_pixels(encode_gif(idx, pal, interlace=il))
+    assert (w2, h2, il2) == (w, h, il)
+    assert (px == np.array(pal, dtype=np.uint8)[idx]).all()

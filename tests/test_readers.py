@@ -447,3 +447,24 @@ def test_read_parquet_evolving_rejects_bigint_to_double(spark, tmp_path):
     ])
     with pytest.raises(ValueError, match="narrowing|incompatible"):
         read_parquet_evolving(spark, root, target_schema=target)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink/source round trip; predicate reaches the ORC scan as a
+    pushed filter (stripe-statistics skipping at scale)."""
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.sources.sinks import export_orc, read_orc
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    path = str(tmp_path / "t.orc")
+    export_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    assert {r["v"] for r in back.filter(F.col("v") == 3).collect()} == {3}
+    plan = back.filter(F.col("k") > 990)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "GreaterThan(k,990" in plan
