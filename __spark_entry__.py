@@ -47,8 +47,21 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     tpch_q18 (top-100 over a HAVING semi-join) and tail tpch_q10;
 #     events_cohort_retention — cohort family double-evidenced with
 #     events_retention_cohorts; doc_fingerprints — subsumed by
-#     exact_dedup_documents, which groups by the same md5 fingerprint.
+#     exact_dedup_documents, which groups by the same md5 fingerprint;
+#     quality_scores — superseded by the in-window gopher_quality_flags
+#     (a strict superset of signals over the same tokenizer);
+#     corpus_length_quantiles — quantile family evidenced by
+#     customer_balance_quantiles_by_nation and curriculum_deciles;
+#     events_json_props — superseded by events_variant_props (same
+#     aggregate plus min/schema through the Variant path).  Promoted
+#     in their places: gopher_quality_flags (strict superset of the
+#     quality_scores signals), image_meta_gif (the GIF LZW decode
+#     battery with the position-weighted checksum), and
+#     doc_tree_root_depth (recursive-CTE parity).
 _TAIL = (
+    "quality_scores",
+    "corpus_length_quantiles",
+    "events_json_props",
     "tpch_q3_shipping_priority",
     "events_cohort_retention",
     "doc_fingerprints",
@@ -68,7 +81,6 @@ _TAIL = (
     "stratum_cap_by_lang",
     "image_meta_bmp",
     "image_meta_png",
-    "image_meta_gif",
     "image_resize_meta",
     "video_meta_y4m",
     "video_frame_sample",
@@ -92,10 +104,8 @@ _TAIL = (
     "events_transition_matrix",
     "semantic_dedup_clusters",
     "host_pagerank",
-    "doc_tree_root_depth",
     "salted_join_segment_revenue",
     "quality_zscore_by_lang",
-    "gopher_quality_flags",
     "gopher_repetition_chars",
     "token_containment_pairs",
     "customer_balance_quantiles_by_nation",
