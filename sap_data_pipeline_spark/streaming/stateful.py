@@ -65,3 +65,79 @@ def running_totals(
     return events.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def cusum_drift_alarms(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    target: float,
+    slack: float,
+    threshold: float,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Per-key CUSUM change-point detector (Page 1954, the classic
+    sequential drift test): maintains one-sided cumulative sums
+
+        s⁺ ← max(0, s⁺ + (x − target − slack))
+        s⁻ ← max(0, s⁻ + (target − x − slack))
+
+    and emits a row per processed batch with the running statistics and
+    ``alarm`` ∈ {none, high, low} when either sum crosses
+    ``threshold`` — the streaming data-quality monitor for "this
+    source's metric drifted" (ingest-rate collapse, price-feed shift,
+    sensor bias) where a plain windowed mean reacts slowly and a
+    point threshold false-alarms on noise.
+
+    On alarm the sums reset (standard restart semantics), so repeated
+    drifts re-alarm instead of saturating.  State is two floats + a
+    count per key — O(keys); ``idle_timeout_ms`` evicts quiet keys
+    (emitting a final ``evicted`` row) so an unbounded keyspace cannot
+    pin executor memory.  Streaming-only by Spark contract; the batch
+    twin is a plain Python fold, which the test asserts against.
+    """
+    out_schema = (
+        f"{key_col} long, n_seen long, s_hi double, s_lo double, alarm string"
+    )
+    state_schema = "n long, shi double, slo double"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, shi, slo = state.get
+            state.remove()
+            yield pd.DataFrame({
+                key_col: [key[0]], "n_seen": [n], "s_hi": [shi],
+                "s_lo": [slo], "alarm": ["evicted"],
+            })
+            return
+        n, shi, slo = state.get if state.exists else (0, 0.0, 0.0)
+        alarm = "none"
+        for pdf in pdfs:
+            for x in pdf[value_col]:
+                x = float(x)
+                n += 1
+                shi = max(0.0, shi + (x - target - slack))
+                slo = max(0.0, slo + (target - x - slack))
+                if shi > threshold:
+                    alarm, shi, slo = "high", 0.0, 0.0
+                elif slo > threshold:
+                    alarm, slo, shi = "low", 0.0, 0.0
+        state.update((n, shi, slo))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame({
+            key_col: [key[0]], "n_seen": [n], "s_hi": [shi],
+            "s_lo": [slo], "alarm": [alarm],
+        })
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

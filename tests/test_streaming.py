@@ -740,3 +740,58 @@ def test_stream_curate_crash_between_merge_and_signature_write(spark, tmp_path):
     # the signature store healed: redelivery minted the missing entries
     sigs = spark.read.parquet(str(store))
     assert sigs.filter(F.col("doc_id") == 1).count() > 0
+
+
+def test_cusum_drift_alarms_stateful(spark, tmp_path):
+    """CUSUM drift detector: a key whose metric shifts up mid-stream
+    alarms 'high' exactly when the one-sided sum crosses threshold; a
+    stable key never alarms; the streaming fold equals a plain Python
+    CUSUM over the same per-key sequence."""
+    import pandas as pd
+
+    from sap_data_pipeline_spark.streaming.stateful import cusum_drift_alarms
+
+    # key 1: 10 on-target values then 10 shifted (+3); key 2: stable
+    rows = []
+    for i in range(10):
+        rows.append((1, i, 10.0))
+        rows.append((2, i, 10.0))
+    for i in range(10, 20):
+        rows.append((1, i, 13.0))
+        rows.append((2, i, 10.0))
+    src = tmp_path / "cusum_src"
+    df = spark.createDataFrame(rows, "user_id long, seq long, value double")
+    # one file per phase so the alarm lands in a later micro-batch
+    df.filter("seq < 10").coalesce(1).write.parquet(str(src / "a"))
+    df.filter("seq >= 10").coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema("user_id long, seq long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        cusum_drift_alarms(stream, target=10.0, slack=0.5, threshold=5.0,
+                           value_col="value")
+        .writeStream.format("memory")
+        .queryName("cusum")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM cusum").collect()
+    alarms = {(r["user_id"], r["alarm"]) for r in out}
+    assert (1, "high") in alarms            # shifted key alarms high
+    assert not any(a in ("high", "low") for k, a in alarms if k == 2)
+
+    # python-fold parity on the final state of the stable key
+    shi = slo = 0.0
+    for x in [10.0] * 20:
+        shi = max(0.0, shi + (x - 10.0 - 0.5))
+        slo = max(0.0, slo + (10.0 - x - 0.5))
+    final2 = max((r for r in out if r["user_id"] == 2),
+                 key=lambda r: r["n_seen"])
+    assert (final2["s_hi"], final2["s_lo"]) == (shi, slo)
+    assert final2["n_seen"] == 20
