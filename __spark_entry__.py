@@ -128,6 +128,7 @@ _TAIL = (
     "embedding_near_dup_pairs",
     "conditional_agg",
     "ann_hamming_topk",
+    "hard_negatives_topk",
     "cms_term_frequencies",
     "warc_corpus_roundtrip",
     "warc_html_to_corpus",

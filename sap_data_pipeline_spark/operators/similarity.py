@@ -53,6 +53,53 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     )
 
 
+def hard_negatives_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        label_col: str = "label",
+                        query_id_col: str = "query_id") -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar corpus vectors with a DIFFERENT label — the
+    near-the-margin negatives that make triplet/InfoNCE training
+    converge (random negatives are too easy; same-label neighbors are
+    false negatives and must be excluded, which is the whole reason
+    this isn't just ``brute_force_topk``).
+
+    Same scale shape as the brute-force scan (queries broadcast, one
+    pass over the corpus, per-query top-k window); at 100 TB swap the
+    candidate generation for the IVF/PQ path and keep the label-
+    exclusion filter + rerank.  Returns (query_id, neighbor_id,
+    neighbor_label, cosine, rank).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("_qlabel"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & ~F.col("neighbor_label").eqNullSafe(F.col("_qlabel"))
+        )
+        .withColumn("cosine", F.round(V.cosine("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
+    )
+
+
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 bytes."""
     import hashlib

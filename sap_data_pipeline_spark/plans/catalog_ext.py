@@ -4061,3 +4061,41 @@ def events_variant_props(star: Star) -> DataFrame:
         F.min(k).alias("min_k"),
         F.min(F.schema_of_variant(F.col("_v"))).alias("inferred_schema"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (similarity.hard_negatives_topk): the
+# contrastive-training staple — per query, the most-similar vectors
+# with a DIFFERENT label (same-label hits are false negatives and are
+# excluded, which is exactly what separates this from plain ANN).
+# ---------------------------------------------------------------------------
+
+@register(
+    "hard_negatives_topk",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM e WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               round(list_dot_product(q.qv, c.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+        FROM q CROSS JOIN e c
+        WHERE q.query_id <> c.vec_id AND c.label IS DISTINCT FROM q.qlabel
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negatives_topk_q(star: Star) -> DataFrame:
+    queries = star.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return S.hard_negatives_topk(
+        star.embeddings, queries, k=5, query_id_col="query_id"
+    )

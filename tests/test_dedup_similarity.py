@@ -796,3 +796,30 @@ def test_token_containment_detects_partial_copy(spark):
     jac = {(r["id_a"], r["id_b"]) for r in
            D.ngram_jaccard_pairs(df, threshold=0.7).collect()}
     assert (1, 2) not in jac
+
+
+def test_hard_negatives_exclude_same_label(spark, star):
+    """Hard-negative mining: no returned neighbor shares the query's
+    label, and each returned list is the top of the different-label
+    cosine ordering (cross-checked against brute force + filter)."""
+    q = star.embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    got = S.hard_negatives_topk(star.embeddings, q, k=5, query_id_col="query_id")
+    labels = {r["vec_id"]: r["label"] for r in
+              star.embeddings.select("vec_id", "label").collect()}
+    for r in got.collect():
+        assert r["neighbor_label"] == labels[r["neighbor_id"]]
+        assert r["neighbor_label"] != labels[r["query_id"]]
+    # parity: brute-force ranking restricted to different-label rows
+    bf = S.brute_force_topk(star.embeddings, q, k=500, query_id_col="query_id")
+    want = {}
+    for r in sorted(bf.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        if labels[r["neighbor_id"]] != labels[r["query_id"]]:
+            want.setdefault(r["query_id"], [])
+            if len(want[r["query_id"]]) < 5:
+                want[r["query_id"]].append(r["neighbor_id"])
+    got_lists = {}
+    for r in sorted(got.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        got_lists.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert got_lists == want
