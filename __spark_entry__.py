@@ -138,6 +138,7 @@ _TAIL = (
     "events_retention_cohorts",
     "events_funnel",
     "curriculum_deciles",
+    "length_bucket_batches",
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",

@@ -4099,3 +4099,72 @@ def hard_negatives_topk_q(star: Star) -> DataFrame:
     return S.hard_negatives_topk(
         star.embeddings, queries, k=5, query_id_col="query_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed inference batching: group documents into batches of
+# similar token length so padding waste stays bounded (batch cost is
+# max-length × batch-size; mixing a 10-token doc into a 2,000-token
+# batch pays 200× padding).  Buckets = exact corpus length quartiles
+# (both engines interpolate identically); within a bucket, documents
+# order by (length, id) and chunk into fixed-size batches.  One
+# percentile aggregate re-enters broadcast; one bucket-keyed window.
+# At 100 TB the quartiles come from the GK sketch instead
+# (approx_percentile) — the batching semantics are unchanged.
+# ---------------------------------------------------------------------------
+
+@register(
+    "length_bucket_batches",
+    f"""
+    WITH lens AS (
+        SELECT doc_id, CAST(len({TOKSEQ_SQL.format(col='text')}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    qs AS (
+        SELECT quantile_cont(n_tokens, 0.25) AS q1,
+               quantile_cont(n_tokens, 0.50) AS q2,
+               quantile_cont(n_tokens, 0.75) AS q3
+        FROM lens
+    ),
+    bucketed AS (
+        SELECT l.doc_id, l.n_tokens,
+               CASE WHEN l.n_tokens <= qs.q1 THEN 0
+                    WHEN l.n_tokens <= qs.q2 THEN 1
+                    WHEN l.n_tokens <= qs.q3 THEN 2
+                    ELSE 3 END AS bucket
+        FROM lens l, qs
+    )
+    SELECT doc_id, n_tokens, CAST(bucket AS INT) AS bucket,
+           CAST((ROW_NUMBER() OVER (PARTITION BY bucket
+                                    ORDER BY n_tokens, doc_id) - 1) // 16 AS INT)
+               AS batch_idx
+    FROM bucketed
+    """,
+)
+def length_bucket_batches(star: Star) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    lens = star.documents.select(
+        "doc_id", F.size(X.tokens("text")).cast("long").alias("n_tokens")
+    )
+    qs = F.broadcast(
+        lens.agg(
+            F.percentile("n_tokens", 0.25).alias("q1"),
+            F.percentile("n_tokens", 0.50).alias("q2"),
+            F.percentile("n_tokens", 0.75).alias("q3"),
+        )
+    )
+    bucketed = lens.crossJoin(qs).select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") <= F.col("q1"), 0)
+        .when(F.col("n_tokens") <= F.col("q2"), 1)
+        .when(F.col("n_tokens") <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    return bucketed.withColumn(
+        "batch_idx", ((F.row_number().over(w) - 1) / 16).cast("int")
+    )
