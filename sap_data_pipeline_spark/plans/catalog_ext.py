@@ -4106,11 +4106,14 @@ def hard_negatives_topk_q(star: Star) -> DataFrame:
 # similar token length so padding waste stays bounded (batch cost is
 # max-length × batch-size; mixing a 10-token doc into a 2,000-token
 # batch pays 200× padding).  Buckets = exact corpus length quartiles
-# (both engines interpolate identically); within a bucket, documents
-# order by (length, id) and chunk into fixed-size batches.  One
-# percentile aggregate re-enters broadcast; one bucket-keyed window.
-# At 100 TB the quartiles come from the GK sketch instead
-# (approx_percentile) — the batching semantics are unchanged.
+# (both engines interpolate identically); batches chunk WITHIN
+# (bucket, exact length) — same-length batches carry zero padding
+# waste, and the window partitions on (bucket, n_tokens) so no
+# partition ever holds more than one length's documents (a window
+# keyed on bucket alone would put a quarter of the corpus in one
+# partition at 100 TB).  One percentile aggregate re-enters broadcast.
+# At scale the quartiles come from the GK sketch (approx_percentile) —
+# the batching semantics are unchanged.
 # ---------------------------------------------------------------------------
 
 @register(
@@ -4135,8 +4138,8 @@ def hard_negatives_topk_q(star: Star) -> DataFrame:
         FROM lens l, qs
     )
     SELECT doc_id, n_tokens, CAST(bucket AS INT) AS bucket,
-           CAST((ROW_NUMBER() OVER (PARTITION BY bucket
-                                    ORDER BY n_tokens, doc_id) - 1) // 16 AS INT)
+           CAST((ROW_NUMBER() OVER (PARTITION BY bucket, n_tokens
+                                    ORDER BY doc_id) - 1) // 16 AS INT)
                AS batch_idx
     FROM bucketed
     """,
@@ -4164,7 +4167,7 @@ def length_bucket_batches(star: Star) -> DataFrame:
         .cast("int")
         .alias("bucket"),
     )
-    w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    w = Window.partitionBy("bucket", "n_tokens").orderBy("doc_id")
     return bucketed.withColumn(
         "batch_idx", ((F.row_number().over(w) - 1) / 16).cast("int")
     )
