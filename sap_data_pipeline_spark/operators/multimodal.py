@@ -900,29 +900,35 @@ def sniff_media_meta(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 p = bytes(payload) if payload is not None else b""
                 nb = len(p)
-                if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-                    rate, _, nf, dur, rms, _ = decode_wav_meta(p)
-                    emit(mid, "wav", nb, sr=rate, nf=nf, dur=dur, lvl=rms)
-                elif p[:2] == b"BM" and nb >= 54:
-                    w, h, _, px = decode_bmp_pixels(p)
-                    emit(mid, "bmp", nb, w=w, h=h,
-                         lvl=float(px.mean()) if px is not None else None)
-                elif p[:8] == PNG_SIG:
-                    w, h, _, px = decode_png_pixels(p)
-                    emit(mid, "png", nb, w=w, h=h,
-                         lvl=float(px.mean()) if px is not None else None)
-                elif p[:4] == b"GIF8":
-                    w, h, _, px = decode_gif_pixels(p)
-                    emit(mid, "gif", nb, w=w, h=h,
-                         lvl=float(px.mean()) if px is not None else None)
-                elif p.startswith(b"YUV4MPEG2"):
-                    w, h, num, den, frames = decode_y4m(p)
-                    total = sum(int(f.sum()) for f in frames)
-                    emit(mid, "y4m", nb, w=w, h=h, nf=len(frames),
-                         dur=len(frames) * 1000 * den // num if num else None,
-                         lvl=total / (w * h * len(frames)) if frames else None)
-                else:
-                    emit(mid, "unknown", nb)
+                # a corrupt payload with VALID magic (bad CRC, truncated
+                # container, corrupt LZW) must quarantine like unknown
+                # magic does — one bad blob may not kill the batch
+                try:
+                    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                        rate, _, nf, dur, rms, _ = decode_wav_meta(p)
+                        emit(mid, "wav", nb, sr=rate, nf=nf, dur=dur, lvl=rms)
+                    elif p[:2] == b"BM" and nb >= 54:
+                        w, h, _, px = decode_bmp_pixels(p)
+                        emit(mid, "bmp", nb, w=w, h=h,
+                             lvl=float(px.mean()) if px is not None else None)
+                    elif p[:8] == PNG_SIG:
+                        w, h, _, px = decode_png_pixels(p)
+                        emit(mid, "png", nb, w=w, h=h,
+                             lvl=float(px.mean()) if px is not None else None)
+                    elif p[:4] == b"GIF8":
+                        w, h, _, px = decode_gif_pixels(p)
+                        emit(mid, "gif", nb, w=w, h=h,
+                             lvl=float(px.mean()) if px is not None else None)
+                    elif p.startswith(b"YUV4MPEG2"):
+                        w, h, num, den, frames = decode_y4m(p)
+                        total = sum(int(f.sum()) for f in frames)
+                        emit(mid, "y4m", nb, w=w, h=h, nf=len(frames),
+                             dur=len(frames) * 1000 * den // num if num else None,
+                             lvl=total / (w * h * len(frames)) if frames else None)
+                    else:
+                        emit(mid, "unknown", nb)
+                except Exception:
+                    emit(mid, "corrupt", nb)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=MEDIA_KIND_SCHEMA)

@@ -482,3 +482,29 @@ def test_gif_gate_and_corruption(spark):
     with pytest.raises(ValueError, match="corrupt"):
         # code 300 with an empty table at width 3 is out of range
         _lzw_decode_gif(bytes([0b11111111, 0b11111111]), 2, 10)
+
+
+def test_sniff_quarantines_corrupt_payloads_with_valid_magic(spark):
+    """A payload with VALID magic but corrupt innards (bad PNG CRC,
+    corrupt GIF LZW, truncated RIFF) must land as kind='corrupt' — one
+    bad blob in a 100 TB dump may not kill the Arrow batch — while
+    healthy payloads in the same batch decode normally."""
+    import numpy as np
+
+    from sap_data_pipeline_spark.operators import multimodal as MM
+
+    good_png = MM.encode_png(np.full((3, 4, 3), 9, dtype=np.uint8))
+    bad_png = bytearray(good_png)
+    bad_png[20] ^= 0xFF                      # CRC mismatch inside IHDR
+    bad_gif = b"GIF89a" + b"\x00" * 20       # truncated header garbage
+    bad_wav = b"RIFF\x10\x00\x00\x00WAVEjunk"  # no fmt chunk
+    rows = [
+        (1, bytearray(good_png)),
+        (2, bytearray(bytes(bad_png))),
+        (3, bytearray(bad_gif)),
+        (4, bytearray(bad_wav)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["kind"] for r in MM.sniff_media_meta(media).collect()}
+    assert got[1] == "png"
+    assert got[2] == "corrupt" and got[3] == "corrupt" and got[4] == "corrupt"
