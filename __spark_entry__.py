@@ -70,6 +70,7 @@ _TAIL = (
     "audio_meta_wav",
     "audio_meta_ulaw",
     "keep_best_per_cluster",
+    "near_dup_cluster_quality",
     "jsonl_corpus_roundtrip",
     "chunk_documents",
     "tfidf_top_terms",

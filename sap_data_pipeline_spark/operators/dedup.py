@@ -637,6 +637,45 @@ def near_dup_clusters(df: DataFrame, text_col: str = "text",
     )
 
 
+def cluster_quality_report(ids: DataFrame, pairs: DataFrame, *,
+                           id_col: str = "doc_id",
+                           risk_density: float = 0.5) -> DataFrame:
+    """Per-cluster dedup-quality audit: how much should you trust
+    keep-one-per-cluster?  A cluster that is a CLIQUE (density 1.0 —
+    every member pairwise-similar) safely collapses to one survivor; a
+    CHAIN (A~B~C~D with A≁D, density → 2/n) reached its size through
+    transitivity, and dropping everything but one doc risks discarding
+    non-duplicates — those clusters are the ones to route through a
+    verify pass (exact Jaccard, human sample) before deletion.
+
+    Returns (cluster_id, n_nodes, n_edges, density, chain_risk) for
+    every multi-member cluster, density = e / C(n,2) over the DISTINCT
+    verified pair edges, chain_risk = density < ``risk_density``.
+    Scale shape: the pair graph is bucket-cap bounded; one component
+    pass (O(log d) rounds) + two small keyed aggregates.
+    """
+    cc = connected_components(ids, pairs, id_col=id_col)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    ).filter(F.col("n_nodes") >= 2)
+    edges = (
+        pairs.select("id_a", "id_b").distinct()
+        .join(cc.select(F.col(id_col).alias("id_a"), "cluster_id"), "id_a")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    max_e = F.col("n_nodes") * (F.col("n_nodes") - 1) / 2
+    return (
+        sizes.join(edges, "cluster_id", "left")
+        .withColumn("n_edges", F.coalesce("n_edges", F.lit(0)))
+        .withColumn("density", F.round(F.col("n_edges") / max_e, 6))
+        .withColumn(
+            "chain_risk",
+            (F.col("density") < F.lit(risk_density)).cast("int"),
+        )
+    )
+
+
 def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
                    threshold: float = 0.3, n_cells: int = 8, nprobe: int = 2,
                    checkpoint_dir: str | None = None) -> DataFrame:

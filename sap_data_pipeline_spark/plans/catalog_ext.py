@@ -4171,3 +4171,55 @@ def length_bucket_batches(star: Star) -> DataFrame:
     return bucketed.withColumn(
         "batch_idx", ((F.row_number().over(w) - 1) / 16).cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-quality audit (dedup.cluster_quality_report): density per
+# near-dup cluster.  A clique (density 1.0) collapses safely; a CHAIN
+# (density → 2/n) reached its size through transitivity and
+# keep-one-per-cluster risks dropping non-duplicates — chain_risk
+# flags the clusters to route through a verify pass before deletion.
+# Oracle: the same recursive-CTE closure as near_dup_clusters plus an
+# edge count per component.
+# ---------------------------------------------------------------------------
+
+@register(
+    "near_dup_cluster_quality",
+    f"""
+    WITH RECURSIVE {_CAND_CTE},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM cands
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM cands
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON r.src = e.dst
+    ),
+    comp AS (
+        SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM comp GROUP BY cluster_id HAVING COUNT(*) >= 2
+    ),
+    ec AS (
+        SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM (SELECT DISTINCT id_a, id_b FROM cands) p
+        JOIN comp c ON c.doc_id = p.id_a
+        GROUP BY c.cluster_id
+    )
+    SELECT s.cluster_id, s.n_nodes,
+           COALESCE(ec.n_edges, 0) AS n_edges,
+           round(COALESCE(ec.n_edges, 0)
+                 / (CAST(s.n_nodes AS DOUBLE) * (s.n_nodes - 1) / 2), 6) AS density,
+           CAST(CASE WHEN COALESCE(ec.n_edges, 0)
+                          / (CAST(s.n_nodes AS DOUBLE) * (s.n_nodes - 1) / 2) < 0.5
+                     THEN 1 ELSE 0 END AS INT) AS chain_risk
+    FROM sizes s LEFT JOIN ec USING (cluster_id)
+    """,
+)
+def near_dup_cluster_quality(star: Star) -> DataFrame:
+    pairs = D.minhash_dedup_pairs(star.documents)
+    return D.cluster_quality_report(star.documents.select("doc_id"), pairs)

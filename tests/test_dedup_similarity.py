@@ -823,3 +823,22 @@ def test_hard_negatives_exclude_same_label(spark, star):
     for r in sorted(got.collect(), key=lambda r: (r["query_id"], r["rank"])):
         got_lists.setdefault(r["query_id"], []).append(r["neighbor_id"])
     assert got_lists == want
+
+
+def test_cluster_quality_clique_vs_chain(spark):
+    """A 4-clique scores density 1.0 (safe collapse); a 4-chain scores
+    0.5 and flags chain_risk at a stricter threshold."""
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        # clique on 0-3 (all 6 edges)
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+         # chain on 4-7 (3 edges)
+         (4, 5), (5, 6), (6, 7)],
+        "id_a long, id_b long",
+    )
+    got = {r["cluster_id"]: r for r in
+           D.cluster_quality_report(ids, pairs, risk_density=0.6).collect()}
+    assert got[0]["n_nodes"] == 4 and got[0]["n_edges"] == 6
+    assert got[0]["density"] == 1.0 and got[0]["chain_risk"] == 0
+    assert got[4]["n_nodes"] == 4 and got[4]["n_edges"] == 3
+    assert got[4]["density"] == 0.5 and got[4]["chain_risk"] == 1
