@@ -655,6 +655,7 @@ def build_training_corpus(
     *,
     benchmark=None,
     min_quality: float = 0.3,
+    gopher_gates: bool = False,
     target_mix: dict[str, float] | None = None,
     mix_col: str = "lang",
     mix_weight_col: str | None = None,
@@ -716,7 +717,18 @@ def build_training_corpus(
     obs: dict[str, Observation] = {}
     audit: dict = {}
 
-    gated = documents.filter(X.quality_score("text") >= min_quality)
+    # the quality gate: the score threshold, optionally AND'ed with the
+    # full Gopher rule battery (gopher_gates=True) — the SAME
+    # X.gopher_signals definition the catalog query verifies, so the
+    # pipeline's gate semantics are oracle-backed
+    gate = X.quality_score("text") >= min_quality
+    if gopher_gates:
+        _, gates = X.gopher_signals(
+            X.tokens("text"), X.line_array("text"), "text"
+        )
+        for g in gates.values():
+            gate = gate & g
+    gated = documents.filter(gate)
     exact_kept = gated.join(exact_dedup(gated).select("doc_id"), "doc_id", "semi")
 
     obs["rows_after_near_dedup"] = Observation("rows_after_near_dedup")
@@ -757,19 +769,31 @@ def build_training_corpus(
         order_by=["doc_id"],
     )
     audit["rows_final"] = write_parquet_atomic(packed, out_path)
-    # the write was the action — drain the stage observations now
+    # the write was the action — drain the stage observations now.  A
+    # fully-gated (empty) corpus leaves CollectMetrics without a metrics
+    # row, which the Py4J row conversion rejects — degrade those to 0
+    # instead of failing the pipeline on an aggressive filter config.
     for key, ob in obs.items():
         name = "tokens_removed_decontamination" if key == "tokens_removed" else key
-        audit[name] = ob.get["n"] or 0
+        try:
+            audit[name] = ob.get["n"] or 0
+        except Exception:
+            audit[name] = 0
     # early-stage counts: one combined scan of the raw corpus (count +
     # conditional count + conditional distinct fingerprint), replacing
     # three separate pipeline re-executions
-    q = X.quality_score("text")
+    q = X.quality_score("text") >= min_quality
+    if gopher_gates:
+        _, _gates2 = X.gopher_signals(
+            X.tokens("text"), X.line_array("text"), "text"
+        )
+        for g in _gates2.values():
+            q = q & g
     early = documents.agg(
         F.count(F.lit(1)).alias("raw"),
-        F.count(F.when(q >= min_quality, 1)).alias("gated"),
+        F.count(F.when(q, 1)).alias("gated"),
         F.count_distinct(
-            F.when(q >= min_quality, X.md5_fingerprint("text"))
+            F.when(q, X.md5_fingerprint("text"))
         ).alias("exact"),
     ).collect()[0]
     audit["rows_raw"] = early["raw"]

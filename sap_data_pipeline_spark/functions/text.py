@@ -285,6 +285,60 @@ def dup_line_stats(lines: Column) -> list[Column]:
     ]
 
 
+def gopher_signals(tok_col: Column, line_col: Column,
+                   text_col: ColumnOrName = "text") -> tuple[dict, dict]:
+    """The Gopher/MassiveText rule battery (Rae et al. 2021, §A1.1) as
+    reusable Column expressions over PRE-COMPUTED token/line arrays
+    (same projection-tier contract as :func:`repetition_stats`).
+
+    Returns ``(signals, gates)``: signals = {name: unrounded Column}
+    (word count, mean word length, symbol-to-word, alpha-word
+    fraction, distinct stopwords, bullet/ellipsis line fractions);
+    gates = {flag name: BooleanColumn}.  Every gate compares exact
+    counts or IEEE divisions of exact counts, so engines decide each
+    bit identically.  ONE definition shared by the catalog query and
+    the pipeline gate — the rule battery can't fork.
+    """
+    t, l = tok_col, line_col
+    nt, nl = F.size(t).cast("double"), F.size(l).cast("double")
+
+    def ratio(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    n_words = F.size(t).cast("long")
+    mwl = ratio(
+        F.aggregate(t, F.lit(0).cast("long"), lambda a, x: a + F.length(x)), nt
+    )
+    symr = ratio(F.regexp_count(_c(text_col), F.lit(r"(#|\.\.\.|…)")), nt)
+    alphaf = ratio(F.size(F.filter(t, lambda x: x.rlike(r"\p{L}"))), nt)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    n_stop = F.size(
+        F.array_distinct(F.filter(t, lambda x: F.array_contains(sw, x)))
+    ).cast("long")
+    bulletf = ratio(F.size(F.filter(l, lambda x: x.rlike(r"^[-*•]"))), nl)
+    ellf = ratio(F.size(F.filter(l, lambda x: x.rlike(r"(\.\.\.|…)$"))), nl)
+
+    signals = {
+        "n_words": n_words,
+        "mean_word_len": mwl,
+        "symbol_word_ratio": symr,
+        "alpha_word_frac": alphaf,
+        "n_stop": n_stop,
+        "bullet_line_frac": bulletf,
+        "ellipsis_line_frac": ellf,
+    }
+    gates = {
+        "flag_words": (n_words >= 50) & (n_words <= 100000),
+        "flag_mwl": (mwl >= 3.0) & (mwl <= 10.0),
+        "flag_symbols": symr <= 0.1,
+        "flag_alpha": alphaf >= 0.8,
+        "flag_stopwords": n_stop >= 2,
+        "flag_bullets": bulletf <= 0.9,
+        "flag_ellipsis": ellf <= 0.3,
+    }
+    return signals, gates
+
+
 ROLLING_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 ROLLING_BASE = 31
 

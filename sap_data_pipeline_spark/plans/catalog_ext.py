@@ -3360,51 +3360,23 @@ def ann_ivfpq_topk(star: Star) -> DataFrame:
     """,
 )
 def gopher_quality_flags(star: Star) -> DataFrame:
-    toks = X.tokens("text")
-    lines = X.line_array("text")
     base = star.documents.select(
-        "doc_id", "text", toks.alias("_t"), lines.alias("_l")
+        "doc_id", "text",
+        X.tokens("text").alias("_t"), X.line_array("text").alias("_l"),
     )
-    t, l = F.col("_t"), F.col("_l")
-    nt, nl = F.size(t).cast("double"), F.size(l).cast("double")
-
-    def ratio(num, den):
-        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
-
-    mwl = ratio(
-        F.aggregate(t, F.lit(0).cast("long"), lambda a, x: a + F.length(x)), nt
-    )
-    symr = ratio(F.regexp_count(F.col("text"), F.lit(r"(#|\.\.\.|…)")), nt)
-    alphaf = ratio(F.size(F.filter(t, lambda x: x.rlike(r"\p{L}"))), nt)
-    sw = F.array(*[F.lit(w) for w in X._STOPWORDS["en"]])
-    n_stop = F.size(
-        F.array_distinct(F.filter(t, lambda x: F.array_contains(sw, x)))
-    ).cast("long")
-    bulletf = ratio(F.size(F.filter(l, lambda x: x.rlike(r"^[-*•]"))), nl)
-    ellf = ratio(F.size(F.filter(l, lambda x: x.rlike(r"(\.\.\.|…)$"))), nl)
-
-    n_words = F.size(t).cast("long")
-    gates = {
-        "flag_words": (n_words >= 50) & (n_words <= 100000),
-        "flag_mwl": (mwl >= 3.0) & (mwl <= 10.0),
-        "flag_symbols": symr <= 0.1,
-        "flag_alpha": alphaf >= 0.8,
-        "flag_stopwords": n_stop >= 2,
-        "flag_bullets": bulletf <= 0.9,
-        "flag_ellipsis": ellf <= 0.3,
-    }
+    sig, gates = X.gopher_signals(F.col("_t"), F.col("_l"), "text")
     keep = None
     for g in gates.values():
         keep = g if keep is None else (keep & g)
     return base.select(
         "doc_id",
-        n_words.alias("n_words"),
-        F.round(mwl, 4).alias("mean_word_len"),
-        F.round(symr, 4).alias("symbol_word_ratio"),
-        F.round(alphaf, 4).alias("alpha_word_frac"),
-        n_stop.alias("n_stop"),
-        F.round(bulletf, 4).alias("bullet_line_frac"),
-        F.round(ellf, 4).alias("ellipsis_line_frac"),
+        sig["n_words"].alias("n_words"),
+        F.round(sig["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(sig["symbol_word_ratio"], 4).alias("symbol_word_ratio"),
+        F.round(sig["alpha_word_frac"], 4).alias("alpha_word_frac"),
+        sig["n_stop"].alias("n_stop"),
+        F.round(sig["bullet_line_frac"], 4).alias("bullet_line_frac"),
+        F.round(sig["ellipsis_line_frac"], 4).alias("ellipsis_line_frac"),
         *[v.cast("int").alias(k) for k, v in gates.items()],
         keep.cast("int").alias("keep"),
     )

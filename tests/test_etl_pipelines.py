@@ -690,3 +690,63 @@ def test_refresh_packed_corpus_scratch_dir_durable_materialization(spark, tmp_pa
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert not any(d.startswith("_repack_") for d in os.listdir(scratch)) \
         if os.path.isdir(scratch) else True
+
+
+def test_build_training_corpus_gopher_gate(spark, tmp_path):
+    """gopher_gates=True runs the full rule battery AND'ed with the
+    score threshold — the same X.gopher_signals definition the catalog
+    query oracles — and the audit counts track the stricter gate."""
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.etl import build_training_corpus
+
+    # crafted corpus: half pass the battery (stopword-bearing prose of
+    # >=50 words), half fail it (symbol spam / stopword-free token soup
+    # — which is also what the synthetic star documents look like)
+    good = ("the data pipeline reads the table and writes the result for "
+            "the next stage with many plain words that keep every ratio "
+            "inside the gopher bounds and is long enough to pass the "
+            "minimum word count gate easily " + "word " * 20)
+    bad_sym = ("# " * 40) + "symbol spam that fails the symbol gate " * 3
+    bad_sw = "alpha beta gamma delta " * 20   # no stopwords at all
+    rows = [(i, good + f" doc {i}", "en") for i in range(6)]
+    rows += [(10 + i, bad_sym, "en") for i in range(3)]
+    rows += [(20 + i, bad_sw, "en") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "gg")
+    loose = build_training_corpus(
+        docs, str(tmp_path / "loose"), min_quality=0.0, pack_budget=256,
+        n_shards=2)
+    strict = build_training_corpus(
+        docs, out, min_quality=0.0, gopher_gates=True, pack_budget=256,
+        n_shards=2)
+    assert loose["rows_after_quality"] == 12
+    assert strict["rows_after_quality"] <= loose["rows_after_quality"]
+    assert strict["rows_after_quality"] > 0
+    # parity with the catalog battery's keep flag
+    from sap_data_pipeline_spark.functions import text as X
+
+    _, gates = X.gopher_signals(X.tokens("text"), X.line_array("text"), "text")
+    keep = None
+    for g in gates.values():
+        keep = g if keep is None else (keep & g)
+    assert strict["rows_after_quality"] == docs.filter(keep).count()
+
+
+def test_build_training_corpus_survives_fully_gated_corpus(spark, tmp_path):
+    """An aggressive gate that drops EVERYTHING must yield a clean
+    zero-row audit, not a crash (empty CollectMetrics degrade to 0)."""
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.etl import build_training_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "tiny", "en") for i in range(5)],
+        "doc_id long, text string, lang string",
+    )
+    audit = build_training_corpus(
+        docs, str(tmp_path / "empty"), min_quality=0.0, gopher_gates=True,
+        pack_budget=64, n_shards=1)
+    assert audit["rows_after_quality"] == 0
+    assert audit["rows_final"] == 0
+    assert audit["rows_after_near_dedup"] == 0
