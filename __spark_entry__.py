@@ -119,6 +119,10 @@ _TAIL = (
     "tpch_q13_customer_distribution",
     "tpch_q17_small_quantity_revenue",
     "tpch_q22_lapsed_customers",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q19_discounted_revenue",
     "tpch_q12_priority_shipping",
     "events_key_skew_report",
     "bpe_token_stats",

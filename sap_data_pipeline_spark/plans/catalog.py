@@ -1411,6 +1411,233 @@ def tpch_q22_lapsed_customers(star: Star) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT cr.r_name AS cust_region, sr.r_name AS supp_region,
+           year(CAST(l.l_shipdate AS DATE)) AS yr,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    JOIN region cr   ON cn.n_regionkey = cr.r_regionkey
+    JOIN region sr   ON sn.n_regionkey = sr.r_regionkey
+    WHERE (cr.r_name = 'ASIA' AND sr.r_name = 'EUROPE')
+       OR (cr.r_name = 'EUROPE' AND sr.r_name = 'ASIA')
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(star: Star) -> DataFrame:
+    """TPC-H Q7 (region grain — a single nation pair is empty at test
+    SF): trade volume between two markets, BOTH directions — the
+    two-sided disjunctive dim filter where the same dim pair (nation→
+    region) hangs off OPPOSITE sides of the fact (customer lineage vs
+    supplier lineage).  All dims broadcast; lineitem joins orders on
+    the order key as the only big exchange."""
+    cust_r = (
+        star.customer.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(star.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(star.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+    )
+    supp_r = (
+        star.supplier.select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(star.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(star.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    return (
+        star.lineitem.join(star.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_r), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_r), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(
+            ((F.col("cust_region") == "ASIA") & (F.col("supp_region") == "EUROPE"))
+            | ((F.col("cust_region") == "EUROPE") & (F.col("supp_region") == "ASIA"))
+        )
+        .groupBy(
+            "cust_region",
+            "supp_region",
+            F.year(F.col("l_shipdate").cast("date")).alias("yr"),
+        )
+        .agg(
+            sm.dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+    WITH base AS (
+        SELECT year(CAST(o.o_orderdate AS DATE)) AS yr,
+               CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6)) AS vol,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN region cr  ON cn.n_regionkey = cr.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        WHERE cr.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+    )
+    SELECT yr,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                         ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+           CAST(SUM(vol) AS DOUBLE) AS total_volume
+    FROM base GROUP BY yr
+    """,
+)
+def tpch_q8_market_share(star: Star) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's market for one part
+    type, per year — the conditional-share-of-total shape.  Both the
+    numerator and denominator aggregate DECIMAL-exact in one pass (a
+    self-join of yearly totals would re-scan); every dim broadcasts,
+    the order-key join is the only big exchange."""
+    dec = sm.DEC
+    cust_region = (
+        star.customer.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(star.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(star.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp_nation = (
+        star.supplier.select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(star.nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(dec)
+    base = (
+        star.lineitem.join(
+            F.broadcast(star.part.filter(F.col("p_type") == "STANDARD")
+                        .select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(star.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0.0).cast(dec)
+    return base.groupBy("yr").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol"))
+                  .otherwise(zero)).cast("double")
+            / F.sum("vol").cast("double")
+        ).alias("mkt_share"),
+        F.sum("vol").cast("double").alias("total_volume"),
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+        GROUP BY 1
+    ),
+    mx AS (SELECT MAX(total_revenue) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey, mx
+    WHERE rev.total_revenue = mx.m
+    """,
+)
+def tpch_q15_top_supplier(star: Star) -> DataFrame:
+    """TPC-H Q15: the quarter's top supplier(s) by revenue — the
+    view-plus-global-max shape.  The max re-enters as a broadcast
+    single row against the supplier-grain aggregate (never a
+    re-aggregation or a global sort); the equality keeps ALL tied
+    suppliers, as the spec requires.  DECIMAL-exact revenue makes the
+    tie comparison engine-portable."""
+    rev = (
+        star.lineitem.filter(
+            F.col("l_shipdate").cast("date").between("1996-01-01", "1996-03-31")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            sm.dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "total_revenue",
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_m"))
+        .join(F.broadcast(star.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def tpch_q19_discounted_revenue(star: Star) -> DataFrame:
+    """TPC-H Q19 (size ranges stand in for containers): revenue over a
+    DISJUNCTION of (brand, size-range, quantity-range) triples — the
+    multi-clause OR that defeats naive single-predicate pushdown.  The
+    quantity envelope (1..40, the union of the clauses) still pushes to
+    the lineitem scan; the exact triple disjunction applies after the
+    broadcast part join."""
+    cl = [
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20),
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30),
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40),
+    ]
+    return (
+        star.lineitem.filter(F.col("l_quantity").between(1, 40))
+        .join(
+            F.broadcast(star.part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(cl[0] | cl[1] | cl[2])
+        .agg(
+            sm.dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational extension pack: pivot / unpivot, CUBE, top-n per group,
 # INTERSECT/EXCEPT, blocked fuzzy matching — classic warehouse shapes
