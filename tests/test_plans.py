@@ -486,3 +486,23 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_tpch_q15_broadcast_max_no_sort(spark):
+    """Q15: the global max joins back as a broadcast single row — no
+    global sort, no re-aggregation of the supplier-grain revenue."""
+    plan = _plan(QUERIES["tpch_q15_top_supplier"](spark, SF_DIR))
+    assert "Sort " not in plan
+    assert plan.count("HashAggregate") <= 6  # rev partial+final, max partial+final
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tpch_q19_quantity_envelope_pushed(spark):
+    """Q19: the union envelope of the quantity clauses (1..40) reaches
+    the lineitem scan even though the exact triple disjunction can't."""
+    jdf = QUERIES["tpch_q19_discounted_revenue"](spark, SF_DIR)._jdf
+    plan = jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,40.0)" in plan
