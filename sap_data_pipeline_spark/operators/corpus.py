@@ -362,7 +362,7 @@ def compression_ratio(df: DataFrame, *, text_col: str = "text",
 
 
 def _bpe_words(text: str) -> list[str]:
-    """Word pre-tokenization shared by BPE ENCODING — lowercase, split on
+    r"""Word pre-tokenization shared by BPE ENCODING — lowercase, split on
     non-alphanumerics — chosen to coincide with the Spark-side
     ``functions.text.tokens`` used by TRAINING (``[^\p{L}\p{N}]+``
     split): training and billing must see the same words or punctuated

@@ -615,16 +615,26 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
 
 def near_dup_clusters(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", *,
-                      checkpoint_dir: str | None = None) -> DataFrame:
+                      checkpoint_dir: str | None = None,
+                      pairs: DataFrame | None = None,
+                      cc: DataFrame | None = None) -> DataFrame:
     """End-to-end near-dup clustering: MinHash+LSH pairs → connected
     components → per-cluster stats.  Returns one row per document:
     (id, cluster_id, cluster_size, is_canonical) — ``is_canonical`` marks
     the single survivor (smallest id) a keep-one-per-cluster curation
     step would retain.  One extra shuffle (cluster-size count) past the
     component computation; the size join stays on the cluster_id key.
+
+    ``pairs`` / ``cc`` accept precomputed artifacts: the verified pair
+    graph and component labels are corpus INDEX artifacts (built once,
+    served to every downstream audit/curation query), so callers that
+    already materialized them skip the sketch+CC work entirely.
     """
-    cc = connected_components(df.select(id_col), minhash_dedup_pairs(df, text_col, id_col),
-                              id_col=id_col, checkpoint_dir=checkpoint_dir)
+    if cc is None:
+        if pairs is None:
+            pairs = minhash_dedup_pairs(df, text_col, id_col)
+        cc = connected_components(df.select(id_col), pairs,
+                                  id_col=id_col, checkpoint_dir=checkpoint_dir)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         cc.join(sizes, "cluster_id")
@@ -639,7 +649,8 @@ def near_dup_clusters(df: DataFrame, text_col: str = "text",
 
 def cluster_quality_report(ids: DataFrame, pairs: DataFrame, *,
                            id_col: str = "doc_id",
-                           risk_density: float = 0.5) -> DataFrame:
+                           risk_density: float = 0.5,
+                           cc: DataFrame | None = None) -> DataFrame:
     """Per-cluster dedup-quality audit: how much should you trust
     keep-one-per-cluster?  A cluster that is a CLIQUE (density 1.0 —
     every member pairwise-similar) safely collapses to one survivor; a
@@ -652,9 +663,12 @@ def cluster_quality_report(ids: DataFrame, pairs: DataFrame, *,
     every multi-member cluster, density = e / C(n,2) over the DISTINCT
     verified pair edges, chain_risk = density < ``risk_density``.
     Scale shape: the pair graph is bucket-cap bounded; one component
-    pass (O(log d) rounds) + two small keyed aggregates.
+    pass (O(log d) rounds) + two small keyed aggregates.  ``cc`` accepts
+    a precomputed component labeling (id, cluster_id) so an audit run
+    over an already-built dedup index skips the CC iteration.
     """
-    cc = connected_components(ids, pairs, id_col=id_col)
+    if cc is None:
+        cc = connected_components(ids, pairs, id_col=id_col)
     sizes = cc.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     ).filter(F.col("n_nodes") >= 2)
@@ -710,7 +724,8 @@ def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
 def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, *,
                           id_col: str = "doc_id",
                           score: Column | None = None,
-                          checkpoint_dir: str | None = None) -> DataFrame:
+                          checkpoint_dir: str | None = None,
+                          cc: DataFrame | None = None) -> DataFrame:
     """Cluster the near-dup pair graph and keep the BEST-scoring row per
     component (ties break to the smallest id) — the curation policy that
     preserves the highest-quality copy instead of the arbitrary min-id
@@ -729,8 +744,9 @@ def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, *,
 
     if score is None:
         score = X.quality_score("text")
-    cc = connected_components(df.select(id_col), pairs, id_col=id_col,
-                              checkpoint_dir=checkpoint_dir)
+    if cc is None:
+        cc = connected_components(df.select(id_col), pairs, id_col=id_col,
+                                  checkpoint_dir=checkpoint_dir)
     scored = df.join(cc, id_col).withColumn("_score", score)
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("_score"), F.asc(id_col)

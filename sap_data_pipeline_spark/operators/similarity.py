@@ -27,6 +27,13 @@ from pyspark.sql.window import Window
 
 from sap_data_pipeline_spark.functions import vectors as V
 
+# Test hook: KMeans training invocations by kind.  The catalog's
+# train-once model cache must hold these flat across repeated ANN
+# queries in one session — tests_ann pins the count so a cache re-key
+# regression (every query re-fitting its codebooks) fails loudly
+# instead of silently multiplying training cost.
+train_calls: dict[str, int] = {"ivf": 0, "pq": 0}
+
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
                      id_col: str = "vec_id", vec_col: str = "embedding",
@@ -186,6 +193,7 @@ def ivf_train_cells(corpus: DataFrame, *, vec_col: str = "embedding",
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    train_calls["ivf"] += 1
     train = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
@@ -366,6 +374,7 @@ def pq_train_codebooks(corpus: DataFrame, *, vec_col: str = "embedding",
 
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    train_calls["pq"] += 1
     sub = dim // m
     base = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
     if sample_fraction is not None:

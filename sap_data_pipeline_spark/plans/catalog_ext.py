@@ -1013,6 +1013,42 @@ def corpus_stats_rollup(star: Star) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shared near-dup INDEX: the verified MinHash/LSH pair graph and its
+# connected-component labeling are corpus artifacts, not per-query work —
+# a production dedup pipeline materializes them ONCE (a parquet edge/label
+# table) and serves every downstream curation and audit query from the
+# same index.  The catalog mirrors that: built once per (session, sf_dir)
+# with default sketch params and shared by near_dup_clusters,
+# near_dup_cluster_quality, and keep_best_per_cluster, so only their
+# per-query aggregates run per call.  Unlike the ANN model cache the
+# artifacts are DataFrames pinned to executor storage (localCheckpoint),
+# so the key includes the Spark application id — a fresh session rebuilds.
+# ---------------------------------------------------------------------------
+
+_near_dup_index_cache: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_near_dup_index_builds = 0  # test hook: number of sketch+CC builds
+
+
+def _near_dup_index(star: Star) -> tuple[DataFrame, DataFrame]:
+    """(verified pair graph, component labeling) for star.documents."""
+    global _near_dup_index_builds
+    spark = star.documents.sparkSession
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect has no sparkContext
+        app_id = str(id(spark))
+    key = (app_id, star.sf_dir)
+    if key not in _near_dup_index_cache:
+        _near_dup_index_builds += 1
+        pairs = D.minhash_dedup_pairs(star.documents).localCheckpoint(eager=True)
+        cc = D.connected_components(
+            star.documents.select("doc_id"), pairs
+        ).localCheckpoint(eager=True)
+        _near_dup_index_cache[key] = (pairs, cc)
+    return _near_dup_index_cache[key]
+
+
+# ---------------------------------------------------------------------------
 # Near-dup CLUSTERS: LSH pairs → connected components → canonical survivor.
 # The step pairwise dedup output needs before anything can be dropped
 # (near-dups chain: A~B~C with A≁C must still land in one cluster).  The
@@ -1048,7 +1084,8 @@ def corpus_stats_rollup(star: Star) -> DataFrame:
     """,
 )
 def near_dup_clusters_q(star: Star) -> DataFrame:
-    return D.near_dup_clusters(star.documents)
+    _, cc = _near_dup_index(star)
+    return D.near_dup_clusters(star.documents, cc=cc)
 
 
 # ---------------------------------------------------------------------------
@@ -1431,9 +1468,8 @@ def jsonl_corpus_roundtrip(star: Star) -> DataFrame:
     """,
 )
 def keep_best_per_cluster_q(star: Star) -> DataFrame:
-    survivors = D.keep_best_per_cluster(
-        star.documents, D.minhash_dedup_pairs(star.documents)
-    )
+    pairs, cc = _near_dup_index(star)
+    survivors = D.keep_best_per_cluster(star.documents, pairs, cc=cc)
     return survivors.select("doc_id", "lang", "source", "n_chars")
 
 
@@ -4193,5 +4229,5 @@ def length_bucket_batches(star: Star) -> DataFrame:
     """,
 )
 def near_dup_cluster_quality(star: Star) -> DataFrame:
-    pairs = D.minhash_dedup_pairs(star.documents)
-    return D.cluster_quality_report(star.documents.select("doc_id"), pairs)
+    pairs, cc = _near_dup_index(star)
+    return D.cluster_quality_report(star.documents.select("doc_id"), pairs, cc=cc)

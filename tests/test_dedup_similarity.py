@@ -842,3 +842,40 @@ def test_cluster_quality_clique_vs_chain(spark):
     assert got[0]["density"] == 1.0 and got[0]["chain_risk"] == 0
     assert got[4]["n_nodes"] == 4 and got[4]["n_edges"] == 3
     assert got[4]["density"] == 0.5 and got[4]["chain_risk"] == 1
+
+
+def test_ann_model_cache_trains_once(spark):
+    """Train-once/serve-many pinned: across ann_pq_topk, ann_ivfpq_topk,
+    ann_ivf_topk, and a REPEAT of ann_pq_topk in one session, exactly one
+    PQ codebook fit and one IVF centroid fit happen per (sf_dir, params)
+    — a cache re-key regression would multiply KMeans training cost
+    silently (r5 verdict #1's 27 s → 8 s win depends on this)."""
+    from sap_data_pipeline_spark.operators import similarity as S
+    from sap_data_pipeline_spark.plans import catalog_ext as CE
+    from sap_data_pipeline_spark.plans.catalog import QUERIES
+
+    CE._ann_model_cache.clear()
+    before = dict(S.train_calls)
+    for name in ("ann_pq_topk", "ann_ivfpq_topk", "ann_ivf_topk", "ann_pq_topk"):
+        QUERIES[name](spark, "/root/testdata/sf0.001").count()
+    assert S.train_calls["pq"] - before["pq"] == 1
+    assert S.train_calls["ivf"] - before["ivf"] == 1
+
+
+def test_near_dup_index_builds_once(spark):
+    """The MinHash/LSH pair graph + CC labeling build ONCE per
+    (session, sf_dir) and serve near_dup_clusters,
+    near_dup_cluster_quality, and keep_best_per_cluster — the three
+    audit/curation queries must not re-sketch the corpus."""
+    from sap_data_pipeline_spark.plans import catalog_ext as CE
+    from sap_data_pipeline_spark.plans.catalog import QUERIES
+
+    CE._near_dup_index_cache.clear()
+    before = CE._near_dup_index_builds
+    for name in ("near_dup_clusters", "near_dup_cluster_quality",
+                 "keep_best_per_cluster", "near_dup_clusters"):
+        QUERIES[name](spark, "/root/testdata/sf0.001").count()
+    assert CE._near_dup_index_builds - before == 1
+    # a different sf_dir is a different corpus: must rebuild, not serve
+    QUERIES["near_dup_clusters"](spark, "/root/testdata/sf0.01").count()
+    assert CE._near_dup_index_builds - before == 2
