@@ -58,7 +58,36 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     quality_scores signals), image_meta_gif (the GIF LZW decode
 #     battery with the position-weighted checksum), and
 #     doc_tree_root_depth (recursive-CTE parity).
+#   * r7 rotation (r6 verdict #1 — promote the never-driver-hashed
+#     round-6 tail work: tpch_q7_volume_shipping, tpch_q8_market_share,
+#     tpch_q15_top_supplier, tpch_q19_discounted_revenue,
+#     near_dup_cluster_quality).  Demoted to make room, each
+#     double-evidenced by richer in-window queries: union_branches —
+#     U1-U3 heterogeneous UNION is replayed inside the in-window
+#     weekly_site_sales_analytics branch merge; week_range_generator —
+#     F20's generator feeds the in-window weekly_sales calendar path
+#     end-to-end; column_length_profile — A6 max-length profiling is a
+#     strict subset of the in-window data_quality_checks battery;
+#     minhash_lsh_pairs — its candidate-pair SQL (_CAND_CTE) is replayed
+#     verbatim inside THREE in-window oracles (near_dup_clusters,
+#     near_dup_cluster_quality, benchmark_contamination); and
+#     events_daily_from_hourly_rollup — the reaggregation grain is
+#     evidenced by the in-window events_hourly_window it builds on plus
+#     weekly_site_sales_analytics' multi-grain rollup.
 _TAIL = (
+    # r7 new work (never driver-hashed yet; oracle-green locally) —
+    # the partsupp sixth of TPC-H + Q21, prime r8 rotation candidates:
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_counts",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "union_branches",
+    "week_range_generator",
+    "column_length_profile",
+    "minhash_lsh_pairs",
+    "events_daily_from_hourly_rollup",
     "quality_scores",
     "corpus_length_quantiles",
     "events_json_props",
@@ -70,7 +99,6 @@ _TAIL = (
     "audio_meta_wav",
     "audio_meta_ulaw",
     "keep_best_per_cluster",
-    "near_dup_cluster_quality",
     "jsonl_corpus_roundtrip",
     "chunk_documents",
     "tfidf_top_terms",
@@ -119,10 +147,6 @@ _TAIL = (
     "tpch_q13_customer_distribution",
     "tpch_q17_small_quantity_revenue",
     "tpch_q22_lapsed_customers",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
-    "tpch_q19_discounted_revenue",
     "tpch_q12_priority_shipping",
     "events_key_skew_report",
     "bpe_token_stats",

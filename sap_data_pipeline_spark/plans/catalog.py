@@ -1913,3 +1913,405 @@ def fuzzy_part_name_pairs(star: Star) -> DataFrame:
         block_cols=["p_type", "noun"],
         max_distance=4,
     ).withColumn("distance", F.col("distance").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H partsupp sixth (Q2/Q9/Q11/Q16/Q20) + Q21 — expressible now that
+# star_mapping synthesizes partsupp and commit/receipt dates closed-form
+# (see star_mapping.partsupp / lineitem_dated for the derivation and its
+# documented deviations).  With these, 22 of 22 TPC-H queries run.
+# Constant adaptations to this data's domains (same policy as Q19's
+# size-for-container swap): p_type categories replace the spec's
+# composite types, p_name color words replace '%green%', a REGION gate
+# replaces single-nation gates (dense at every SF), and the negative-
+# acctbal suppliers stand in for Q16's '%Customer%Complaints%' comment
+# scan (no s_comment column).
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH partsupp AS ({sm.PARTSUPP_SQL}),
+    eu AS (
+        SELECT ps.ps_partkey, ps.ps_supplycost, s.s_suppkey, s.s_name,
+               s.s_acctbal, n.n_name
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    mn AS (SELECT ps_partkey, MIN(ps_supplycost) AS mc FROM eu GROUP BY 1)
+    SELECT CAST(e.s_acctbal AS DOUBLE) AS s_acctbal, e.s_name, e.n_name,
+           p.p_partkey, p.p_type,
+           CAST(e.ps_supplycost AS DOUBLE) AS ps_supplycost
+    FROM eu e
+    JOIN mn ON mn.ps_partkey = e.ps_partkey AND e.ps_supplycost = mn.mc
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(star: Star) -> DataFrame:
+    """TPC-H Q2: cheapest regional supplier per qualifying part — the
+    correlated-MIN shape, decorrelated into a per-part MIN aggregate
+    joined back on (part, cost); the equality keeps all tied suppliers,
+    as the spec requires.  partsupp is dim-scale (4×|part|), so the
+    region-gated supplier side broadcasts and the min-join stays on the
+    ps_partkey key; the part filter prunes before the final join."""
+    eu = (
+        sm.partsupp(star)
+        .join(
+            F.broadcast(
+                star.supplier.join(
+                    F.broadcast(
+                        star.nation.join(
+                            F.broadcast(star.region.filter(F.col("r_name") == "EUROPE")),
+                            F.col("n_regionkey") == F.col("r_regionkey"),
+                        ).select("n_nationkey", "n_name")
+                    ),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+            ),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    mn = eu.groupBy(F.col("ps_partkey").alias("_pk")).agg(
+        F.min("ps_supplycost").alias("_mc")
+    )
+    p = star.part.filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_type")
+    return (
+        eu.join(
+            mn,
+            (F.col("ps_partkey") == F.col("_pk"))
+            & (F.col("ps_supplycost") == F.col("_mc")),
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_type",
+            F.col("ps_supplycost").cast("double").alias("ps_supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("n_name").asc(),
+            F.col("s_name").asc(), F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    f"""
+    WITH partsupp AS ({sm.PARTSUPP_SQL})
+    SELECT n.n_name AS nation,
+           CAST(year(CAST(o.o_orderdate AS DATE)) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                         - ps.ps_supplycost * l.l_quantity
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p      ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation n    ON n.n_nationkey = s.s_nationkey
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_type_profit(star: Star) -> DataFrame:
+    """TPC-H Q9: profit (revenue minus supply cost) by supplier nation
+    and order year for one product line.  The name-filtered partsupp
+    slice (4×|filtered parts|, built part-side before touching the
+    fact) broadcasts into lineitem on the composite key; the only big
+    exchange is lineitem⋈orders on the order key — same discipline as
+    Q7/Q8."""
+    fp = star.part.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    psf = sm.partsupp(star).join(
+        F.broadcast(fp), F.col("ps_partkey") == F.col("p_partkey")
+    ).select("ps_partkey", "ps_suppkey", "ps_supplycost")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        star.lineitem.join(
+            F.broadcast(psf),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(
+            star.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(star.supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(star.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).cast("int").alias("o_year"),
+        )
+        .agg(sm.dec_sum(profit, "sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+    WITH partsupp AS ({sm.PARTSUPP_SQL}),
+    eu AS (
+        SELECT ps.ps_partkey,
+               CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(18,6)) AS v
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    byp AS (SELECT ps_partkey, SUM(v) AS v FROM eu GROUP BY 1),
+    tot AS (SELECT SUM(v) AS t FROM byp)
+    SELECT b.ps_partkey, CAST(b.v AS DOUBLE) AS value
+    FROM byp b, tot
+    WHERE CAST(b.v AS DOUBLE) > CAST(tot.t AS DOUBLE) * 0.001
+    ORDER BY value DESC, ps_partkey ASC
+    """,
+)
+def tpch_q11_important_stock(star: Star) -> DataFrame:
+    """TPC-H Q11: parts whose regional stock value exceeds a fraction of
+    the total — the global-scalar-threshold shape.  Like Q15, the total
+    re-enters as a broadcast single row against the part-grain
+    aggregate; sums stay DECIMAL-exact until the final double compare so
+    the threshold cut is engine-portable."""
+    eu = (
+        sm.partsupp(star)
+        .join(
+            F.broadcast(
+                star.supplier.join(
+                    F.broadcast(
+                        star.nation.join(
+                            F.broadcast(star.region.filter(F.col("r_name") == "EUROPE")),
+                            F.col("n_regionkey") == F.col("r_regionkey"),
+                        ).select("n_nationkey")
+                    ),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey")
+            ),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).cast(sm.DEC).alias("v"),
+        )
+    )
+    byp = eu.groupBy("ps_partkey").agg(F.sum("v").alias("v"))
+    tot = byp.agg(F.sum("v").alias("t"))
+    return (
+        byp.crossJoin(F.broadcast(tot))
+        .filter(F.col("v").cast("double") > F.col("t").cast("double") * F.lit(0.001))
+        .select("ps_partkey", F.col("v").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), F.col("ps_partkey").asc())
+    )
+
+
+@register(
+    "tpch_q16_parts_supplier_counts",
+    f"""
+    WITH partsupp AS ({sm.PARTSUPP_SQL})
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_parts_supplier_counts(star: Star) -> DataFrame:
+    """TPC-H Q16: how many suppliers can serve each (brand, type, size)
+    bucket, excluding flagged suppliers (negative acctbal stands in for
+    the spec's complaint-comment scan).  The exclusion is a broadcast
+    LEFT ANTI against a tiny supplier slice; COUNT(DISTINCT) runs on the
+    part-pruned partsupp slice — both dim-scale."""
+    p = star.part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = star.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        sm.partsupp(star)
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(flagged),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    f"""
+    WITH partsupp AS ({sm.PARTSUPP_SQL}),
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE)
+              BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        GROUP BY 1, 2
+    ),
+    excess AS (
+        SELECT DISTINCT ps.ps_suppkey
+        FROM partsupp ps
+        JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') p
+             ON p.p_partkey = ps.ps_partkey
+        JOIN shipped sh
+             ON sh.l_partkey = ps.ps_partkey AND sh.l_suppkey = ps.ps_suppkey
+        WHERE ps.ps_availqty > 0.5 * sh.qty
+    )
+    SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    JOIN excess e ON e.ps_suppkey = s.s_suppkey
+    WHERE r.r_name = 'ASIA'
+    ORDER BY s_name ASC
+    """,
+)
+def tpch_q20_potential_promotion(star: Star) -> DataFrame:
+    """TPC-H Q20: regional suppliers holding excess stock (availqty >
+    half the year's shipments) of a product line.  The correlated
+    quantity subquery decorrelates into ONE (partkey, suppkey)-grain
+    aggregate of the date-pruned lineitem — the only fact pass — then
+    everything else is dim-scale joins; the inner join reproduces the
+    spec's NULL semantics (no shipments → no qualification)."""
+    shipped = (
+        star.lineitem.filter(
+            F.col("l_shipdate").cast("date").between("1996-01-01", "1996-12-31")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sm.dec_sum(F.col("l_quantity"), "qty"))
+    )
+    fp = star.part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    excess = (
+        sm.partsupp(star)
+        .join(F.broadcast(fp), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.lit(0.5) * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        star.supplier.join(
+            F.broadcast(
+                star.nation.join(
+                    F.broadcast(star.region.filter(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(excess), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy(F.col("s_name").asc())
+    )
+
+
+@register(
+    "tpch_q21_suppliers_who_kept_waiting",
+    f"""
+    WITH ld AS (
+        SELECT l_orderkey, l_suppkey,
+               CAST(l_shipdate AS DATE)
+                   + CAST((l_orderkey * 3 + l_linenumber * 7) % 30 AS INT)
+                   AS l_commitdate,
+               CAST(l_shipdate AS DATE)
+                   + CAST((l_orderkey * 5 + l_linenumber * 11) % 30 + 1 AS INT)
+                   AS l_receiptdate
+        FROM lineitem
+    ),
+    fl AS (
+        SELECT ld.* FROM ld
+        JOIN orders o ON o.o_orderkey = ld.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM fl l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND l1.l_receiptdate > l1.l_commitdate
+      AND EXISTS (SELECT 1 FROM fl l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM fl l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_receiptdate > l3.l_commitdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
+    """,
+)
+def tpch_q21_suppliers_who_kept_waiting(star: Star) -> DataFrame:
+    """TPC-H Q21: suppliers who were the SOLE late supplier on a
+    completed multi-supplier order.  The spec's EXISTS / NOT EXISTS
+    self-join pair (which the oracle states verbatim) collapses into
+    ONE (orderkey, suppkey)-grain aggregate + one order-grain rollup:
+    an order qualifies iff it has ≥2 suppliers and exactly one of them
+    is late — l1's count is that supplier's late lines.  One exchange
+    on the order key instead of three fact-fact self-joins; the
+    differential between the two strategies is the correctness
+    evidence."""
+    ld = sm.lineitem_dated(star).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_receiptdate") > F.col("l_commitdate")).cast("int").alias("late"),
+    )
+    fl = ld.join(
+        star.orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).drop("o_orderkey")
+    per_os = fl.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("sup_late"),
+        F.sum("late").cast("long").alias("n_late_lines"),
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_sups"),
+        F.sum("sup_late").alias("n_late_sups"),
+    )
+    qual = per_o.filter(
+        (F.col("n_sups") >= 2) & (F.col("n_late_sups") == 1)
+    ).select("l_orderkey")
+    asia_sup = star.supplier.join(
+        F.broadcast(
+            star.nation.join(
+                F.broadcast(star.region.filter(F.col("r_name") == "ASIA")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        per_os.filter(F.col("sup_late") == 1)
+        .join(qual, "l_orderkey")
+        .join(F.broadcast(asia_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )

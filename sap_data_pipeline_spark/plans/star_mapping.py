@@ -179,3 +179,114 @@ STORE_RP_SQL = f"""
     CROSS JOIN (SELECT DISTINCT CAST(s_suppkey % {SITE_MOD} AS VARCHAR) AS Site
                 FROM supplier) s
 """
+
+
+# ---------------------------------------------------------------------------
+# Synthesized partsupp + commit/receipt dates — the same trick as the
+# generated calendar dim: the driver's star has no partsupp table and
+# lineitem carries only l_shipdate, so the partsupp-shaped sixth of
+# TPC-H (Q2/Q9/Q11/Q16/Q20) and Q21's late-delivery predicate would be
+# inexpressible.  Both are derived CLOSED-FORM (integer arithmetic on
+# the keys — no fact scan, no randomness), with byte-identical DuckDB
+# CTE twins, so every query over them stays hash-oracled.
+#
+# partsupp: 4 suppliers per part at stride n_supp/4 (the TPC-H dbgen
+# shape: each part sourced from suppliers spread across the key space),
+# availqty in 1..9999 and supplycost in 1.00..1000.00 (the spec's
+# domains), both keyed on (ps_partkey, ps_suppkey).  Size is 4×|part| —
+# dimension-scale at every SF, broadcast-eligible where needed.
+# Deviation vs dbgen (documented): lineitem's l_suppkey is uniform over
+# all suppliers, so a lineitem⋈partsupp join on both keys matches ~4/n
+# of lines — the queries keep their exact join/agg SHAPE, selectivity
+# differs.
+# ---------------------------------------------------------------------------
+
+PS_SUPPLIERS_PER_PART = 4
+
+
+def partsupp(star: Star) -> DataFrame:
+    """Synthesized partsupp (ps_partkey, ps_suppkey, ps_availqty,
+    ps_supplycost).  One bounded driver scalar (|supplier| — a dim
+    count) parameterizes the stride; generation is a map-side explode
+    over part, zero shuffles."""
+    n_supp = star.supplier.count()
+    stride = max(n_supp // PS_SUPPLIERS_PER_PART, 1)
+    return (
+        star.part.select("p_partkey")
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(PS_SUPPLIERS_PER_PART)])
+            ).alias("_i"),
+        )
+        .select(
+            "ps_partkey",
+            F.pmod(F.col("ps_partkey") + F.col("_i") * stride, F.lit(n_supp))
+            .cast("long")
+            .alias("ps_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            (F.pmod(F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 3, F.lit(9999)) + 1)
+            .cast("int")
+            .alias("ps_availqty"),
+            (
+                F.pmod(F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17, F.lit(99900))
+                / F.lit(100.0)
+                + F.lit(1.0)
+            )
+            .cast("double")
+            .alias("ps_supplycost"),
+        )
+    )
+
+
+PARTSUPP_SQL = f"""
+    SELECT ps_partkey, ps_suppkey,
+           CAST((ps_partkey * 7 + ps_suppkey * 3) % 9999 + 1 AS INT) AS ps_availqty,
+           CAST((ps_partkey * 31 + ps_suppkey * 17) % 99900 / 100.0 + 1.0 AS DOUBLE)
+               AS ps_supplycost
+    FROM (
+        SELECT p.p_partkey AS ps_partkey,
+               (p.p_partkey + i.i * greatest(ns.n // {PS_SUPPLIERS_PER_PART}, 1)) % ns.n
+                   AS ps_suppkey
+        FROM part p
+        CROSS JOIN (SELECT count(*) AS n FROM supplier) ns
+        CROSS JOIN (SELECT unnest(generate_series(0, {PS_SUPPLIERS_PER_PART - 1})) AS i) i
+    )
+"""
+
+
+def lineitem_dated(star: Star) -> DataFrame:
+    """lineitem + synthesized l_commitdate / l_receiptdate (Q21's
+    late-delivery predicate needs both; the testdata carries only
+    l_shipdate).  Offsets are closed-form on (l_orderkey, l_linenumber):
+    commit = ship + (3k+7n) % 30 days, receipt = ship + (5k+11n) % 30 + 1
+    days — deterministic, pseudo-uniform, ~half the lines late
+    (receipt > commit), matching the spec's intent that lateness is
+    line-level and plentiful.  Pure projection — no shuffle, pushdown
+    unaffected."""
+    ship = F.col("l_shipdate").cast("date")
+    commit_off = F.pmod(
+        F.col("l_orderkey") * 3 + F.col("l_linenumber") * 7, F.lit(30)
+    ).cast("int")
+    receipt_off = (
+        F.pmod(F.col("l_orderkey") * 5 + F.col("l_linenumber") * 11, F.lit(30)) + 1
+    ).cast("int")
+    return star.lineitem.withColumns(
+        {
+            "l_commitdate": F.date_add(ship, commit_off),
+            "l_receiptdate": F.date_add(ship, receipt_off),
+        }
+    )
+
+
+LINEITEM_DATED_SQL = """
+    SELECT l.*,
+           CAST(l_shipdate AS DATE)
+               + CAST((l_orderkey * 3 + l_linenumber * 7) % 30 AS INT) AS l_commitdate,
+           CAST(l_shipdate AS DATE)
+               + CAST((l_orderkey * 5 + l_linenumber * 11) % 30 + 1 AS INT) AS l_receiptdate
+    FROM lineitem l
+"""
