@@ -83,6 +83,8 @@ _TAIL = (
     "tpch_q16_parts_supplier_counts",
     "tpch_q20_potential_promotion",
     "tpch_q21_suppliers_who_kept_waiting",
+    # r7: batch/audit twin of the streaming CUSUM detector (r6 verdict #6)
+    "events_cusum_alarms",
     "union_branches",
     "week_range_generator",
     "column_length_profile",

@@ -4231,3 +4231,97 @@ def length_bucket_batches(star: Star) -> DataFrame:
 def near_dup_cluster_quality(star: Star) -> DataFrame:
     pairs, cc = _near_dup_index(star)
     return D.cluster_quality_report(star.documents.select("doc_id"), pairs, cc=cc)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection, batch twin (streaming/stateful.py
+# cusum_drift_alarms — Page 1954): the same one-sided cumulative-sum
+# fold with restart-on-alarm, run per key over the ts-ordered event
+# history, returning FINAL state (n_seen, s_hi, s_lo) plus total
+# high/low alarm counts.  The fold is order-dependent, so the Spark
+# side uses array_sort(collect_list(struct(ts, value))) + a
+# higher-order aggregate() — JVM-side, no UDF; per-key history must fit
+# one executor (bounded per-key cardinality — the streaming operator is
+# the unbounded-scale path, this is its audit/backfill twin).  The
+# oracle replays the identical IEEE fold as a recursive-CTE step
+# relation; sort ties (equal ts) break on value, and equal (ts, value)
+# elements contribute identically, so both folds are deterministic.
+# ---------------------------------------------------------------------------
+
+_CUSUM_TARGET, _CUSUM_SLACK, _CUSUM_THRESHOLD = 50.0, 10.0, 200.0
+
+@register(
+    "events_cusum_alarms",
+    f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, value)
+                   AS rn
+        FROM events
+    ),
+    fold(user_id, rn, shi, slo, nhigh, nlow) AS (
+        SELECT user_id, CAST(0 AS BIGINT),
+               CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM (SELECT DISTINCT user_id FROM ev)
+        UNION ALL
+        SELECT f.user_id, f.rn + 1,
+               CASE WHEN greatest(0.0, f.shi + (e.value - {_CUSUM_TARGET} - {_CUSUM_SLACK})) > {_CUSUM_THRESHOLD}
+                      OR greatest(0.0, f.slo + ({_CUSUM_TARGET} - e.value - {_CUSUM_SLACK})) > {_CUSUM_THRESHOLD}
+                    THEN 0.0
+                    ELSE greatest(0.0, f.shi + (e.value - {_CUSUM_TARGET} - {_CUSUM_SLACK})) END,
+               CASE WHEN greatest(0.0, f.shi + (e.value - {_CUSUM_TARGET} - {_CUSUM_SLACK})) > {_CUSUM_THRESHOLD}
+                      OR greatest(0.0, f.slo + ({_CUSUM_TARGET} - e.value - {_CUSUM_SLACK})) > {_CUSUM_THRESHOLD}
+                    THEN 0.0
+                    ELSE greatest(0.0, f.slo + ({_CUSUM_TARGET} - e.value - {_CUSUM_SLACK})) END,
+               f.nhigh + CASE WHEN greatest(0.0, f.shi + (e.value - {_CUSUM_TARGET} - {_CUSUM_SLACK})) > {_CUSUM_THRESHOLD}
+                              THEN 1 ELSE 0 END,
+               f.nlow + CASE WHEN NOT (greatest(0.0, f.shi + (e.value - {_CUSUM_TARGET} - {_CUSUM_SLACK})) > {_CUSUM_THRESHOLD})
+                              AND greatest(0.0, f.slo + ({_CUSUM_TARGET} - e.value - {_CUSUM_SLACK})) > {_CUSUM_THRESHOLD}
+                              THEN 1 ELSE 0 END
+        FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+    ),
+    last AS (SELECT user_id, MAX(rn) AS mr FROM fold GROUP BY 1)
+    SELECT f.user_id, f.rn AS n_seen, f.shi AS s_hi, f.slo AS s_lo,
+           f.nhigh AS n_high, f.nlow AS n_low
+    FROM fold f JOIN last l ON l.user_id = f.user_id AND f.rn = l.mr
+    """,
+)
+def events_cusum_alarms(star: Star) -> DataFrame:
+    T, S, TH = _CUSUM_TARGET, _CUSUM_SLACK, _CUSUM_THRESHOLD
+
+    def step(acc, x):
+        shi1 = F.greatest(F.lit(0.0), acc["shi"] + (x["value"] - F.lit(T) - F.lit(S)))
+        slo1 = F.greatest(F.lit(0.0), acc["slo"] + (F.lit(T) - x["value"] - F.lit(S)))
+        hi = shi1 > F.lit(TH)
+        lo = (~hi) & (slo1 > F.lit(TH))
+        reset = hi | lo
+        return F.struct(
+            F.when(reset, F.lit(0.0)).otherwise(shi1).alias("shi"),
+            F.when(reset, F.lit(0.0)).otherwise(slo1).alias("slo"),
+            (acc["nhigh"] + F.when(hi, F.lit(1)).otherwise(F.lit(0)).cast("long")).alias("nhigh"),
+            (acc["nlow"] + F.when(lo, F.lit(1)).otherwise(F.lit(0)).cast("long")).alias("nlow"),
+        )
+
+    acc0 = F.struct(
+        F.lit(0.0).alias("shi"),
+        F.lit(0.0).alias("slo"),
+        F.lit(0).cast("long").alias("nhigh"),
+        F.lit(0).cast("long").alias("nlow"),
+    )
+    return (
+        star.events.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("seq"))
+        .select(
+            "user_id",
+            F.size("seq").cast("long").alias("n_seen"),
+            F.aggregate("seq", acc0, step).alias("st"),
+        )
+        .select(
+            "user_id", "n_seen",
+            F.col("st.shi").alias("s_hi"),
+            F.col("st.slo").alias("s_lo"),
+            F.col("st.nhigh").alias("n_high"),
+            F.col("st.nlow").alias("n_low"),
+        )
+    )

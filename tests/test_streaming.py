@@ -795,3 +795,43 @@ def test_cusum_drift_alarms_stateful(spark, tmp_path):
                  key=lambda r: r["n_seen"])
     assert (final2["s_hi"], final2["s_lo"]) == (shi, slo)
     assert final2["n_seen"] == 20
+
+
+def test_cusum_batch_twin_matches_python_fold(spark):
+    """The catalog's events_cusum_alarms (array_sort + higher-order
+    aggregate batch twin of cusum_drift_alarms) must equal an
+    independent Python CUSUM fold over the same ts-ordered per-key
+    history — same restart-on-alarm semantics, same final state and
+    alarm counts."""
+    import pandas as pd
+
+    from sap_data_pipeline_spark.plans.catalog import QUERIES
+    from sap_data_pipeline_spark.plans.catalog_ext import (
+        _CUSUM_SLACK, _CUSUM_TARGET, _CUSUM_THRESHOLD,
+    )
+
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["events_cusum_alarms"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    T, S, TH = _CUSUM_TARGET, _CUSUM_SLACK, _CUSUM_THRESHOLD
+    for uid, g in ev.sort_values(["ts", "value"]).groupby("user_id"):
+        shi = slo = 0.0
+        nhigh = nlow = 0
+        for x in g["value"]:
+            shi = max(0.0, shi + (x - T - S))
+            slo = max(0.0, slo + (T - x - S))
+            if shi > TH:
+                nhigh += 1
+                shi = slo = 0.0
+            elif slo > TH:
+                nlow += 1
+                shi = slo = 0.0
+        r = got[uid]
+        assert r["n_seen"] == len(g), uid
+        assert (r["s_hi"], r["s_lo"]) == (shi, slo), uid
+        assert (r["n_high"], r["n_low"]) == (nhigh, nlow), uid
+    assert sum(r["n_high"] + r["n_low"] for r in got.values()) > 0
