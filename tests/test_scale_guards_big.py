@@ -1,0 +1,217 @@
+"""Enforced scaling-exponent guards for the heavy operators (r6 verdict #5).
+
+SCALE.md records one-off 20× measurements for the round-5/6 heavy
+operators; this file turns the claim into a guard that RUNS: each
+operator executes at two generated scales (4× apart) in the same
+session and must stay off the quadratic cliff —
+
+* wall-clock ratio t(4×)/t(1×) must stay under 10 (quadratic work is
+  16×; the bound allows exponent ≈1.66).  The small scale runs FIRST,
+  so JIT/codegen warmup inflates t(1×) and compresses the measured
+  ratio — bias is in the safe direction: a genuinely quadratic
+  operator still blows the bound, a linear one can only look better.
+* work-VOLUME ratios (emitted pairs, per-cell occupancy, iteration
+  rounds) are asserted deterministically where the operator exposes
+  them — these carry the signal when wall time is floor-dominated.
+
+Fixture shape keeps the TRUE near-dup structure linear in N (templates
+of 10 perturbed copies, vocabulary growing with N so bucket collision
+DENSITY stays constant as N grows — the honest 100 TB scaling axis;
+the density-blowup axis is covered separately by test_scale_guards).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from sap_data_pipeline_spark.operators import dedup as D
+from sap_data_pipeline_spark.operators import graph as G
+from sap_data_pipeline_spark.operators import similarity as S
+
+N_SMALL = 2000
+SCALE = 4  # big = SCALE × small on every axis
+WALL_RATIO_MAX = 10.0  # 4× data: linear → ~4, quadratic → 16
+PAIR_RATIO_MAX = 6.0  # true pairs linear by construction (→ ~4)
+
+
+def _make_corpus(spark, tmp_path_factory, n: int, tag: str) -> str:
+    """n docs = n/10 templates × 10 perturbed copies.  Each template
+    draws 40 words from its own slice of a vocabulary sized n/5, so
+    within-template docs near-dup while cross-template bucket
+    collisions stay rare — density constant in n, truth linear."""
+    rng = random.Random(1729 + n)
+    vocab_n = n // 5
+    rows = []
+    for i in range(n):
+        t = i // 10
+        words = [f"w{(t * 17 + j * 3) % vocab_n}" for j in range(40)]
+        for _ in range(rng.randrange(3)):
+            words[rng.randrange(40)] = f"w{rng.randrange(vocab_n)}"
+        rows.append((i, " ".join(words)))
+    path = str(tmp_path_factory.mktemp(f"corpus_{tag}") / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").repartition(
+        8
+    ).write.parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def corpus_small(spark, tmp_path_factory):
+    return _make_corpus(spark, tmp_path_factory, N_SMALL, "small")
+
+
+@pytest.fixture(scope="module")
+def corpus_big(spark, tmp_path_factory):
+    return _make_corpus(spark, tmp_path_factory, N_SMALL * SCALE, "big")
+
+
+def _timed_count(df) -> tuple[float, int]:
+    t0 = time.time()
+    n = df.count()
+    return time.time() - t0, n
+
+
+def test_near_dup_clusters_wall_and_pair_volume(spark, corpus_small, corpus_big):
+    """End-to-end sketch→LSH→verify→CC→cluster stats at 1× and 4×:
+    wall exponent sub-quadratic AND the verified pair graph grows
+    linearly (the quantity whose quadratic blowup would sink 100 TB)."""
+    small = spark.read.parquet(corpus_small)
+    big = spark.read.parquet(corpus_big)
+
+    t1, n1 = _timed_count(D.near_dup_clusters(small))
+    t2, n2 = _timed_count(D.near_dup_clusters(big))
+    assert n1 == N_SMALL and n2 == N_SMALL * SCALE  # one row per doc
+    assert t2 / t1 < WALL_RATIO_MAX, (t1, t2)
+
+    p1 = D.minhash_dedup_pairs(small).count()
+    p2 = D.minhash_dedup_pairs(big).count()
+    assert p1 > 0  # fixture really contains near-dups
+    assert p2 <= PAIR_RATIO_MAX * p1, (p1, p2)
+
+
+def test_simhash64_wall_and_pair_volume(spark, corpus_small, corpus_big):
+    small = spark.read.parquet(corpus_small)
+    big = spark.read.parquet(corpus_big)
+
+    df1 = D.simhash_near_dup_pairs(small)  # bits=64 production default
+    df2 = D.simhash_near_dup_pairs(big)
+    t1, p1 = _timed_count(df1)
+    t2, p2 = _timed_count(df2)
+    assert p1 > 0
+    assert t2 / t1 < WALL_RATIO_MAX, (t1, t2)
+    assert p2 <= PAIR_RATIO_MAX * p1, (p1, p2)
+
+
+def _edges(spark, n_nodes: int):
+    """Deterministic out-degree-8 multigraph, built JVM-side (no
+    driver row list): dst = (src·2654435761 + j·40503) mod n."""
+    return (
+        spark.range(n_nodes)
+        .select(
+            F.col("id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(8))).alias("j"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * 2654435761 + F.col("j") * 40503) % n_nodes).alias(
+                "dst"
+            ),
+        )
+    )
+
+
+def test_pagerank_wall_time_linearish(spark):
+    """3 fixed power iterations over 8·N edges at N=30k and N=120k —
+    per-iteration cost is one rank shuffle + one dst aggregate, so the
+    4× graph must run well under the quadratic 16×."""
+    n1 = 30_000
+    t1, r1 = _timed_count(G.pagerank(_edges(spark, n1), iterations=3))
+    t2, r2 = _timed_count(G.pagerank(_edges(spark, n1 * SCALE), iterations=3))
+    assert r1 == n1 and r2 == n1 * SCALE
+    assert t2 / t1 < WALL_RATIO_MAX, (t1, t2)
+
+
+def _embeddings(spark, n: int, dim: int):
+    """Deterministic pseudo-uniform vectors in [-1,1]^dim, JVM-side:
+    component h = hash-folded (id, h) — no cluster structure, so
+    KMeans cells partition space roughly evenly at any n."""
+    comps = F.array(*[
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(h)), F.lit(2001)) / 1000.0 - 1.0)
+        .cast("float")
+        for h in range(dim)
+    ])
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), comps.alias("embedding")
+    )
+
+
+def test_ivfpq_cells_stay_bounded_and_wall_subquadratic(spark):
+    """The IVF scale contract (SCALE.md): cell count grows WITH the
+    corpus so |cell| stays executor-sized.  At 4× vectors with 4×
+    cells: (a) p90 cell occupancy must stay within 2× — the per-probe
+    candidate bound — and (b) end-to-end ivfpq_topk (train on a fixed-
+    size sample + encode + ADC + rerank) stays sub-quadratic."""
+    dim, n1, cells1 = 16, 4000, 16
+    n2, cells2 = n1 * SCALE, cells1 * SCALE
+    queries = _embeddings(spark, 32, dim).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+
+    def p90_occupancy(n, n_cells):
+        corpus = _embeddings(spark, n, dim)
+        _, cents = S.ivf_train_cells(
+            corpus, n_cells=n_cells, sample_fraction=min(1.0, 4000 / n)
+        )
+        sizes = (
+            S._assign_cells(corpus, cents, vec_col="embedding", nprobe=1)
+            .groupBy("ivf_cell")
+            .count()
+            .select(F.percentile_approx("count", 0.9).alias("p90"))
+            .collect()[0]["p90"]
+        )
+        return sizes
+
+    occ1 = p90_occupancy(n1, cells1)
+    occ2 = p90_occupancy(n2, cells2)
+    assert occ2 <= 2 * occ1, (occ1, occ2)
+
+    def run(n, n_cells):
+        corpus = _embeddings(spark, n, dim)
+        return _timed_count(
+            S.ivfpq_topk(
+                corpus, queries, k=5, dim=dim, n_cells=n_cells,
+                sample_fraction=min(1.0, 4000 / n),
+            )
+        )
+
+    t1, k1 = run(n1, cells1)
+    t2, k2 = run(n2, cells2)
+    assert k1 == k2 == 32 * 5
+    assert t2 / t1 < WALL_RATIO_MAX, (t1, t2)
+
+
+def test_tree_root_depth_round_budget_logarithmic(spark):
+    """A depth-4096 chain must converge within ceil(log2 4096)+5 = 17
+    pointer-doubling rounds (plain per-level recursion would need 4096
+    and trip the max_iter raise) — the doc_tree_root_depth iteration
+    bound stated as an enforced budget, 8× deeper than the 512-hop CC
+    pin."""
+    depth = 4096
+    edges = spark.range(1, depth + 1).select(
+        F.col("id").alias("child"), (F.col("id") - 1).alias("parent")
+    )
+    budget = math.ceil(math.log2(depth)) + 5  # 17
+    out = G.tree_root_depth(edges, max_iter=budget)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("depth").alias("maxd"),
+        F.count_distinct("root").alias("roots"),
+    ).collect()[0]
+    assert agg["n"] == depth + 1
+    assert agg["maxd"] == depth
+    assert agg["roots"] == 1
