@@ -85,6 +85,10 @@ _TAIL = (
     "tpch_q21_suppliers_who_kept_waiting",
     # r7: batch/audit twin of the streaming CUSUM detector (r6 verdict #6)
     "events_cusum_alarms",
+    # r7 new operators (oracle-green locally; r8 rotation candidates):
+    # binned interval-overlap join + Efraimidis-Spirakis weighted sample
+    "activity_window_overlap",
+    "weighted_sample_by_length",
     "union_branches",
     "week_range_generator",
     "column_length_profile",

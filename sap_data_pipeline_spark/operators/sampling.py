@@ -501,3 +501,45 @@ def curriculum_bins(
     for b in range(n_bins - 2, -1, -1):
         label = F.when(F.col(score_col) <= F.lit(cuts[b]), F.lit(b)).otherwise(label)
     return df.withColumn(bin_col, label.cast("int"))
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    *,
+    key: str,
+    weight_col: str,
+    seed: int = 23,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly n per stratum,
+    deterministic: Efraimidis-Spirakis A-Res — each row draws a
+    content-addressed uniform u = (hash(key) mod 1e6 + 0.5)/1e6 and
+    competes on priority ``ln(u)/w`` (equivalently u^(1/w)); the top n
+    priorities per stratum are a weighted sample, rows with weight w
+    selected with the inclusion bias w deserves (quality scores, token
+    counts, dedup cluster mass as sampling weights).
+
+    Same scale/retry contract as the unweighted samplers: no ``rand()``
+    (task retries re-evaluate rand and would resample), one shuffle on
+    the strata, WindowGroupLimit keeps <= n candidates per stratum below
+    the sort.  Priorities round to 9 decimals before ranking (ties break
+    on the key) so a last-ulp ``ln`` divergence cannot reorder replicas
+    across engines — the TF-IDF boundary-rounding rule.  Non-positive
+    weights are excluded (they have no sampling mass).
+    """
+    u = (
+        F.pmod(X.hash64(F.col(key).cast("string"), seed=seed), F.lit(1_000_000))
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    pr = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    w = Window.partitionBy(*strata_cols).orderBy(
+        pr.desc(), F.col(key).asc()
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_priority", pr)
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n_per_stratum)
+        .drop("_rank")
+    )

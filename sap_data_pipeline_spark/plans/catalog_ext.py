@@ -4325,3 +4325,110 @@ def events_cusum_alarms(star: Star) -> DataFrame:
             F.col("st.nlow").alias("n_low"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join — user activity intervals vs maintenance windows.
+# The theta-join shape (ON a.start <= b.end AND b.start <= a.end) that
+# Catalyst would plan as BroadcastNestedLoopJoin; the operator rewrites
+# it as an equi hash join on quantized axis bins with emit-once-at-
+# first-overlap-bin semantics (operators/temporal.interval_overlap_join).
+# Windows are synthesized deterministically (120 x 90-minute windows
+# every 6 h from 2024-01-01 UTC) with an identical DuckDB CTE twin.
+# ---------------------------------------------------------------------------
+
+_EPOCH_2024 = 1704067200  # 2024-01-01 00:00:00 UTC, shared literal
+
+
+@register(
+    "activity_window_overlap",
+    f"""
+    WITH activity AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS a_start,
+               CAST(floor(epoch(max(ts))) AS BIGINT) AS a_end
+        FROM events GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT CAST(i AS BIGINT) AS window_id,
+               {_EPOCH_2024} + CAST(i AS BIGINT) * 21600 AS w_start,
+               {_EPOCH_2024} + CAST(i AS BIGINT) * 21600 + 5400 AS w_end
+        FROM (SELECT unnest(generate_series(0, 119)) AS i)
+    )
+    SELECT a.user_id, strftime(a.day, '%Y-%m-%d') AS day, w.window_id,
+           least(a.a_end, w.w_end) - greatest(a.a_start, w.w_start)
+               AS overlap_sec
+    FROM activity a JOIN win w
+      ON a.a_start <= w.w_end AND w.w_start <= a.a_end
+    """,
+)
+def activity_window_overlap(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.temporal import interval_overlap_join
+
+    activity = star.events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.unix_timestamp(F.min("ts")).alias("a_start"),
+        F.unix_timestamp(F.max("ts")).alias("a_end"),
+    )
+    windows = star.events.sparkSession.range(120).select(
+        F.col("id").alias("window_id"),
+        (F.lit(_EPOCH_2024) + F.col("id") * 21600).alias("w_start"),
+        (F.lit(_EPOCH_2024) + F.col("id") * 21600 + 5400).alias("w_end"),
+    )
+    joined = interval_overlap_join(
+        activity, windows,
+        left_start="a_start", left_end="a_end",
+        right_start="w_start", right_end="w_end",
+        bin_size=21600,
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "window_id",
+        (F.least("a_end", "w_end") - F.greatest("a_start", "w_start"))
+        .cast("long")
+        .alias("overlap_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis-Spirakis A-Res): inclusion probability
+# proportional to document length — the "sample long documents more"
+# curation knob, content-addressed so retries/replicas agree
+# (operators/sampling.weighted_sample_n).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_sample_by_length",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               round(ln((CAST({_hash64_sql("CAST(doc_id AS VARCHAR)", 23)}
+                              % 1000000 AS DOUBLE) + 0.5) / 1000000.0)
+                     / CAST(n_chars AS DOUBLE), 9) AS priority
+        FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY priority DESC, doc_id ASC
+        ) AS rk
+        FROM scored
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, priority
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def weighted_sample_by_length(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import weighted_sample_n
+
+    out = weighted_sample_n(
+        star.documents.select("doc_id", "lang", "n_chars"),
+        ["lang"], 20, key="doc_id", weight_col="n_chars", seed=23,
+    )
+    return out.select(
+        "doc_id", "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("_priority").alias("priority"),
+    )

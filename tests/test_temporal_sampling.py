@@ -535,3 +535,145 @@ def test_temperature_mixture_plan_smooths_toward_tail(spark):
     fracs = [r["sampling_fraction"] for r in p5.values()]
     assert all(0 < f <= 1.0 for f in fracs)
     assert any(abs(f - 1.0) < 1e-6 for f in fracs)  # binding stratum
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join (r7): binned equi-join formulation of the
+# overlap theta join
+# ---------------------------------------------------------------------------
+
+
+def _intervals(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_interval_overlap_join_matches_naive_theta_join(spark):
+    """Differential vs the naive O(L×R) predicate join across bin
+    boundary cases: touching endpoints (closed-interval), containment,
+    multi-bin spans, disjoint, and same-bin-no-overlap."""
+    import random
+
+    from sap_data_pipeline_spark.operators.temporal import interval_overlap_join
+
+    rng = random.Random(11)
+    left = [(i, rng.randrange(0, 500), 0) for i in range(60)]
+    left = [(i, s, s + rng.randrange(0, 120)) for i, s, _ in left]
+    right = [(j, rng.randrange(0, 500), 0) for j in range(40)]
+    right = [(j, s, s + rng.randrange(0, 40)) for j, s, _ in right]
+    ldf = _intervals(spark, left, "lid long, ls long, le long")
+    rdf = _intervals(spark, right, "rid long, rs long, re long")
+
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bin_size=64,
+        ).collect()
+    )
+    want = sorted(
+        (li, rj)
+        for li, ls, le in left
+        for rj, rs, re in right
+        if ls <= re and rs <= le
+    )
+    assert got == want and len(got) > 0
+    # emit-once: no pair may appear twice even when intervals share
+    # several bins
+    assert len(got) == len(set(got))
+
+
+def test_interval_overlap_join_keys_malformed_and_collision(spark):
+    from sap_data_pipeline_spark.operators.temporal import interval_overlap_join
+
+    ldf = _intervals(
+        spark,
+        [("u1", 1, 10, 100), ("u2", 2, 10, 100), ("u1", 3, 50, 40)],
+        "k string, lid long, ls long, le long",
+    )
+    rdf = _intervals(
+        spark, [("u1", 7, 5, 20)], "k string, rid long, rs long, re long"
+    )
+    # same key overlaps; different key with identical interval does NOT;
+    # the (start > end) malformed row is dropped, not joined
+    got = [
+        (r["k"], r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, on=["k"], left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bin_size=16,
+        ).collect()
+    ]
+    assert got == [("u1", 1, 7)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collision"):
+        interval_overlap_join(
+            ldf.withColumnRenamed("lid", "rid"), rdf, on=["k"],
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bin_size=16,
+        )
+
+
+def test_interval_overlap_join_plan_is_equi_hash_join(spark):
+    """The 100 TB contract: the physical plan must contain a real
+    equi-join (hash or sort-merge) on the bin key and NO nested-loop /
+    cartesian fallback — the entire point of the bin rewrite."""
+    from sap_data_pipeline_spark.operators.temporal import interval_overlap_join
+
+    ldf = spark.range(1000).select(
+        F.col("id").alias("lid"),
+        (F.col("id") * 7 % 5000).alias("ls"),
+        (F.col("id") * 7 % 5000 + 50).alias("le"),
+    )
+    rdf = spark.range(1000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 13 % 5000).alias("rs"),
+        (F.col("id") * 13 % 5000 + 20).alias("re"),
+    )
+    plan = (
+        interval_overlap_join(
+            ldf, rdf, left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bin_size=64,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_n (r7): Efraimidis-Spirakis A-Res
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_exact_n_deterministic_and_biased(spark):
+    """Exactly n per stratum, identical across re-runs, and the
+    inclusion bias is real: with 20 heavy (w=200) vs 180 light (w=1)
+    rows competing for 20 slots, heavy rows must take a clear majority
+    (uniform sampling would give them ~2)."""
+    from sap_data_pipeline_spark.operators.sampling import weighted_sample_n
+
+    rows = [(f"d{i}", "s", 200 if i < 20 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, stratum string, w long")
+    take = lambda: weighted_sample_n(  # noqa: E731
+        df, ["stratum"], 20, key="doc_id", weight_col="w"
+    )
+    got = take().collect()
+    assert len(got) == 20
+    heavy = sum(1 for r in got if r["w"] == 200)
+    assert heavy >= 12, heavy
+    assert sorted(r["doc_id"] for r in got) == sorted(
+        r["doc_id"] for r in take().collect()
+    )
+
+
+def test_weighted_sample_excludes_nonpositive_and_small_strata(spark):
+    from sap_data_pipeline_spark.operators.sampling import weighted_sample_n
+
+    df = spark.createDataFrame(
+        [("a", "x", 5), ("b", "x", 0), ("c", "x", -3), ("d", "y", 1)],
+        "doc_id string, stratum string, w long",
+    )
+    got = weighted_sample_n(df, ["stratum"], 10, key="doc_id", weight_col="w")
+    ids = sorted(r["doc_id"] for r in got.collect())
+    assert ids == ["a", "d"]  # zero/negative weights carry no mass
