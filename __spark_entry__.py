@@ -89,6 +89,8 @@ _TAIL = (
     # binned interval-overlap join + Efraimidis-Spirakis weighted sample
     "activity_window_overlap",
     "weighted_sample_by_length",
+    "embedding_pca_whiten",
+    "host_communities_lpa",
     "union_branches",
     "week_range_generator",
     "column_length_profile",

@@ -74,26 +74,30 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # 5 runs per query.  `value` stays sum-of-mins (steady-state plan
-    # cost, comparable with every prior round); `total_median5` is the
-    # sum of per-query medians (VERDICT r5 #8) — the median is robust to
-    # one GC/JIT outlier, so round-over-round deltas in it carry signal
-    # the 25-30% best-run spread was masking.  run_spread_pct records
-    # the median (max-min)/min across queries as the run's own noise
-    # floor.  Per-sf_dir model caches (ANN codebooks) fill on run 1;
-    # min/median over 5 report serving cost, which is the number that
-    # matters round-over-round (training is a one-time corpus artifact).
+    # 6 runs per query, the FIRST discarded from every statistic: run 1
+    # at the benchmark sf_dir pays per-(query, sf) one-time costs — file
+    # listing, query planning, codegen for the real file splits, and the
+    # per-sf_dir model/index caches (ANN codebooks, near-dup pair graph)
+    # — which are corpus artifacts, not serving cost.  Folding run 1
+    # into the stats was the dominant term in the 25-30% r5/r6
+    # run_spread_pct (r6 verdict #3): (max-min)/min mostly measured
+    # run 1 vs the steady state.  Over the five steady-state runs,
+    # `value` stays sum-of-mins (comparable with every prior round),
+    # `queries_median`/`total_median5` report the per-query medians, and
+    # run_spread_pct records the median (max-min)/min across queries as
+    # the instrument's own noise floor.
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: list[float] = []
     jvm_gc = spark.sparkContext._jvm.System.gc
     for name in HEADLINE:
         runs = []
-        for _ in range(5):
+        for _ in range(6):
             jvm_gc()  # don't bill query N for query N-1's garbage
             t0 = time.time()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
+        runs = runs[1:]  # drop the one-time-cost run
         timings[name] = round(min(runs), 3)
         medians[name] = round(sorted(runs)[len(runs) // 2], 3)
         spreads.append((max(runs) - min(runs)) / min(runs))

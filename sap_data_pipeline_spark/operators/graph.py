@@ -34,6 +34,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 3,
     checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -55,6 +56,15 @@ def pagerank(
     ``iterations`` is deliberately fixed (not convergence-driven): a
     curation pipeline wants a deterministic, budget-bounded pass, and
     rank *ordering* stabilises long before the values do.
+
+    ``checkpoint_every`` (rounds between lineage cuts; 0 = never): each
+    round consumes its predecessor twice (dangling mass + contribs), so
+    an uncheckpointed plan re-derives prior rounds 2^k-fold — fine ONLY
+    for the small fixed budgets this operator is meant for (k ≤ ~4 over
+    a rank frame that is orders of magnitude smaller than the edges),
+    where trading a few redundant tiny-frame stages for ``iterations``
+    fewer eager materialization barriers is a win for one-shot
+    consumers.  Long runs and cluster jobs keep the default.
     """
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -84,7 +94,7 @@ def pagerank(
         if n == 0:  # empty link batch: zero rows, stable schema, no 1/0
             return nodes.select("node", F.lit(0.0).alias("pr"))
         ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
-        for _ in range(iterations):
+        for it in range(iterations):
             with_deg = ranks.join(
                 outdeg, ranks["node"] == outdeg["src"], "left"
             ).select("node", "pr", "deg")
@@ -103,7 +113,7 @@ def pagerank(
                 .groupBy("node")
                 .agg(F.sum("w").alias("in_mass"))
             )
-            ranks = ckpt(
+            ranks = (
                 nodes.join(contribs, "node", "left")
                 .crossJoin(F.broadcast(dangling))
                 .select(
@@ -118,6 +128,8 @@ def pagerank(
                     ).alias("pr"),
                 )
             )
+            if checkpoint_every and (it + 1) % checkpoint_every == 0:
+                ranks = ckpt(ranks)
         return ranks
     finally:
         e.unpersist()
@@ -213,3 +225,86 @@ def tree_root_depth(
         f"tree_root_depth did not converge in {max_iter} rounds — "
         "the edge set likely contains a cycle"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over an undirected graph — the curation companion to
+    :func:`pagerank`: where connected components answer "what is
+    reachable", LPA finds DENSE regions (mirror farms, spam link rings,
+    template families) inside one giant connected web graph, where CC
+    would collapse everything into a single component.
+
+    Deterministic formulation (the classic algorithm breaks ties
+    randomly; a curation pipeline must not): labels start as the node
+    id; each synchronous round every node adopts the most frequent
+    label among its neighbors AND itself (the self-vote damps the
+    period-2 oscillation synchronous LPA exhibits on bipartite-ish
+    subgraphs — e.g. a bare two-node edge would otherwise swap labels
+    forever), ties broken toward the SMALLEST label.  Fixed
+    ``iterations`` like :func:`pagerank` — budget-bounded, replayable,
+    and expressible as an unrolled SQL CTE chain for cross-engine
+    verification.
+
+    Scale shape: the (symmetrized, DISTINCT-ed) edge list shuffles to a
+    ``src`` layout ONCE and persists; each round joins the one-row-per-
+    node label frame against that fixed layout, aggregates neighbor
+    label counts ((dst, label) grain — bounded by edge count), and
+    picks the winner with a single ``max(struct(cnt, -label))`` —
+    no window sort.  Per-round lineage is cut by the same checkpoint
+    discipline as :func:`connected_components`.
+    """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    e = (
+        fwd.unionAll(rev)
+        .filter(F.col("src") != F.col("dst"))  # self-loops carry no info
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        labels = nodes.select("node", F.col("node").alias("lbl"))
+        for _ in range(iterations):
+            votes = labels.join(e, labels["node"] == e["src"]).select(
+                F.col("dst").alias("node"), "lbl"
+            ).unionAll(labels)  # the self-vote
+            counts = votes.groupBy("node", "lbl").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            # winner per node: max count, then min label — one
+            # lexicographic struct max, no window
+            winner = counts.groupBy("node").agg(
+                F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg")))
+                .alias("w")
+            ).select("node", (-F.col("w.neg")).alias("new_lbl"))
+            labels = ckpt(
+                labels.join(winner, "node", "left").select(
+                    "node", F.coalesce("new_lbl", "lbl").alias("lbl")
+                )
+            )
+        return labels.withColumnRenamed("lbl", "community")
+    finally:
+        e.unpersist()
+        nodes.unpersist()

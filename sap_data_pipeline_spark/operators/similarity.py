@@ -32,7 +32,7 @@ from sap_data_pipeline_spark.functions import vectors as V
 # queries in one session — tests_ann pins the count so a cache re-key
 # regression (every query re-fitting its codebooks) fails loudly
 # instead of silently multiplying training cost.
-train_calls: dict[str, int] = {"ivf": 0, "pq": 0}
+train_calls: dict[str, int] = {"ivf": 0, "pq": 0, "pca": 0}
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
@@ -580,7 +580,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
                nbits: int = 4, seed: int = 7,
                sample_fraction: float | None = None,
                centroids: list[list[float]] | None = None,
-               codebooks: list[list[list[float]]] | None = None) -> DataFrame:
+               codebooks: list[list[list[float]]] | None = None,
+               encoded: DataFrame | None = None) -> DataFrame:
     """IVF + PQ — the full FAISS IVFPQ layout both building blocks
     document: the IVF coarse quantizer makes candidate generation
     SUBLINEAR (each query touches ``nprobe`` of ``n_cells`` cells), and
@@ -601,7 +602,12 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
 
     ``centroids``/``codebooks`` accept pretrained models (from
     :func:`ivf_train_cells` / :func:`pq_train_codebooks`) so the two
-    KMeans passes run once per corpus, not once per query batch.
+    KMeans passes run once per corpus, not once per query batch; and
+    ``encoded`` accepts the materialized (neighbor_id, pq_code,
+    ivf_cell) index frame — in a serving deployment the encoded index
+    IS the stored artifact (that is the point of PQ: 32× smaller than
+    the floats), so per-query-batch work reduces to the cell join +
+    ADC + rerank.
     """
     if centroids is None:
         _, centroids = ivf_train_cells(
@@ -613,13 +619,16 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
             corpus, vec_col=vec_col, dim=dim, m=m, nbits=nbits, seed=seed,
             sample_fraction=sample_fraction,
         )
-    cb = _assign_cells(
-        pq_encode(
-            corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
-            codebooks, vec_col=vec_col,
-        ),
-        centroids, vec_col=vec_col, nprobe=1,
-    ).select("neighbor_id", "pq_code", "ivf_cell")
+    if encoded is not None:
+        cb = encoded.select("neighbor_id", "pq_code", "ivf_cell")
+    else:
+        cb = _assign_cells(
+            pq_encode(
+                corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+                codebooks, vec_col=vec_col,
+            ),
+            centroids, vec_col=vec_col, nprobe=1,
+        ).select("neighbor_id", "pq_code", "ivf_cell")
     # distance table computed BEFORE the nprobe explode — one table per
     # query rides the broadcast, not one copy per probed cell
     qb = F.broadcast(
@@ -640,3 +649,114 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
         _adc_shortlist(scored, k), corpus, queries, k,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA / whitening over the embedding column
+# ---------------------------------------------------------------------------
+
+
+def pca_train(corpus: DataFrame, *, vec_col: str = "embedding", dim: int,
+              k: int = 8, seed: int = 7,
+              sample_fraction: float | None = None) -> dict:
+    """Train a PCA basis for embedding preprocessing (dimensionality
+    reduction before ANN/clustering, whitening before cosine-threshold
+    dedup — SemDeDup-style pipelines assume roughly isotropic vectors).
+
+    Spark-first split of the work: the component basis comes from
+    ``pyspark.ml.feature.PCA`` (distributed covariance + eigensolve —
+    optionally on a ``sample_fraction``, the same train-on-a-sample
+    trade as the IVF/PQ quantizers); the mean and per-component spread
+    are ONE aggregate each over the full corpus.  Spark's PCAModel
+    projects RAW vectors (it never subtracts the training mean), so the
+    model returned here carries its own mean and :func:`pca_project`
+    centers explicitly — without this the first component just points
+    at the corpus centroid.
+
+    Component signs are eigensolver implementation detail; they are
+    canonicalized (largest-|loading| coordinate positive) so retrains
+    and replicas emit bit-identical projections.
+
+    Returns a plain-Python model dict ``{"mean", "components"(k×dim),
+    "comp_std"(k)}`` — session-independent, cacheable per corpus like
+    the ANN codebooks.
+    """
+    from pyspark.ml.feature import PCA as MLPCA
+    from pyspark.ml.functions import array_to_vector
+
+    train_calls["pca"] += 1
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    model = MLPCA(k=k, inputCol="features", outputCol="pc").fit(train)
+    # model.pc is dim×k column-major; transpose to k rows of dim loadings
+    pc = model.pc.toArray()
+    components = []
+    for j in range(k):
+        row = [float(pc[i][j]) for i in range(dim)]
+        mx = max(range(dim), key=lambda i: abs(row[i]))
+        if row[mx] < 0:
+            row = [-v for v in row]
+        components.append(row)
+
+    mean_row = corpus.agg(
+        F.array(*[
+            F.avg(F.col(vec_col)[i].cast("double")) for i in range(dim)
+        ]).alias("mu")
+    ).collect()[0]["mu"]
+    mean = [float(v) for v in mean_row]
+
+    # per-component std over the FULL corpus (projections of centered
+    # vectors have exact zero mean, so std = sqrt(E[proj²]))
+    proj = _project_cols(F.col(vec_col), mean, components)
+    std_row = corpus.agg(
+        F.array(*[
+            F.sqrt(F.avg(proj[j] * proj[j])) for j in range(k)
+        ]).alias("sd")
+    ).collect()[0]["sd"]
+    return {
+        "mean": mean,
+        "components": components,
+        "comp_std": [float(v) for v in std_row],
+    }
+
+
+def _project_cols(vec, mean: list[float], components: list[list[float]]):
+    """k projection expressions of (vec - mean) onto literal component
+    rows — zip_with/aggregate folds inside codegen, no Python per row,
+    one centered array shared by all k dots."""
+    centered = F.zip_with(
+        vec, F.lit(mean), lambda x, m: x.cast("double") - m
+    )
+    return [
+        F.aggregate(
+            F.zip_with(centered, F.lit(c), lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in components
+    ]
+
+
+def pca_project(df: DataFrame, model: dict, *, vec_col: str = "embedding",
+                whiten: bool = True, out_col: str = "pca",
+                round_to: int | None = 6) -> DataFrame:
+    """Project (and optionally whiten) every vector onto the trained
+    basis: ``out[j] = dot(x - mean, comp_j) (/ comp_std_j)``.
+
+    Map-side only — the model enters as array literals exactly like the
+    PQ codebooks; nothing shuffles, nothing is collected.  Rounding at
+    the output (default 6 dp) keeps downstream cross-engine/replica
+    comparisons off the last-ulp boundary.
+    """
+    proj = _project_cols(F.col(vec_col), model["mean"], model["components"])
+    if whiten:
+        proj = [
+            p / F.lit(sd + 1e-12)
+            for p, sd in zip(proj, model["comp_std"], strict=True)
+        ]
+    if round_to is not None:
+        proj = [F.round(p, round_to) for p in proj]
+    return df.withColumn(out_col, F.array(*proj))

@@ -3314,12 +3314,43 @@ def events_prefix_match_enrich(star: Star) -> DataFrame:
     ).filter(F.col("matched_bits").isNotNull())
 
 
+_ivfpq_index_cache: dict[tuple, DataFrame] = {}
+
+
+def _ivfpq_encoded_cached(star: Star) -> DataFrame:
+    """Materialized (neighbor_id, pq_code, ivf_cell) serving index for
+    star.embeddings — the stored artifact a PQ deployment actually
+    serves from (32× smaller than the float vectors).  Encoded ONCE per
+    (session, sf_dir) with the cached models; session-keyed like the
+    near-dup pair-graph index because a DataFrame cannot outlive its
+    SparkSession."""
+    spark = star.embeddings.sparkSession
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect has no sparkContext
+        app_id = str(id(spark))
+    key = (app_id, star.sf_dir)
+    if key not in _ivfpq_index_cache:
+        enc = S._assign_cells(
+            S.pq_encode(
+                star.embeddings.select(
+                    F.col("vec_id").alias("neighbor_id"), "embedding"
+                ),
+                _pq_codebooks_cached(star),
+            ),
+            _ivf_centroids_cached(star), vec_col="embedding", nprobe=1,
+        ).select("neighbor_id", "pq_code", "ivf_cell")
+        _ivfpq_index_cache[key] = enc.localCheckpoint(eager=True)
+    return _ivfpq_index_cache[key]
+
+
 @register("ann_ivfpq_topk")
 def ann_ivfpq_topk(star: Star) -> DataFrame:
     """IVF cells × PQ codes × cosine rerank — the composed FAISS IVFPQ
     layout; rows-only (KMeans-trained models, cached per sf_dir and
-    shared with ann_pq_topk), recall-gated in tests like its IVF and PQ
-    components."""
+    shared with ann_pq_topk; the encoded index frame itself is the
+    second-level cached artifact), recall-gated in tests like its IVF
+    and PQ components."""
     queries = star.embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -3328,6 +3359,7 @@ def ann_ivfpq_topk(star: Star) -> DataFrame:
         m=8, nbits=4, query_id_col="query_id",
         centroids=_ivf_centroids_cached(star),
         codebooks=_pq_codebooks_cached(star),
+        encoded=_ivfpq_encoded_cached(star),
     )
 
 
@@ -4431,4 +4463,107 @@ def weighted_sample_by_length(star: Star) -> DataFrame:
         "doc_id", "lang",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("_priority").alias("priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA whitening of the embedding column (operators.similarity.pca_train /
+# pca_project): dimensionality reduction + isotropy normalization ahead
+# of cosine-threshold dedup and ANN.  Rows-only by design — the basis
+# comes from a distributed eigensolve with no cross-engine twin; the
+# subspace/whitening contracts are differential-tested against numpy in
+# test_dedup_similarity.  Train-once: the basis is a corpus artifact,
+# cached per (sf_dir, params) beside the ANN codebooks.
+# ---------------------------------------------------------------------------
+
+_PCA_PARAMS = dict(dim=64, k=8, seed=7)
+
+
+def _pca_model_cached(star: Star) -> dict:
+    key = ("pca", star.sf_dir, *sorted(_PCA_PARAMS.items()))
+    if key not in _ann_model_cache:
+        _ann_model_cache[key] = S.pca_train(star.embeddings, **_PCA_PARAMS)
+    return _ann_model_cache[key]
+
+
+@register("embedding_pca_whiten")
+def embedding_pca_whiten(star: Star) -> DataFrame:
+    out = S.pca_project(
+        star.embeddings, _pca_model_cached(star), whiten=True
+    )
+    return out.select("vec_id", "label", F.col("pca").alias("pca_whitened"))
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the synthetic host graph
+# (operators.graph.label_propagation): dense-region detection (mirror
+# farms / link rings) where CC would merge the whole web into one
+# component.  Deterministic min-label tie-break makes the fixed-round
+# algorithm SQL-expressible — the oracle unrolls the rounds as CTEs,
+# exactly like the PageRank twin.
+# ---------------------------------------------------------------------------
+
+
+def _lpa_oracle(iterations: int = 4) -> str:
+    ctes = [
+        f"raw AS ({_PR_EDGE_SQL})",
+        """fwd AS (
+        SELECT src, dst FROM raw
+        UNION SELECT dst AS src, src AS dst FROM raw)""",
+        "e AS (SELECT DISTINCT src, dst FROM fwd WHERE src <> dst)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)",
+        "l0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"l{i - 1}"
+        ctes.append(
+            f"""c{i} AS (
+        SELECT node, lbl, COUNT(*) AS cnt FROM (
+            SELECT e.dst AS node, l.lbl
+            FROM {p} l JOIN e ON l.node = e.src
+            UNION ALL
+            SELECT node, lbl FROM {p}
+        ) GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""l{i} AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl, row_number() OVER (
+                PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+            FROM c{i})
+        WHERE rn = 1)"""
+        )
+    last = f"l{iterations}"
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f""",
+    sz AS (SELECT lbl, COUNT(*) AS community_size FROM {last} GROUP BY 1)
+    SELECT CAST(l.node AS BIGINT) AS host_id,
+           CAST(l.lbl AS BIGINT) AS community,
+           CAST(sz.community_size AS BIGINT) AS community_size
+    FROM {last} l JOIN sz ON l.lbl = sz.lbl
+    """
+    )
+
+
+@register("host_communities_lpa", _lpa_oracle())
+def host_communities_lpa(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators import graph as G
+
+    docs = star.documents
+    e1 = docs.select(
+        (F.col("doc_id") % 89).alias("src"), (F.col("doc_id") % 83).alias("dst")
+    )
+    e2 = docs.select(
+        (F.col("doc_id") % 89).alias("src"),
+        (F.lit(89) + F.col("doc_id") % 7).alias("dst"),
+    )
+    lab = G.label_propagation(e1.unionAll(e2), iterations=4)
+    sizes = lab.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return lab.join(sizes, "community").select(
+        F.col("node").cast("long").alias("host_id"),
+        F.col("community").cast("long").alias("community"),
+        "community_size",
     )

@@ -879,3 +879,99 @@ def test_near_dup_index_builds_once(spark):
     # a different sf_dir is a different corpus: must rebuild, not serve
     QUERIES["near_dup_clusters"](spark, "/root/testdata/sf0.01").count()
     assert CE._near_dup_index_builds - before == 2
+
+
+# ---------------------------------------------------------------------------
+# PCA / whitening (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_pca_matches_numpy_and_whitens(spark, star):
+    """Differential vs numpy eigendecomposition on the same data: the
+    trained basis must be orthonormal, span the same top-k subspace
+    (|cos| per component ≥ 0.99 against the numpy eigenvectors), and
+    whitened projections must have unit variance and ~zero cross-
+    covariance — the isotropy contract SemDeDup-style cosine thresholds
+    assume."""
+    import numpy as np
+
+    from sap_data_pipeline_spark.operators import similarity as S
+
+    k = 4
+    model = S.pca_train(star.embeddings, dim=64, k=k)
+    C = np.array(model["components"])  # k × 64
+
+    # orthonormal basis
+    assert np.allclose(C @ C.T, np.eye(k), atol=1e-6)
+
+    X = np.array([
+        r["embedding"]
+        for r in star.embeddings.select("embedding").collect()
+    ], dtype=np.float64)
+    cov = np.cov(X, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, np.argsort(evals)[::-1][:k]].T  # k × 64
+    for j in range(k):
+        assert abs(float(top[j] @ C[j])) >= 0.99, j
+
+    # mean really is the corpus mean (PCAModel.transform would skip it)
+    assert np.allclose(model["mean"], X.mean(axis=0), atol=1e-9)
+
+    got = S.pca_project(
+        star.embeddings, model, whiten=True, round_to=None
+    ).select("pca").collect()
+    P = np.array([r["pca"] for r in got])
+    pcov = np.cov(P, rowvar=False, bias=True)
+    assert np.allclose(np.diag(pcov), 1.0, atol=1e-3)
+    off = pcov - np.diag(np.diag(pcov))
+    assert np.abs(off).max() < 1e-3
+
+
+def test_pca_sign_canonical_and_cache_trains_once(spark, star):
+    """Retrain determinism (canonical signs) and the train-once pin:
+    two catalog calls in one session must fit ONE basis."""
+    from sap_data_pipeline_spark.operators import similarity as S
+    from sap_data_pipeline_spark.plans import catalog_ext as CE
+    from sap_data_pipeline_spark.plans.catalog import QUERIES
+
+    m1 = S.pca_train(star.embeddings, dim=64, k=3)
+    m2 = S.pca_train(star.embeddings, dim=64, k=3)
+    assert m1["components"] == m2["components"]
+    assert m1["comp_std"] == m2["comp_std"]
+
+    CE._ann_model_cache.clear()
+    before = S.train_calls["pca"]
+    for _ in range(2):
+        QUERIES["embedding_pca_whiten"](spark, "/root/testdata/sf0.001").count()
+    assert S.train_calls["pca"] - before == 1
+
+
+def test_ivfpq_encoded_index_parity(spark, star):
+    """Serving from the materialized (neighbor_id, pq_code, ivf_cell)
+    index frame must return exactly what encode-on-the-fly returns —
+    the encoded index is a cache, never a semantics change."""
+    from sap_data_pipeline_spark.operators import similarity as S
+
+    queries = star.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    _, cents = S.ivf_train_cells(star.embeddings, n_cells=8, seed=7)
+    books = S.pq_train_codebooks(star.embeddings, dim=64, m=8, nbits=4, seed=7)
+    enc = S._assign_cells(
+        S.pq_encode(
+            star.embeddings.select(
+                F.col("vec_id").alias("neighbor_id"), "embedding"
+            ),
+            books,
+        ),
+        cents, vec_col="embedding", nprobe=1,
+    ).select("neighbor_id", "pq_code", "ivf_cell")
+
+    kw = dict(k=5, dim=64, n_cells=8, nprobe=4, m=8, nbits=4,
+              query_id_col="query_id", centroids=cents, codebooks=books)
+    direct = S.ivfpq_topk(star.embeddings, queries, **kw).collect()
+    served = S.ivfpq_topk(star.embeddings, queries, encoded=enc, **kw).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, direct), key=lambda t: t[:2]) == sorted(
+        map(tuple, served), key=lambda t: t[:2]
+    )

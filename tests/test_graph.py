@@ -145,3 +145,59 @@ def test_tree_root_depth_log_rounds(spark):
     got = {r["node"]: r["depth"]
            for r in tree_root_depth(df, max_iter=budget).collect()}
     assert got[n] == n and got[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# label_propagation (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_two_triangles(spark):
+    """Hand-traced sync LPA with min-label ties: two triangles joined
+    by one bridge settle into their own communities (min labels 0 and
+    10 after 4 rounds — the bridge keeps the triangles from merging
+    because in-triangle labels always outvote the single cross edge)."""
+    from sap_data_pipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["community"]
+           for r in label_propagation(edges, iterations=4).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+    again = {r["node"]: r["community"]
+             for r in label_propagation(edges, iterations=4).collect()}
+    assert got == again  # deterministic re-run
+
+
+def test_label_propagation_drops_self_loops_and_directions(spark):
+    """Self-loops carry no community information (dropped, and a
+    self-loop-only node does not appear at all); edge direction is
+    ignored (symmetrized), duplicate edges collapse."""
+    from sap_data_pipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 1), (1, 2)], "src long, dst long"
+    )
+    got = {r["node"]: r["community"]
+           for r in label_propagation(edges, iterations=2).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_pagerank_checkpoint_every_zero_same_ranks(spark):
+    """checkpoint_every=0 (one-shot lazy plan) must agree with the
+    per-round-checkpoint default to 6 dp — double summation order over
+    shuffles is the only divergence allowed."""
+    from sap_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 3), (4, 0)],
+        "src long, dst long",
+    )
+    a = {r["node"]: round(r["pr"], 6)
+         for r in pagerank(edges, iterations=4).collect()}
+    b = {r["node"]: round(r["pr"], 6)
+         for r in pagerank(edges, iterations=4, checkpoint_every=0).collect()}
+    assert a == b
