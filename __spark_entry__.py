@@ -91,6 +91,7 @@ _TAIL = (
     "weighted_sample_by_length",
     "embedding_pca_whiten",
     "host_communities_lpa",
+    "knn_graph_cells",
     "union_branches",
     "week_range_generator",
     "column_length_profile",

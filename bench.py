@@ -54,6 +54,15 @@ HEADLINE = [
     # regex-scan-heavy quality battery
     "doc_tree_root_depth",
     "gopher_quality_flags",
+    # round-7 additions: the partsupp-joining TPC-H shapes, the CUSUM
+    # batch fold, and the new operator families (binned interval join,
+    # LPA communities, PCA whitening serving path)
+    "tpch_q9_product_type_profit",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "events_cusum_alarms",
+    "activity_window_overlap",
+    "host_communities_lpa",
+    "embedding_pca_whiten",
 ]
 
 
@@ -74,18 +83,22 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # 6 runs per query, the FIRST discarded from every statistic: run 1
-    # at the benchmark sf_dir pays per-(query, sf) one-time costs — file
-    # listing, query planning, codegen for the real file splits, and the
-    # per-sf_dir model/index caches (ANN codebooks, near-dup pair graph)
-    # — which are corpus artifacts, not serving cost.  Folding run 1
-    # into the stats was the dominant term in the 25-30% r5/r6
-    # run_spread_pct (r6 verdict #3): (max-min)/min mostly measured
-    # run 1 vs the steady state.  Over the five steady-state runs,
-    # `value` stays sum-of-mins (comparable with every prior round),
-    # `queries_median`/`total_median5` report the per-query medians, and
-    # run_spread_pct records the median (max-min)/min across queries as
-    # the instrument's own noise floor.
+    # 6 consecutive runs per query, the FIRST discarded from every
+    # statistic: run 1 at the benchmark sf_dir pays per-(query, sf)
+    # one-time costs — file listing, planning, codegen for the real
+    # splits, and the per-sf_dir model/index caches (ANN codebooks,
+    # near-dup pair graph) — which are corpus artifacts, not serving
+    # cost.  Folding run 1 into the stats was the dominant term in the
+    # 25-30% r5/r6 run_spread_pct (r6 verdict #3); dropping it measures
+    # 12-13%.  A round-robin variant (6 whole-suite passes, first pass
+    # dropped) was tried and measured WORSE on both axes (38.8% spread,
+    # +21% total): separating a query's runs by ~60 s of other queries
+    # dilutes its JIT profile and imports their GC pressure —
+    # back-to-back runs are the steadier instrument on a shared JVM.
+    # `value` stays sum-of-mins (steady-state plan cost, comparable
+    # with every prior round); `queries_median`/`total_median5` are the
+    # per-query medians; run_spread_pct is the median (max-min)/min
+    # across queries — the instrument's own noise floor.
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: list[float] = []

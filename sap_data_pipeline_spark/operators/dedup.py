@@ -885,6 +885,70 @@ def embedding_near_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
     )
 
 
+def seeded_cell_assign(emb: DataFrame, *, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       n_cells: int = 8, nprobe: int = 2) -> DataFrame:
+    """Deterministic coarse-quantizer cell assignment — the shared
+    blocking primitive under :func:`embedding_near_dup_pairs_by_cell`
+    and :func:`similarity.knn_graph`.
+
+    Centroids are the ``n_cells`` vectors with the smallest
+    ``md5('cell:' || id)`` (a seeded sample — no iterative training, so
+    the WHOLE operator stays one declarative, SQL-replayable plan);
+    each vector probes its ``nprobe`` nearest cells by L2 so
+    cell-boundary neighbors still meet.  Assignment is map-side: the
+    centroid array broadcasts as ONE row and ranks via higher-order
+    array expressions.  Returns (id, vec, cell) with nprobe rows per
+    vector.
+    """
+    v_dbl = F.col(vec_col).cast("array<double>")
+    cents = (
+        emb.select(
+            F.col(id_col).alias("_cid"),
+            v_dbl.alias("cent_vec"),
+            F.md5(F.concat(F.lit("cell:"), F.col(id_col).cast("string"))).alias("_r"),
+        )
+        .orderBy("_r", "_cid")
+        .limit(n_cells)
+    )
+    cents = cents.select(
+        (F.row_number().over(Window.orderBy("_r", "_cid")) - 1).alias("cell"),
+        "cent_vec",
+    )
+    cents_arr = cents.agg(
+        F.collect_list(F.struct(F.col("cell"), F.col("cent_vec"))).alias("_cents")
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            c["cell"].alias("cell"),
+            F.aggregate(
+                F.zip_with(v_dbl, c["cent_vec"], lambda x, m: (x - m) * (x - m)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        ),
+    )
+    by_dist = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["dist"] < b["dist"], -1)
+        .when(a["dist"] > b["dist"], 1)
+        .when(a["cell"] < b["cell"], -1)
+        .when(a["cell"] > b["cell"], 1)
+        .otherwise(0),
+    )
+    return (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cents_arr))
+        .withColumn("_near", F.slice(by_dist, 1, nprobe))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(F.col("_near").getField("cell")).alias("cell"),
+        )
+    )
+
+
 def embedding_near_dup_pairs_by_cell(emb: DataFrame, *, id_col: str = "vec_id",
                                      vec_col: str = "embedding",
                                      threshold: float = 0.95,
@@ -905,54 +969,8 @@ def embedding_near_dup_pairs_by_cell(emb: DataFrame, *, id_col: str = "vec_id",
     skew-split covers hot cells) and the candidate-pair distinct.
     Returns (id_a, id_b, cosine) ≥ threshold.
     """
-    from pyspark.sql.window import Window
-
-    v_dbl = F.col(vec_col).cast("array<double>")
-    cents = (
-        emb.select(
-            F.col(id_col).alias("_cid"),
-            v_dbl.alias("cent_vec"),
-            F.md5(F.concat(F.lit("cell:"), F.col(id_col).cast("string"))).alias("_r"),
-        )
-        .orderBy("_r", "_cid")
-        .limit(n_cells)
-    )
-    cents = cents.select(
-        (F.row_number().over(Window.orderBy("_r", "_cid")) - 1).alias("cell"),
-        "cent_vec",
-    )
-    cents_arr = cents.agg(
-        F.collect_list(F.struct(F.col("cell"), F.col("cent_vec"))).alias("_cents")
-    )
-
-    scored = F.transform(
-        F.col("_cents"),
-        lambda c: F.struct(
-            c["cell"].alias("cell"),
-            F.aggregate(
-                F.zip_with(v_dbl, c["cent_vec"], lambda x, m: (x - m) * (x - m)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-        ),
-    )
-    by_dist = F.array_sort(
-        scored,
-        lambda a, b: F.when(a["dist"] < b["dist"], -1)
-        .when(a["dist"] > b["dist"], 1)
-        .when(a["cell"] < b["cell"], -1)
-        .when(a["cell"] > b["cell"], 1)
-        .otherwise(0),
-    )
-    assigned = (
-        emb.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(cents_arr))
-        .withColumn("_near", F.slice(by_dist, 1, nprobe))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.explode(F.col("_near").getField("cell")).alias("cell"),
-        )
+    assigned = seeded_cell_assign(
+        emb, id_col=id_col, vec_col=vec_col, n_cells=n_cells, nprobe=nprobe
     )
     a = assigned.select("cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = assigned.select("cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

@@ -760,3 +760,53 @@ def pca_project(df: DataFrame, model: dict, *, vec_col: str = "embedding",
     if round_to is not None:
         proj = [F.round(p, round_to) for p in proj]
     return df.withColumn(out_col, F.array(*proj))
+
+
+def knn_graph(emb: DataFrame, k: int = 3, *, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              n_cells: int = 8, nprobe: int = 2) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole corpus — every vector's
+    top-k cosine neighbors, the building block for graph-based curation
+    (SemDeDup communities, density/outlier pruning, diversity-aware
+    subset selection).  The topk operators above answer a QUERY batch;
+    this materializes the corpus×corpus structure.
+
+    All-pairs is N²; candidates are blocked by the deterministic
+    seeded-sample quantizer cells shared with
+    :func:`dedup.embedding_near_dup_pairs_by_cell`
+    (``dedup.seeded_cell_assign``), so the pair space is Σ|cell|² and
+    the plan stays fully declarative/SQL-replayable (no KMeans pass —
+    which is what lets the catalog hash-verify the whole graph against
+    DuckDB).  Per-source top-k runs as a WindowGroupLimit (each
+    partition keeps ≤ k candidates per source below the sort).  Recall
+    is bounded by the probed cells — raise ``nprobe`` (or swap in the
+    trained IVF cells) when edge recall matters more than cost.
+
+    Returns (id, neighbor_id, cosine, rank) — DIRECTED edges, rank 1 =
+    nearest; cosine rounded to 6 dp with id tie-breaks so replicas and
+    engines rank identically.
+    """
+    from sap_data_pipeline_spark.operators.dedup import seeded_cell_assign
+
+    assigned = seeded_cell_assign(
+        emb, id_col=id_col, vec_col=vec_col, n_cells=n_cells, nprobe=nprobe
+    )
+    a = assigned.select("cell", F.col(id_col), F.col(vec_col).alias("_va"))
+    b = assigned.select(
+        "cell",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vb"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col(id_col) != F.col("neighbor_id"))
+        # a pair sharing ≥2 probed cells must score once, not nprobe²
+        .dropDuplicates([id_col, "neighbor_id"])
+        .withColumn("cosine", F.round(V.cosine("_va", "_vb"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "neighbor_id", "cosine", "rank")
+    )

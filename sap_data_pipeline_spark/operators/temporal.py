@@ -217,6 +217,7 @@ def interval_overlap_join(
     right_end: str,
     bin_size: int,
     on: Sequence[str] = (),
+    max_bins_per_interval: int = 4096,
 ) -> DataFrame:
     """General interval-overlap join (closed intervals, numeric axis):
     emit one row per (left, right) pair with
@@ -244,6 +245,14 @@ def interval_overlap_join(
     alone — fine when the axis spans many bins (key cardinality =
     axis/bin_size, AQE splits any hot bin); add a real key (user, host,
     chromosome) whenever the workload has one.
+
+    ``max_bins_per_interval`` is the blow-up guard (the LSH bucket-cap
+    policy applied to fan-out): one garbage row with ``end`` near the
+    numeric max would otherwise ask ``sequence()`` for billions of
+    bins and kill the stage.  Intervals wider than the cap are DROPPED
+    (recall degrades on corrupt rows; memory never) — audit them with
+    ``df.filter((end - start) / bin_size >= cap)`` upstream if the
+    workload needs the census.
     """
     on = list(on)
     overlap = (set(left.columns) & set(right.columns)) - set(on)
@@ -251,14 +260,12 @@ def interval_overlap_join(
         raise ValueError(f"left/right column collision: {sorted(overlap)}")
 
     def binned(df: DataFrame, start: str, end: str) -> DataFrame:
-        return df.filter(F.col(start) <= F.col(end)).withColumn(
-            "_bin",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(start) / F.lit(bin_size)).cast("long"),
-                    F.floor(F.col(end) / F.lit(bin_size)).cast("long"),
-                )
-            ),
+        lo = F.floor(F.col(start) / F.lit(bin_size)).cast("long")
+        hi = F.floor(F.col(end) / F.lit(bin_size)).cast("long")
+        return (
+            df.filter(F.col(start) <= F.col(end))
+            .filter(hi - lo < F.lit(max_bins_per_interval))
+            .withColumn("_bin", F.explode(F.sequence(lo, hi)))
         )
 
     first_overlap_bin = F.floor(

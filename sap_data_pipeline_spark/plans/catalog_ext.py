@@ -4567,3 +4567,65 @@ def host_communities_lpa(star: Star) -> DataFrame:
         F.col("community").cast("long").alias("community"),
         "community_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus k-NN graph (operators.similarity.knn_graph): every vector's
+# top-k cosine neighbors within its deterministic quantizer cells — the
+# building block for graph-based curation (SemDeDup communities,
+# density pruning).  The seeded-sample quantizer makes the WHOLE graph
+# SQL-replayable, so unlike the trained-IVF query batch this gets a
+# full value-hash oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_graph_cells",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeded AS (
+        SELECT vec_id, v, md5('cell:' || CAST(vec_id AS VARCHAR)) AS r
+        FROM e ORDER BY r, vec_id LIMIT 8
+    ),
+    cents AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY r, vec_id) - 1 AS INT) AS cell,
+               v AS cv
+        FROM seeded
+    ),
+    dists AS (
+        SELECT e.vec_id, c.cell,
+               list_sum(list_transform(generate_series(1, len(e.v)),
+                        i -> (e.v[i] - c.cv[i]) ^ 2)) AS dist
+        FROM e CROSS JOIN cents c
+    ),
+    probed AS (
+        SELECT vec_id, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cell) AS rk
+            FROM dists
+        ) WHERE rk <= 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+        FROM probed a JOIN probed b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+        SELECT cand.vec_id, cand.neighbor_id,
+               round(list_dot_product(ea.v, eb.v)
+                     / (sqrt(list_dot_product(ea.v, ea.v))
+                        * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+        FROM cand JOIN e ea ON ea.vec_id = cand.vec_id
+                  JOIN e eb ON eb.vec_id = cand.neighbor_id
+    )
+    SELECT vec_id, neighbor_id, cosine, CAST(rk AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def knn_graph_cells(star: Star) -> DataFrame:
+    out = S.knn_graph(star.embeddings, k=3, n_cells=8, nprobe=2)
+    return out.select(
+        "vec_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )

@@ -975,3 +975,34 @@ def test_ivfpq_encoded_index_parity(spark, star):
     assert sorted(map(tuple, direct), key=lambda t: t[:2]) == sorted(
         map(tuple, served), key=lambda t: t[:2]
     )
+
+
+def test_knn_graph_contracts_and_recall(spark, star):
+    """Corpus k-NN graph: ≤ k directed edges per vector, rank dense and
+    cosine-descending within each source, no self-edges — and the
+    blocked graph's rank-1 edge agrees with the TRUE global nearest
+    neighbor for a solid majority of vectors (cell recall gate)."""
+    from sap_data_pipeline_spark.operators import similarity as S
+
+    g = S.knn_graph(star.embeddings, k=3, n_cells=8, nprobe=2).collect()
+    by_src: dict = {}
+    for r in g:
+        assert r["vec_id"] != r["neighbor_id"]
+        by_src.setdefault(r["vec_id"], []).append(r)
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        cos = [r["cosine"] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+
+    queries = star.embeddings.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    true1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in S.brute_force_topk(star.embeddings, queries, k=1).collect()
+    }
+    got1 = {r["vec_id"]: r["neighbor_id"] for r in g if r["rank"] == 1}
+    hits = sum(1 for v, n in true1.items() if got1.get(v) == n)
+    assert hits / len(true1) >= 0.6, hits / len(true1)

@@ -677,3 +677,25 @@ def test_weighted_sample_excludes_nonpositive_and_small_strata(spark):
     got = weighted_sample_n(df, ["stratum"], 10, key="doc_id", weight_col="w")
     ids = sorted(r["doc_id"] for r in got.collect())
     assert ids == ["a", "d"]  # zero/negative weights carry no mass
+
+
+def test_interval_overlap_join_caps_pathological_spans(spark):
+    """The fan-out guard: a corrupt near-infinite interval is DROPPED
+    (never exploded to billions of bins); normal rows still join."""
+    from sap_data_pipeline_spark.operators.temporal import interval_overlap_join
+
+    ldf = _intervals(
+        spark,
+        [(1, 100, 150), (2, 0, 9_000_000_000_000)],  # row 2 is garbage
+        "lid long, ls long, le long",
+    )
+    rdf = _intervals(spark, [(7, 120, 130)], "rid long, rs long, re long")
+    got = [
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bin_size=64,
+            max_bins_per_interval=1000,
+        ).collect()
+    ]
+    assert got == [(1, 7)]
