@@ -92,6 +92,7 @@ _TAIL = (
     "embedding_pca_whiten",
     "host_communities_lpa",
     "knn_graph_cells",
+    "host_triangle_stats",
     "union_branches",
     "week_range_generator",
     "column_length_profile",

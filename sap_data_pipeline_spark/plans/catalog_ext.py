@@ -4629,3 +4629,62 @@ def knn_graph_cells(star: Star) -> DataFrame:
     return out.select(
         "vec_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-host triangle counts / clustering coefficient
+# (operators.graph.triangle_counts): neighborhood-density curation
+# signal (organic hosts close triangles, link farms spray) — the
+# per-node refinement of the near-dup cluster-quality audit.  Oriented
+# two-join enumeration is fully SQL-expressible, so the whole frame is
+# value-hash-oracled.
+# ---------------------------------------------------------------------------
+
+@register(
+    "host_triangle_stats",
+    f"""
+    WITH raw AS ({_PR_EDGE_SQL}),
+    und AS (
+        SELECT src AS a, dst AS b FROM raw
+        UNION SELECT dst AS a, src AS b FROM raw),
+    e AS (SELECT DISTINCT a, b FROM und WHERE a <> b),
+    ori AS (SELECT a, b FROM e WHERE a < b),
+    deg AS (SELECT a AS node, COUNT(*) AS degree FROM e GROUP BY 1),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM ori e1 JOIN ori e2 ON e1.b = e2.a
+                    JOIN ori e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pn AS (
+        SELECT node, COUNT(*) AS triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b AS node FROM tri
+            UNION ALL SELECT c AS node FROM tri
+        ) GROUP BY 1
+    )
+    SELECT CAST(d.node AS BIGINT) AS host_id,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN round(2.0 * COALESCE(pn.triangles, 0)
+                           / (d.degree * (d.degree - 1)), 6)
+                ELSE 0.0 END AS clustering
+    FROM deg d LEFT JOIN pn ON d.node = pn.node
+    """,
+)
+def host_triangle_stats(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators import graph as G
+
+    docs = star.documents
+    e1 = docs.select(
+        (F.col("doc_id") % 89).alias("src"), (F.col("doc_id") % 83).alias("dst")
+    )
+    e2 = docs.select(
+        (F.col("doc_id") % 89).alias("src"),
+        (F.lit(89) + F.col("doc_id") % 7).alias("dst"),
+    )
+    out = G.triangle_counts(e1.unionAll(e2))
+    return out.select(
+        F.col("node").cast("long").alias("host_id"),
+        "degree", "triangles", "clustering",
+    )

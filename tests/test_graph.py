@@ -201,3 +201,23 @@ def test_pagerank_checkpoint_every_zero_same_ranks(spark):
     b = {r["node"]: round(r["pr"], 6)
          for r in pagerank(edges, iterations=4, checkpoint_every=0).collect()}
     assert a == b
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    """Hand-computed: K4 (every node deg 3, 3 triangles, clustering 1)
+    plus a pendant hung off node 0 (deg 4, still 3 triangles,
+    clustering 0.5; the pendant itself deg 1, clustering 0).  Edge
+    direction/duplicates/self-loops must not change anything."""
+    from sap_data_pipeline_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(0, 5), (5, 0), (2, 1), (3, 3)], "src long, dst long"
+    )
+    got = {r["node"]: (r["degree"], r["triangles"], r["clustering"])
+           for r in triangle_counts(edges).collect()}
+    assert got[1] == (3, 3, 1.0) and got[2] == (3, 3, 1.0)
+    assert got[3] == (3, 3, 1.0)
+    assert got[0] == (4, 3, 0.5)
+    assert got[5] == (1, 0, 0.0)
+    assert sum(t for _, t, _ in got.values()) == 3 * 4  # 4 triangles x 3 nodes
