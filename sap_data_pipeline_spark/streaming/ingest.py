@@ -515,3 +515,51 @@ def stream_versioned_append_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_approx_distinct(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: Sequence[str] = ("event_type",),
+    distinct_col: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Windowed approximate-cardinality monitor: distinct
+    ``distinct_col`` per event-time window via mergeable Apache
+    DataSketches HLL (``hll_sketch_agg``) — the streaming DAU/unique-
+    visitors counter.
+
+    Why a sketch and not ``count_distinct``: exact distinct in a
+    streaming aggregation must hold EVERY key per open window in state,
+    so state grows with cardinality and a hot window OOMs the store;
+    the HLL register array is a fixed 2^lg_k bytes per (window, group)
+    regardless of cardinality, and merges associatively across
+    micro-batches and shuffle partials (the same property
+    ``corpus.approx_profile`` exploits across shards).  Estimate error
+    ~1.04/sqrt(2^lg_k) ≈ 1.6% at the default — the batch-parity test
+    gates it.
+
+    Works identically on batch input (watermark is a no-op), which is
+    how the parity test and any backfill use it.
+    """
+    return (
+        ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *group_cols)
+        .agg(
+            F.hll_sketch_agg(
+                F.col(distinct_col).cast("string"), F.lit(lg_k)
+            ).alias("_sk"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            F.hll_sketch_estimate("_sk").cast("long").alias("approx_distinct"),
+        )
+    )

@@ -835,3 +835,69 @@ def test_cusum_batch_twin_matches_python_fold(spark):
         assert (r["s_hi"], r["s_lo"]) == (shi, slo), uid
         assert (r["n_high"], r["n_low"]) == (nhigh, nlow), uid
     assert sum(r["n_high"] + r["n_low"] for r in got.values()) > 0
+
+
+def test_windowed_approx_distinct_batch_accuracy(spark, star):
+    """Batch parity + error gate: per (window, type), the HLL estimate
+    must sit within 5% of the exact distinct-user count (the sketch's
+    1.6% theoretical rsd at lg_k=12, with slack), and n_events must be
+    exact."""
+    from sap_data_pipeline_spark.streaming.ingest import windowed_approx_distinct
+
+    got = {
+        (str(r["window_start"]), r["event_type"]): r
+        for r in windowed_approx_distinct(star.events).collect()
+    }
+    exact = {
+        (str(r["ws"]), r["event_type"]): r
+        for r in star.events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("d"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "d")
+        .collect()
+    }
+    assert set(got) == set(exact) and got
+    for k, e in exact.items():
+        g = got[k]
+        assert g["n_events"] == e["n"]
+        assert abs(g["approx_distinct"] - e["d"]) <= max(1, 0.05 * e["d"]), (
+            k, g["approx_distinct"], e["d"],
+        )
+
+
+def test_windowed_approx_distinct_on_stream(spark, star, tmp_path):
+    """Runs as a REAL streaming aggregation (file source, memory sink,
+    complete mode): the sketch agg merges across micro-batches and the
+    final estimates match the batch run of the same operator."""
+    from sap_data_pipeline_spark.streaming.ingest import windowed_approx_distinct
+
+    src = tmp_path / "hll_src"
+    star.events.limit(400).repartition(4).write.parquet(str(src))
+    batch_df = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)  # force multi-batch merging
+        .parquet(str(src))
+    )
+    q = (
+        windowed_approx_distinct(stream)
+        .writeStream.format("memory")
+        .queryName("hll_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["approx_distinct"]
+        for r in spark.sql("SELECT * FROM hll_windows").collect()
+    }
+    want = {
+        (str(r["window_start"]), r["event_type"]): r["approx_distinct"]
+        for r in windowed_approx_distinct(batch_df).collect()
+    }
+    assert got == want and got
