@@ -315,6 +315,7 @@ def triangle_counts(
     *,
     src: str = "src",
     dst: str = "dst",
+    orient: str = "id",
 ) -> DataFrame:
     """Per-node triangle count + local clustering coefficient over an
     undirected graph — the density signals behind link-spam curation
@@ -322,29 +323,53 @@ def triangle_counts(
     don't) and the per-node refinement of the cluster-quality audit's
     clique-vs-chain density.
 
-    Algorithm: the standard two-join enumeration on the ORIENTED edge
-    list (a<b after symmetrize+distinct, self-loops dropped) — each
-    triangle a<b<c is found exactly once as (a,b)+(b,c)+(a,c).  The
+    Algorithm: the standard two-join enumeration on an ORIENTED edge
+    list (one direction kept per undirected edge after
+    symmetrize+distinct, self-loops dropped) — each triangle is found
+    exactly once as (a,b)+(b,c)+(a,c) along the orientation.  The
     wedge join (a,b)x(b,c) is the quadratic risk: its size is
-    Σ deg_out(b)², so orienting edges low-id→high-id caps out-degree
-    at the node's degree and the per-key fan-out stays bounded for
-    power-law graphs when hub ids are large; a degree-ordered
-    orientation (out-edges point to HIGHER-degree endpoints) is the
-    production refinement — same plan, out-degrees capped at O(√|E|).
-    Two hash joins + one count aggregate; AQE skew-split covers hot
-    wedge keys.
+    Σ deg_out(b)².  Orientation is the knob:
+
+    * ``orient="id"`` — low-id→high-id.  Fully SQL-replayable (the
+      catalog oracle states this form) and fine when ids are
+      uncorrelated with degree.
+    * ``orient="degree"`` — edges point to the HIGHER-(degree, id)
+      endpoint: every out-degree is capped at O(√|E|) (a node of
+      degree d > √2|E| has < d neighbors of ≥ its degree), which
+      bounds the wedge join on power-law graphs where a single hub
+      would otherwise contribute deg² wedges — the production default
+      for real crawl graphs.  Orientation changes COST, never output
+      (test-pinned).
+
+    Two hash joins + one count aggregate either way; AQE skew-split
+    covers hot wedge keys.
 
     Returns (node, degree, triangles, clustering) for every node,
     clustering = 2·triangles / (degree·(degree-1)), 0.0 when degree<2.
     """
+    if orient not in ("id", "degree"):
+        raise ValueError(f"orient must be 'id' or 'degree', got {orient!r}")
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     rev = edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     und = fwd.unionAll(rev).filter(F.col("a") != F.col("b")).distinct()
-    ori = und.filter(F.col("a") < F.col("b"))  # one oriented row per edge
 
     deg = und.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
+    if orient == "id":
+        ori = und.filter(F.col("a") < F.col("b"))  # one oriented row per edge
+    else:
+        # keep the direction pointing at the higher-(degree, id) endpoint
+        da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))
+        db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_db"))
+        ori = (
+            und.join(da, "a").join(db, "b")
+            .filter(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+            )
+            .select("a", "b")
+        )
 
     wedge = ori.alias("e1").join(
         ori.alias("e2"), F.col("e1.b") == F.col("e2.a")

@@ -221,3 +221,25 @@ def test_triangle_counts_k4_plus_pendant(spark):
     assert got[0] == (4, 3, 0.5)
     assert got[5] == (1, 0, 0.0)
     assert sum(t for _, t, _ in got.values()) == 3 * 4  # 4 triangles x 3 nodes
+
+
+def test_triangle_counts_degree_orientation_same_output(spark):
+    """orient='degree' (√|E|-bounded wedge fan-out for power-law
+    graphs) must produce EXACTLY the id-oriented output — orientation
+    is a cost knob, never a semantics change.  Star-plus-ring shape so
+    the two orientations genuinely differ."""
+    import random
+
+    from sap_data_pipeline_spark.operators.graph import triangle_counts
+
+    rng = random.Random(3)
+    hub_edges = [(99, i) for i in range(30)]  # high-id hub (id-orient sends ALL its edges out)
+    ring = [(i, (i + 1) % 30) for i in range(30)]
+    extra = [(rng.randrange(30), rng.randrange(30)) for _ in range(25)]
+    edges = spark.createDataFrame(
+        hub_edges + ring + [e for e in extra if e[0] != e[1]],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, triangle_counts(edges, orient="id").collect()))
+    b = sorted(map(tuple, triangle_counts(edges, orient="degree").collect()))
+    assert a == b and len(a) == 31
