@@ -310,6 +310,25 @@ def label_propagation(
         nodes.unpersist()
 
 
+def _orient(und: DataFrame, deg: DataFrame, orient: str) -> DataFrame:
+    """One oriented (a, b) row per undirected edge.  ``id``: low→high
+    id; ``degree``: toward the higher-(degree, id) endpoint, capping
+    every out-degree at O(√|E|) — the wedge-bound knob
+    :func:`triangle_counts` documents (guard: test_scale_guards_big)."""
+    if orient == "id":
+        return und.filter(F.col("a") < F.col("b"))
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_db"))
+    return (
+        und.join(da, "a").join(db, "b")
+        .filter(
+            (F.col("_da") < F.col("_db"))
+            | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     *,
@@ -356,20 +375,7 @@ def triangle_counts(
     deg = und.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
-    if orient == "id":
-        ori = und.filter(F.col("a") < F.col("b"))  # one oriented row per edge
-    else:
-        # keep the direction pointing at the higher-(degree, id) endpoint
-        da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))
-        db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_db"))
-        ori = (
-            und.join(da, "a").join(db, "b")
-            .filter(
-                (F.col("_da") < F.col("_db"))
-                | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
-            )
-            .select("a", "b")
-        )
+    ori = _orient(und, deg, orient)
 
     wedge = ori.alias("e1").join(
         ori.alias("e2"), F.col("e1.b") == F.col("e2.a")

@@ -215,3 +215,62 @@ def test_tree_root_depth_round_budget_logarithmic(spark):
     assert agg["n"] == depth + 1
     assert agg["maxd"] == depth
     assert agg["roots"] == 1
+
+
+def test_triangle_wedge_bound_degree_orientation(spark):
+    """The √|E| wedge-bound claim, enforced: on a hub graph whose hub
+    sits at a MIDDLE id (the id orientation's worst case — half its
+    edges orient in, half out, so the hub contributes ~deg²/4 wedges),
+    degree orientation points every hub edge INTO the hub (highest
+    degree), killing those wedges: row count must drop ≥10× and max
+    out-degree must respect the √(2|E|) cap; and both orientations
+    count identical triangles."""
+    from sap_data_pipeline_spark.operators.graph import (
+        _orient,
+        triangle_counts,
+    )
+
+    n = 2000
+    hub = n // 2  # middle id: ~half the leaf ids below, half above
+    leaves = [i for i in range(n + 1) if i != hub]
+    spokes = [(hub, i) for i in leaves]
+    ring = [
+        (leaves[i], leaves[(i + 1) % len(leaves)])
+        for i in range(len(leaves))
+    ]
+    edges = spark.createDataFrame(spokes + ring, "src long, dst long")
+
+    fwd = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    rev = edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    und = fwd.unionAll(rev).filter(F.col("a") != F.col("b")).distinct()
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+
+    def wedges(orient):
+        ori = _orient(und, deg, orient)
+        return (
+            ori.alias("e1")
+            .join(ori.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+            .count()
+        )
+
+    w_id, w_deg = wedges("id"), wedges("degree")
+    assert w_id >= (n // 2) ** 2  # the mid-id hub really blows up: in×out
+    assert w_deg * 10 <= w_id, (w_id, w_deg)
+
+    ori_deg = _orient(und, deg, "degree")
+    max_out = (
+        ori_deg.groupBy("a").count().agg(F.max("count")).collect()[0][0]
+    )
+    e_cnt = und.count() // 2
+    assert max_out <= int((2 * e_cnt) ** 0.5) + 2, (max_out, e_cnt)
+
+    t_id = triangle_counts(edges, orient="id").agg(
+        F.sum("triangles")
+    ).collect()[0][0]
+    t_deg = triangle_counts(edges, orient="degree").agg(
+        F.sum("triangles")
+    ).collect()[0][0]
+    # one triangle per ring edge (both endpoints share the hub)
+    assert t_id == t_deg == 3 * n
