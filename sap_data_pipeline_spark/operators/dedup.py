@@ -977,10 +977,14 @@ def embedding_near_dup_pairs_by_cell(emb: DataFrame, *, id_col: str = "vec_id",
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        # a pair probing ≥2 shared cells would double-count: dedup BEFORE
-        # the cosine so each candidate pays for one fold, not nprobe²
-        .dropDuplicates(["id_a", "id_b"])
+        # score BEFORE the pair dedup: a pair probing ≥2 shared cells
+        # pays ≤ nprobe² redundant map-side cosine folds, but the
+        # threshold then prunes most candidates map-side and the dedup
+        # shuffle carries narrow (id_a, id_b, cosine) survivors instead
+        # of two full vectors — shuffle bytes, not folds, are what
+        # spill at corpus scale (same finding as similarity.knn_graph)
         .withColumn("cosine", F.round(V.cosine("va", "vb"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
     )

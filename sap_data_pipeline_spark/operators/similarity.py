@@ -803,9 +803,16 @@ def knn_graph(emb: DataFrame, k: int = 3, *, id_col: str = "vec_id",
     return (
         a.join(b, "cell")
         .filter(F.col(id_col) != F.col("neighbor_id"))
-        # a pair sharing ≥2 probed cells must score once, not nprobe²
-        .dropDuplicates([id_col, "neighbor_id"])
+        # score BEFORE the pair dedup: a pair sharing ≥2 probed cells
+        # pays ≤ nprobe² redundant map-side folds, but the dedup + topk
+        # shuffles then carry narrow (id, neighbor, cosine) rows instead
+        # of two full vectors — at corpus scale the shuffle bytes, not
+        # the folds, are what spill (measured: the vector-carrying dedup
+        # filled local disk at 80k×|cell|300 where the narrow form runs
+        # in memory)
         .withColumn("cosine", F.round(V.cosine("_va", "_vb"), 6))
+        .select(id_col, "neighbor_id", "cosine")
+        .dropDuplicates([id_col, "neighbor_id"])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "neighbor_id", "cosine", "rank")
