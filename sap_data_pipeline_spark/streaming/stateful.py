@@ -141,3 +141,93 @@ def cusum_drift_alarms(
     return events.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def heavy_hitters(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    k: int = 8,
+    emit_top: int = 5,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Per-key streaming heavy hitters via Misra-Gries summaries
+    (Misra & Gries 1982) — "which items dominate this stream" with
+    state that CANNOT grow: at most ``k`` (item, count) counters per
+    key, independent of stream length or item cardinality, where an
+    exact streaming top-N must hold every distinct item.
+
+    The deterministic sequential guarantee (order-robust, which is what
+    the tests pin): after N items, every item with true frequency
+    > N/(k+1) holds a counter, and each estimate undercounts its true
+    frequency by at most N/(k+1) (never overcounts).  Per micro-batch
+    the operator emits the current ``emit_top`` counters
+    (count desc, item asc) plus the items-processed total; rows from
+    later batches supersede earlier ones (take max ``n_seen`` per key
+    downstream).  Items fold in (ts, item) order within each batch so
+    replays are deterministic.
+
+    ``idle_timeout_ms`` evicts quiet keys with a final ``evicted=true``
+    emission — the same unbounded-keyspace guard as the other stateful
+    operators.  Streaming-only by Spark contract; the error-bound
+    contract is asserted against exact batch counts in tests.
+    """
+    out_schema = (
+        f"{key_col} string, item string, est_count long, n_seen long, "
+        "rank int, evicted boolean"
+    )
+    state_schema = "items array<string>, counts array<long>, n long"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def emit(key, counters: dict, n: int, evicted: bool) -> pd.DataFrame:
+        top = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))[:emit_top]
+        if not top:
+            top = [(None, 0)]
+        return pd.DataFrame({
+            key_col: [key] * len(top),
+            "item": [i for i, _ in top],
+            "est_count": [c for _, c in top],
+            "n_seen": [n] * len(top),
+            "rank": list(range(1, len(top) + 1)),
+            "evicted": [evicted] * len(top),
+        })
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            items, counts, n = state.get
+            state.remove()
+            yield emit(key[0], dict(zip(items, counts)), n, True)
+            return
+        if state.exists:
+            items, counts, n = state.get
+            counters = dict(zip(items, counts))
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", item_col], kind="mergesort")
+            for x in pdf[item_col].astype(str):
+                n += 1
+                if x in counters:
+                    counters[x] += 1
+                elif len(counters) < k:
+                    counters[x] = 1
+                else:  # decrement-all step: every counter pays one
+                    counters = {i: c - 1 for i, c in counters.items() if c > 1}
+        state.update((list(counters), [counters[i] for i in counters], n))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield emit(key[0], counters, n, False)
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", timeout
+        )
+    )

@@ -901,3 +901,64 @@ def test_windowed_approx_distinct_on_stream(spark, star, tmp_path):
         for r in windowed_approx_distinct(batch_df).collect()
     }
     assert got == want and got
+
+
+def test_heavy_hitters_error_bound_and_state_cap(spark, star, tmp_path):
+    """Misra-Gries guarantees, asserted against exact batch counts on a
+    REAL multi-batch streaming run: every item with true frequency
+    > N/(k+1) surfaces; estimates never overcount and undercount by at
+    most N/(k+1); and the summary honors the k-counter state cap
+    (emit_top=k rows max per key)."""
+    from sap_data_pipeline_spark.streaming.stateful import heavy_hitters
+
+    src = tmp_path / "hh_src"
+    star.events.limit(600).repartition(3).write.parquet(str(src))
+    batch_df = spark.read.parquet(str(src))
+    k = 8
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        heavy_hitters(stream, k=k, emit_top=k)
+        .writeStream.format("memory")
+        .queryName("hh_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hh_out").collect()
+    assert rows
+    # final summary per key = the emission with the max n_seen
+    final: dict = {}
+    for r in rows:
+        cur = final.setdefault(r["event_type"], {})
+        if not cur or r["n_seen"] > next(iter(cur.values()))[1]:
+            final[r["event_type"]] = {}
+            cur = final[r["event_type"]]
+        if r["n_seen"] >= (next(iter(cur.values()))[1] if cur else 0):
+            cur[r["item"]] = (r["est_count"], r["n_seen"])
+
+    exact = {
+        (r["event_type"], str(r["user_id"])): r["cnt"]
+        for r in batch_df.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    totals: dict = {}
+    for (et, _), c in exact.items():
+        totals[et] = totals.get(et, 0) + c
+
+    for et, counters in final.items():
+        assert len(counters) <= k
+        bound = totals[et] / (k + 1)
+        for item, (est, _) in counters.items():
+            true = exact.get((et, item), 0)
+            assert est <= true, (et, item, est, true)  # never overcounts
+            assert est >= true - bound, (et, item, est, true, bound)
+        # every guaranteed-frequent item surfaced
+        for (et2, item), c in exact.items():
+            if et2 == et and c > bound:
+                assert item in counters, (et, item, c, bound)
