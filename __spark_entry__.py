@@ -93,6 +93,7 @@ _TAIL = (
     "host_communities_lpa",
     "knn_graph_cells",
     "host_triangle_stats",
+    "concurrent_activity_pairs",
     "union_branches",
     "week_range_generator",
     "column_length_profile",

@@ -4688,3 +4688,63 @@ def host_triangle_stats(star: Star) -> DataFrame:
         F.col("node").cast("long").alias("host_id"),
         "degree", "triangles", "clustering",
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyed interval-overlap self-join: pairs of users whose same-type
+# daily activity intervals overlap, aggregated per event type — drives
+# interval_overlap_join's `on`-keys path (the bin key composes with a
+# real equi key) and its self-join shape through the oracle gate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "concurrent_activity_pairs",
+    """
+    WITH act AS (
+        SELECT event_type, user_id, CAST(ts AS DATE) AS day,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS s,
+               CAST(floor(epoch(max(ts))) AS BIGINT) AS e
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_overlapping_pairs,
+           CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+               AS total_overlap_sec
+    FROM act a JOIN act b
+      ON a.event_type = b.event_type
+     AND a.user_id < b.user_id
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY 1
+    """,
+)
+def concurrent_activity_pairs(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.temporal import interval_overlap_join
+
+    act = star.events.groupBy(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.unix_timestamp(F.min("ts")).alias("s"),
+        F.unix_timestamp(F.max("ts")).alias("e"),
+    )
+    left = act.select(
+        "event_type", F.col("user_id").alias("user_a"),
+        F.col("day").alias("day_a"), F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    right = act.select(
+        "event_type", F.col("user_id").alias("user_b"),
+        F.col("day").alias("day_b"), F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    joined = interval_overlap_join(
+        left, right, on=["event_type"],
+        left_start="sa", left_end="ea",
+        right_start="sb", right_end="eb", bin_size=21600,
+    ).filter(F.col("user_a") < F.col("user_b"))
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlapping_pairs"),
+        F.sum(
+            F.least("ea", "eb") - F.greatest("sa", "sb")
+        ).cast("long").alias("total_overlap_sec"),
+    )
