@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def pagerank(
@@ -257,9 +258,15 @@ def label_propagation(
     ``src`` layout ONCE and persists; each round joins the one-row-per-
     node label frame against that fixed layout, aggregates neighbor
     label counts ((dst, label) grain — bounded by edge count), and
-    picks the winner with a single ``max(struct(cnt, -label))`` —
-    no window sort.  Per-round lineage is cut by the same checkpoint
-    discipline as :func:`connected_components`.
+    picks the winner per node.  Numeric node ids use a single
+    ``max(struct(cnt, -label))`` — no window sort; non-numeric ids
+    (string hostnames, the advertised curation use) cannot ride the
+    negation trick (unary minus on a string casts to NULL and would
+    silently freeze every node at its own label), so they take a
+    ``row_number`` window ordered (cnt desc, label asc) — same winner,
+    type-agnostic, and the rank<=1 filter collapses to WindowGroupLimit
+    (top-1 per node below the sort).  Per-round lineage is cut by the
+    same checkpoint discipline as :func:`connected_components`.
     """
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -268,6 +275,12 @@ def label_propagation(
         if checkpoint_dir is not None:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
+
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(
+        edges.schema[src].dataType, NumericType
+    ) and isinstance(edges.schema[dst].dataType, NumericType)
 
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
@@ -293,12 +306,24 @@ def label_propagation(
             counts = votes.groupBy("node", "lbl").agg(
                 F.count(F.lit(1)).alias("cnt")
             )
-            # winner per node: max count, then min label — one
-            # lexicographic struct max, no window
-            winner = counts.groupBy("node").agg(
-                F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg")))
-                .alias("w")
-            ).select("node", (-F.col("w.neg")).alias("new_lbl"))
+            # winner per node: max count, then min label
+            if numeric_ids:
+                # one lexicographic struct max, no window (negation
+                # inverts the label order inside the struct)
+                winner = counts.groupBy("node").agg(
+                    F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg")))
+                    .alias("w")
+                ).select("node", (-F.col("w.neg")).alias("new_lbl"))
+            else:
+                # type-agnostic: rank<=1 collapses to WindowGroupLimit
+                win = Window.partitionBy("node").orderBy(
+                    F.col("cnt").desc(), F.col("lbl").asc()
+                )
+                winner = (
+                    counts.withColumn("_rn", F.row_number().over(win))
+                    .filter(F.col("_rn") == 1)
+                    .select("node", F.col("lbl").alias("new_lbl"))
+                )
             labels = ckpt(
                 labels.join(winner, "node", "left").select(
                     "node", F.coalesce("new_lbl", "lbl").alias("lbl")

@@ -527,7 +527,14 @@ def weighted_sample_n(
     on the key) so a last-ulp ``ln`` divergence cannot reorder replicas
     across engines — the TF-IDF boundary-rounding rule.  Non-positive
     weights are excluded (they have no sampling mass).
+
+    Return contract: the input columns plus ``priority`` (the A-Res
+    priority each survivor won on — callers audit selection pressure
+    with it; drop it if unwanted).  An existing ``priority`` column is
+    rejected rather than silently overwritten.
     """
+    if "priority" in df.columns:
+        raise ValueError("input already has a 'priority' column")
     u = (
         F.pmod(X.hash64(F.col(key).cast("string"), seed=seed), F.lit(1_000_000))
         + F.lit(0.5)
@@ -538,7 +545,7 @@ def weighted_sample_n(
     )
     return (
         df.filter(F.col(weight_col) > 0)
-        .withColumn("_priority", pr)
+        .withColumn("priority", pr)
         .withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= n_per_stratum)
         .drop("_rank")

@@ -254,6 +254,14 @@ def interval_overlap_join(
     ``df.filter((end - start) / bin_size >= cap)`` upstream if the
     workload needs the census.
     """
+    if bin_size <= 0:
+        # non-ANSI division by zero yields NULL bins (silently empty
+        # join) and a negative bin_size flips the floor — fail loudly
+        raise ValueError(f"bin_size must be positive, got {bin_size}")
+    if max_bins_per_interval <= 0:
+        raise ValueError(
+            f"max_bins_per_interval must be positive, got {max_bins_per_interval}"
+        )
     on = list(on)
     overlap = (set(left.columns) & set(right.columns)) - set(on)
     if overlap:

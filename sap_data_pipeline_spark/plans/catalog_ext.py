@@ -4462,7 +4462,7 @@ def weighted_sample_by_length(star: Star) -> DataFrame:
     return out.select(
         "doc_id", "lang",
         F.col("n_chars").cast("long").alias("n_chars"),
-        F.col("_priority").alias("priority"),
+        "priority",  # part of weighted_sample_n's documented contract
     )
 
 

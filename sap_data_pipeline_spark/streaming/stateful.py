@@ -187,7 +187,18 @@ def heavy_hitters(
     def emit(key, counters: dict, n: int, evicted: bool) -> pd.DataFrame:
         top = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))[:emit_top]
         if not top:
-            top = [(None, 0)]
+            # empty counter table (decrement step emptied it, or a
+            # timeout fired right after): emit nothing rather than a
+            # NULL-item placeholder a "max n_seen per key" consumer
+            # would surface as a phantom heavy hitter
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype=object),
+                "item": pd.Series([], dtype=object),
+                "est_count": pd.Series([], dtype="int64"),
+                "n_seen": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int32"),
+                "evicted": pd.Series([], dtype=bool),
+            })
         return pd.DataFrame({
             key_col: [key] * len(top),
             "item": [i for i, _ in top],

@@ -172,6 +172,29 @@ def test_label_propagation_two_triangles(spark):
     assert got == again  # deterministic re-run
 
 
+def test_label_propagation_string_hosts(spark):
+    """The advertised use case: string hostnames as node ids.  Unary
+    minus on a string implicitly casts to NULL, so the numeric
+    struct-max tie-break would silently freeze every node at its own
+    label (all-singleton communities); the type-agnostic window path
+    must find the same two triangle communities as the numeric test,
+    ties toward the lexicographically smallest hostname."""
+    from sap_data_pipeline_spark.operators.graph import label_propagation
+
+    name = {0: "a.example", 1: "b.example", 2: "c.example",
+            10: "x.example", 11: "y.example", 12: "z.example"}
+    edges = spark.createDataFrame(
+        [(name[s], name[d])
+         for s, d in [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12),
+                      (10, 12), (2, 10)]],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["community"]
+           for r in label_propagation(edges, iterations=4).collect()}
+    assert got == {name[n]: name[c] for n, c in
+                   {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}.items()}
+
+
 def test_label_propagation_drops_self_loops_and_directions(spark):
     """Self-loops carry no community information (dropped, and a
     self-loop-only node does not appear at all); edge direction is

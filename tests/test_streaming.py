@@ -962,3 +962,41 @@ def test_heavy_hitters_error_bound_and_state_cap(spark, star, tmp_path):
         for (et2, item), c in exact.items():
             if et2 == et and c > bound:
                 assert item in counters, (et, item, c, bound)
+
+
+def test_heavy_hitters_empty_counter_table_emits_nothing(spark, tmp_path):
+    """k=1 with all-distinct items: the decrement-all step empties the
+    counter table every second item; those batches must emit NO rows —
+    never a NULL-item placeholder a max-n_seen consumer would surface
+    as a phantom heavy hitter."""
+    import pandas as pd
+
+    from sap_data_pipeline_spark.streaming.stateful import heavy_hitters
+
+    src = tmp_path / "hh_empty_src"
+    src.mkdir()
+    # two single-row files → two micro-batches: batch 1 installs {u1:1},
+    # batch 2's distinct item decrements it away (counter table empty)
+    for i, user in enumerate(["u1", "u2"]):
+        pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-01-01"]).tz_localize(None),
+             "event_type": ["click"], "user_id": [user]}
+        ).to_parquet(src / f"part{i}.parquet")
+    batch_df = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        heavy_hitters(stream, k=1, emit_top=1)
+        .writeStream.format("memory")
+        .queryName("hh_empty_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hh_empty_out").collect()
+    assert all(r["item"] is not None for r in rows)
+    assert len(rows) == 1 and rows[0]["item"] == "u1"

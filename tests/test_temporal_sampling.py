@@ -613,6 +613,21 @@ def test_interval_overlap_join_keys_malformed_and_collision(spark):
             right_start="rs", right_end="re", bin_size=16,
         )
 
+    # bin_size <= 0 would NULL every bin under non-ANSI division and
+    # silently return an empty join — must raise instead
+    for bad in (0, -4):
+        with _pytest.raises(ValueError, match="bin_size"):
+            interval_overlap_join(
+                ldf, rdf, on=["k"], left_start="ls", left_end="le",
+                right_start="rs", right_end="re", bin_size=bad,
+            )
+    with _pytest.raises(ValueError, match="max_bins_per_interval"):
+        interval_overlap_join(
+            ldf, rdf, on=["k"], left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bin_size=16,
+            max_bins_per_interval=0,
+        )
+
 
 def test_interval_overlap_join_plan_is_equi_hash_join(spark):
     """The 100 TB contract: the physical plan must contain a real
@@ -677,6 +692,28 @@ def test_weighted_sample_excludes_nonpositive_and_small_strata(spark):
     got = weighted_sample_n(df, ["stratum"], 10, key="doc_id", weight_col="w")
     ids = sorted(r["doc_id"] for r in got.collect())
     assert ids == ["a", "d"]  # zero/negative weights carry no mass
+
+
+def test_weighted_sample_priority_contract(spark):
+    """The returned ``priority`` column is part of the documented
+    contract: input columns + priority, nothing internal; an existing
+    ``priority`` column is rejected, never silently overwritten."""
+    import pytest as _pytest
+
+    from sap_data_pipeline_spark.operators.sampling import weighted_sample_n
+
+    df = spark.createDataFrame(
+        [("a", "x", 5), ("b", "x", 2)], "doc_id string, stratum string, w long"
+    )
+    out = weighted_sample_n(df, ["stratum"], 1, key="doc_id", weight_col="w")
+    assert out.columns == ["doc_id", "stratum", "w", "priority"]
+    assert all(r["priority"] is not None for r in out.collect())
+
+    with _pytest.raises(ValueError, match="priority"):
+        weighted_sample_n(
+            df.withColumn("priority", F.lit(0.0)),
+            ["stratum"], 1, key="doc_id", weight_col="w",
+        )
 
 
 def test_interval_overlap_join_caps_pathological_spans(spark):
