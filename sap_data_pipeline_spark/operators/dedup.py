@@ -692,7 +692,8 @@ def cluster_quality_report(ids: DataFrame, pairs: DataFrame, *,
 
 def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
                    threshold: float = 0.3, n_cells: int = 8, nprobe: int = 2,
-                   checkpoint_dir: str | None = None) -> DataFrame:
+                   checkpoint_dir: str | None = None,
+                   cc: DataFrame | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate clusters
     over an embedding column — cosine-similar pairs blocked by quantizer
     cells, closed into components, one survivor per cluster.  Where
@@ -704,14 +705,21 @@ def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
     :func:`connected_components` (O(log diameter) bounded shuffle
     rounds) → per-cluster size + min-id survivor.  Returns one row per
     vector: (id, cluster_id, cluster_size, is_survivor).
+
+    Pass a precomputed ``cc`` labeling (an ``(id, cluster_id)`` frame
+    from the same pair graph) to skip the sketch+closure stages — the
+    materialized-index serving path, same contract as
+    :func:`near_dup_clusters` / :func:`keep_best_per_cluster`.
     """
-    pairs = embedding_near_dup_pairs_by_cell(
-        emb, id_col=id_col, threshold=threshold, n_cells=n_cells, nprobe=nprobe
-    )
-    cc = connected_components(
-        emb.select(id_col), pairs.select("id_a", "id_b"),
-        id_col=id_col, checkpoint_dir=checkpoint_dir,
-    )
+    if cc is None:
+        pairs = embedding_near_dup_pairs_by_cell(
+            emb, id_col=id_col, threshold=threshold,
+            n_cells=n_cells, nprobe=nprobe,
+        )
+        cc = connected_components(
+            emb.select(id_col), pairs.select("id_a", "id_b"),
+            id_col=id_col, checkpoint_dir=checkpoint_dir,
+        )
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.join(sizes, "cluster_id").select(
         id_col,

@@ -881,6 +881,25 @@ def test_near_dup_index_builds_once(spark):
     assert CE._near_dup_index_builds - before == 2
 
 
+def test_sem_index_builds_once(spark):
+    """The embedding twin: the cell-blocked cosine pair graph + CC
+    labeling build ONCE per (session, sf_dir) and serve BOTH
+    embedding_near_dup_cells and semantic_dedup_clusters — the catalog
+    must not re-block and re-close the corpus per query."""
+    from sap_data_pipeline_spark.plans import catalog_ext as CE
+    from sap_data_pipeline_spark.plans.catalog import QUERIES
+
+    CE._sem_index_cache.clear()
+    before = CE._sem_index_builds
+    for name in ("embedding_near_dup_cells", "semantic_dedup_clusters",
+                 "embedding_near_dup_cells"):
+        QUERIES[name](spark, "/root/testdata/sf0.001").count()
+    assert CE._sem_index_builds - before == 1
+    # a different sf_dir is a different corpus: must rebuild, not serve
+    QUERIES["semantic_dedup_clusters"](spark, "/root/testdata/sf0.01").count()
+    assert CE._sem_index_builds - before == 2
+
+
 # ---------------------------------------------------------------------------
 # PCA / whitening (r7)
 # ---------------------------------------------------------------------------

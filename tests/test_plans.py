@@ -408,6 +408,11 @@ def test_tpch_q22_scalar_broadcast_anti_join(spark):
     plan = _plan(QUERIES["tpch_q22_lapsed_customers"](spark, SF_DIR))
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the avg-balance row is explicitly F.broadcast-hinted (catalog.py)
+    # so the exchange survives stats-less scans, same as the pinned Q15
+    # broadcast-max pattern — assert the exchange itself, not just the
+    # join flavor size-estimation happened to pick
+    assert "BroadcastExchange" in plan
 
 
 def test_scd2_asof_enrich_hash_join_not_nested_loop(spark):
