@@ -83,6 +83,9 @@ _TAIL = (
     "tpch_q16_parts_supplier_counts",
     "tpch_q20_potential_promotion",
     "tpch_q21_suppliers_who_kept_waiting",
+    # r8: batch/audit twin of the streaming Misra-Gries monitor
+    # (r7 verdict #4) — oracle-green locally, r9 rotation candidate
+    "events_heavy_hitters",
     # r7: batch/audit twin of the streaming CUSUM detector (r6 verdict #6)
     "events_cusum_alarms",
     # r7 new operators (oracle-green locally; r8 rotation candidates):

@@ -4403,6 +4403,97 @@ def events_cusum_alarms(star: Star) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters, batch twin (streaming/stateful.py
+# heavy_hitters / misra_gries_batch — Misra & Gries 1982): the same
+# bounded-counter fold the streaming monitor runs, replayed over the
+# (ts, item)-ordered per-key history via array_sort(collect_list) + a
+# higher-order aggregate() whose accumulator is the (item, cnt) counter
+# array — the events_cusum_alarms pattern with list-valued state.  The
+# oracle replays the identical fold as a recursive-CTE step relation
+# carrying (items, counts) LIST columns; note DuckDB's list_position
+# returns 0 (not NULL) on miss, so membership tests use `> 0` — Spark's
+# array_position has the same convention.  Final emission: top-5
+# counters per key, count desc / item-string asc.
+# ---------------------------------------------------------------------------
+
+_MG_K, _MG_TOP = 8, 5
+
+@register(
+    "events_heavy_hitters",
+    f"""
+    WITH RECURSIVE ev AS (
+        SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               user_id,
+               row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts, user_id) AS rn
+        FROM events
+    ),
+    fold(event_type, day, rn, items, counts) AS (
+        SELECT event_type, day, CAST(0 AS BIGINT),
+               CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+        FROM (SELECT DISTINCT event_type, day FROM ev)
+        UNION ALL
+        SELECT f.event_type, f.day, f.rn + 1,
+               CASE WHEN list_position(f.items, e.user_id) > 0 THEN f.items
+                    WHEN len(f.items) < {_MG_K}
+                    THEN list_append(f.items, e.user_id)
+                    ELSE list_transform(
+                           list_filter(generate_series(1, len(f.items)),
+                                       i -> f.counts[i] > 1),
+                           i -> f.items[i]) END,
+               CASE WHEN list_position(f.items, e.user_id) > 0
+                    THEN list_transform(generate_series(1, len(f.counts)),
+                           i -> CASE WHEN i = list_position(f.items, e.user_id)
+                                     THEN f.counts[i] + 1
+                                     ELSE f.counts[i] END)
+                    WHEN len(f.items) < {_MG_K}
+                    THEN list_append(f.counts, CAST(1 AS BIGINT))
+                    ELSE list_transform(
+                           list_filter(generate_series(1, len(f.counts)),
+                                       i -> f.counts[i] > 1),
+                           i -> f.counts[i] - 1) END
+        FROM fold f JOIN ev e ON e.event_type = f.event_type
+                             AND e.day = f.day AND e.rn = f.rn + 1
+    ),
+    last AS (
+        SELECT event_type, day, MAX(rn) AS mr FROM fold GROUP BY 1, 2
+    ),
+    final AS (
+        SELECT f.event_type, f.day, f.rn AS n_seen, f.items, f.counts
+        FROM fold f JOIN last l ON l.event_type = f.event_type
+                               AND l.day = f.day AND f.rn = l.mr
+    ),
+    exploded AS (
+        SELECT event_type, day, n_seen,
+               CAST(items[i] AS VARCHAR) AS item, counts[i] AS est_count
+        FROM final, unnest(generate_series(1, len(items))) AS t(i)
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY event_type, day
+                       ORDER BY est_count DESC, item ASC) AS INT) AS rank
+        FROM exploded
+    )
+    SELECT event_type, day, item, est_count, n_seen, rank
+    FROM ranked WHERE rank <= {_MG_TOP}
+    """,
+)
+def events_heavy_hitters(star: Star) -> DataFrame:
+    """Daily heavy-hitter replay: the (event_type, day) grain keeps the
+    recursive oracle's iteration count at the max PER-DAY history (the
+    recursion steps once per fold position), and is the natural batch
+    shape anyway — 'who dominated each key each day'."""
+    from sap_data_pipeline_spark.streaming.stateful import misra_gries_batch
+
+    ev = star.events.withColumn(
+        "day", F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd")
+    )
+    return misra_gries_batch(
+        ev, key_cols=("event_type", "day"), item_col="user_id",
+        ts_col="ts", k=_MG_K, emit_top=_MG_TOP,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Interval-overlap join — user activity intervals vs maintenance windows.
 # The theta-join shape (ON a.start <= b.end AND b.start <= a.end) that
 # Catalyst would plan as BroadcastNestedLoopJoin; the operator rewrites

@@ -12,10 +12,11 @@ is a plain groupBy, which is what the test asserts against.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -241,4 +242,104 @@ def heavy_hitters(
         .applyInPandasWithState(
             update, out_schema, state_schema, "append", timeout
         )
+    )
+
+
+def misra_gries_batch(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("event_type",),
+    item_col: str = "user_id",
+    ts_col: str = "ts",
+    k: int = 8,
+    emit_top: int = 5,
+) -> DataFrame:
+    """Batch/audit twin of :func:`heavy_hitters`: the identical
+    Misra-Gries fold replayed over the (``ts_col``, ``item_col``)-ordered
+    per-key history as ONE declarative aggregate —
+    ``array_sort(collect_list(...))`` + a higher-order ``aggregate()``
+    whose accumulator is the bounded (item, cnt) counter array.
+    JVM-side, no UDF; per-key history must fit one executor (the same
+    contract as the CUSUM batch twin — the streaming operator is the
+    unbounded-scale path, this is its backfill/verification twin, and
+    it is SQL-replayable as a recursive-CTE step relation for
+    cross-engine checking).
+
+    Fold order is (ts, native item) — exactly the order
+    :func:`heavy_hitters` feeds items within micro-batches — so a
+    single-batch streaming run and this fold produce identical counter
+    tables.  ``key_cols`` may be composite (e.g. key + day for a daily
+    monitor replay).  Returns (*key_cols, item, est_count, n_seen,
+    rank): the final ``emit_top`` counters per key (count desc,
+    item-string asc), items cast to string to match the streaming
+    emission schema.
+    """
+    from pyspark.sql.window import Window
+
+    key_cols = list(key_cols)
+    item_t = df.schema[item_col].dataType.simpleString()
+    acc0 = F.expr(f"CAST(array() AS array<struct<item:{item_t},cnt:bigint>>)")
+
+    def step(acc, x):
+        item = x["item"]
+        seen = F.exists(acc, lambda a: a["item"] == item)
+        inc = F.transform(
+            acc,
+            lambda a: F.struct(
+                a["item"].alias("item"),
+                (a["cnt"] + F.when(a["item"] == item, 1).otherwise(0))
+                .alias("cnt"),
+            ),
+        )
+        ins = F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    item.alias("item"), F.lit(1).cast("long").alias("cnt")
+                )
+            ),
+        )
+        dec = F.filter(
+            F.transform(
+                acc,
+                lambda a: F.struct(
+                    a["item"].alias("item"), (a["cnt"] - 1).alias("cnt")
+                ),
+            ),
+            lambda a: a["cnt"] > 0,
+        )
+        return F.when(seen, inc).when(F.size(acc) < k, ins).otherwise(dec)
+
+    folded = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(ts_col).alias("ts"),
+                             F.col(item_col).alias("item"))
+                )
+            ).alias("seq")
+        )
+        .select(
+            *key_cols,
+            F.size("seq").cast("long").alias("n_seen"),
+            F.aggregate("seq", acc0, step).alias("counters"),
+        )
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("est_count").desc(), F.col("item").asc()
+    )
+    return (
+        folded.select(
+            *key_cols, "n_seen", F.explode("counters").alias("c")
+        )
+        .select(
+            *key_cols,
+            F.col("c.item").cast("string").alias("item"),
+            F.col("c.cnt").alias("est_count"),
+            "n_seen",
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= emit_top)
+        .select(*key_cols, "item", "est_count", "n_seen", "rank")
     )

@@ -964,6 +964,70 @@ def test_heavy_hitters_error_bound_and_state_cap(spark, star, tmp_path):
                 assert item in counters, (et, item, c, bound)
 
 
+def test_misra_gries_batch_matches_streaming_and_guarantee(spark, tmp_path):
+    """The batch twin replays the EXACT streaming fold: on a one-batch
+    stream the final streaming emission and misra_gries_batch produce
+    identical counter tables; and the Misra-Gries guarantee holds — the
+    item with true frequency > N/(k+1) surfaces in both, with its
+    estimate undercounting by at most N/(k+1)."""
+    import pandas as pd
+
+    from sap_data_pipeline_spark.streaming.stateful import (
+        heavy_hitters,
+        misra_gries_batch,
+    )
+
+    # skewed single-key stream: user 7 appears 50 times amid 20
+    # interleaved singletons; N=70, k=4 -> guarantee bound N/(k+1)=14
+    ts = pd.Timestamp("2024-01-01")
+    rows = []
+    n_singles = 0
+    for i in range(70):
+        if i % 3 == 2 and n_singles < 20:
+            uid = 100 + n_singles
+            n_singles += 1
+        else:
+            uid = 7
+        rows.append((ts + pd.Timedelta(seconds=i), "click", uid))
+    pdf = pd.DataFrame(rows, columns=["ts", "event_type", "user_id"])
+    src = tmp_path / "mg_src"
+    src.mkdir()
+    pdf.to_parquet(src / "part0.parquet")  # ONE file -> one micro-batch
+    batch_df = spark.read.parquet(str(src))
+
+    k = 4
+    q = (
+        heavy_hitters(
+            spark.readStream.schema(batch_df.schema).parquet(str(src)),
+            k=k, emit_top=k,
+        )
+        .writeStream.format("memory")
+        .queryName("mg_parity_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r["event_type"], r["item"], r["est_count"], r["n_seen"], r["rank"])
+        for r in spark.sql("SELECT * FROM mg_parity_out").collect()
+    }
+    batch_rows = {
+        tuple(r) for r in misra_gries_batch(
+            batch_df, key_cols=("event_type",), item_col="user_id",
+            k=k, emit_top=k,
+        ).collect()
+    }
+    assert stream_rows == batch_rows
+
+    true_freq = 70 - 20
+    bound = 70 / (k + 1)
+    assert true_freq > bound
+    hh = {r[1]: r[2] for r in batch_rows}
+    assert "7" in hh  # the guaranteed-frequent item surfaced
+    assert true_freq - bound <= hh["7"] <= true_freq  # never overcounts
+
+
 def test_heavy_hitters_empty_counter_table_emits_nothing(spark, tmp_path):
     """k=1 with all-distinct items: the decrement-all step empties the
     counter table every second item; those batches must emit NO rows —
