@@ -74,29 +74,50 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     events_daily_from_hourly_rollup — the reaggregation grain is
 #     evidenced by the in-window events_hourly_window it builds on plus
 #     weekly_site_sales_analytics' multi-grain rollup.
+#   * r8 rotation (r7 verdict #1 — promote the never-driver-hashed
+#     round-7 slate: tpch_q2/q9/q11/q16/q20/q21 — the partsupp sixth of
+#     TPC-H plus Q21 — events_cusum_alarms, activity_window_overlap).
+#     Demoted to make room, each double-evidenced by a strictly harder
+#     in-window query: tpch_q6 — pure scan-filter-agg with full
+#     pushdown, replayed by the in-window tpch_q1 (same scan + harder
+#     multi-agg) and tpch_q19 (harder envelope pushdown); tpch_q14 —
+#     broadcast-dim conditional agg (share-of-total) evidenced by the
+#     in-window tpch_q8's conditional market-share over a 6-dim star;
+#     image_meta_gif — the decoder battery is driver-evidenced by the
+#     in-window media_sniff_dispatch, which drives the SAME real
+#     WAV/BMP/Y4M decode stage plus sniff dispatch and quarantine;
+#     dedup_keep_first — W1 keep-first is the easy half of the
+#     in-window dedup_keep_last, whose explicit-descending-order window
+#     is strictly harder over the same key; star_join_revenue_by_region
+#     — its 4-table star + broadcast dims is a strict subset of the
+#     in-window tpch_q5 6-table star with the same revenue aggregate;
+#     topk_customers_by_revenue — agg + TakeOrderedAndProject top-k
+#     evidenced by the in-window tpch_q18's top-100 over a HAVING
+#     semi-join; ann_brute_force_topk — the declared O(N·Q) baseline:
+#     the in-window ann_lsh_topk replays the same cosine top-k rerank
+#     over LSH candidates and tests gate its recall against brute;
+#     duplicate_order_lines — group-by + HAVING duplicate counting,
+#     replayed (4-col PK, same table) inside the in-window
+#     data_quality_checks dup_pk probe, HAVING shape by tpch_q18.
 _TAIL = (
-    # r7 new work (never driver-hashed yet; oracle-green locally) —
-    # the partsupp sixth of TPC-H + Q21, prime r8 rotation candidates:
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_supplier_counts",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_suppliers_who_kept_waiting",
-    # r8: batch/audit twin of the streaming Misra-Gries monitor
-    # (r7 verdict #4) — oracle-green locally, r9 rotation candidate
+    # r8 new work (never driver-hashed; oracle-green locally) + the
+    # r7-verdict #7 slate — prime r9 rotation candidates:
     "events_heavy_hitters",
-    # r7: batch/audit twin of the streaming CUSUM detector (r6 verdict #6)
-    "events_cusum_alarms",
-    # r7 new operators (oracle-green locally; r8 rotation candidates):
-    # binned interval-overlap join + Efraimidis-Spirakis weighted sample
-    "activity_window_overlap",
     "weighted_sample_by_length",
     "embedding_pca_whiten",
     "host_communities_lpa",
     "knn_graph_cells",
     "host_triangle_stats",
     "concurrent_activity_pairs",
+    # r8 demotions (rationale above):
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue",
+    "image_meta_gif",
+    "dedup_keep_first",
+    "star_join_revenue_by_region",
+    "topk_customers_by_revenue",
+    "ann_brute_force_topk",
+    "duplicate_order_lines",
     "union_branches",
     "week_range_generator",
     "column_length_profile",
