@@ -274,3 +274,109 @@ def test_triangle_wedge_bound_degree_orientation(spark):
     ).collect()[0][0]
     # one triangle per ring edge (both endpoints share the hub)
     assert t_id == t_deg == 3 * n
+
+
+def test_label_propagation_wall_linear_fixed_rounds(spark):
+    """LPA scale guard (r7 verdict #6): 3 fixed synchronous rounds over
+    the out-degree-8 multigraph at N=30k and N=120k — each round is one
+    label join + (node, label) count + struct-max winner against the
+    ONE persisted edge layout, so per-round cost is linear in |E| and
+    the 4× graph must stay far off the quadratic 16×.  Round count is
+    fixed by the iterations budget, not data-dependent."""
+    n1 = 30_000
+    t1, r1 = _timed_count(G.label_propagation(_edges(spark, n1), iterations=3))
+    t2, r2 = _timed_count(
+        G.label_propagation(_edges(spark, n1 * SCALE), iterations=3)
+    )
+    assert r1 == n1 and r2 == n1 * SCALE
+    assert t2 / t1 < WALL_RATIO_MAX, (t1, t2)
+
+
+def test_knn_graph_candidate_volume_bounded(spark):
+    """knn_graph scale guard (r7 verdict #6): the candidate space is
+    Σ|cell|², so with cells grown WITH the corpus (the IVF contract)
+    per-cell occupancy stays flat and candidate volume stays ~linear:
+    at 4× vectors with 4× cells the Σ|cell·nprobe-occupancy|² ratio
+    must stay under 6 (linear → ~4, fixed-cells quadratic → 16), and
+    the end-to-end graph build stays off the quadratic wall."""
+    from sap_data_pipeline_spark.operators.dedup import seeded_cell_assign
+
+    dim, n1, cells1 = 16, 4000, 16
+    n2, cells2 = n1 * SCALE, cells1 * SCALE
+
+    def cand_volume(n, n_cells):
+        occ = (
+            seeded_cell_assign(
+                _embeddings(spark, n, dim), n_cells=n_cells, nprobe=2
+            )
+            .groupBy("cell")
+            .count()
+        )
+        return occ.agg(
+            F.sum(F.col("count") * F.col("count")).alias("v")
+        ).collect()[0]["v"]
+
+    v1, v2 = cand_volume(n1, cells1), cand_volume(n2, cells2)
+    assert v2 / v1 < PAIR_RATIO_MAX, (v1, v2)
+
+    t1, k1 = _timed_count(
+        S.knn_graph(_embeddings(spark, n1, dim), k=3, n_cells=cells1)
+    )
+    t2, k2 = _timed_count(
+        S.knn_graph(_embeddings(spark, n2, dim), k=3, n_cells=cells2)
+    )
+    assert k1 == n1 * 3 and k2 == n2 * 3  # every vector gets its top-3
+    assert t2 / t1 < WALL_RATIO_MAX, (t1, t2)
+
+
+def test_interval_overlap_join_volume_linear_and_cap_at_scale(spark):
+    """interval_overlap_join scale guard (r7 verdict #6): with the axis
+    growing WITH the row count (constant interval density — the honest
+    scaling axis) and bin_size near the typical span, emitted-pair
+    volume and wall clock stay ~linear at 4×; and the fan-out cap
+    still DROPS a corrupt near-infinite interval inside the big run
+    instead of exploding it into billions of bins."""
+    from sap_data_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    def frames(n):
+        # n activity intervals of span 100 every 50 ticks; n/10
+        # windows of span 200 every 500 ticks; one corrupt row with a
+        # ~1e12 span rides along and must be dropped by the cap
+        left = spark.range(n).select(
+            F.col("id").alias("lid"),
+            (F.col("id") * 50).alias("ls"),
+            (F.col("id") * 50 + 100).alias("le"),
+        )
+        corrupt = spark.range(1).select(
+            F.lit(-1).cast("long").alias("lid"),
+            F.lit(0).cast("long").alias("ls"),
+            F.lit(1_000_000_000_000).cast("long").alias("le"),
+        )
+        right = spark.range(n // 10).select(
+            F.col("id").alias("rid"),
+            (F.col("id") * 500).alias("rs"),
+            (F.col("id") * 500 + 200).alias("re"),
+        )
+        return left.unionAll(corrupt), right
+
+    def run(n):
+        ldf, rdf = frames(n)
+        out = interval_overlap_join(
+            ldf, rdf, left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bin_size=128,
+        )
+        t0 = time.time()
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("lid") == -1, 1).otherwise(0)).alias("bad"),
+        ).collect()[0]
+        return time.time() - t0, agg["n"], agg["bad"]
+
+    n1 = 200_000
+    t1, p1, bad1 = run(n1)
+    t2, p2, bad2 = run(n1 * SCALE)
+    assert bad1 == 0 and bad2 == 0  # cap fired on the corrupt span
+    assert p1 > 0 and p2 / p1 < PAIR_RATIO_MAX, (p1, p2)
+    assert t2 / t1 < WALL_RATIO_MAX, (t1, t2)
