@@ -103,6 +103,7 @@ _TAIL = (
     # r8 new work (never driver-hashed; oracle-green locally) + the
     # r7-verdict #7 slate — prime r9 rotation candidates:
     "events_heavy_hitters",
+    "events_windowed_distinct_hll",
     "weighted_sample_by_length",
     "embedding_pca_whiten",
     "host_communities_lpa",

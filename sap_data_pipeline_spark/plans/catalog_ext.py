@@ -8,6 +8,8 @@ list ops) so DuckDB computes bit-identical values.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -4490,6 +4492,136 @@ def events_heavy_hitters(star: Star) -> DataFrame:
     return misra_gries_batch(
         ev, key_cols=("event_type", "day"), item_col="user_id",
         ts_col="ts", k=_MG_K, emit_top=_MG_TOP,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed distinct-count HLL, batch twin (streaming/ingest.py
+# windowed_approx_distinct — Flajolet et al. 2007): the streaming
+# monitor serves estimates from Spark's DataSketches HLL
+# (hll_sketch_agg); this is its auditable batch replay with the SAME
+# register semantics re-derived over the portable hash64, so the whole
+# sketch — bucket split, rank (rho) extraction, register max-merge,
+# harmonic mean, linear-counting fallback — is value-hashed against
+# DuckDB.  Everything is integer-exact by construction: the harmonic
+# denominator sums 2^(57-M_j) terms (M_j <= 57 for a 56-bit rank
+# domain, so the sum fits a 64-bit long at m=16), the single float
+# division uses one shared literal numerator, and the linear-counting
+# branch reads m*ln(m/V) from a 16-entry literal table instead of
+# calling ln() — no libm, no float-order nondeterminism anywhere.
+# m=16 is deliberately small so the day-grain distinct counts (~50-70
+# users) exercise BOTH estimator branches on the test data; the
+# streaming monitor's lg_k=12 is the accuracy path, gated separately in
+# tests.  exact_distinct rides the same shuffle: buckets partition the
+# hash space, so per-bucket COUNT(DISTINCT h) sums to the global
+# distinct — the error is visible inline at zero extra passes.
+# ---------------------------------------------------------------------------
+
+_HLL_P = 4                     # 2^4 = 16 registers
+_HLL_M = 1 << _HLL_P
+_HLL_W = 60 - _HLL_P           # hash64 is 60-bit; rank domain width
+_HLL_SCALE = _HLL_W + 1        # 2^(SCALE - M_j) terms are integers
+_HLL_ALPHA = 0.673             # standard HLL alpha for m=16
+_HLL_NUMER = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_SCALE)
+_HLL_LIN = [_HLL_M * math.log(_HLL_M / v) for v in range(1, _HLL_M + 1)]
+_HLL_SEED = 31
+
+
+@register(
+    "events_windowed_distinct_hll",
+    f"""
+    WITH ev AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+               {_hash64_sql('CAST(user_id AS VARCHAR)', _HLL_SEED)} AS h
+        FROM events
+    ),
+    b AS (
+        SELECT day, event_type, h & {_HLL_M - 1} AS j, h >> {_HLL_P} AS x
+        FROM ev
+    ),
+    r AS (
+        SELECT day, event_type, j,
+               MAX(CASE WHEN x = 0 THEN {_HLL_SCALE}
+                        ELSE {_HLL_SCALE} - length(bin(x)) END) AS m_j,
+               COUNT(*) AS n_ev, COUNT(DISTINCT x) AS nd
+        FROM b GROUP BY 1, 2, 3
+    ),
+    a AS (
+        SELECT day, event_type,
+               CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_SCALE} - m_j)) AS BIGINT)
+                   AS occ_sum,
+               COUNT(*) AS n_occ,
+               CAST(SUM(n_ev) AS BIGINT) AS n_events,
+               CAST(SUM(nd) AS BIGINT) AS exact_distinct
+        FROM r GROUP BY 1, 2
+    )
+    SELECT day, event_type, n_events, exact_distinct,
+           CAST({_HLL_M} - n_occ AS INT) AS v_zero,
+           CAST(round(
+               CASE WHEN {_HLL_NUMER!r}
+                         / CAST(occ_sum + ({_HLL_M} - n_occ)
+                                * {1 << _HLL_SCALE} AS DOUBLE) <= {2.5 * _HLL_M!r}
+                         AND n_occ < {_HLL_M}
+                    THEN [{', '.join(repr(v) for v in _HLL_LIN)}][{_HLL_M} - n_occ]
+                    ELSE {_HLL_NUMER!r}
+                         / CAST(occ_sum + ({_HLL_M} - n_occ)
+                                * {1 << _HLL_SCALE} AS DOUBLE)
+               END, 3) AS DOUBLE) AS approx_distinct
+    FROM a
+    """,
+)
+def events_windowed_distinct_hll(star: Star) -> DataFrame:
+    ev = star.events.select(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        X.hash64(F.col("user_id").cast("string"), _HLL_SEED).alias("h"),
+    )
+    b = ev.select(
+        "day", "event_type",
+        F.col("h").bitwiseAND(F.lit(_HLL_M - 1)).alias("j"),
+        F.shiftright("h", _HLL_P).alias("x"),
+    )
+    # Per-register partials: one shuffle keyed (day, event_type, j);
+    # the register merge is a plain MAX, so map-side combine applies and
+    # the second aggregate re-keys m=16 rows per group — the exact
+    # mergeable-register shape the streaming monitor exploits, and the
+    # same two-level cascade a 1000-executor backfill would want.
+    r = b.groupBy("day", "event_type", "j").agg(
+        F.max(
+            F.when(F.col("x") == 0, F.lit(_HLL_SCALE)).otherwise(
+                F.lit(_HLL_SCALE) - F.length(F.bin("x"))
+            )
+        ).alias("m_j"),
+        F.count(F.lit(1)).alias("n_ev"),
+        F.countDistinct("x").alias("nd"),
+    )
+    a = r.groupBy("day", "event_type").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - m_j)")
+        ).alias("occ_sum"),
+        F.count(F.lit(1)).alias("n_occ"),
+        F.sum("n_ev").alias("n_events"),
+        F.sum("nd").alias("exact_distinct"),
+    )
+    denom = (
+        F.col("occ_sum")
+        + (F.lit(_HLL_M) - F.col("n_occ")) * F.lit(1 << _HLL_SCALE)
+    ).cast("double")
+    e_raw = F.lit(_HLL_NUMER) / denom
+    lin = F.element_at(
+        F.array(*[F.lit(v) for v in _HLL_LIN]),
+        (F.lit(_HLL_M) - F.col("n_occ")).cast("int"),
+    )
+    return a.select(
+        "day", "event_type", "n_events", "exact_distinct",
+        (F.lit(_HLL_M) - F.col("n_occ")).cast("int").alias("v_zero"),
+        F.round(
+            F.when(
+                (e_raw <= F.lit(2.5 * _HLL_M)) & (F.col("n_occ") < _HLL_M),
+                lin,
+            ).otherwise(e_raw),
+            3,
+        ).alias("approx_distinct"),
     )
 
 

@@ -1064,3 +1064,71 @@ def test_heavy_hitters_empty_counter_table_emits_nothing(spark, tmp_path):
     rows = spark.sql("SELECT * FROM hh_empty_out").collect()
     assert all(r["item"] is not None for r in rows)
     assert len(rows) == 1 and rows[0]["item"] == "u1"
+
+
+def test_hll_batch_twin_differential_and_error(spark):
+    """events_windowed_distinct_hll (the deterministic batch twin of
+    windowed_approx_distinct) must equal an independent Python replay of
+    the whole sketch — hash64 bucketing, rank extraction, register
+    max-merge, integer harmonic denominator, literal linear-counting
+    table — and its estimates must sit within HLL error of the exact
+    counts.  Run at sf0.01, where the day-grain cardinalities exercise
+    BOTH estimator branches (sf0.001 is all-linear-counting)."""
+    import hashlib
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from sap_data_pipeline_spark.plans.catalog import QUERIES
+    from sap_data_pipeline_spark.plans.catalog_ext import (
+        _HLL_LIN, _HLL_M, _HLL_NUMER, _HLL_P, _HLL_SCALE, _HLL_SEED,
+    )
+
+    got = {
+        (r["day"], r["event_type"]): r
+        for r in QUERIES["events_windowed_distinct_hll"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+
+    ev = pd.read_parquet("/root/testdata/sf0.01/events.parquet")
+    groups: dict = defaultdict(list)
+    for ts, et, uid in zip(ev["ts"], ev["event_type"], ev["user_id"]):
+        groups[(ts.strftime("%Y-%m-%d"), et)].append(uid)
+
+    assert set(got) == set(groups)
+    n_lin = n_raw = 0
+    rel_errs = []
+    for key, uids in groups.items():
+        regs: dict[int, int] = {}
+        xs = set()
+        for uid in uids:
+            h = int(
+                hashlib.md5(f"s{_HLL_SEED}:{uid}".encode()).hexdigest()[:15],
+                16,
+            )
+            j, x = h & (_HLL_M - 1), h >> _HLL_P
+            xs.add((j, x))
+            rho = _HLL_SCALE if x == 0 else _HLL_SCALE - x.bit_length()
+            regs[j] = max(regs.get(j, 0), rho)
+        v = _HLL_M - len(regs)
+        denom = sum(1 << (_HLL_SCALE - m) for m in regs.values()) + v * (
+            1 << _HLL_SCALE
+        )
+        e_raw = _HLL_NUMER / denom
+        if e_raw <= 2.5 * _HLL_M and v > 0:
+            est, n_lin = _HLL_LIN[v - 1], n_lin + 1
+        else:
+            est, n_raw = e_raw, n_raw + 1
+        r = got[key]
+        assert r["n_events"] == len(uids), key
+        assert r["exact_distinct"] == len(xs) == len(set(uids)), key
+        assert r["v_zero"] == v, key
+        assert abs(r["approx_distinct"] - est) <= 6e-4, (key, est)
+        rel_errs.append(abs(est - len(set(uids))) / len(set(uids)))
+
+    assert n_lin > 0 and n_raw > 0, (n_lin, n_raw)
+    # m=16 -> rsd ~1.04/4 = 26%; gate the replayed estimates loosely
+    # per-row and tightly in aggregate.
+    assert max(rel_errs) <= 1.0
+    assert sum(rel_errs) / len(rel_errs) <= 0.35
