@@ -99,17 +99,50 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     duplicate_order_lines — group-by + HAVING duplicate counting,
 #     replayed (4-col PK, same table) inside the in-window
 #     data_quality_checks dup_pk probe, HAVING shape by tpch_q18.
+#   * r9 rotation (r8 verdict #1 — promote the never-driver-hashed
+#     r8 slate: events_heavy_hitters, events_windowed_distinct_hll,
+#     weighted_sample_by_length, host_communities_lpa, knn_graph_cells,
+#     host_triangle_stats, concurrent_activity_pairs).  Demoted to make
+#     room, all seven TPC-H queries already driver-hashed green in
+#     CORRECTNESS_r07/r08 and each double-evidenced by a strictly
+#     harder in-window query: tpch_q7 — 6-table star with a
+#     conditional year split, subsumed by the in-window tpch_q8's
+#     7-table star computing the harder conditional market share;
+#     tpch_q9 — LIKE-filtered 6-table profit star, star shape
+#     evidenced by in-window tpch_q5 (6-table) and tpch_q8 (7-table);
+#     tpch_q11 — group-by + HAVING against a broadcast global scalar,
+#     the scalar-reentry shape replayed by in-window tpch_q15's
+#     max-revenue join and host_pagerank's dangling-mass broadcast;
+#     tpch_q16 — count-distinct group-by + NOT-IN anti-join,
+#     evidenced by in-window data_quality_checks (count-distinct
+#     probes) and new_articles_anti_join (left-anti);
+#     tpch_q19 — disjunctive-envelope scan-agg with full pushdown,
+#     evidenced by in-window tpch_q1 (same scan, harder multi-agg)
+#     and filter_battery (pushdown battery);
+#     tpch_q20 — semi-join ladder over partsupp thresholds, a strict
+#     subset of in-window tpch_q21's nested semi/anti self-joins;
+#     activity_window_overlap — driver-hashed green in r8; its binned
+#     interval_overlap_join operator is re-evidenced by the promoted
+#     concurrent_activity_pairs, which drives the SAME operator
+#     through the harder self-pair (user_a < user_b, cross-bin dedup)
+#     shape.  Kept in-window: tpch_q15 (scalar-aggregate equality
+#     join, now the family's evidencing query).  embedding_pca_whiten
+#     stays in the tail: rows-only by design (eigensolve),
+#     differential-tested vs numpy; its projection math gains an
+#     oracled fixed-basis twin this round.
 _TAIL = (
-    # r8 new work (never driver-hashed; oracle-green locally) + the
-    # r7-verdict #7 slate — prime r9 rotation candidates:
-    "events_heavy_hitters",
-    "events_windowed_distinct_hll",
-    "weighted_sample_by_length",
+    # r9 new work (never driver-hashed; oracle-green locally) — prime
+    # r10 rotation candidates, rationale pre-written per entry:
+    # rows-only-by-design (eigensolve; differential-tested vs numpy):
     "embedding_pca_whiten",
-    "host_communities_lpa",
-    "knn_graph_cells",
-    "host_triangle_stats",
-    "concurrent_activity_pairs",
+    # r9 demotions (rationale above):
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_counts",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "activity_window_overlap",
     # r8 demotions (rationale above):
     "tpch_q6_forecast_revenue",
     "tpch_q14_promo_revenue",
