@@ -539,6 +539,69 @@ def etl_load_dims(
     return results
 
 
+ZIN_MCH_RENAMES = {
+    "Article No": "Article",
+    "Article Description": "Article_Desc",
+    "Article Description.1": "Article_Desc_Local",
+    "Pack size": "Pack_Size",
+    "D/C MAP": "DC_MAP",
+    "Unrestricted-Use Stock": "Stock",
+    "Allocation Qty": "Allocation_Qty",
+    "On order Stock": "On_Order_Stock",
+    "Unrestricted Stock Value": "Stock_Value",
+    "PTD MVMT": "PTD_MVMT",
+    "YTD MVMT": "YTD_MVMT",
+    "SCA Assortment": "SCA_Assortment",
+    "Assortment grade": "Assortment_Grade",
+    "Asrt.Grade Description": "Grade_Desc",
+}
+# the reference's str-typed id columns that pandas mangles with a
+# float '.0' artifact (etl_zin_mch.py:23-26), post-rename names
+ZIN_MCH_ID_COLS = ["Article", "MCH", "Pack_Size", "SCA_Assortment",
+                   "Assortment_Grade"]
+ZIN_MCH_SCHEMA = T.StructType([
+    # mirrors the reference's column_types catalog (etl_zin_mch.py:28-44)
+    T.StructField("Article", T.StringType()),
+    T.StructField("MCH", T.StringType()),
+    T.StructField("Article_Desc", T.StringType()),
+    T.StructField("Article_Desc_Local", T.StringType()),
+    T.StructField("Pack_Size", T.StringType()),
+    T.StructField("DC_MAP", T.DecimalType(10, 2)),
+    T.StructField("Stock", T.IntegerType()),
+    T.StructField("Allocation_Qty", T.IntegerType()),
+    T.StructField("On_Order_Stock", T.IntegerType()),
+    T.StructField("Stock_Value", T.DecimalType(14, 2)),
+    T.StructField("PTD_MVMT", T.IntegerType()),
+    T.StructField("YTD_MVMT", T.IntegerType()),
+    T.StructField("SCA_Assortment", T.StringType()),
+    T.StructField("Assortment_Grade", T.StringType()),
+    T.StructField("Grade_Desc", T.StringType()),
+])
+
+
+def etl_mch_dim_refresh(spark: SparkSession, path: str, target_dir: str) -> dict:
+    """Zmmidr_9801 MCH-dimension refresh (``pipelines/etl_zin_mch.py:13-50``).
+
+    The reference's whole flow is: read one Excel workbook, strip the
+    pandas ``'.0'`` float artifact off five str-typed id columns
+    (``:23-26`` — we anchor the replace to end-of-string, fixing the
+    reference's anywhere-replace bug, see F8), declare SQL types
+    (``:28-44``), and upload in **replace** mode (``:48``).  Spark twin:
+    dim read → rename to canonical → ``strip_dot_zero_suffix`` on the id
+    columns → ``cast_to_schema`` → atomic replace-mode parquet write.
+    """
+    from sap_data_pipeline_spark.sources.readers import read_dim_table
+    from sap_data_pipeline_spark.sources.sinks import write_parquet_atomic
+
+    df = C.rename_canonical(read_dim_table(spark, path), ZIN_MCH_RENAMES)
+    for col in ZIN_MCH_ID_COLS:
+        if col in df.columns:
+            df = df.withColumn(col, C.strip_dot_zero_suffix(F.trim(F.col(col))))
+    typed = C.cast_to_schema(df, ZIN_MCH_SCHEMA)
+    rows = write_parquet_atomic(typed, target_dir)
+    return {"table": "Zmmidr_9801", "mode": "replace", "rows": rows}
+
+
 def etl_article_master(
     spark: SparkSession,
     watch_glob: str,

@@ -750,3 +750,46 @@ def test_build_training_corpus_survives_fully_gated_corpus(spark, tmp_path):
     assert audit["rows_after_quality"] == 0
     assert audit["rows_final"] == 0
     assert audit["rows_after_near_dedup"] == 0
+
+
+def test_etl_mch_dim_refresh_replace_mode(spark, tmp_path):
+    """etl_zin_mch.py:13-50 twin: Excel dim → '.0' strip on id columns →
+    typed cast → replace-mode write (second run replaces, not appends)."""
+    from decimal import Decimal
+
+    from sap_data_pipeline_spark.etl import etl_mch_dim_refresh
+    from sap_data_pipeline_spark.sources.xlsx import write_xlsx
+
+    header = ["Article No", "MCH", "Article Description", "Article Description.1",
+              "Pack size", "D/C MAP", "Unrestricted-Use Stock", "Allocation Qty",
+              "On order Stock", "Unrestricted Stock Value", "PTD MVMT", "YTD MVMT",
+              "SCA Assortment", "Assortment grade", "Asrt.Grade Description"]
+    rows = [
+        # pandas '.0' artifacts on the str-typed ids (etl_zin_mch.py:23-26)
+        ["100123.0", "M01.0", "Rice 5kg", "米 5公斤", "12.0", "3.50",
+         "120", "5", "30", "420.00", "10", "99", "A1.0", "G2.0", "Core"],
+        # end-anchored strip must NOT mangle an interior '.0' ('1.05')
+        ["1.05", "M02", "Oil 1L", "油 1L", "6", "2.25",
+         "40", "0", "8", "90.00", "3", "21", "B7", "G1", "Seasonal"],
+    ]
+    fp = tmp_path / "Zmmidr_9801.xlsx"
+    write_xlsx(str(fp), header, rows)
+    target = tmp_path / "Zmmidr_9801_tbl"
+
+    audit = etl_mch_dim_refresh(spark, str(fp), str(target))
+    assert audit["rows"] == 2 and audit["mode"] == "replace"
+    got = {r["Article"]: r for r in spark.read.parquet(str(target)).collect()}
+    assert set(got) == {"100123", "1.05"}  # '.0' stripped end-anchored only
+    assert got["100123"]["MCH"] == "M01"
+    assert got["100123"]["Pack_Size"] == "12"
+    assert got["100123"]["SCA_Assortment"] == "A1"
+    assert got["100123"]["Assortment_Grade"] == "G2"
+    assert got["100123"]["DC_MAP"] == Decimal("3.50")
+    assert got["100123"]["Stock"] == 120
+    assert got["1.05"]["Article_Desc_Local"] == "油 1L"
+
+    # replace mode: a re-run with one row leaves exactly one row
+    write_xlsx(str(fp), header, rows[:1])
+    audit2 = etl_mch_dim_refresh(spark, str(fp), str(target))
+    assert audit2["rows"] == 1
+    assert spark.read.parquet(str(target)).count() == 1
