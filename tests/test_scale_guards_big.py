@@ -380,3 +380,80 @@ def test_interval_overlap_join_volume_linear_and_cap_at_scale(spark):
     assert bad1 == 0 and bad2 == 0  # cap fired on the corrupt span
     assert p1 > 0 and p2 / p1 < PAIR_RATIO_MAX, (p1, p2)
     assert t2 / t1 < WALL_RATIO_MAX, (t1, t2)
+
+
+def test_misra_gries_counter_table_bounded_at_scale(spark):
+    """misra_gries_batch scale guard (r8 verdict #5): the bounded
+    counter table is the whole point of the sketch — at 10× item
+    cardinality the per-key counter array must still hold ≤ k entries
+    (emit_top set above k so truncation can't mask growth), and the
+    Misra-Gries guarantee (est ≥ true − n/k) must still hold for a
+    genuinely heavy item, so the frequent item always survives the
+    10× tail-noise blowup."""
+    from sap_data_pipeline_spark.streaming.stateful import misra_gries_batch
+
+    k = 8
+    for u in (500, 5000):
+        n = 10 * u
+        ev = (
+            spark.range(n)
+            .select(
+                F.lit("click").alias("event_type"),
+                F.when(F.col("id") < 3 * u, F.lit("heavy"))
+                .otherwise(F.concat(F.lit("u"), (F.col("id") % u).cast("string")))
+                .alias("user_id"),
+                F.col("id").alias("ts"),
+            )
+            .repartition(8)
+        )
+        out = misra_gries_batch(
+            ev, key_cols=("event_type",), item_col="user_id", ts_col="ts",
+            k=k, emit_top=100,
+        ).collect()
+        assert 1 <= len(out) <= k, f"counter table grew past k at u={u}"
+        heavy = [r for r in out if r["item"] == "heavy"]
+        assert heavy, f"heavy hitter evicted at u={u}"
+        assert heavy[0]["rank"] == 1
+        assert heavy[0]["est_count"] >= 3 * u - n / k  # MG lower bound
+        assert heavy[0]["n_seen"] == n
+
+
+def test_hll_register_frame_fixed_at_scale(spark):
+    """events_windowed_distinct_hll scale guard (r8 verdict #5): the
+    per-(window, type) state is m = 2^p registers NO MATTER how many
+    distinct users flow through — at 10× user cardinality the output
+    must still expose n_occ ≤ m occupied registers (v_zero = m − n_occ
+    is the direct witness of the register-frame row count after the
+    first aggregate), one output row per (day, type), and an estimate
+    within HLL error of the exact count."""
+    import math
+    from types import SimpleNamespace
+
+    from sap_data_pipeline_spark.plans import catalog_ext as CX
+
+    sigma = 1.04 / math.sqrt(CX._HLL_M)
+    for u in (400, 4000):
+        ev = (
+            spark.range(u * 8)
+            .select(
+                F.timestamp_seconds(
+                    F.lit(1_767_225_600) + (F.col("id") % 2) * 86_400
+                    + F.col("id") % 3_600
+                ).alias("ts"),
+                F.when(F.col("id") % 4 < 2, F.lit("click"))
+                .otherwise(F.lit("view")).alias("event_type"),
+                F.concat(F.lit("u"), (F.col("id") % u).cast("string"))
+                .alias("user_id"),
+            )
+            .repartition(8)
+        )
+        rows = CX.events_windowed_distinct_hll(
+            SimpleNamespace(events=ev)
+        ).collect()
+        assert len(rows) == 4  # 2 days × 2 types, independent of u
+        for r in rows:
+            assert 0 <= r["v_zero"] <= CX._HLL_M  # n_occ ≤ m registers
+            rel = abs(r["approx_distinct"] - r["exact_distinct"]) / max(
+                r["exact_distinct"], 1
+            )
+            assert rel <= 4 * sigma, (u, dict(r.asDict()))
