@@ -133,6 +133,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _TAIL = (
     # r9 new work (never driver-hashed; oracle-green locally) — prime
     # r10 rotation candidates, rationale pre-written per entry:
+    # oracled fixed-literal-basis run of the production pca_project
+    # kernel (value-hashes the projection/whitening math that keeps
+    # embedding_pca_whiten rows-only):
+    "embedding_fixed_basis_project",
     # rows-only-by-design (eigensolve; differential-tested vs numpy):
     "embedding_pca_whiten",
     # r9 demotions (rationale above):

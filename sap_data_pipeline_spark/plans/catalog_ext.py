@@ -4761,6 +4761,62 @@ def embedding_pca_whiten(star: Star) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fixed-literal-basis projection (r8 verdict #7): embedding_pca_whiten is
+# rows-only because the eigensolve's basis is data-dependent; THIS query
+# runs the exact same production projection kernel (pca_project →
+# _project_cols: shared centered array, zip_with/aggregate dot folds,
+# whitening division, 6 dp rounding) with a deterministic literal model,
+# so the projection math itself gets a cross-engine value hash.  The
+# basis/mean/std literals are generated once here and embedded in BOTH
+# the Spark plan and the oracle SQL; the fold order (i ascending,
+# left-assoc, double arithmetic on float32 inputs) is identical on both
+# engines, and the 6 dp round absorbs any last-ulp divergence.
+# ---------------------------------------------------------------------------
+
+_FB_DIM, _FB_K = 64, 4
+
+
+def _fb_model() -> dict:
+    import random
+
+    rng = random.Random(20260815)
+    mean = [round((rng.random() - 0.5) / 10, 6) for _ in range(_FB_DIM)]
+    comps = [
+        [round(rng.random() - 0.5, 6) for _ in range(_FB_DIM)]
+        for _ in range(_FB_K)
+    ]
+    return {"mean": mean, "components": comps,
+            "comp_std": [0.5, 1.0, 2.0, 0.25]}
+
+
+def _fb_oracle() -> str:
+    m = _fb_model()
+    outs = []
+    for j in range(_FB_K):
+        terms = " + ".join(
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) - {m['mean'][i]!r})"
+            f" * {m['components'][j][i]!r}"
+            for i in range(_FB_DIM)
+        )
+        outs.append(
+            f"round((0.0 + {terms}) / {m['comp_std'][j] + 1e-12!r}, 6)"
+            f" AS pc{j + 1}"
+        )
+    return (
+        "SELECT vec_id, label, " + ", ".join(outs) + " FROM embeddings"
+    )
+
+
+@register("embedding_fixed_basis_project", _fb_oracle())
+def embedding_fixed_basis_project(star: Star) -> DataFrame:
+    out = S.pca_project(star.embeddings, _fb_model(), whiten=True)
+    return out.select(
+        "vec_id", "label",
+        *[F.col("pca")[j].alias(f"pc{j + 1}") for j in range(_FB_K)],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Label-propagation communities over the synthetic host graph
 # (operators.graph.label_propagation): dense-region detection (mirror
 # farms / link rings) where CC would merge the whole web into one
