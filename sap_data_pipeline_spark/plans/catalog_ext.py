@@ -289,11 +289,11 @@ def embedding_near_dup_pairs_q(star: Star) -> DataFrame:
 # _near_dup_index below: the cell-blocked cosine pair graph and its
 # connected-component labeling are corpus artifacts (one sketch+closure
 # per corpus, served by every downstream query), not per-query work.
-# Built once per (session, sf_dir) with the catalog's default params
-# (threshold 0.3, 8 cells, nprobe 2) and shared by
-# embedding_near_dup_cells (pairs) and semantic_dedup_clusters (CC);
-# localCheckpoint pins the artifacts to executor storage, so the key
-# includes the application id — a fresh session rebuilds.
+# Built once per corpus with the catalog's default params (threshold
+# 0.3, 8 cells, nprobe 2) and shared by embedding_near_dup_cells
+# (pairs) and semantic_dedup_clusters (CC); like _near_dup_index it is
+# served from the durable content-addressed artifact store, so a cold
+# session's first call is a parquet read, not a sketch+closure build.
 # ---------------------------------------------------------------------------
 
 _sem_index_cache: dict[tuple, tuple[DataFrame, DataFrame]] = {}
@@ -304,9 +304,13 @@ _SEM_PARAMS = dict(threshold=0.3, n_cells=8, nprobe=2)
 
 def _sem_index(star: Star) -> tuple[DataFrame, DataFrame]:
     """(cosine pair graph, component labeling) for star.embeddings.
-    The first family query to run bears the one-time build — in the
-    catalog's registration order that is embedding_near_dup_cells,
-    which IS the pair-graph materialization; everything after serves."""
+
+    Three tiers (r8 verdict #2): process cache → the durable
+    content-addressed artifact store (``sources.artifacts``: a COLD
+    session's first family query is a parquet read, not a 13 s
+    sketch+closure build) → a real build, committed to storage for the
+    next session.  Synthetic in-memory stars (no files to fingerprint)
+    build in-process only, pinned via localCheckpoint."""
     global _sem_index_builds
     spark = star.embeddings.sparkSession
     try:
@@ -315,15 +319,33 @@ def _sem_index(star: Star) -> tuple[DataFrame, DataFrame]:
         app_id = str(id(spark))
     key = (app_id, star.sf_dir)
     if key not in _sem_index_cache:
-        _sem_index_builds += 1
-        pairs = D.embedding_near_dup_pairs_by_cell(
-            star.embeddings, **_SEM_PARAMS
-        ).localCheckpoint(eager=True)
-        cc = D.connected_components(
-            star.embeddings.select("vec_id"), pairs.select("id_a", "id_b"),
-            id_col="vec_id",
-        ).localCheckpoint(eager=True)
-        _sem_index_cache[key] = (pairs, cc)
+        from sap_data_pipeline_spark.sources import artifacts as A
+
+        def build() -> dict[str, DataFrame]:
+            global _sem_index_builds
+            _sem_index_builds += 1
+            pairs = D.embedding_near_dup_pairs_by_cell(
+                star.embeddings, **_SEM_PARAMS
+            ).localCheckpoint(eager=True)
+            cc = D.connected_components(
+                star.embeddings.select("vec_id"),
+                pairs.select("id_a", "id_b"), id_col="vec_id",
+            )
+            return {"pairs": pairs, "cc": cc}
+
+        fp = A.corpus_fingerprint(
+            getattr(star, "sf_dir", "") or "", "embeddings",
+            params=f"sem|{sorted(_SEM_PARAMS.items())}",
+        )
+        if fp is None:
+            built = build()
+            _sem_index_cache[key] = (
+                built["pairs"],
+                built["cc"].localCheckpoint(eager=True),
+            )
+        else:
+            frames = A.load_or_build(spark, "sem_index", fp, build)
+            _sem_index_cache[key] = (frames["pairs"], frames["cc"])
     return _sem_index_cache[key]
 
 
@@ -1061,12 +1083,14 @@ def corpus_stats_rollup(star: Star) -> DataFrame:
 # connected-component labeling are corpus artifacts, not per-query work —
 # a production dedup pipeline materializes them ONCE (a parquet edge/label
 # table) and serves every downstream curation and audit query from the
-# same index.  The catalog mirrors that: built once per (session, sf_dir)
-# with default sketch params and shared by near_dup_clusters,
-# near_dup_cluster_quality, and keep_best_per_cluster, so only their
-# per-query aggregates run per call.  Unlike the ANN model cache the
-# artifacts are DataFrames pinned to executor storage (localCheckpoint),
-# so the key includes the Spark application id — a fresh session rebuilds.
+# same index.  The catalog mirrors that literally: the index is a
+# DURABLE content-addressed parquet artifact (sources.artifacts, keyed
+# by corpus file listing + sketch params), built by the first query that
+# ever needs it on this machine and served as a plain parquet scan by
+# every later query — including cold sessions (r8 verdict #2).  The
+# process-local cache below only saves the re-read within a session;
+# synthetic in-memory stars (nothing to fingerprint) fall back to a
+# per-session localCheckpoint build.
 # ---------------------------------------------------------------------------
 
 _near_dup_index_cache: dict[tuple, tuple[DataFrame, DataFrame]] = {}
@@ -1074,7 +1098,11 @@ _near_dup_index_builds = 0  # test hook: number of sketch+CC builds
 
 
 def _near_dup_index(star: Star) -> tuple[DataFrame, DataFrame]:
-    """(verified pair graph, component labeling) for star.documents."""
+    """(verified pair graph, component labeling) for star.documents.
+
+    Same three-tier serving as ``_sem_index``: process cache → durable
+    content-addressed artifact (cold sessions read parquet) → build +
+    commit.  Synthetic stars build in-process only."""
     global _near_dup_index_builds
     spark = star.documents.sparkSession
     try:
@@ -1083,12 +1111,31 @@ def _near_dup_index(star: Star) -> tuple[DataFrame, DataFrame]:
         app_id = str(id(spark))
     key = (app_id, star.sf_dir)
     if key not in _near_dup_index_cache:
-        _near_dup_index_builds += 1
-        pairs = D.minhash_dedup_pairs(star.documents).localCheckpoint(eager=True)
-        cc = D.connected_components(
-            star.documents.select("doc_id"), pairs
-        ).localCheckpoint(eager=True)
-        _near_dup_index_cache[key] = (pairs, cc)
+        from sap_data_pipeline_spark.sources import artifacts as A
+
+        def build() -> dict[str, DataFrame]:
+            global _near_dup_index_builds
+            _near_dup_index_builds += 1
+            pairs = D.minhash_dedup_pairs(star.documents).localCheckpoint(
+                eager=True
+            )
+            cc = D.connected_components(star.documents.select("doc_id"), pairs)
+            return {"pairs": pairs, "cc": cc}
+
+        fp = A.corpus_fingerprint(
+            getattr(star, "sf_dir", "") or "", "documents",
+            params=f"minhash|perm={D.NUM_PERM}|band={D.BAND_SIZE}"
+                   f"|shingle={D.SHINGLE_N}|cap={D.LSH_MAX_BUCKET}",
+        )
+        if fp is None:
+            built = build()
+            _near_dup_index_cache[key] = (
+                built["pairs"],
+                built["cc"].localCheckpoint(eager=True),
+            )
+        else:
+            frames = A.load_or_build(spark, "near_dup_index", fp, build)
+            _near_dup_index_cache[key] = (frames["pairs"], frames["cc"])
     return _near_dup_index_cache[key]
 
 

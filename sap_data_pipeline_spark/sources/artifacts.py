@@ -1,0 +1,113 @@
+"""Durable corpus-artifact store: content-addressed parquet
+materializations of expensive corpus indexes.
+
+A production curation pipeline does not re-sketch 100 TB per query: the
+near-dup pair graph and its component labeling are **pipeline
+artifacts** — built once per (corpus content, sketch params), stored
+beside the warehouse, and served by every downstream audit/curation
+query (the same economics as the versioned table's manifest: storage is
+the cache, sessions are stateless).  The process-local caches in
+``plans.catalog_ext`` amortize repeat calls *within* a session; this
+store makes the first call of a **cold** session a parquet read instead
+of a full sketch + connected-components build (r8 verdict #2: the
+13.5 s standalone ``semantic_dedup_clusters`` cost becomes a scan).
+
+Layout and commit protocol::
+
+    {root}/{family}/{fingerprint}/{name}/   one parquet dir per frame
+
+``fingerprint`` is an md5 over the source table's file listing
+(relative name, size, mtime_ns — cheap, no data scan), the build
+params, and a format version, so ANY corpus or param change addresses a
+fresh directory and stale indexes simply age out (prunable by mtime).
+The build writes every frame under ``{root}/{family}/{fp}.__tmp__*``
+and commits with ONE atomic directory rename — the final path's
+existence is the completeness marker, concurrent builders race safely
+(loser discards its tmp and reads the winner's commit), and a crash
+mid-build leaves only an ignorable tmp.
+
+``SPARK_GRAFT_ARTIFACT_DIR`` overrides the root (tests point it at a
+tmp dir); the default lives under the system temp dir, shared by every
+process on the machine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def artifact_root() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_ARTIFACT_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_artifacts"),
+    )
+
+
+def corpus_fingerprint(sf_dir: str, table: str, *, params: str,
+                       version: str = "v1") -> str | None:
+    """Content key for ``{sf_dir}/{table}.parquet`` + build params.
+
+    (name, size, mtime_ns) per file — metadata only, never a data scan;
+    immutable testdata and any sanely-written warehouse table change
+    mtime on rewrite.  Returns None when the source path doesn't exist
+    (synthetic in-memory stars): callers fall back to in-process-only
+    builds.
+    """
+    path = os.path.join(sf_dir or "", f"{table}.parquet")
+    entries: list[tuple[str, int, int]] = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        entries.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    elif os.path.isdir(path):
+        for base, _, names in os.walk(path):
+            for n in names:
+                if n.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(base, n))
+                rel = os.path.relpath(os.path.join(base, n), path)
+                entries.append((rel, st.st_size, st.st_mtime_ns))
+    else:
+        return None
+    entries.sort()
+    h = hashlib.md5(f"{version}|{params}|{entries!r}".encode())
+    return h.hexdigest()[:20]
+
+
+def load_or_build(
+    spark: SparkSession,
+    family: str,
+    fingerprint: str,
+    build: Callable[[], dict[str, DataFrame]],
+) -> dict[str, DataFrame]:
+    """Serve the ``family``/``fingerprint`` frames from storage, building
+    and committing them first if absent.  Returned DataFrames are plain
+    parquet scans — session-independent, no lineage, no pinned executor
+    storage."""
+    final = os.path.join(artifact_root(), family, fingerprint)
+    if not os.path.isdir(final):
+        frames = build()
+        tmp = f"{final}.__tmp__{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp, exist_ok=True)
+        try:
+            for name, df in frames.items():
+                df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+            try:
+                os.rename(tmp, final)  # the atomic commit
+            except OSError:
+                if not os.path.isdir(final):  # real failure, not a race
+                    raise
+        finally:
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        name: spark.read.parquet(os.path.join(final, name))
+        for name in sorted(os.listdir(final))
+        if os.path.isdir(os.path.join(final, name))
+    }

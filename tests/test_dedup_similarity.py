@@ -862,38 +862,51 @@ def test_ann_model_cache_trains_once(spark):
     assert S.train_calls["ivf"] - before["ivf"] == 1
 
 
-def test_near_dup_index_builds_once(spark):
-    """The MinHash/LSH pair graph + CC labeling build ONCE per
-    (session, sf_dir) and serve near_dup_clusters,
-    near_dup_cluster_quality, and keep_best_per_cluster — the three
-    audit/curation queries must not re-sketch the corpus."""
+def test_near_dup_index_builds_once(spark, tmp_path, monkeypatch):
+    """The MinHash/LSH pair graph + CC labeling build ONCE per corpus
+    and serve near_dup_clusters, near_dup_cluster_quality, and
+    keep_best_per_cluster — the audit/curation queries must not
+    re-sketch the corpus; and the index is a DURABLE artifact: a cold
+    session (simulated by clearing the process cache) serves from
+    storage with ZERO rebuilds (r8 verdict #2)."""
     from sap_data_pipeline_spark.plans import catalog_ext as CE
     from sap_data_pipeline_spark.plans.catalog import QUERIES
 
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "arts"))
     CE._near_dup_index_cache.clear()
     before = CE._near_dup_index_builds
     for name in ("near_dup_clusters", "near_dup_cluster_quality",
                  "keep_best_per_cluster", "near_dup_clusters"):
         QUERIES[name](spark, "/root/testdata/sf0.001").count()
     assert CE._near_dup_index_builds - before == 1
+    # cold session: process cache gone, storage artifact present →
+    # served as a parquet read, never re-sketched
+    CE._near_dup_index_cache.clear()
+    QUERIES["near_dup_clusters"](spark, "/root/testdata/sf0.001").count()
+    assert CE._near_dup_index_builds - before == 1
     # a different sf_dir is a different corpus: must rebuild, not serve
     QUERIES["near_dup_clusters"](spark, "/root/testdata/sf0.01").count()
     assert CE._near_dup_index_builds - before == 2
 
 
-def test_sem_index_builds_once(spark):
+def test_sem_index_builds_once(spark, tmp_path, monkeypatch):
     """The embedding twin: the cell-blocked cosine pair graph + CC
-    labeling build ONCE per (session, sf_dir) and serve BOTH
-    embedding_near_dup_cells and semantic_dedup_clusters — the catalog
-    must not re-block and re-close the corpus per query."""
+    labeling build ONCE per corpus and serve BOTH
+    embedding_near_dup_cells and semantic_dedup_clusters; a cold
+    session serves from the durable artifact with zero rebuilds."""
     from sap_data_pipeline_spark.plans import catalog_ext as CE
     from sap_data_pipeline_spark.plans.catalog import QUERIES
 
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "arts"))
     CE._sem_index_cache.clear()
     before = CE._sem_index_builds
     for name in ("embedding_near_dup_cells", "semantic_dedup_clusters",
                  "embedding_near_dup_cells"):
         QUERIES[name](spark, "/root/testdata/sf0.001").count()
+    assert CE._sem_index_builds - before == 1
+    # cold session: serve from storage, no re-block/re-close
+    CE._sem_index_cache.clear()
+    QUERIES["semantic_dedup_clusters"](spark, "/root/testdata/sf0.001").count()
     assert CE._sem_index_builds - before == 1
     # a different sf_dir is a different corpus: must rebuild, not serve
     QUERIES["semantic_dedup_clusters"](spark, "/root/testdata/sf0.01").count()
