@@ -63,6 +63,13 @@ HEADLINE = [
     "activity_window_overlap",
     "host_communities_lpa",
     "embedding_pca_whiten",
+    # round-9 additions: the promoted r8 slate's heavy shapes (cell-blocked
+    # knn graph, oriented triangles, explicit-register HLL) and the new
+    # oracled projection kernel
+    "knn_graph_cells",
+    "host_triangle_stats",
+    "events_windowed_distinct_hll",
+    "embedding_fixed_basis_project",
 ]
 
 
@@ -83,16 +90,20 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # 6 consecutive runs per query, the FIRST discarded from every
+    # 7 consecutive runs per query, the first TWO discarded from every
     # statistic: run 1 at the benchmark sf_dir pays per-(query, sf)
     # one-time costs — file listing, planning, codegen for the real
     # splits, and the per-sf_dir model/index caches (ANN codebooks,
     # near-dup pair graph) — which are corpus artifacts, not serving
     # cost.  Folding run 1 into the stats was the dominant term in the
-    # 25-30% r5/r6 run_spread_pct (r6 verdict #3); dropping it measures
-    # 12-13%.  A round-robin variant (6 whole-suite passes, first pass
-    # dropped) was tried and measured WORSE on both axes (38.8% spread,
-    # +21% total): separating a query's runs by ~60 s of other queries
+    # 25-30% r5/r6 run_spread_pct (r6 verdict #3); dropping it measured
+    # 12-13%.  Run 2 is the residual warm-up tail (JIT recompiles and
+    # AQE runtime-stats caching still settling on the real splits) and
+    # was the max in most 12-13%-spread queries, so r9 (r8 verdict #4)
+    # drops it too: 5 steady-state runs kept, same kept-count as before.
+    # A round-robin variant (6 whole-suite passes, first pass dropped)
+    # was tried and measured WORSE on both axes (38.8% spread, +21%
+    # total): separating a query's runs by ~60 s of other queries
     # dilutes its JIT profile and imports their GC pressure —
     # back-to-back runs are the steadier instrument on a shared JVM.
     # `value` stays sum-of-mins (steady-state plan cost, comparable
@@ -105,12 +116,12 @@ def main() -> None:
     jvm_gc = spark.sparkContext._jvm.System.gc
     for name in HEADLINE:
         runs = []
-        for _ in range(6):
+        for _ in range(7):
             jvm_gc()  # don't bill query N for query N-1's garbage
             t0 = time.time()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
-        runs = runs[1:]  # drop the one-time-cost run
+        runs = runs[2:]  # drop the one-time-cost run + warm-up tail
         timings[name] = round(min(runs), 3)
         medians[name] = round(sorted(runs)[len(runs) // 2], 3)
         spreads.append((max(runs) - min(runs)) / min(runs))
@@ -126,6 +137,21 @@ def main() -> None:
         "sf": float(sf),
         "run_spread_pct": round(100 * spreads[len(spreads) // 2], 1),
     }
+    # Same-machine floor comparison (r8 verdict #3): BASELINE_LOCAL.json
+    # records this machine's per-query minimums; the ratio here replaces
+    # the hand 1.25×-environment-drift correction every cross-round
+    # comparison needed against the r1-era recorded baseline.  Computed
+    # over the shared query names so headline-set growth can't skew it.
+    floor_path = Path(__file__).resolve().parent / "BASELINE_LOCAL.json"
+    if floor_path.exists():
+        floor = json.loads(floor_path.read_text())["queries_min"]
+        shared = sorted(set(floor) & set(timings))
+        if shared:
+            out["vs_local_floor"] = round(
+                sum(timings[q] for q in shared)
+                / sum(floor[q] for q in shared), 3,
+            )
+            out["floor_shared_n"] = len(shared)
     # The driver records only the LAST 2000 chars of stdout; the r7 line
     # (min + median dicts inline) overflowed that and clipped the
     # queries_min entries out of BENCH_r7 (r7 verdict #8).  Keep the

@@ -1,0 +1,113 @@
+"""sources.artifacts — the durable content-addressed index store
+(r8 verdict #2): fingerprint sensitivity, atomic commit, build-once
+semantics, and the synthetic-star fallback path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sap_data_pipeline_spark.sources import artifacts as A
+
+
+@pytest.fixture()
+def corpus_dir(tmp_path):
+    d = tmp_path / "sf"
+    d.mkdir()
+    (d / "documents.parquet").write_bytes(b"x" * 64)
+    return str(d)
+
+
+def test_fingerprint_keys_content_params_and_version(corpus_dir):
+    base = A.corpus_fingerprint(corpus_dir, "documents", params="p1")
+    assert base is not None
+    # params and format version each address a different artifact
+    assert A.corpus_fingerprint(corpus_dir, "documents", params="p2") != base
+    assert A.corpus_fingerprint(
+        corpus_dir, "documents", params="p1", version="v2"
+    ) != base
+    # same inputs → same key (deterministic, restart-stable)
+    assert A.corpus_fingerprint(corpus_dir, "documents", params="p1") == base
+
+
+def test_fingerprint_tracks_file_changes(corpus_dir):
+    before = A.corpus_fingerprint(corpus_dir, "documents", params="p")
+    f = os.path.join(corpus_dir, "documents.parquet")
+    os.utime(f, ns=(1, 1))  # mtime change = rewrite = new corpus
+    after = A.corpus_fingerprint(corpus_dir, "documents", params="p")
+    assert after != before
+    # size change too
+    with open(f, "ab") as fh:
+        fh.write(b"y")
+    assert A.corpus_fingerprint(corpus_dir, "documents", params="p") != after
+
+
+def test_fingerprint_directory_table_ignores_markers(tmp_path):
+    d = tmp_path / "sf"
+    (d / "events.parquet").mkdir(parents=True)
+    (d / "events.parquet" / "part-0.parquet").write_bytes(b"a" * 10)
+    fp1 = A.corpus_fingerprint(str(d), "events", params="p")
+    # _SUCCESS / hidden files don't change the key
+    (d / "events.parquet" / "_SUCCESS").write_bytes(b"")
+    (d / "events.parquet" / ".crc").write_bytes(b"z")
+    assert A.corpus_fingerprint(str(d), "events", params="p") == fp1
+    # a new data part does
+    (d / "events.parquet" / "part-1.parquet").write_bytes(b"b" * 10)
+    assert A.corpus_fingerprint(str(d), "events", params="p") != fp1
+
+
+def test_fingerprint_missing_source_is_none(tmp_path):
+    assert A.corpus_fingerprint(str(tmp_path), "documents", params="p") is None
+    assert A.corpus_fingerprint("", "documents", params="p") is None
+
+
+def test_load_or_build_builds_once_and_serves_cold(spark, tmp_path,
+                                                   monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "arts"))
+    calls = []
+
+    def build():
+        calls.append(1)
+        return {
+            "pairs": spark.createDataFrame([(1, 2), (2, 3)], "a int, b int"),
+            "cc": spark.createDataFrame([(1, 1)], "id int, lbl int"),
+        }
+
+    got = A.load_or_build(spark, "fam", "fp123", build)
+    assert set(got) == {"pairs", "cc"}
+    assert got["pairs"].count() == 2 and got["cc"].count() == 1
+    # second call (a "cold session"): served from storage, no rebuild
+    again = A.load_or_build(spark, "fam", "fp123", build)
+    assert len(calls) == 1
+    assert again["pairs"].count() == 2
+    # committed layout: final dir present, no tmp leftovers
+    fam = tmp_path / "arts" / "fam"
+    assert sorted(os.listdir(fam)) == ["fp123"]
+    # a different fingerprint is a different artifact → rebuild
+    A.load_or_build(spark, "fam", "fp456", build)
+    assert len(calls) == 2
+
+
+def test_load_or_build_loser_of_commit_race_reads_winner(spark, tmp_path,
+                                                         monkeypatch):
+    """If the final path appears between the existence check and the
+    rename (a concurrent builder won), the loser must discard its tmp
+    and serve the winner's frames."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "arts"))
+    final = tmp_path / "arts" / "fam" / "fp1"
+
+    def winner_then_build():
+        # simulate the race: the winner commits while we are building
+        os.makedirs(final / "t")
+        spark.createDataFrame([(9,)], "v int").write.mode(
+            "overwrite"
+        ).parquet(str(final / "t"))
+        return {"t": spark.createDataFrame([(1,)], "v int")}
+
+    got = A.load_or_build(spark, "fam", "fp1", winner_then_build)
+    # the pre-committed (winner's) value is what gets served
+    assert [r["v"] for r in got["t"].collect()] == [9]
+    # loser's tmp cleaned up
+    fam = tmp_path / "arts" / "fam"
+    assert sorted(os.listdir(fam)) == ["fp1"]

@@ -1,0 +1,71 @@
+"""Record this machine's bench floor as BASELINE_LOCAL.json (r8 verdict #3).
+
+The r1-era recorded baseline (BENCH_r01.json) is machine-bound: the r8
+replay experiment measured a 1.25× pure-environment drift, which every
+cross-round comparison had to correct by hand.  This tool snapshots the
+CURRENT machine + instrument's per-query minimums from the latest
+BENCH_FULL.json (and, when present, fresh-JVM minimums from
+bench_isolated's output) into BASELINE_LOCAL.json; bench.py then emits
+`vs_local_floor` — the shared-query ratio against this floor — in every
+future BENCH_r{N} line, so round-over-round performance reads directly
+with no hand arithmetic.
+
+Usage:
+    python bench.py                       # produces BENCH_FULL.json
+    python tools/bench_isolated.py /root/testdata/sf0.1 BENCH_ISOLATED_rN.json
+    python tools/make_baseline_local.py [round_tag] [isolated.json]
+
+Re-run (with a new round_tag) only when the floor legitimately moves:
+a machine change, an instrument change, or a deliberate plan change —
+never to absorb a regression.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+sys.path.insert(0, str(REPO / "tools"))
+from bench_isolated import LEGACY  # noqa: E402
+
+
+def main() -> None:
+    round_tag = sys.argv[1] if len(sys.argv) > 1 else "r9"
+    iso_path = Path(sys.argv[2]) if len(sys.argv) > 2 else None
+
+    full = json.loads((REPO / "BENCH_FULL.json").read_text())
+    mins = full["queries"]
+    missing_legacy = [q for q in LEGACY if q not in mins]
+    out = {
+        "recorded_round": round_tag,
+        "sf": full["sf"],
+        "instrument": "bench.py in-suite, 7 runs/query dropping first 2, "
+                      "per-query min over the 5 steady-state runs",
+        "headline_total": full["value"],
+        "headline_total_median5": full["total_median5"],
+        "run_spread_pct": full["run_spread_pct"],
+        "queries_min": mins,
+        "queries_median": full.get("queries_median", {}),
+        "legacy18": {q: mins[q] for q in LEGACY if q in mins},
+        "legacy18_total": round(sum(mins[q] for q in LEGACY if q in mins), 3),
+        "legacy18_missing": missing_legacy,
+    }
+    if iso_path and iso_path.exists():
+        iso = json.loads(iso_path.read_text())
+        out["isolated_min"] = iso.get("queries", iso)
+        out["isolated_note"] = (
+            "fresh-JVM-per-query minimums (tools/bench_isolated.py); NOT "
+            "comparable with in-suite minimums — a full suite warms shared "
+            "JVM/codegen paths single-query processes never reach"
+        )
+    (REPO / "BASELINE_LOCAL.json").write_text(json.dumps(out, indent=1) + "\n")
+    print(f"BASELINE_LOCAL.json written: headline_total={out['headline_total']}"
+          f" legacy18_total={out['legacy18_total']}"
+          f" spread={out['run_spread_pct']}%")
+
+
+if __name__ == "__main__":
+    main()
