@@ -106,8 +106,40 @@ def load_or_build(
         finally:
             if os.path.isdir(tmp):
                 shutil.rmtree(tmp, ignore_errors=True)
+    os.utime(final)  # LRU touch: prune() keeps recently-served artifacts
     return {
         name: spark.read.parquet(os.path.join(final, name))
         for name in sorted(os.listdir(final))
         if os.path.isdir(os.path.join(final, name))
     }
+
+
+def prune(*, keep_seconds: float, now: float | None = None) -> list[str]:
+    """Age out artifacts not served within ``keep_seconds`` (their
+    fingerprint dir's mtime — touched on every ``load_or_build`` hit —
+    is the LRU clock).  Stale fingerprints are unreachable garbage by
+    construction (a corpus/param change addresses a new directory), so
+    pruning can never break a reader that would still hit them; a
+    pruned artifact that turns out live again is just rebuilt.
+    Crashed builders' ``__tmp__`` leftovers age out the same way (a
+    LIVE builder's tmp is younger than any sane cutoff).  Returns
+    removed paths."""
+    import time as _time
+
+    root = artifact_root()
+    if not os.path.isdir(root):
+        return []
+    cutoff = (now if now is not None else _time.time()) - keep_seconds
+    removed: list[str] = []
+    for family in os.listdir(root):
+        fam_dir = os.path.join(root, family)
+        if not os.path.isdir(fam_dir):
+            continue
+        for fp in os.listdir(fam_dir):
+            path = os.path.join(fam_dir, fp)
+            if not os.path.isdir(path):
+                continue
+            if os.stat(path).st_mtime < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+    return removed

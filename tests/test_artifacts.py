@@ -111,3 +111,34 @@ def test_load_or_build_loser_of_commit_race_reads_winner(spark, tmp_path,
     # loser's tmp cleaned up
     fam = tmp_path / "arts" / "fam"
     assert sorted(os.listdir(fam)) == ["fp1"]
+
+
+def test_prune_ages_out_by_last_serve(spark, tmp_path, monkeypatch):
+    """prune(): fingerprints not served within the horizon are removed
+    (mtime is touched on every load_or_build hit, so recently-served
+    artifacts survive even if built long ago); tmp leftovers age out
+    the same way; a pruned artifact rebuilds transparently."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "arts"))
+    calls = []
+
+    def build():
+        calls.append(1)
+        return {"t": spark.createDataFrame([(1,)], "v int")}
+
+    A.load_or_build(spark, "fam", "old", build)
+    A.load_or_build(spark, "fam", "hot", build)
+    fam = tmp_path / "arts" / "fam"
+    os.utime(fam / "old", ns=(0, 0))  # last served at epoch
+    stale_tmp = fam / "dead.__tmp__x"
+    stale_tmp.mkdir()
+    os.utime(stale_tmp, ns=(0, 0))
+
+    removed = A.prune(keep_seconds=3600)
+    assert {os.path.basename(p) for p in removed} == {"old", "dead.__tmp__x"}
+    assert sorted(os.listdir(fam)) == ["hot"]
+    # serving "hot" touched it; pruning again removes nothing
+    A.load_or_build(spark, "fam", "hot", build)
+    assert A.prune(keep_seconds=3600) == []
+    # the pruned artifact just rebuilds on next demand
+    A.load_or_build(spark, "fam", "old", build)
+    assert len(calls) == 3
