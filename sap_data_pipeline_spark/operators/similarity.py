@@ -812,8 +812,18 @@ def knn_graph(emb: DataFrame, k: int = 3, *, id_col: str = "vec_id",
         # in memory)
         .withColumn("cosine", F.round(V.cosine("_va", "_vb"), 6))
         .select(id_col, "neighbor_id", "cosine")
-        .dropDuplicates([id_col, "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w))
+        # ONE exchange (r9): rank first with dense_rank, dedup after.
+        # Duplicate candidate rows (a pair sharing ≥2 probed cells) are
+        # exact copies, so they share the full ORDER BY key (cosine,
+        # neighbor) and dense_rank gives every distinct neighbor the
+        # rank row_number would give after dedup — while the window's
+        # GroupLimit pushes the k-cut below the sort on both sides of
+        # the exchange, and the post-filter dropDuplicates runs
+        # map-side only (hashpartitioning(id) already satisfies the
+        # (id, neighbor) clustering), vs the old dedup-then-rank shape
+        # paying a second full (id, neighbor) exchange before the sort.
+        .withColumn("rank", F.dense_rank().over(w))
         .filter(F.col("rank") <= k)
+        .dropDuplicates([id_col, "neighbor_id"])
         .select(id_col, "neighbor_id", "cosine", "rank")
     )
