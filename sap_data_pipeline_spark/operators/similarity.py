@@ -166,17 +166,27 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *, dim: int,
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         "lsh_table", "lsh_bucket",
     )
-    cands = (
+    # Score map-side BEFORE any shuffle ("shuffle verdicts, not
+    # payloads"): a pair colliding in t tables pays ≤ t redundant
+    # cosine folds, but the one exchange then carries narrow (query,
+    # neighbor, cosine) rows instead of two full vectors.  dense_rank
+    # ranks with duplicates still present (copies share the full ORDER
+    # BY key, so distinct neighbors get row_number-equivalent ranks),
+    # WindowGroupLimit cuts to k on both sides of the exchange, and the
+    # final dedup is a map-side-only aggregate (partitioning by
+    # query_id satisfies its clustering) — one data-sized exchange
+    # total, same plan shape as knn_graph.
+    scored = (
         qb.join(cb, ["lsh_table", "lsh_bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", F.round(V.cosine("qv", "cv"), 6))
+        .select("query_id", "neighbor_id", "cosine")
     )
-    scored = cands.withColumn("cosine", F.round(V.cosine("qv", "cv"), 6))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.dense_rank().over(w))
         .filter(F.col("rank") <= k)
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
@@ -262,17 +272,23 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         centroids, vec_col="qv", nprobe=nprobe,
     )
-    cands = (
+    # Same one-exchange rank-then-dedup tail as lsh_topk/knn_graph:
+    # cosine folds run map-side on the join output, the exchange
+    # carries narrow rows, dense_rank ≡ post-dedup row_number (each
+    # corpus vector sits in exactly one cell here — nprobe applies to
+    # the query side — so duplicates are impossible, but the map-side
+    # dedup keeps the invariant explicit and free).
+    scored = (
         qb.join(cb, "ivf_cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", F.round(V.cosine("qv", "cv"), 6))
+        .select("query_id", "neighbor_id", "cosine")
     )
-    scored = cands.withColumn("cosine", F.round(V.cosine("qv", "cv"), 6))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.dense_rank().over(w))
         .filter(F.col("rank") <= k)
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
