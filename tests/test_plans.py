@@ -511,3 +511,33 @@ def test_tpch_q19_quantity_envelope_pushed(spark):
     )
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
     assert "LessThanOrEqual(l_quantity,40.0)" in plan
+
+
+def test_knn_graph_single_data_exchange_and_group_limit(spark):
+    """The r9 rank-then-dedup contract: the k-NN graph pays exactly ONE
+    data-sized hash exchange (the per-source window), the k-cut runs as
+    a WindowGroupLimit on BOTH sides of it, and the (id, neighbor)
+    dedup never re-shuffles (partitioning by id already satisfies its
+    clustering) — at corpus scale the second exchange WAS the cost."""
+    df = QUERIES["knn_graph_cells"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("WindowGroupLimit") == 2, plan
+    # the dedup aggregate exists but only as partial+final back-to-back
+    assert "HashAggregate(keys=[vec_id" in plan
+
+
+def test_ann_lsh_topk_narrow_shuffle_single_exchange(spark):
+    """lsh_topk's shuffle must carry (query, neighbor, cosine) verdicts,
+    never vector payloads, and only ONE hash exchange (the query-keyed
+    window; dedup is map-side after)."""
+    df = QUERIES["ann_lsh_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    hash_ex = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_ex) == 1, plan
+    # keyed on the query, and the exchanged row carries no vector
+    # payload (the window input is the post-projection narrow row)
+    assert "query_id" in hash_ex[0], hash_ex[0]
+    assert "qv" not in hash_ex[0] and "cv" not in hash_ex[0], hash_ex[0]
