@@ -3018,22 +3018,40 @@ _ANN_IVF_PARAMS = dict(n_cells=8, seed=7)
 _ann_model_cache: dict[tuple, object] = {}
 
 
-def _pq_codebooks_cached(star: Star) -> list[list[list[float]]]:
-    key = ("pq", star.sf_dir, *sorted(_ANN_PQ_PARAMS.items()))
+def _model_cached(star: Star, kind: str, params: dict, train) -> object:
+    """Train-once model serving, three tiers like the pair-graph index:
+    process cache → durable JSON artifact (a cold session LOADS the
+    codebook/basis instead of re-running KMeans/the eigensolve) →
+    train + commit.  Synthetic stars train in-process only."""
+    key = (kind, star.sf_dir, *sorted(params.items()))
     if key not in _ann_model_cache:
-        _ann_model_cache[key] = S.pq_train_codebooks(
-            star.embeddings, **_ANN_PQ_PARAMS
+        from sap_data_pipeline_spark.sources import artifacts as A
+
+        fp = A.corpus_fingerprint(
+            getattr(star, "sf_dir", "") or "", "embeddings",
+            params=f"{kind}|{sorted(params.items())}",
         )
+        if fp is None:
+            _ann_model_cache[key] = train()
+        else:
+            _ann_model_cache[key] = A.load_or_build_json(
+                f"{kind}_model", fp, train
+            )
     return _ann_model_cache[key]
+
+
+def _pq_codebooks_cached(star: Star) -> list[list[list[float]]]:
+    return _model_cached(
+        star, "pq", _ANN_PQ_PARAMS,
+        lambda: S.pq_train_codebooks(star.embeddings, **_ANN_PQ_PARAMS),
+    )
 
 
 def _ivf_centroids_cached(star: Star) -> list[list[float]]:
-    key = ("ivf", star.sf_dir, *sorted(_ANN_IVF_PARAMS.items()))
-    if key not in _ann_model_cache:
-        _, _ann_model_cache[key] = S.ivf_train_cells(
-            star.embeddings, **_ANN_IVF_PARAMS
-        )
-    return _ann_model_cache[key]
+    return _model_cached(
+        star, "ivf", _ANN_IVF_PARAMS,
+        lambda: S.ivf_train_cells(star.embeddings, **_ANN_IVF_PARAMS)[1],
+    )
 
 
 @register("ann_pq_topk")
@@ -4793,10 +4811,10 @@ _PCA_PARAMS = dict(dim=64, k=8, seed=7)
 
 
 def _pca_model_cached(star: Star) -> dict:
-    key = ("pca", star.sf_dir, *sorted(_PCA_PARAMS.items()))
-    if key not in _ann_model_cache:
-        _ann_model_cache[key] = S.pca_train(star.embeddings, **_PCA_PARAMS)
-    return _ann_model_cache[key]
+    return _model_cached(
+        star, "pca", _PCA_PARAMS,
+        lambda: S.pca_train(star.embeddings, **_PCA_PARAMS),
+    )
 
 
 @register("embedding_pca_whiten")

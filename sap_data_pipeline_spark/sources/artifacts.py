@@ -34,6 +34,7 @@ process on the machine.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 import tempfile
@@ -114,6 +115,27 @@ def load_or_build(
     }
 
 
+def load_or_build_json(family: str, fingerprint: str,
+                       build: Callable[[], object]) -> object:
+    """Small plain-data artifacts (trained codebooks, centroid sets,
+    PCA bases — kilobytes of nested lists): same content-addressed
+    layout as the parquet frames, committed as one JSON file via
+    atomic replace.  Training quantizers is exactly as much a corpus
+    artifact as the pair graph — a cold session should load the
+    codebook, not re-run KMeans."""
+    final = os.path.join(artifact_root(), family, fingerprint + ".json")
+    if not os.path.isfile(final):
+        obj = build()
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        tmp = f"{final}.__tmp__{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(obj, fh)
+        os.replace(tmp, final)  # atomic; racing writers produce equal bytes
+    os.utime(final)  # LRU touch for prune()
+    with open(final) as fh:
+        return json.load(fh)
+
+
 def prune(*, keep_seconds: float, now: float | None = None) -> list[str]:
     """Age out artifacts not served within ``keep_seconds`` (their
     fingerprint dir's mtime — touched on every ``load_or_build`` hit —
@@ -137,9 +159,11 @@ def prune(*, keep_seconds: float, now: float | None = None) -> list[str]:
             continue
         for fp in os.listdir(fam_dir):
             path = os.path.join(fam_dir, fp)
-            if not os.path.isdir(path):
+            if os.stat(path).st_mtime >= cutoff:
                 continue
-            if os.stat(path).st_mtime < cutoff:
+            if os.path.isdir(path):
                 shutil.rmtree(path, ignore_errors=True)
-                removed.append(path)
+            else:  # JSON model artifacts (and their tmp leftovers)
+                os.remove(path)
+            removed.append(path)
     return removed
