@@ -258,3 +258,56 @@ def test_gif_codec_roundtrip_property(spark, h, w, nc, il, seed):
     w2, h2, il2, px = decode_gif_pixels(encode_gif(idx, pal, interlace=il))
     assert (w2, h2, il2) == (w, h, il)
     assert (px == np.array(pal, dtype=np.uint8)[idx]).all()
+
+
+_scored_pairs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # query id
+        st.integers(min_value=10, max_value=19),  # neighbor id
+        st.integers(min_value=0, max_value=5),    # score bucket
+        st.integers(min_value=1, max_value=3),    # duplication factor
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@PROP
+@given(rows=_scored_pairs, k=st.integers(min_value=1, max_value=4))
+def test_dense_rank_then_dedup_equals_dedup_then_row_number(spark, rows, k):
+    """The r9 one-exchange ANN tail rests on this equivalence: with
+    duplicates that are exact copies (same query, neighbor, score —
+    the only duplicates multi-bucket collisions can produce),
+    dense_rank over (score desc, neighbor asc) then dedup must give
+    EXACTLY what dedup-then-row_number gave, for any collision pattern
+    and any k."""
+    from pyspark.sql.window import Window
+
+    data = []
+    seen = set()
+    for q, n, s, dup in rows:
+        if (q, n) in seen:
+            continue  # one score per (query, neighbor), like real pairs
+        seen.add((q, n))
+        data.extend([(q, n, float(s) / 4)] * dup)
+    df = spark.createDataFrame(
+        data, "query_id int, neighbor_id int, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    new = {
+        tuple(r)
+        for r in df.withColumn("rank", F.dense_rank().over(w))
+        .filter(F.col("rank") <= k)
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .collect()
+    }
+    old = {
+        tuple(r)
+        for r in df.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .collect()
+    }
+    assert new == old
