@@ -541,3 +541,15 @@ def test_ann_lsh_topk_narrow_shuffle_single_exchange(spark):
     # payload (the window input is the post-projection narrow row)
     assert "query_id" in hash_ex[0], hash_ex[0]
     assert "qv" not in hash_ex[0] and "cv" not in hash_ex[0], hash_ex[0]
+
+
+def test_fixed_basis_projection_is_pure_map(spark):
+    """embedding_fixed_basis_project: the literal-model kernel must stay
+    one Project over the scan — no hash exchange, no aggregate, no
+    Python; at 100 TB this is the difference between a map stage and a
+    job."""
+    df = QUERIES["embedding_fixed_basis_project"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
