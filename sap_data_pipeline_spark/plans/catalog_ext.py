@@ -3018,17 +3018,19 @@ _ANN_IVF_PARAMS = dict(n_cells=8, seed=7)
 _ann_model_cache: dict[tuple, object] = {}
 
 
-def _model_cached(star: Star, kind: str, params: dict, train) -> object:
+def _model_cached(star: Star, kind: str, params: dict, train, *,
+                  table: str = "embeddings") -> object:
     """Train-once model serving, three tiers like the pair-graph index:
     process cache → durable JSON artifact (a cold session LOADS the
-    codebook/basis instead of re-running KMeans/the eigensolve) →
-    train + commit.  Synthetic stars train in-process only."""
+    codebook/basis/merge table instead of re-running KMeans/the
+    eigensolve/the BPE loop) → train + commit.  Synthetic stars train
+    in-process only."""
     key = (kind, star.sf_dir, *sorted(params.items()))
     if key not in _ann_model_cache:
         from sap_data_pipeline_spark.sources import artifacts as A
 
         fp = A.corpus_fingerprint(
-            getattr(star, "sf_dir", "") or "", "embeddings",
+            getattr(star, "sf_dir", "") or "", table,
             params=f"{kind}|{sorted(params.items())}",
         )
         if fp is None:
@@ -3319,7 +3321,14 @@ def events_key_skew_report(star: Star) -> DataFrame:
 def bpe_token_stats(star: Star) -> DataFrame:
     from sap_data_pipeline_spark.operators import corpus as CO
 
-    merges = CO.bpe_train(star.documents, n_merges=100)
+    merges = [
+        tuple(p)  # JSON artifact round-trips tuples as lists
+        for p in _model_cached(
+            star, "bpe", {"n_merges": 100},
+            lambda: CO.bpe_train(star.documents, n_merges=100),
+            table="documents",
+        )
+    ]
     return CO.bpe_token_counts(star.documents, merges)
 
 
