@@ -107,7 +107,10 @@ def load_or_build(
         finally:
             if os.path.isdir(tmp):
                 shutil.rmtree(tmp, ignore_errors=True)
-    os.utime(final)  # LRU touch: prune() keeps recently-served artifacts
+    try:  # LRU touch: prune() keeps recently-served artifacts
+        os.utime(final)
+    except OSError:
+        pass  # racing maintenance; worst case the artifact ages a beat early
     return {
         name: spark.read.parquet(os.path.join(final, name))
         for name in sorted(os.listdir(final))
@@ -131,7 +134,10 @@ def load_or_build_json(family: str, fingerprint: str,
         with open(tmp, "w") as fh:
             json.dump(obj, fh)
         os.replace(tmp, final)  # atomic; racing writers produce equal bytes
-    os.utime(final)  # LRU touch for prune()
+    try:  # LRU touch for prune()
+        os.utime(final)
+    except OSError:
+        pass  # racing maintenance; worst case the artifact ages a beat early
     with open(final) as fh:
         return json.load(fh)
 
