@@ -395,12 +395,26 @@ def triangle_counts(
         raise ValueError(f"orient must be 'id' or 'degree', got {orient!r}")
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     rev = edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    und = fwd.unionAll(rev).filter(F.col("a") != F.col("b")).distinct()
+    # Materialize the symmetrize+distinct ONCE (same policy as
+    # pagerank/LPA: the edge list shuffles once, every consumer reads
+    # the checkpoint).  Without this, und/ori replicate into every arm
+    # of the wedge, closure, and per-corner unions — 40 source scans in
+    # the executed plan (r9 audit, zero ReusedExchange) — which at
+    # corpus scale means re-reading the edge source 40×.
+    und = (
+        fwd.unionAll(rev)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     deg = und.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
-    ori = _orient(und, deg, orient)
+    # the oriented list feeds three join arms — checkpoint it too so
+    # the orientation (and its deg join under orient="degree") computes
+    # once, edge-sized either way
+    ori = _orient(und, deg, orient).localCheckpoint(eager=True)
 
     wedge = ori.alias("e1").join(
         ori.alias("e2"), F.col("e1.b") == F.col("e2.a")
