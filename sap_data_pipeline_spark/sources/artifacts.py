@@ -27,8 +27,13 @@ existence is the completeness marker, concurrent builders race safely
 mid-build leaves only an ignorable tmp.
 
 ``SPARK_GRAFT_ARTIFACT_DIR`` overrides the root (tests point it at a
-tmp dir); the default lives under the system temp dir, shared by every
-process on the machine.
+tmp dir); the default is **per-user** — ``$XDG_CACHE_HOME`` (or
+``~/.cache``) ``/spark_graft_artifacts``, created mode 0700.  Artifacts
+directly determine query results (trained codebooks, pair graphs), so
+the store must not live in a world-writable location where another
+local user could pre-create poisoned content at predictable
+fingerprint paths; ``_checked_root`` additionally refuses to serve
+from a root owned by a different uid.
 """
 
 from __future__ import annotations
@@ -37,18 +42,44 @@ import hashlib
 import json
 import os
 import shutil
-import tempfile
 import uuid
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: Builder-code version, hashed into every fingerprint.  Bump whenever a
+#: build algorithm changes behavior (connected-components tie-breaking,
+#: KMeans init, BPE merge order, ...) so old-code artifacts age out
+#: instead of being silently served under the new code's key.  Callers'
+#: ``version=`` params remain family-local format markers on top.
+ARTIFACT_VERSION = "2"
+
 
 def artifact_root() -> str:
-    return os.environ.get(
-        "SPARK_GRAFT_ARTIFACT_DIR",
-        os.path.join(tempfile.gettempdir(), "spark_graft_artifacts"),
+    env = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR")
+    if env:
+        return env
+    cache_home = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
     )
+    return os.path.join(cache_home, "spark_graft_artifacts")
+
+
+def _checked_root() -> str:
+    """The artifact root, created 0700 if absent and ownership-verified:
+    serving a model/index parquet written by another uid would let that
+    user alter this user's query results, so a foreign-owned root is a
+    hard error, not a fallback."""
+    root = artifact_root()
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"artifact root {root!r} is owned by uid {st.st_uid}, not the "
+            f"current user (uid {os.getuid()}); refusing to serve artifacts "
+            "from it — set SPARK_GRAFT_ARTIFACT_DIR to a directory you own"
+        )
+    return root
 
 
 def corpus_fingerprint(sf_dir: str, table: str, *, params: str,
@@ -77,7 +108,9 @@ def corpus_fingerprint(sf_dir: str, table: str, *, params: str,
     else:
         return None
     entries.sort()
-    h = hashlib.md5(f"{version}|{params}|{entries!r}".encode())
+    h = hashlib.md5(
+        f"{ARTIFACT_VERSION}|{version}|{params}|{entries!r}".encode()
+    )
     return h.hexdigest()[:20]
 
 
@@ -91,7 +124,7 @@ def load_or_build(
     and committing them first if absent.  Returned DataFrames are plain
     parquet scans — session-independent, no lineage, no pinned executor
     storage."""
-    final = os.path.join(artifact_root(), family, fingerprint)
+    final = os.path.join(_checked_root(), family, fingerprint)
     if not os.path.isdir(final):
         frames = build()
         tmp = f"{final}.__tmp__{uuid.uuid4().hex[:8]}"
@@ -126,7 +159,7 @@ def load_or_build_json(family: str, fingerprint: str,
     atomic replace.  Training quantizers is exactly as much a corpus
     artifact as the pair graph — a cold session should load the
     codebook, not re-run KMeans."""
-    final = os.path.join(artifact_root(), family, fingerprint + ".json")
+    final = os.path.join(_checked_root(), family, fingerprint + ".json")
     if not os.path.isfile(final):
         obj = build()
         os.makedirs(os.path.dirname(final), exist_ok=True)
@@ -151,7 +184,15 @@ def prune(*, keep_seconds: float, now: float | None = None) -> list[str]:
     pruned artifact that turns out live again is just rebuilt.
     Crashed builders' ``__tmp__`` leftovers age out the same way (a
     LIVE builder's tmp is younger than any sane cutoff).  Returns
-    removed paths."""
+    removed paths.
+
+    Concurrency: per-entry stat/remove is wrapped so racing pruners (or
+    a builder committing/removing mid-sweep) skip the entry instead of
+    raising.  The LRU clock is touched at *load* time, not per query —
+    a long-lived session holds parquet scans whose backing files a
+    pruner in another process could delete — so callers must keep
+    ``keep_seconds`` well above any plausible session lifetime (the
+    round-hygiene default is 7 days; sessions live minutes)."""
     import time as _time
 
     root = artifact_root()
@@ -165,11 +206,14 @@ def prune(*, keep_seconds: float, now: float | None = None) -> list[str]:
             continue
         for fp in os.listdir(fam_dir):
             path = os.path.join(fam_dir, fp)
-            if os.stat(path).st_mtime >= cutoff:
-                continue
-            if os.path.isdir(path):
-                shutil.rmtree(path, ignore_errors=True)
-            else:  # JSON model artifacts (and their tmp leftovers)
-                os.remove(path)
+            try:
+                if os.stat(path).st_mtime >= cutoff:
+                    continue
+                if os.path.isdir(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                else:  # JSON model artifacts (and their tmp leftovers)
+                    os.remove(path)
+            except OSError:
+                continue  # concurrent pruner/builder won the race; skip
             removed.append(path)
     return removed

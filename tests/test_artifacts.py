@@ -113,6 +113,86 @@ def test_load_or_build_loser_of_commit_race_reads_winner(spark, tmp_path,
     assert sorted(os.listdir(fam)) == ["fp1"]
 
 
+def test_default_root_is_per_user_cache(monkeypatch, tmp_path):
+    """Without the env override the root lives under the USER's cache
+    dir (XDG_CACHE_HOME, else ~/.cache), never a world-shared tmp dir:
+    artifacts determine query results, so a predictable world-writable
+    path would let another local user pre-plant poisoned models."""
+    monkeypatch.delenv("SPARK_GRAFT_ARTIFACT_DIR", raising=False)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    assert A.artifact_root() == str(tmp_path / "xdg" / "spark_graft_artifacts")
+    monkeypatch.delenv("XDG_CACHE_HOME")
+    monkeypatch.setenv("HOME", str(tmp_path / "home"))
+    assert A.artifact_root() == str(
+        tmp_path / "home" / ".cache" / "spark_graft_artifacts"
+    )
+    # env override still wins (tests and ops point it wherever they like)
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "arts"))
+    assert A.artifact_root() == str(tmp_path / "arts")
+
+
+def test_checked_root_creates_0700_and_verifies_ownership(monkeypatch,
+                                                          tmp_path):
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "arts"))
+    root = A._checked_root()
+    assert os.path.isdir(root)
+    assert os.stat(root).st_mode & 0o777 == 0o700
+    # a root owned by a different uid is a hard error, not a fallback
+    monkeypatch.setattr(os, "getuid", lambda: os.stat(root).st_uid + 1)
+    with pytest.raises(RuntimeError, match="owned by uid"):
+        A._checked_root()
+
+
+def test_fingerprint_keys_builder_code_version(corpus_dir, monkeypatch):
+    """ARTIFACT_VERSION is part of every fingerprint: bumping it (done
+    whenever a build algorithm changes) must re-address all artifacts so
+    old-code output is never served under new-code semantics."""
+    base = A.corpus_fingerprint(corpus_dir, "documents", params="p")
+    monkeypatch.setattr(A, "ARTIFACT_VERSION", A.ARTIFACT_VERSION + ".bump")
+    assert A.corpus_fingerprint(corpus_dir, "documents", params="p") != base
+
+
+def test_prune_tolerates_concurrent_removal(spark, tmp_path, monkeypatch):
+    """An entry vanishing between listdir and stat (a racing pruner or a
+    committing builder) is skipped, not raised — prune() is safe to run
+    from round hygiene while sessions are live."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "arts"))
+    A.load_or_build(
+        spark, "fam", "gone",
+        lambda: {"t": spark.createDataFrame([(1,)], "v int")},
+    )
+    A.load_or_build(
+        spark, "fam", "old",
+        lambda: {"t": spark.createDataFrame([(1,)], "v int")},
+    )
+    fam = tmp_path / "arts" / "fam"
+    os.utime(fam / "old", ns=(0, 0))
+    real_stat = os.stat
+
+    def racing_stat(path, *a, **k):
+        if os.path.basename(str(path)) == "gone":
+            raise FileNotFoundError(path)
+        return real_stat(path, *a, **k)
+
+    monkeypatch.setattr(os, "stat", racing_stat)
+    removed = A.prune(keep_seconds=3600)
+    assert {os.path.basename(p) for p in removed} == {"old"}
+
+
+def test_round_hygiene_cutoff_keeps_fresh_artifacts(spark, tmp_path,
+                                                    monkeypatch):
+    """The round-hygiene prune (bench.py: keep_seconds=7 days) must
+    never evict an artifact served this round — the LRU touch happens
+    at load time, and 7 days is far above any session lifetime."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "arts"))
+    A.load_or_build(
+        spark, "fam", "fresh",
+        lambda: {"t": spark.createDataFrame([(1,)], "v int")},
+    )
+    assert A.prune(keep_seconds=7 * 86400) == []
+    assert os.path.isdir(tmp_path / "arts" / "fam" / "fresh")
+
+
 def test_prune_ages_out_by_last_serve(spark, tmp_path, monkeypatch):
     """prune(): fingerprints not served within the horizon are removed
     (mtime is touched on every load_or_build hit, so recently-served
