@@ -959,12 +959,19 @@ def refresh_packed_corpus_incremental(
     audit["from_version"] = from_version
 
     if from_version is not None:
-        # one diff computation feeds both the shard list and the count
-        changed_rows = with_shard(
+        # one diff computation feeds both the shard list and the count —
+        # as ONE aggregate row, never per-doc rows: the shard set is
+        # bounded by n_shards and the doc count is a scalar, so the
+        # driver transfer stays O(n_shards) even when a near-full
+        # rewrite touches every document (r9 verdict #4).
+        agg = with_shard(
             table.diff([id_col], from_version, to_version)
-        ).select("shard").collect()
-        affected = sorted({r["shard"] for r in changed_rows})
-        audit["n_changed_docs"] = len(changed_rows)
+        ).agg(
+            F.count(F.lit(1)).alias("n_changed"),
+            F.collect_set("shard").alias("shards"),
+        ).collect()[0]
+        affected = sorted(agg["shards"])
+        audit["n_changed_docs"] = agg["n_changed"]
     else:
         affected = None  # full build
 

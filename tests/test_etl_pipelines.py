@@ -605,6 +605,41 @@ def test_refresh_packed_corpus_incremental(spark, tmp_path):
     assert a2["n_affected_shards"] == 0
 
 
+def test_refresh_packed_corpus_many_changed_docs_audit(spark, tmp_path):
+    """Near-full rewrite: the diff audit must stay a single aggregate
+    row (count + bounded shard set), never a per-doc collect — r9
+    verdict #4.  Audit numbers equal the old per-row implementation's."""
+    from sap_data_pipeline_spark.etl import refresh_packed_corpus_incremental
+    from sap_data_pipeline_spark.sources.versioned import VersionedParquetTable
+
+    docs = [(i, f"document number {i} body tokens " * 3) for i in range(200)]
+    t = VersionedParquetTable(spark, str(tmp_path / "corpus"))
+    t.merge(spark.createDataFrame(docs, "doc_id long, text string"), ["doc_id"])
+    out = str(tmp_path / "packed")
+    a0 = refresh_packed_corpus_incremental(t, out, n_shards=4, pack_budget=64)
+
+    # rewrite 190 of the 200 docs — every shard is affected
+    t.merge(spark.createDataFrame(
+        [(i, f"rewritten body {i} with entirely new words " * 3)
+         for i in range(190)],
+        "doc_id long, text string"), ["doc_id"])
+    a1 = refresh_packed_corpus_incremental(
+        t, out, from_version=a0["to_version"], n_shards=4, pack_budget=64)
+    import os
+
+    assert a1["n_changed_docs"] == 190
+    # 190/200 docs touched ⇒ every (split, shard) cell is affected
+    on_disk = {d for d in os.listdir(out) if d.startswith("shard=")}
+    assert a1["n_affected_shards"] == len(on_disk)
+    # result parity with a from-scratch repack of the same version
+    ref = str(tmp_path / "packed_ref")
+    refresh_packed_corpus_incremental(t, ref, n_shards=4, pack_budget=64)
+    ref_rows = spark.read.parquet(ref + "/shard=*").drop("shard")
+    inc_rows = spark.read.parquet(out + "/shard=*").drop("shard")
+    assert inc_rows.exceptAll(ref_rows).count() == 0
+    assert ref_rows.exceptAll(inc_rows).count() == 0
+
+
 def test_refresh_packed_corpus_full_rebuild_removes_stale_layout(spark, tmp_path):
     """A full rebuild with a different shard count must not leave the old
     layout's dirs behind (stale dirs double-serve documents)."""
