@@ -79,6 +79,15 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # Round hygiene (r9 verdict #7): age out artifact-store entries not
+    # served in 7 days — far above any session lifetime, so nothing a
+    # live session holds open can be evicted (see artifacts.prune doc).
+    # Logged to stderr; stdout stays the single driver JSON line.
+    from sap_data_pipeline_spark.sources.artifacts import prune
+
+    for p in prune(keep_seconds=7 * 86400):
+        print(f"artifact-prune: removed {p}", file=sys.stderr)
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
@@ -152,6 +161,19 @@ def main() -> None:
                 / sum(floor[q] for q in shared), 3,
             )
             out["floor_shared_n"] = len(shared)
+            # The formal regression gate (r9 verdict #3, replacing the
+            # retired raw run_spread_pct ≤12% target): host throughput
+            # swings ~20% hour-over-hour UNIFORMLY (BASELINE.md four-run
+            # experiment), so a plan regression is a query whose
+            # bench/floor ratio is NON-uniform — it exceeds the run's
+            # median ratio by >1.25× (the documented jitter envelope for
+            # sub-2 s queries).  Uniform drift moves every ratio
+            # together and flags nothing.
+            ratios = {q: timings[q] / floor[q] for q in shared if floor[q] > 0}
+            med = sorted(ratios.values())[len(ratios) // 2]
+            out["regressions"] = sorted(
+                q for q, r in ratios.items() if r > med * 1.25
+            )
     # The driver records only the LAST 2000 chars of stdout; the r7 line
     # (min + median dicts inline) overflowed that and clipped the
     # queries_min entries out of BENCH_r7 (r7 verdict #8).  Keep the

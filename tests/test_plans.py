@@ -553,3 +553,36 @@ def test_fixed_basis_projection_is_pure_map(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangle_counts_checkpointed_edges_no_source_rescan(spark):
+    """host_triangle_stats (r9 commit d7bfbd8): the symmetrized and
+    oriented edge lists are checkpointed ONCE, so the wedge/closure/
+    per-corner arms read the checkpoint, never the source — the
+    un-checkpointed plan replicated the documents scan into every arm
+    (40 source scans, 12 exchanges in the r9 executed-plan audit).
+    Pin: ZERO parquet scans survive into the plan (all leaves are the
+    checkpoint RDD) and exactly the two aggregate exchanges remain
+    (degree group-by + per-corner triangle count); deliberately
+    removing either localCheckpoint reintroduces the source scans and
+    fails this test."""
+    df = QUERIES["host_triangle_stats"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # the edge-sized joins stay broadcast-or-checkpoint-fed; no extra
+    # data-sized shuffle may creep into the wedge/closure arms
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ivf_fixed_centroids_single_exchange_no_python(spark):
+    """ann_ivf_fixed_centroids_topk drives the production ivf_topk tail
+    with a literal quantizer (no KMeans in the plan): assignment is
+    map-side centroid-literal math, the cell join broadcasts the small
+    side or shuffles narrow, and the rank-then-dedup tail pays at most
+    ONE data-sized hash exchange — no Python stage anywhere."""
+    df = QUERIES["ann_ivf_fixed_centroids_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
