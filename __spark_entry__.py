@@ -130,13 +130,30 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     stays in the tail: rows-only by design (eigensolve),
 #     differential-tested vs numpy; its projection math gains an
 #     oracled fixed-basis twin this round.
+#   * r10 rotation (r9 verdict #2 — promote the one never-driver-hashed
+#     query: embedding_fixed_basis_project, the oracled
+#     fixed-literal-basis run of the production pca_project kernel that
+#     value-hashes the projection/whitening math keeping
+#     embedding_pca_whiten rows-only).  Demoted to make room:
+#     tpch_q2_min_cost_supplier — driver-hashed green in
+#     CORRECTNESS_r08 AND r09; its correlated min-cost-subquery shape
+#     (group-by scalar re-joined on equality) is re-evidenced by the
+#     in-window tpch_q15_top_supplier (the family's kept evidencing
+#     query: same scalar-aggregate equality join over a harder
+#     revenue window) and its multi-dim star by the in-window
+#     tpch_q8_market_share (7-table star).
 _TAIL = (
-    # r9 new work (never driver-hashed; oracle-green locally) — prime
-    # r10 rotation candidates, rationale pre-written per entry:
-    # oracled fixed-literal-basis run of the production pca_project
-    # kernel (value-hashes the projection/whitening math that keeps
-    # embedding_pca_whiten rows-only):
-    "embedding_fixed_basis_project",
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — prime
+    # r11 rotation candidate, rationale pre-written: oracled
+    # fixed-literal-centroid run of the production similarity.ivf_topk
+    # serving pipeline (assignment, nprobe probing, cell join,
+    # one-exchange rank-then-dedup tail) — value-hashes end-to-end the
+    # IVF serving kernel whose KMeans training keeps ann_ivf_topk
+    # rows-only, the same precedent embedding_fixed_basis_project set
+    # for the PCA family in r9:
+    "ann_ivf_fixed_centroids_topk",
+    # r10 demotion (rationale above):
+    "tpch_q2_min_cost_supplier",
     # rows-only-by-design (eigensolve; differential-tested vs numpy):
     "embedding_pca_whiten",
     # r9 demotions (rationale above):

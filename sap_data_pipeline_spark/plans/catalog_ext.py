@@ -509,6 +509,87 @@ def ann_ivf_topk(star: Star) -> DataFrame:
     )
 
 
+# Fixed-centroid IVF twin (r10, the embedding_fixed_basis_project
+# precedent applied to the IVF family): the SAME production serving
+# pipeline — similarity.ivf_topk's corpus nprobe=1 assignment, query
+# nprobe=3 probing, cell join, map-side cosine, one-exchange
+# rank-then-dedup tail — run over a FIXED literal coarse quantizer
+# (md5-derived constants from similarity._hyperplane, seeds 100..107),
+# so the entire end-to-end kernel value-hashes against DuckDB.  What
+# keeps ann_ivf_topk itself rows-only is ONLY the KMeans training;
+# every serving step is oracled here.  Spark folds L2 left-to-right
+# from 0.0, the oracle list_sums the same squared diffs (DOUBLE[] both
+# sides); dist only feeds the cell RANKING (ties broken by cell id on
+# both sides), cosine rounds to 6 on both sides, top-k tie-breaks
+# (cosine DESC, neighbor_id ASC).
+_IVF_FIX_CELLS, _IVF_FIX_NPROBE, _IVF_FIX_K, _IVF_FIX_DIM = 8, 3, 5, 64
+_IVF_FIX_CENTS = [
+    S._hyperplane(_IVF_FIX_DIM, 100 + j) for j in range(_IVF_FIX_CELLS)
+]
+
+_IVF_FIX_CENT_ROWS = ",\n        ".join(
+    f"({j}, [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+    for j, c in enumerate(_IVF_FIX_CENTS)
+)
+
+_IVF_FIX_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+        SELECT * FROM (VALUES
+        {_IVF_FIX_CENT_ROWS}
+        ) AS t(cell, cv)
+    ),
+    dists AS (
+        SELECT e.vec_id, c.cell,
+               list_sum(list_transform(generate_series(1, len(e.v)),
+                        i -> (e.v[i] - c.cv[i]) ^ 2)) AS dist
+        FROM e CROSS JOIN cent c
+    ),
+    corpus_cell AS (
+        SELECT vec_id, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cell) AS rk
+            FROM dists
+        ) WHERE rk = 1
+    ),
+    query_cells AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cell) AS rk
+            FROM dists WHERE vec_id < 5
+        ) WHERE rk <= {_IVF_FIX_NPROBE}
+    ),
+    cands AS (
+        SELECT DISTINCT q.query_id, cc.vec_id AS neighbor_id
+        FROM query_cells q JOIN corpus_cell cc ON q.cell = cc.cell
+        WHERE q.query_id <> cc.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(eq.v, en.v)
+                     / (sqrt(list_dot_product(eq.v, eq.v))
+                        * sqrt(list_dot_product(en.v, en.v))), 6) AS cosine
+        FROM cands JOIN e eq ON eq.vec_id = cands.query_id
+                   JOIN e en ON en.vec_id = cands.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored QUALIFY rank <= {_IVF_FIX_K}
+"""
+
+
+@register("ann_ivf_fixed_centroids_topk", _IVF_FIX_ORACLE)
+def ann_ivf_fixed_centroids_topk(star: Star) -> DataFrame:
+    queries = star.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(
+        star.embeddings, queries, k=_IVF_FIX_K, nprobe=_IVF_FIX_NPROBE,
+        query_id_col="query_id", centroids=_IVF_FIX_CENTS,
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
