@@ -152,6 +152,12 @@ _TAIL = (
     # rows-only, the same precedent embedding_fixed_basis_project set
     # for the PCA family in r9:
     "ann_ivf_fixed_centroids_topk",
+    # likewise for the PQ family: oracled fixed-literal-codebook run of
+    # the production pq_topk ADC pipeline (encode argmin, broadcast
+    # distance tables, m-lookup ADC, top-4k shortlist, exact-cosine
+    # rerank) — value-hashes everything but the KMeans fits that keep
+    # ann_pq_topk/ann_ivfpq_topk rows-only:
+    "ann_pq_fixed_codebook_topk",
     # r10 demotion (rationale above):
     "tpch_q2_min_cost_supplier",
     # rows-only-by-design (eigensolve; differential-tested vs numpy):

@@ -590,6 +590,101 @@ def ann_ivf_fixed_centroids_topk(star: Star) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+# Fixed-codebook PQ twin (r10, same precedent for the PQ family): the
+# production pq_topk ADC pipeline — pq_encode's per-subspace argmin
+# (array_position-of-min = FIRST-match, i.e. lowest-code tie-break),
+# the broadcast per-query distance table, the m-lookup ADC sum, the
+# top-4k shortlist (adc ASC, neighbor ASC), and the exact-cosine
+# rerank — run over FIXED literal codebooks (md5-derived constants,
+# seeds 200..263), so the entire encode/ADC/shortlist/rerank kernel
+# value-hashes against DuckDB.  What keeps ann_pq_topk itself
+# rows-only is ONLY the per-subspace KMeans fits.  ADC sums 4 doubles
+# (Spark folds in subspace order, DuckDB SUMs) — order effects sit ~10
+# orders of magnitude below the 6-dp round and ADC only SELECTS the
+# shortlist; the output values are the reranked cosines, same parity
+# story as the IVF twin.
+_PQ_FIX_M, _PQ_FIX_NBITS, _PQ_FIX_K = 4, 4, 5
+_PQ_FIX_SUB = _IVF_FIX_DIM // _PQ_FIX_M
+_PQ_FIX_BOOKS = [
+    [
+        S._hyperplane(_PQ_FIX_SUB, 200 + j * (1 << _PQ_FIX_NBITS) + c)
+        for c in range(1 << _PQ_FIX_NBITS)
+    ]
+    for j in range(_PQ_FIX_M)
+]
+
+_PQ_FIX_CB_ROWS = ",\n        ".join(
+    f"({j}, {c}, [" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[])"
+    for j, book in enumerate(_PQ_FIX_BOOKS)
+    for c, cent in enumerate(book)
+)
+
+_PQ_FIX_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS (
+        SELECT * FROM (VALUES
+        {_PQ_FIX_CB_ROWS}
+        ) AS t(j, c, cv)
+    ),
+    dists AS (
+        SELECT e.vec_id, cb.j, cb.c,
+               list_sum(list_transform(generate_series(1, {_PQ_FIX_SUB}),
+                        i -> (e.v[cb.j * {_PQ_FIX_SUB} + i] - cb.cv[i]) ^ 2))
+                   AS dist
+        FROM e CROSS JOIN cb
+    ),
+    codes AS (
+        SELECT vec_id, j, c FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                         ORDER BY dist, c) AS rk
+            FROM dists
+        ) WHERE rk = 1
+    ),
+    qd AS (
+        SELECT vec_id AS query_id, j, c, dist FROM dists WHERE vec_id < 5
+    ),
+    adc AS (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               round(SUM(q.dist), 6) AS adc_dist
+        FROM codes n JOIN qd q ON q.j = n.j AND q.c = n.c
+        WHERE q.query_id <> n.vec_id
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist ASC,
+                                                  neighbor_id ASC) AS rk
+            FROM adc
+        ) WHERE rk <= {4 * _PQ_FIX_K}
+    ),
+    rescored AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_dot_product(eq.v, en.v)
+                     / (sqrt(list_dot_product(eq.v, eq.v))
+                        * sqrt(list_dot_product(en.v, en.v))), 6) AS cosine
+        FROM short s JOIN e eq ON eq.vec_id = s.query_id
+                     JOIN e en ON en.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+    FROM rescored QUALIFY rank <= {_PQ_FIX_K}
+"""
+
+
+@register("ann_pq_fixed_codebook_topk", _PQ_FIX_ORACLE)
+def ann_pq_fixed_codebook_topk(star: Star) -> DataFrame:
+    queries = star.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.pq_topk(
+        star.embeddings, queries, k=_PQ_FIX_K, dim=_IVF_FIX_DIM,
+        m=_PQ_FIX_M, nbits=_PQ_FIX_NBITS, query_id_col="query_id",
+        codebooks=_PQ_FIX_BOOKS,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

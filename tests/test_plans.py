@@ -586,3 +586,16 @@ def test_ivf_fixed_centroids_single_exchange_no_python(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_fixed_codebook_single_exchange_no_python(spark):
+    """ann_pq_fixed_codebook_topk drives the production pq_topk ADC
+    pipeline with literal codebooks: encode + distance tables are
+    map-side literal math, the code scan joins the BROADCAST query
+    tables, and the shortlist + rerank windows share ONE query-keyed
+    exchange — zero Python, zero cartesian product."""
+    df = QUERIES["ann_pq_fixed_codebook_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
