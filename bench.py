@@ -70,6 +70,11 @@ HEADLINE = [
     "host_triangle_stats",
     "events_windowed_distinct_hll",
     "embedding_fixed_basis_project",
+    # round-10 additions: the fixed-literal-model ANN serving twins
+    # (production ivf_topk / pq_topk kernels, tracked so the serving
+    # paths' plans stay cheap round-over-round)
+    "ann_ivf_fixed_centroids_topk",
+    "ann_pq_fixed_codebook_topk",
 ]
 
 

@@ -72,3 +72,33 @@ def test_header_counts_match_catalog():
     assert total == len(queries), (total, len(queries))
     assert with_oracle == len(oracles), (with_oracle, len(oracles))
     assert rows_only == len(queries) - len(oracles)
+
+
+def test_full_catalog_correctness_artifact_covers_every_query():
+    """The committed CORRECTNESS_FULL_r{N}.json (r9 verdict #1 — the
+    durable full-catalog oracle artifact written at round close via
+    `tools/check_correctness.py --json`) must cover EVERY registered
+    query: all oracled ones hash-green, the rows-only ones enumerated
+    with zero errors.  The newest artifact is the binding one."""
+    import json
+
+    queries, oracles = _catalog()
+    root = COVERAGE.parent
+    arts = sorted(root.glob("CORRECTNESS_FULL_r*.json"))
+    assert arts, "no CORRECTNESS_FULL_r{N}.json committed at repo root"
+    data = json.loads(arts[-1].read_text())
+    recorded = set(data["queries"])
+    assert recorded == set(queries), (
+        f"artifact {arts[-1].name} out of date with the catalog: "
+        f"missing={sorted(set(queries) - recorded)} "
+        f"extra={sorted(recorded - set(queries))} — regenerate with "
+        f"tools/check_correctness.py --json"
+    )
+    assert data["failures"] == [], data["failures"]
+    for name, e in data["queries"].items():
+        if e["rows_only"]:
+            assert name not in oracles and e["err"] is None, (name, e)
+        else:
+            assert e["hash_match"] and e["rows_match"] and e["schema_match"], (
+                name, e,
+            )
