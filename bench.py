@@ -75,7 +75,28 @@ HEADLINE = [
     # paths' plans stay cheap round-over-round)
     "ann_ivf_fixed_centroids_topk",
     "ann_pq_fixed_codebook_topk",
+    "ann_ivfpq_fixed_models_topk",
 ]
+
+
+def compute_regressions(timings: dict[str, float], floor: dict[str, float],
+                        *, envelope: float = 1.25) -> list[str]:
+    """The formal regression gate (r9 verdict #3, replacing the retired
+    raw run_spread_pct ≤12% target): host throughput swings ~20%
+    hour-over-hour UNIFORMLY (BASELINE.md four-run experiment), so a
+    plan regression is a query whose bench/floor ratio is NON-uniform —
+    it exceeds the run's median ratio by more than ``envelope`` (the
+    documented per-query jitter envelope for sub-2 s queries).  Uniform
+    drift moves every ratio together and flags nothing."""
+    ratios = {
+        q: timings[q] / floor[q]
+        for q in set(floor) & set(timings)
+        if floor[q] > 0
+    }
+    if not ratios:
+        return []
+    med = sorted(ratios.values())[len(ratios) // 2]
+    return sorted(q for q, r in ratios.items() if r > med * envelope)
 
 
 def main() -> None:
@@ -166,19 +187,7 @@ def main() -> None:
                 / sum(floor[q] for q in shared), 3,
             )
             out["floor_shared_n"] = len(shared)
-            # The formal regression gate (r9 verdict #3, replacing the
-            # retired raw run_spread_pct ≤12% target): host throughput
-            # swings ~20% hour-over-hour UNIFORMLY (BASELINE.md four-run
-            # experiment), so a plan regression is a query whose
-            # bench/floor ratio is NON-uniform — it exceeds the run's
-            # median ratio by >1.25× (the documented jitter envelope for
-            # sub-2 s queries).  Uniform drift moves every ratio
-            # together and flags nothing.
-            ratios = {q: timings[q] / floor[q] for q in shared if floor[q] > 0}
-            med = sorted(ratios.values())[len(ratios) // 2]
-            out["regressions"] = sorted(
-                q for q, r in ratios.items() if r > med * 1.25
-            )
+            out["regressions"] = compute_regressions(timings, floor)
     # The driver records only the LAST 2000 chars of stdout; the r7 line
     # (min + median dicts inline) overflowed that and clipped the
     # queries_min entries out of BENCH_r7 (r7 verdict #8).  Keep the

@@ -1,0 +1,44 @@
+"""bench.compute_regressions — the formal perf-regression gate
+(r9 verdict #3).  The rule must flag NON-uniform per-query slowdowns
+and stay silent under uniform environment drift (the host swings ~20%
+hour-over-hour under identical code; see BASELINE.md)."""
+
+from __future__ import annotations
+
+from bench import compute_regressions
+
+FLOOR = {"q1": 1.0, "q2": 2.0, "q3": 0.5, "q4": 4.0, "q5": 1.5}
+
+
+def test_at_floor_flags_nothing():
+    assert compute_regressions(dict(FLOOR), FLOOR) == []
+
+
+def test_uniform_environment_drift_flags_nothing():
+    # a 40% across-the-board slowdown is the machine's hour, not a plan
+    slow = {q: t * 1.4 for q, t in FLOOR.items()}
+    assert compute_regressions(slow, FLOOR) == []
+
+
+def test_single_nonuniform_slowdown_is_flagged():
+    t = dict(FLOOR)
+    t["q3"] = FLOOR["q3"] * 1.6  # one query up, neighbors flat
+    assert compute_regressions(t, FLOOR) == ["q3"]
+
+
+def test_nonuniform_on_top_of_uniform_drift_is_flagged():
+    t = {q: v * 1.3 for q, v in FLOOR.items()}  # degraded window...
+    t["q2"] = FLOOR["q2"] * 2.0  # ...plus one genuine plan regression
+    assert compute_regressions(t, FLOOR) == ["q2"]
+
+
+def test_jitter_inside_envelope_is_tolerated():
+    t = dict(FLOOR)
+    t["q1"] = FLOOR["q1"] * 1.2  # within the 1.25x envelope
+    assert compute_regressions(t, FLOOR) == []
+
+
+def test_only_shared_queries_compared():
+    t = {"q1": 1.0, "brand_new_query": 99.0}  # no floor entry yet
+    assert compute_regressions(t, FLOOR) == []
+    assert compute_regressions({}, FLOOR) == []
