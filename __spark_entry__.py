@@ -158,6 +158,10 @@ _TAIL = (
     # rerank) — value-hashes everything but the KMeans fits that keep
     # ann_pq_topk/ann_ivfpq_topk rows-only:
     "ann_pq_fixed_codebook_topk",
+    # and the composed IVFPQ path (cell-restricted candidates + ADC +
+    # rerank over the same literal models), completing the family —
+    # all three trained ANN serving pipelines now value-hash:
+    "ann_ivfpq_fixed_models_topk",
     # r10 demotion (rationale above):
     "tpch_q2_min_cost_supplier",
     # rows-only-by-design (eigensolve; differential-tested vs numpy):

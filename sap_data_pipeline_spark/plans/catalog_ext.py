@@ -685,6 +685,112 @@ def ann_pq_fixed_codebook_topk(star: Star) -> DataFrame:
     )
 
 
+# Fixed-model IVFPQ twin (r10, completing the family): the production
+# ivfpq_topk pipeline — IVF cell restriction of the candidate set
+# (corpus nprobe=1, query nprobe=3) composed with the PQ ADC
+# table-lookup scoring, shortlist, and exact-cosine rerank — over the
+# SAME literal quantizer and codebooks as the two twins above, so the
+# composed sublinear serving path value-hashes end-to-end.  With this,
+# all three KMeans-trained ANN serving pipelines (IVF, PQ, IVFPQ) are
+# oracled; only the fits themselves remain engine-specific.
+_IVFPQ_FIX_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+        SELECT * FROM (VALUES
+        {_IVF_FIX_CENT_ROWS}
+        ) AS t(cell, cv)
+    ),
+    cdists AS (
+        SELECT e.vec_id, c.cell,
+               list_sum(list_transform(generate_series(1, len(e.v)),
+                        i -> (e.v[i] - c.cv[i]) ^ 2)) AS dist
+        FROM e CROSS JOIN cent c
+    ),
+    corpus_cell AS (
+        SELECT vec_id, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cell) AS rk
+            FROM cdists
+        ) WHERE rk = 1
+    ),
+    query_cells AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cell) AS rk
+            FROM cdists WHERE vec_id < 5
+        ) WHERE rk <= {_IVF_FIX_NPROBE}
+    ),
+    cb AS (
+        SELECT * FROM (VALUES
+        {_PQ_FIX_CB_ROWS}
+        ) AS t(j, c, cv)
+    ),
+    pdists AS (
+        SELECT e.vec_id, cb.j, cb.c,
+               list_sum(list_transform(generate_series(1, {_PQ_FIX_SUB}),
+                        i -> (e.v[cb.j * {_PQ_FIX_SUB} + i] - cb.cv[i]) ^ 2))
+                   AS dist
+        FROM e CROSS JOIN cb
+    ),
+    codes AS (
+        SELECT vec_id, j, c FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                         ORDER BY dist, c) AS rk
+            FROM pdists
+        ) WHERE rk = 1
+    ),
+    qd AS (
+        SELECT vec_id AS query_id, j, c, dist FROM pdists WHERE vec_id < 5
+    ),
+    cand AS (
+        SELECT DISTINCT q.query_id, cc.vec_id AS neighbor_id
+        FROM query_cells q JOIN corpus_cell cc ON q.cell = cc.cell
+        WHERE q.query_id <> cc.vec_id
+    ),
+    adc AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(SUM(qd.dist), 6) AS adc_dist
+        FROM cand JOIN codes n ON n.vec_id = cand.neighbor_id
+                  JOIN qd ON qd.query_id = cand.query_id
+                         AND qd.j = n.j AND qd.c = n.c
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist ASC,
+                                                  neighbor_id ASC) AS rk
+            FROM adc
+        ) WHERE rk <= {4 * _PQ_FIX_K}
+    ),
+    rescored AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_dot_product(eq.v, en.v)
+                     / (sqrt(list_dot_product(eq.v, eq.v))
+                        * sqrt(list_dot_product(en.v, en.v))), 6) AS cosine
+        FROM short s JOIN e eq ON eq.vec_id = s.query_id
+                     JOIN e en ON en.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+    FROM rescored QUALIFY rank <= {_PQ_FIX_K}
+"""
+
+
+@register("ann_ivfpq_fixed_models_topk", _IVFPQ_FIX_ORACLE)
+def ann_ivfpq_fixed_models_topk(star: Star) -> DataFrame:
+    queries = star.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivfpq_topk(
+        star.embeddings, queries, k=_PQ_FIX_K, dim=_IVF_FIX_DIM,
+        nprobe=_IVF_FIX_NPROBE, m=_PQ_FIX_M, nbits=_PQ_FIX_NBITS,
+        query_id_col="query_id", centroids=_IVF_FIX_CENTS,
+        codebooks=_PQ_FIX_BOOKS,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -599,3 +599,16 @@ def test_pq_fixed_codebook_single_exchange_no_python(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_fixed_models_single_exchange_no_python(spark):
+    """ann_ivfpq_fixed_models_topk composes the IVF cell restriction
+    with PQ ADC scoring over literal models: candidates are SUBLINEAR
+    (cell join against the nprobe'd broadcast query side), ADC is
+    map-side literal math, and shortlist + rerank share one query-keyed
+    exchange — zero Python, zero cartesian product."""
+    df = QUERIES["ann_ivfpq_fixed_models_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
