@@ -179,9 +179,14 @@ def main() -> None:
     # over the shared query names so headline-set growth can't skew it.
     floor_path = Path(__file__).resolve().parent / "BASELINE_LOCAL.json"
     if floor_path.exists():
-        floor = json.loads(floor_path.read_text())["queries_min"]
+        floor_doc = json.loads(floor_path.read_text())
+        floor = floor_doc["queries_min"]
         shared = sorted(set(floor) & set(timings))
-        if shared:
+        # the floor is an sf-specific instrument (recorded at sf0.1):
+        # cross-SF ratios are meaningless (per-query scaling differs),
+        # so a smoke run at another SF emits neither the ratio nor the
+        # regression list rather than a noise verdict
+        if shared and float(sf) == float(floor_doc.get("sf", sf)):
             out["vs_local_floor"] = round(
                 sum(timings[q] for q in shared)
                 / sum(floor[q] for q in shared), 3,

@@ -42,3 +42,17 @@ def test_only_shared_queries_compared():
     t = {"q1": 1.0, "brand_new_query": 99.0}  # no floor entry yet
     assert compute_regressions(t, FLOOR) == []
     assert compute_regressions({}, FLOOR) == []
+
+
+def test_floor_comparison_is_sf_gated():
+    """bench.py only emits vs_local_floor / regressions when the run's
+    SF matches the floor's recorded SF — cross-SF ratios are noise (a
+    smoke run at sf0.001 against the sf0.1 floor once flagged 7 phantom
+    regressions).  Pin the gating expression's behavior."""
+    import json
+    from pathlib import Path
+
+    doc = json.loads((Path(__file__).parent.parent / "BASELINE_LOCAL.json")
+                     .read_text())
+    assert "sf" in doc  # the gate needs the floor to declare its SF
+    assert float(doc["sf"]) == 0.1
