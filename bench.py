@@ -80,14 +80,20 @@ HEADLINE = [
 
 
 def compute_regressions(timings: dict[str, float], floor: dict[str, float],
-                        *, envelope: float = 1.25) -> list[str]:
+                        *, envelope: float = 1.25,
+                        abs_slack: float = 0.6) -> list[str]:
     """The formal regression gate (r9 verdict #3, replacing the retired
     raw run_spread_pct ≤12% target): host throughput swings ~20%
     hour-over-hour UNIFORMLY (BASELINE.md four-run experiment), so a
     plan regression is a query whose bench/floor ratio is NON-uniform —
-    it exceeds the run's median ratio by more than ``envelope`` (the
-    documented per-query jitter envelope for sub-2 s queries).  Uniform
-    drift moves every ratio together and flags nothing."""
+    it exceeds the run's median ratio by more than ``envelope`` — AND
+    whose excess beyond uniform drift (``bench − floor·median``) tops
+    ``abs_slack`` seconds.  The second clause encodes the documented
+    ABSOLUTE jitter envelope (sub-2 s queries swing <0.55 s between
+    identical-code runs, so a pure ratio rule false-flags sub-second
+    queries in degraded windows); a genuine regression adds at least a
+    shuffle — seconds, not tenths.  Uniform drift moves every ratio
+    together and flags nothing."""
     ratios = {
         q: timings[q] / floor[q]
         for q in set(floor) & set(timings)
@@ -96,7 +102,10 @@ def compute_regressions(timings: dict[str, float], floor: dict[str, float],
     if not ratios:
         return []
     med = sorted(ratios.values())[len(ratios) // 2]
-    return sorted(q for q, r in ratios.items() if r > med * envelope)
+    return sorted(
+        q for q, r in ratios.items()
+        if r > med * envelope and timings[q] - floor[q] * med > abs_slack
+    )
 
 
 def main() -> None:

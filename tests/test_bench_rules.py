@@ -22,8 +22,18 @@ def test_uniform_environment_drift_flags_nothing():
 
 def test_single_nonuniform_slowdown_is_flagged():
     t = dict(FLOOR)
-    t["q3"] = FLOOR["q3"] * 1.6  # one query up, neighbors flat
-    assert compute_regressions(t, FLOOR) == ["q3"]
+    t["q4"] = FLOOR["q4"] * 1.6  # one query up by seconds, neighbors flat
+    assert compute_regressions(t, FLOOR) == ["q4"]
+
+
+def test_subsecond_jitter_never_flags_even_at_high_ratio():
+    """The absolute clause: a 0.5 s query swinging 1.7x is the
+    documented sub-2 s jitter envelope (<0.55 s identical-code deltas),
+    not a plan regression — a pure ratio rule false-flagged exactly
+    this in the r10 degraded-window run (pii_scrub 0.65->1.13 s)."""
+    t = dict(FLOOR)
+    t["q3"] = FLOOR["q3"] * 1.7  # +0.35 s absolute
+    assert compute_regressions(t, FLOOR) == []
 
 
 def test_nonuniform_on_top_of_uniform_drift_is_flagged():
