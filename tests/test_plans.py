@@ -612,3 +612,20 @@ def test_ivfpq_fixed_models_single_exchange_no_python(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_iterative_graph_queries_no_source_rescan(spark):
+    """LPA, PageRank, and the pointer-doubling tree all checkpoint
+    their per-round state, so the FINAL plan reads only checkpoint RDDs
+    — zero parquet scans survive (the un-checkpointed forms re-derive
+    all prior rounds from source, the 40-scan failure mode the triangle
+    pin guards).  Exchange budget: LPA pays its two label aggregates,
+    the other two are fully map-side over the checkpoint."""
+    for name, max_ex in [
+        ("host_communities_lpa", 2),
+        ("host_pagerank", 0),
+        ("doc_tree_root_depth", 0),
+    ]:
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert plan.count("Scan parquet") == 0, (name, plan)
+        assert plan.count("Exchange hashpartitioning") <= max_ex, (name, plan)
