@@ -81,6 +81,7 @@ def pagerank(
         .repartition("src")  # the ONE shuffle of the big frame; reused per round
         .persist()
     )
+    base = None
     try:
         nodes = (
             e.select(F.col("src").alias("node"))
@@ -94,19 +95,25 @@ def pagerank(
         n = nodes.count()
         if n == 0:  # empty link batch: zero rows, stable schema, no 1/0
             return nodes.select("node", F.lit(0.0).alias("pr"))
-        ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+        # out-degree is STATIC — join it to the node set once and carry
+        # ``deg`` inside the rank frame, instead of re-joining outdeg
+        # every iteration (saves one node-sized shuffle join per round)
+        base = (
+            nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
+            .select("node", "deg")
+            .repartition("node")
+            .persist()
+        )
+        ranks = base.select("node", "deg", F.lit(1.0 / n).alias("pr"))
         for it in range(iterations):
-            with_deg = ranks.join(
-                outdeg, ranks["node"] == outdeg["src"], "left"
-            ).select("node", "pr", "deg")
             # dangling mass: single-row aggregate, broadcast back in —
             # never leaves the plan
-            dangling = with_deg.where(F.col("deg").isNull()).agg(
+            dangling = ranks.where(F.col("deg").isNull()).agg(
                 F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm")
             )
             contribs = (
-                with_deg.where(F.col("deg").isNotNull())
-                .join(e, with_deg["node"] == e["src"])
+                ranks.where(F.col("deg").isNotNull())
+                .join(e, ranks["node"] == e["src"])
                 .select(
                     F.col("dst").alias("node"),
                     (F.col("pr") / F.col("deg")).alias("w"),
@@ -115,10 +122,11 @@ def pagerank(
                 .agg(F.sum("w").alias("in_mass"))
             )
             ranks = (
-                nodes.join(contribs, "node", "left")
+                base.join(contribs, "node", "left")
                 .crossJoin(F.broadcast(dangling))
                 .select(
                     "node",
+                    "deg",
                     (
                         F.lit((1.0 - damping) / n)
                         + F.lit(damping)
@@ -131,15 +139,17 @@ def pagerank(
             )
             if checkpoint_every and (it + 1) % checkpoint_every == 0:
                 ranks = ckpt(ranks)
-        return ranks
+        return ranks.select("node", "pr")
     finally:
         e.unpersist()
-        # nodes is referenced by the returned (checkpointed) frame only
-        # through materialized blocks — contract pinned by
+        # nodes/base are referenced by the returned (checkpointed)
+        # frame only through materialized blocks — contract pinned by
         # test_graph.test_returned_frame_survives_internal_unpersist
         # (consumes the returned frame after a cache clear + GC, both
         # checkpoint modes)
         nodes.unpersist()
+        if base is not None:
+            base.unpersist()
 
 
 def tree_root_depth(
@@ -324,10 +334,11 @@ def label_propagation(
                     .filter(F.col("_rn") == 1)
                     .select("node", F.col("lbl").alias("new_lbl"))
                 )
+            # the self-vote puts every labelled node into ``counts``,
+            # so ``winner`` covers exactly the label node set — it IS
+            # the next label frame (no join-back needed)
             labels = ckpt(
-                labels.join(winner, "node", "left").select(
-                    "node", F.coalesce("new_lbl", "lbl").alias("lbl")
-                )
+                winner.select("node", F.col("new_lbl").alias("lbl"))
             )
         return labels.withColumnRenamed("lbl", "community")
     finally:
