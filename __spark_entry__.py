@@ -143,6 +143,22 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     revenue window) and its multi-dim star by the in-window
 #     tpch_q8_market_share (7-table star).
 _TAIL = (
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — r11
+    # rotation candidate, rationale pre-written: the training-loader
+    # epoch-ordering pass (seeded-md5 global shuffle → shard →
+    # per-shard rank → interleaved global_order), value-hashing the
+    # exact permutation both engines derive from the portable hash.
+    # Distinct evidence from the in-window train_test_split (membership
+    # label) and weighted_sample_by_length (top-n selection): this is
+    # the only query whose oracle verifies a total ORDER:
+    "epoch_shuffle_order",
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — its
+    # companion: contrastive ring negative sampling (k deterministic
+    # negatives per anchor by stepping the epoch-shuffle ring; broadcast
+    # shard sizes + one narrow self-equi-join, never rand() or N²).
+    # Distinct evidence from hard_negatives_topk (embedding-similarity
+    # negatives): this verifies the UNIFORM-pairing path end-to-end:
+    "ring_negatives_pairs",
     # r10 new work (never driver-hashed; oracle-green at sf0.01) — prime
     # r11 rotation candidate, rationale pre-written: oracled
     # fixed-literal-centroid run of the production similarity.ivf_topk

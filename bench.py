@@ -76,6 +76,11 @@ HEADLINE = [
     "ann_ivf_fixed_centroids_topk",
     "ann_pq_fixed_codebook_topk",
     "ann_ivfpq_fixed_models_topk",
+    # round-10 additions: the training-loader ordering pass and its
+    # contrastive negative-pairing companion (one-exchange shard
+    # shuffle; broadcast sizes + narrow self-equi-join)
+    "epoch_shuffle_order",
+    "ring_negatives_pairs",
 ]
 
 

@@ -550,3 +550,131 @@ def weighted_sample_n(
         .filter(F.col("_rank") <= n_per_stratum)
         .drop("_rank")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key: str,
+    *,
+    epoch: int = 0,
+    seed: int = 17,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic seeded GLOBAL shuffle of a corpus into training
+    shards — the epoch-ordering pass of a streaming training loader
+    (MosaicML StreamingDataset / HF datasets ``shuffle(seed=…)``
+    lineage): every epoch the corpus must be read in a fresh
+    pseudorandom order that is (a) reproducible bit-for-bit across
+    restarts and workers, (b) different per epoch, and (c) computable
+    without a global sort on one machine.
+
+    Formulation: each row draws a content-addressed shuffle key
+    ``k = hash64("e{epoch}|" ‖ key)`` (seeded md5 — portable, so the
+    DuckDB oracle replays the exact permutation; never ``rand()``,
+    which Spark re-evaluates on task retry and would tear the epoch
+    order apart mid-job).  ``shard = k mod n_shards`` spreads rows
+    uniformly; ``pos_in_shard`` ranks by ``k`` INSIDE each shard (one
+    hash exchange + per-shard sort — the window never sees more than
+    one shard, so no global-sort bottleneck); ``global_order =
+    (pos_in_shard-1)·n_shards + shard`` is the canonical interleaved
+    read order (round-robin across shards), unique per row because
+    (shard, pos) is unique.
+
+    Scale shape (100 TB): ONE shuffle, hash-partitioned on ``shard``;
+    per-shard sorts run in parallel and spill independently.  Size
+    ``n_shards`` to the training-reader fan-in (shards ≫ executor
+    slots keeps every sort partition-local and bounded at
+    corpus_bytes/n_shards).  Epoch determinism means a killed epoch
+    resumes from any ``global_order`` offset with zero recomputation
+    drift.
+
+    Reference parity: the reference pipeline has no training-loader
+    stage — extension surface, same family as ``hash_split``
+    (content-addressed membership) but producing an ORDER, not a
+    label.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    k = X.hash64(
+        F.concat(F.lit(f"e{epoch}|"), F.col(key).cast("string")), seed=seed
+    )
+    win = Window.partitionBy("shard").orderBy(
+        F.col("_k").asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("_k", k)
+        .withColumn("shard", F.pmod(F.col("_k"), F.lit(n_shards)))
+        .withColumn("pos_in_shard", F.row_number().over(win).cast("long"))
+        .withColumn(
+            "global_order",
+            (F.col("pos_in_shard") - F.lit(1)) * F.lit(n_shards)
+            + F.col("shard"),
+        )
+        .drop("_k")
+    )
+
+
+def ring_negatives(
+    df: DataFrame,
+    key: str,
+    *,
+    k: int = 2,
+    epoch: int = 0,
+    seed: int = 17,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic random-negative pairing for contrastive training
+    (word2vec / DPR lineage): every anchor row draws ``k`` negatives
+    uniformly-pseudorandomly from the corpus, reproducibly, WITHOUT a
+    corpus×corpus join or ``rand()``.
+
+    Formulation — the ring trick: :func:`epoch_shuffle` already places
+    every row at a pseudorandom (shard, pos); the j-th negative of an
+    anchor is the row ``j`` steps ahead on its shard's ring
+    (``neg_pos = (pos - 1 + j) mod shard_size + 1``).  Because the ring
+    order is itself a seeded shuffle, stepping it IS uniform sampling —
+    the standard derangement-style pairing used by in-batch-negative
+    trainers, made corpus-global and retry-stable.
+
+    Scale shape: shard sizes are one tiny aggregate (``n_shards`` rows,
+    broadcast); the pair frame joins back to the (shard, pos)→key map
+    with ONE narrow self-equi-join, both sides hash-partitioned on the
+    same key — no N² pair space, output is exactly ``k·N`` rows minus
+    self-pairs (single-row shards).  Epoch-varying: advance ``epoch``
+    to redraw all negatives.
+
+    Returns ``(anchor, negative, j)`` — ``anchor``/``negative`` carry
+    the ``key`` values; ``j`` in 1..k identifies the draw.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    ring = epoch_shuffle(
+        df.select(key), key, epoch=epoch, seed=seed, n_shards=n_shards
+    ).select(key, "shard", "pos_in_shard")
+    sizes = ring.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("_sz")
+    )
+    probes = (
+        ring.join(F.broadcast(sizes), "shard")
+        .select(
+            F.col(key).alias("anchor"),
+            "shard",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+            "pos_in_shard",
+            "_sz",
+        )
+        .withColumn(
+            "_neg_pos",
+            F.pmod(F.col("pos_in_shard") - 1 + F.col("j"), F.col("_sz")) + 1,
+        )
+    )
+    lookup = ring.select(
+        "shard",
+        F.col("pos_in_shard").alias("_neg_pos"),
+        F.col(key).alias("negative"),
+    )
+    return (
+        probes.join(lookup, ["shard", "_neg_pos"])
+        .filter(F.col("anchor") != F.col("negative"))  # 1-row shards
+        .select("anchor", "negative", "j")
+    )

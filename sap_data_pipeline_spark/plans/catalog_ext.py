@@ -1277,6 +1277,93 @@ def doc_pack_offset(star: Star) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic epoch shuffle (operators.sampling.epoch_shuffle): the
+# training-loader ordering pass — every epoch a fresh, reproducible
+# pseudorandom global order, computed as one hash exchange + per-shard
+# sort (never a global sort, never rand()).  The oracle replays the
+# exact permutation from the portable seeded-md5 shuffle key.
+# ---------------------------------------------------------------------------
+
+_EPOCH, _EPOCH_SEED, _EPOCH_SHARDS = 3, 17, 8
+
+@register(
+    "epoch_shuffle_order",
+    f"""
+    WITH k AS (
+        SELECT doc_id,
+               {_hash64_sql(f"concat('e{_EPOCH}|', CAST(doc_id AS VARCHAR))", _EPOCH_SEED)} AS k
+        FROM documents
+    )
+    SELECT doc_id, shard, pos_in_shard,
+           (pos_in_shard - 1) * {_EPOCH_SHARDS} + shard AS global_order
+    FROM (
+        SELECT doc_id, k % {_EPOCH_SHARDS} AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY k % {_EPOCH_SHARDS} ORDER BY k, doc_id
+               ) AS pos_in_shard
+        FROM k
+    )
+    """,
+)
+def epoch_shuffle_order(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(
+        star.documents.select("doc_id"), "doc_id",
+        epoch=_EPOCH, seed=_EPOCH_SEED, n_shards=_EPOCH_SHARDS,
+    ).select("doc_id", "shard", "pos_in_shard", "global_order")
+
+
+# ---------------------------------------------------------------------------
+# Ring negative sampling (operators.sampling.ring_negatives): k
+# deterministic pseudorandom negatives per anchor for contrastive
+# training — steps along the epoch-shuffle ring instead of rand() or an
+# N×N join.  Broadcast shard sizes + ONE narrow self-equi-join on
+# (shard, pos); output exactly k·N rows minus single-row-shard
+# self-pairs.  The oracle replays the full pairing.
+# ---------------------------------------------------------------------------
+
+_RING_K = 2
+
+@register(
+    "ring_negatives_pairs",
+    f"""
+    WITH hk AS (
+        SELECT doc_id,
+               {_hash64_sql(f"concat('e{_EPOCH}|', CAST(doc_id AS VARCHAR))", _EPOCH_SEED)} AS k
+        FROM documents
+    ),
+    ring AS (
+        SELECT doc_id, k % {_EPOCH_SHARDS} AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY k % {_EPOCH_SHARDS} ORDER BY k, doc_id
+               ) AS pos
+        FROM hk
+    ),
+    sz AS (SELECT shard, COUNT(*) AS n FROM ring GROUP BY shard),
+    probes AS (
+        SELECT r.doc_id AS anchor, r.shard, j.j,
+               ((r.pos - 1 + j.j) % s.n) + 1 AS neg_pos
+        FROM ring r
+        JOIN sz s USING (shard)
+        CROSS JOIN (SELECT unnest(generate_series(1, {_RING_K})) AS j) j
+    )
+    SELECT p.anchor, r2.doc_id AS negative, CAST(p.j AS INT) AS j
+    FROM probes p
+    JOIN ring r2 ON r2.shard = p.shard AND r2.pos = p.neg_pos
+    WHERE p.anchor <> r2.doc_id
+    """,
+)
+def ring_negatives_pairs(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import ring_negatives
+
+    return ring_negatives(
+        star.documents.select("doc_id"), "doc_id",
+        k=_RING_K, epoch=_EPOCH, seed=_EPOCH_SEED, n_shards=_EPOCH_SHARDS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII scrub (functions.text.redact_pii): emails / SSNs / phone numbers
 # redacted with typed placeholders, plus per-class audit counts.  PII is
 # injected deterministically from doc_id so both engines scrub the same

@@ -736,3 +736,116 @@ def test_interval_overlap_join_caps_pathological_spans(spark):
         ).collect()
     ]
     assert got == [(1, 7)]
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle
+# ---------------------------------------------------------------------------
+
+
+def _shuffle_fixture(spark):
+    return spark.range(0, 200).select(F.col("id").alias("doc_id"))
+
+
+def test_epoch_shuffle_is_a_permutation(spark):
+    from sap_data_pipeline_spark.operators.sampling import epoch_shuffle
+
+    out = epoch_shuffle(_shuffle_fixture(spark), "doc_id", epoch=1, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 200
+    # global_order is a bijection into a dense-enough range: unique, and
+    # interleaving means order o sits in shard o % n_shards
+    orders = [r["global_order"] for r in rows]
+    assert len(set(orders)) == 200
+    for r in rows:
+        assert r["shard"] == r["global_order"] % 4
+        assert 0 <= r["shard"] < 4
+        assert r["global_order"] == (r["pos_in_shard"] - 1) * 4 + r["shard"]
+
+
+def test_epoch_shuffle_deterministic_and_epoch_varying(spark):
+    from sap_data_pipeline_spark.operators.sampling import epoch_shuffle
+
+    df = _shuffle_fixture(spark)
+    a1 = {r["doc_id"]: r["global_order"]
+          for r in epoch_shuffle(df, "doc_id", epoch=2).collect()}
+    a2 = {r["doc_id"]: r["global_order"]
+          for r in epoch_shuffle(df, "doc_id", epoch=2).collect()}
+    b = {r["doc_id"]: r["global_order"]
+         for r in epoch_shuffle(df, "doc_id", epoch=3).collect()}
+    assert a1 == a2                       # bit-stable across re-runs
+    assert a1 != b                        # epochs genuinely re-order
+    # and the epoch-3 order is still a permutation of the same rows
+    assert set(b) == set(a1) and len(set(b.values())) == len(b)
+
+
+def test_epoch_shuffle_single_exchange_no_global_sort(spark):
+    """Plan contract: ONE hash exchange (on the shard key) and a
+    partition-local sort — a global-sort formulation would show
+    Exchange rangepartitioning."""
+    from sap_data_pipeline_spark.operators.sampling import epoch_shuffle
+
+    out = epoch_shuffle(_shuffle_fixture(spark), "doc_id", n_shards=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_epoch_shuffle_rejects_bad_shards(spark):
+    import pytest
+
+    from sap_data_pipeline_spark.operators.sampling import epoch_shuffle
+
+    with pytest.raises(ValueError):
+        epoch_shuffle(_shuffle_fixture(spark), "doc_id", n_shards=0)
+
+
+def test_ring_negatives_count_and_no_self_pairs(spark):
+    from sap_data_pipeline_spark.operators.sampling import ring_negatives
+
+    df = _shuffle_fixture(spark)  # 200 rows
+    out = ring_negatives(df, "doc_id", k=3, n_shards=4).collect()
+    # every shard has >= 4 rows at n=200/shards=4, so stepping 1..3 never
+    # wraps onto the anchor: exactly k*N pairs, none reflexive
+    assert len(out) == 3 * 200
+    for r in out:
+        assert r["anchor"] != r["negative"]
+    # per anchor: k distinct negatives (ring steps are distinct positions)
+    from collections import defaultdict
+
+    by_anchor = defaultdict(set)
+    for r in out:
+        by_anchor[r["anchor"]].add(r["negative"])
+    assert all(len(v) == 3 for v in by_anchor.values())
+
+
+def test_ring_negatives_deterministic_and_epoch_varying(spark):
+    from sap_data_pipeline_spark.operators.sampling import ring_negatives
+
+    df = _shuffle_fixture(spark)
+    p1 = {(r["anchor"], r["j"]): r["negative"]
+          for r in ring_negatives(df, "doc_id", k=2, epoch=5).collect()}
+    p2 = {(r["anchor"], r["j"]): r["negative"]
+          for r in ring_negatives(df, "doc_id", k=2, epoch=5).collect()}
+    p3 = {(r["anchor"], r["j"]): r["negative"]
+          for r in ring_negatives(df, "doc_id", k=2, epoch=6).collect()}
+    assert p1 == p2
+    assert p1 != p3
+
+
+def test_ring_negatives_single_row_shard_drops_self(spark):
+    from sap_data_pipeline_spark.operators.sampling import ring_negatives
+
+    one = spark.createDataFrame([(1,)], "doc_id long")
+    # a 1-row corpus: the only candidate negative is the anchor itself
+    assert ring_negatives(one, "doc_id", k=2).count() == 0
+
+
+def test_ring_negatives_rejects_bad_k(spark):
+    import pytest
+
+    from sap_data_pipeline_spark.operators.sampling import ring_negatives
+
+    with pytest.raises(ValueError):
+        ring_negatives(_shuffle_fixture(spark), "doc_id", k=0)
