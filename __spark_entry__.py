@@ -159,6 +159,17 @@ _TAIL = (
     # Distinct evidence from hard_negatives_topk (embedding-similarity
     # negatives): this verifies the UNIFORM-pairing path end-to-end:
     "ring_negatives_pairs",
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
+    # learned quality filter's serving kernel over FROZEN literal
+    # weights (feature extraction → raw-scale dot product → rounded
+    # sigmoid → decision), the fixed-model precedent applied to the
+    # linear-classifier family; its gradient-descent training twin is
+    # rows-only by design (numpy-differential-tested):
+    "quality_classifier_score_fixed",
+    # rows-only-by-design (iterative full-batch logistic GD; one
+    # gradient aggregate per iteration, differential-tested against a
+    # numpy replica of the exact spec in test_linear_model.py):
+    "quality_classifier_train",
     # r10 new work (never driver-hashed; oracle-green at sf0.01) — prime
     # r11 rotation candidate, rationale pre-written: oracled
     # fixed-literal-centroid run of the production similarity.ivf_topk

@@ -76,11 +76,13 @@ HEADLINE = [
     "ann_ivf_fixed_centroids_topk",
     "ann_pq_fixed_codebook_topk",
     "ann_ivfpq_fixed_models_topk",
-    # round-10 additions: the training-loader ordering pass and its
+    # round-10 additions: the training-loader ordering pass, its
     # contrastive negative-pairing companion (one-exchange shard
-    # shuffle; broadcast sizes + narrow self-equi-join)
+    # shuffle; broadcast sizes + narrow self-equi-join), and the
+    # learned quality filter's map-side serving kernel
     "epoch_shuffle_order",
     "ring_negatives_pairs",
+    "quality_classifier_score_fixed",
 ]
 
 

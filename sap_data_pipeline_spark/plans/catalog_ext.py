@@ -921,6 +921,88 @@ def quality_scores(star: Star) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Learned quality classifier (operators.linear_model): the CCNet/LLaMA
+# "wiki-ref"-style linear filter — train once (full-batch logistic GD,
+# ONE gradient aggregate per iteration, driver transfer bounded by the
+# feature count), score the corpus map-side.  Training is rows-only
+# (iterative GD — same family as the KMeans/eigensolve internals);
+# serving over FROZEN literal weights is value-hashed end-to-end, the
+# fixed-model precedent of the PCA/IVF/PQ families.  The frozen weights
+# below are one 60-iteration sf0.01 fit of the long-form label
+# (n_chars > 300) from token stats — the label is synthetic-corpus
+# scaffolding; the verified artifact is the train/serve kernel.
+# ---------------------------------------------------------------------------
+
+_QC_FEATS = ["n_tokens", "n_distinct_tokens", "sw_en"]
+_QC_MODEL = {
+    "weights": {
+        "n_tokens": 0.128879,
+        "n_distinct_tokens": 0.369726,
+        "sw_en": 0.319028,
+    },
+    "intercept": -16.551366,
+}
+
+
+def _qc_features(star: Star) -> DataFrame:
+    return star.documents.select(
+        "doc_id",
+        F.size(X.tokens("text")).alias("n_tokens"),
+        F.size(F.array_distinct(X.tokens("text"))).alias("n_distinct_tokens"),
+        X.stopword_hits("text", "en").alias("sw_en"),
+        (F.length("text") > 300).cast("int").alias("y"),
+    )
+
+
+@register("quality_classifier_train")
+def quality_classifier_train(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.linear_model import logreg_train
+
+    feats = _qc_features(star).persist()
+    try:
+        model = logreg_train(feats, _QC_FEATS, "y", iterations=12, lr=1.5)
+    finally:
+        feats.unpersist()
+    spark = star.documents.sparkSession
+    rows = [(c, float(w)) for c, w in model["weights"].items()]
+    rows.append(("_intercept", float(model["intercept"])))
+    return spark.createDataFrame(rows, "feature string, weight double")
+
+
+_QC_Z_SQL = "round({b} + {terms}, 6)".format(
+    b=_QC_MODEL["intercept"],
+    terms=" + ".join(
+        f"{_QC_MODEL['weights'][c]} * {c}" for c in _QC_FEATS
+    ),
+)
+
+
+@register(
+    "quality_classifier_score_fixed",
+    f"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len({TOKSEQ_SQL.format(col='text')}) AS DOUBLE) AS n_tokens,
+               CAST(len({TOKENS_SQL.format(col='text')}) AS DOUBLE) AS n_distinct_tokens,
+               CAST({_sw_hits_sql('en')} AS DOUBLE) AS sw_en
+        FROM documents
+    ),
+    z AS (SELECT doc_id, {_QC_Z_SQL} AS logit FROM f)
+    SELECT doc_id, logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+           logit > 0 AS pred
+    FROM z
+    """,
+)
+def quality_classifier_score_fixed(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.linear_model import logreg_score
+
+    return logreg_score(
+        _qc_features(star).drop("y"), _QC_MODEL
+    ).select("doc_id", "logit", "score", "pred")
+
+
 # Rolling-hash SQL twin (functions.text.rolling_fingerprint): fold
 # (acc*31 + codepoint) % (2^31-1) over the normalized characters.
 # list_reduce has no initial-accumulator form, so 0 is prepended.
