@@ -309,3 +309,41 @@ def read_orc(spark, path: str) -> DataFrame:
     """ORC scan (predicate pushdown + column pruning work as with
     parquet — ORC carries the same min/max stripe statistics)."""
     return spark.read.orc(path)
+
+
+def write_epoch_shards(
+    df: DataFrame,
+    key: str,
+    target_dir: str,
+    *,
+    epoch: int = 0,
+    seed: int = 17,
+    n_shards: int = 8,
+) -> int:
+    """Materialize one training epoch as ORDERED parquet shards — the
+    sink half of ``operators.sampling.epoch_shuffle``: the training
+    loader then reads ``shard=i/part-*.parquet`` sequentially and
+    round-robins across shards to replay the epoch's global order, with
+    no shuffle or sort at read time (parquet preserves row order within
+    a file; ``pos_in_shard`` is written so a resumed epoch can seek).
+
+    Plan shape: the epoch_shuffle exchange already hash-partitions on
+    ``shard``; one repartition-by-shard + ``sortWithinPartitions`` puts
+    each shard's rows in epoch order inside its own task, and
+    ``partitionBy("shard")`` writes each as its own directory.  With
+    one task per shard, every shard is ONE ordered file — no
+    cross-shard merge, bounded by corpus_bytes/n_shards per task.
+
+    Returns the row count written (the caller's audit number, same
+    contract as ``write_parquet_atomic``).
+    """
+    from sap_data_pipeline_spark.operators.sampling import epoch_shuffle
+
+    ordered = (
+        epoch_shuffle(df, key, epoch=epoch, seed=seed, n_shards=n_shards)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos_in_shard")
+    )
+    ordered.write.mode("overwrite").partitionBy("shard").parquet(target_dir)
+    spark = df.sparkSession
+    return spark.read.parquet(target_dir).count()

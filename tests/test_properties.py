@@ -311,3 +311,61 @@ def test_dense_rank_then_dedup_equals_dedup_then_row_number(spark, rows, k):
         .collect()
     }
     assert new == old
+
+
+@PROP
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    shards=st.integers(min_value=1, max_value=7),
+    epoch=st.integers(min_value=0, max_value=3),
+)
+def test_epoch_shuffle_permutation_property(spark, n, shards, epoch):
+    """For ANY corpus size / shard count / epoch: global_order is a
+    bijection, every row keeps its identity, and the interleave
+    invariant (order ≡ shard mod n_shards) holds."""
+    from sap_data_pipeline_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    rows = epoch_shuffle(df, "doc_id", epoch=epoch, n_shards=shards).collect()
+    assert len(rows) == n
+    assert len({r["global_order"] for r in rows}) == n
+    assert {r["doc_id"] for r in rows} == set(range(n))
+    for r in rows:
+        assert r["global_order"] % shards == r["shard"]
+        assert 1 <= r["pos_in_shard"]
+
+
+@PROP
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    k=st.integers(min_value=1, max_value=4),
+    shards=st.integers(min_value=1, max_value=5),
+)
+def test_ring_negatives_structure_property(spark, n, k, shards):
+    """For ANY n/k/shard count: no self-pairs, at most k·n pairs, and a
+    pair budget shortfall happens ONLY via ring wraps in small shards
+    (shard size ≤ k) — never for ample shards."""
+    from collections import Counter
+
+    from sap_data_pipeline_spark.operators.sampling import (
+        epoch_shuffle,
+        ring_negatives,
+    )
+
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = ring_negatives(df, "doc_id", k=k, n_shards=shards).collect()
+    assert len(pairs) <= k * n
+    for r in pairs:
+        assert r["anchor"] != r["negative"]
+        assert 1 <= r["j"] <= k
+    # expected count: each anchor in a shard of size s emits one pair
+    # per j in 1..k except when (pos-1+j) mod s lands back on itself
+    # (which needs j ≡ 0 mod s, i.e. s ≤ k)
+    sizes = Counter(
+        r["shard"]
+        for r in epoch_shuffle(df, "doc_id", n_shards=shards).collect()
+    )
+    expected = sum(
+        s * (k - (k // s if s <= k else 0)) for s in sizes.values()
+    )
+    assert len(pairs) == expected

@@ -468,3 +468,37 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PushedFilters" in plan and "GreaterThan(k,990" in plan
+
+
+def test_write_epoch_shards_ordered_roundtrip(spark, tmp_path):
+    """The epoch-shard sink writes one ordered parquet dir per shard;
+    reading a shard back WITHOUT sorting replays its epoch order
+    (parquet preserves in-file row order), and the union of shards is
+    the full corpus."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.sources.sinks import write_epoch_shards
+
+    df = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    target = str(tmp_path / "epoch0")
+    n = write_epoch_shards(df, "doc_id", target, epoch=1, n_shards=4)
+    assert n == 300
+
+    shard_dirs = sorted(_glob.glob(f"{target}/shard=*"))
+    assert len(shard_dirs) == 4
+    # one task per shard -> one data file per shard directory
+    for d in shard_dirs:
+        files = [f for f in _glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, files
+
+    # in-file order == epoch order: read one shard WITHOUT sorting and
+    # compare against the pos_in_shard column it carries
+    back = spark.read.parquet(shard_dirs[0]).toPandas()
+    assert list(back["pos_in_shard"]) == sorted(back["pos_in_shard"])
+
+    # the union of shards is exactly the corpus
+    all_back = spark.read.parquet(target)
+    assert all_back.count() == 300
+    assert all_back.select("doc_id").distinct().count() == 300
