@@ -170,6 +170,12 @@ _TAIL = (
     # gradient aggregate per iteration, differential-tested against a
     # numpy replica of the exact spec in test_linear_model.py):
     "quality_classifier_train",
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
+    # epochs-per-source upsampling mix (GPT-3/LLaMA recipe: fraction
+    # 2.5 = 2 copies + hash-selected 50% third; broadcast plan +
+    # map-side explode, fractional part composes bit-exactly with the
+    # in-window corpus_weighted_mix's downsample hash contract):
+    "corpus_mixture_upsampled",
     # r10 new work (never driver-hashed; oracle-green at sf0.01) — prime
     # r11 rotation candidate, rationale pre-written: oracled
     # fixed-literal-centroid run of the production similarity.ivf_topk

@@ -678,3 +678,56 @@ def ring_negatives(
         .filter(F.col("anchor") != F.col("negative"))  # 1-row shards
         .select("anchor", "negative", "j")
     )
+
+
+def apply_mixture_plan_with_repetition(
+    df: DataFrame,
+    plan: DataFrame,
+    strata_col: str,
+    *,
+    key: str,
+    seed: int = 23,
+    copy_col: str = "copy",
+    max_repetition: int = 20,
+) -> DataFrame:
+    """Apply a mixture plan whose fractions may EXCEED 1 — the
+    epochs-per-source mix of the GPT-3/LLaMA recipes, where scarce
+    high-quality strata are repeated (fraction 2.5 = every doc twice
+    plus a deterministic 50% third copy) while bulk strata downsample
+    (fraction 0.25) — all in one pass.
+
+    Per row: ``total = floor(fraction) + (bucket < frac_part·10⁶)``
+    copies, where ``bucket`` is the same content-addressed hash bucket
+    as :func:`apply_mixture_plan` (retry-stable, externally
+    reproducible — and the fractional copy keeps EXACTLY the rows a
+    plain fractional downsample would keep, so plans compose).  Output
+    carries ``copy_col`` in 1..total so downstream packing/shuffling
+    can tell repeats apart (and an epoch shuffle keyed on
+    (key, copy) spreads them).
+
+    Scale shape: broadcast plan join + map-side ``explode(sequence)``
+    — no shuffle, output rows = Σ fraction·|stratum|.  A malformed
+    plan (fraction > ``max_repetition``) is rejected up front via one
+    plan-sized aggregate rather than silently exploding the corpus.
+    """
+    mx = plan.agg(F.max("sampling_fraction")).first()[0]
+    if mx is not None and float(mx) > max_repetition:
+        raise ValueError(
+            f"plan fraction {mx} exceeds max_repetition={max_repetition}"
+        )
+    bucket = F.pmod(X.hash64(F.col(key).cast("string"), seed=seed), F.lit(1_000_000))
+    frac = F.coalesce(F.col("sampling_fraction"), F.lit(0.0))
+    total = F.floor(frac) + F.when(
+        bucket < (frac - F.floor(frac)) * 1_000_000, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.join(
+            F.broadcast(plan.select("stratum", "sampling_fraction")),
+            F.col(strata_col) == F.col("stratum"),
+            "left",
+        )
+        .withColumn("_total", total)
+        .filter(F.col("_total") >= 1)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1).cast("long"), F.col("_total"))))
+        .drop("stratum", "sampling_fraction", "_total")
+    )

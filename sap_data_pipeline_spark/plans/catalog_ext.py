@@ -2468,6 +2468,58 @@ def corpus_mixture_apply(star: Star) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Upsampling mixture apply (operators.sampling.
+# apply_mixture_plan_with_repetition): the epochs-per-source mix of the
+# GPT-3/LLaMA recipes — scarce strata REPEAT (fraction 2.5 = 2 copies +
+# a deterministic hash-selected 50% third) while bulk strata downsample,
+# in one broadcast-join + map-side explode pass.  Fractions are
+# binary-exact literals so the hash threshold is bit-identical across
+# engines.  The `copy` column distinguishes repeats downstream.
+# ---------------------------------------------------------------------------
+
+_UPMIX = {"en": 0.25, "de": 2.5, "fr": 1.75, "es": 1.0, "zh": 3.0}
+_UPMIX_FRAC_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{s}' THEN {f}" for s, f in sorted(_UPMIX.items())
+) + " ELSE 0.0 END"
+
+
+@register(
+    "corpus_mixture_upsampled",
+    f"""
+    WITH f AS (
+        SELECT doc_id, lang, n_chars,
+               {_UPMIX_FRAC_CASE} AS frac,
+               {_hash64_sql('CAST(doc_id AS VARCHAR)', 23)} % 1000000 AS bucket
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(floor(frac) AS BIGINT)
+               + CASE WHEN bucket < (frac - floor(frac)) * 1000000
+                      THEN 1 ELSE 0 END AS total
+        FROM f
+    )
+    SELECT doc_id, lang, n_chars,
+           unnest(generate_series(1, total)) AS copy
+    FROM t WHERE total >= 1
+    """,
+)
+def corpus_mixture_upsampled(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import (
+        apply_mixture_plan_with_repetition,
+    )
+
+    spark = star.documents.sparkSession
+    plan = spark.createDataFrame(
+        sorted(_UPMIX.items()), "stratum string, sampling_fraction double"
+    )
+    return apply_mixture_plan_with_repetition(
+        star.documents.select("doc_id", "lang", "n_chars"),
+        plan, "lang", key="doc_id",
+    ).select("doc_id", "lang", "n_chars", "copy")
+
+
+# ---------------------------------------------------------------------------
 # Perplexity-proxy scoring (operators.corpus.unigram_logprob): mean
 # -ln(c_term / N) per document under the corpus's own unigram LM — the
 # CCNet-style quality filter.  Both engines compute the score with the

@@ -849,3 +849,83 @@ def test_ring_negatives_rejects_bad_k(spark):
 
     with pytest.raises(ValueError):
         ring_negatives(_shuffle_fixture(spark), "doc_id", k=0)
+
+
+# ---------------------------------------------------------------------------
+# upsampling mixture apply
+# ---------------------------------------------------------------------------
+
+
+def _upmix_fixture(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("src"),
+    )
+    plan = spark.createDataFrame(
+        [("a", 2.5), ("b", 0.25)], "stratum string, sampling_fraction double"
+    )
+    return df, plan
+
+
+def test_upsampling_mixture_copy_counts(spark):
+    from sap_data_pipeline_spark.operators.sampling import (
+        apply_mixture_plan_with_repetition,
+    )
+
+    df, plan = _upmix_fixture(spark)
+    out = apply_mixture_plan_with_repetition(df, plan, "src", key="doc_id")
+    rows = out.collect()
+    from collections import Counter
+
+    per_doc = Counter(r["doc_id"] for r in rows)
+    # stratum a (fraction 2.5): every doc 2 or 3 copies, ~half get 3
+    a_docs = [i for i in range(0, 300, 3)]
+    a_counts = [per_doc[i] for i in a_docs]
+    assert set(a_counts) <= {2, 3}
+    three_share = sum(1 for c in a_counts if c == 3) / len(a_counts)
+    assert 0.3 < three_share < 0.7, three_share
+    # stratum b (fraction 0.25): kept docs exactly once, ~quarter kept
+    b_docs = [i for i in range(300) if i % 3 != 0]
+    b_counts = [per_doc[i] for i in b_docs if per_doc[i] > 0]
+    assert all(c == 1 for c in b_counts)
+    assert 0.12 < len(b_counts) / len(b_docs) < 0.40
+    # copy tags are 1..total per doc
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_doc.values())
+
+
+def test_upsampling_fractional_part_composes_with_downsample(spark):
+    """The fractional copy keeps EXACTLY the rows a plain fractional
+    downsample at the same fraction keeps (same hash bucket contract)."""
+    from sap_data_pipeline_spark.operators.sampling import (
+        apply_mixture_plan,
+        apply_mixture_plan_with_repetition,
+    )
+
+    df, _ = _upmix_fixture(spark)
+    plan = df.sparkSession.createDataFrame(
+        [("a", 0.5), ("b", 0.5)], "stratum string, sampling_fraction double"
+    )
+    plain = {r["doc_id"] for r in
+             apply_mixture_plan(df, plan, "src", key="doc_id").collect()}
+    rep = {r["doc_id"] for r in
+           apply_mixture_plan_with_repetition(df, plan, "src", key="doc_id")
+           .collect()}
+    assert plain == rep
+
+
+def test_upsampling_rejects_runaway_plan(spark):
+    import pytest
+
+    from sap_data_pipeline_spark.operators.sampling import (
+        apply_mixture_plan_with_repetition,
+    )
+
+    df, _ = _upmix_fixture(spark)
+    plan = df.sparkSession.createDataFrame(
+        [("a", 1000.0)], "stratum string, sampling_fraction double"
+    )
+    with pytest.raises(ValueError):
+        apply_mixture_plan_with_repetition(df, plan, "src", key="doc_id")
