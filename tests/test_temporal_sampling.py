@@ -929,3 +929,19 @@ def test_upsampling_rejects_runaway_plan(spark):
     )
     with pytest.raises(ValueError):
         apply_mixture_plan_with_repetition(df, plan, "src", key="doc_id")
+
+
+def test_upsampling_mixture_plan_is_broadcast_explode_no_shuffle(spark):
+    """Plan contract: the corpus side never shuffles — one broadcast
+    plan join plus a map-side explode(sequence)."""
+    from sap_data_pipeline_spark.operators.sampling import (
+        apply_mixture_plan_with_repetition,
+    )
+
+    df, plan = _upmix_fixture(spark)
+    out = apply_mixture_plan_with_repetition(df, plan, "src", key="doc_id")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Generate explode" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
