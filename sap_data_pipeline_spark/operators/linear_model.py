@@ -65,6 +65,11 @@ def logreg_train(
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1: {iterations}")
 
+    # a NULL feature or label poisons every mean it touches (the
+    # aggregates would come back None and crash opaquely) — train on
+    # complete rows only, the standard trainer contract
+    df = df.dropna(subset=[*feature_cols, label_col])
+
     # one moments pass: mean/std per feature (population std; +eps so a
     # constant column degrades to weight 0 instead of a division blowup)
     moments = df.agg(
@@ -73,6 +78,11 @@ def logreg_train(
         *[F.stddev_pop(F.col(c).cast("double")).alias(f"s_{i}")
           for i, c in enumerate(feature_cols)],
     ).first()
+    if moments[0] is None:  # no complete rows at all
+        raise ValueError(
+            "logreg_train needs at least one row with non-NULL "
+            f"features + label (columns {[*feature_cols, label_col]})"
+        )
     mu = [float(moments[f"m_{i}"]) for i in range(len(feature_cols))]
     sd = [max(float(moments[f"s_{i}"] or 0.0), 1e-12)
           for i in range(len(feature_cols))]

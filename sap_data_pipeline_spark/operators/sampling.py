@@ -595,6 +595,12 @@ def epoch_shuffle(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    reserved = {"_k", "shard", "pos_in_shard", "global_order"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns {sorted(reserved)} collide with epoch_shuffle "
+            "output columns — rename them first"
+        )
     k = X.hash64(
         F.concat(F.lit(f"e{epoch}|"), F.col(key).cast("string")), seed=seed
     )
@@ -640,17 +646,27 @@ def ring_negatives(
     broadcast); the pair frame joins back to the (shard, pos)→key map
     with ONE narrow self-equi-join, both sides hash-partitioned on the
     same key — no N² pair space, output is exactly ``k·N`` rows minus
-    self-pairs (single-row shards).  Epoch-varying: advance ``epoch``
-    to redraw all negatives.
+    ring wraps back onto the anchor's own position (``j ≡ 0 mod
+    shard_size``, so only shards of size ≤ k lose pairs; duplicate KEY
+    VALUES are fine — rows pair by ring position, not value).
+    Epoch-varying: advance ``epoch`` to redraw all negatives.
 
     Returns ``(anchor, negative, j)`` — ``anchor``/``negative`` carry
     the ``key`` values; ``j`` in 1..k identifies the draw.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
-    ring = epoch_shuffle(
-        df.select(key), key, epoch=epoch, seed=seed, n_shards=n_shards
-    ).select(key, "shard", "pos_in_shard")
+    # the ring feeds THREE consumers (sizes aggregate, probe side,
+    # lookup side) — cut the lineage diamond once so the per-shard
+    # sort + rank doesn't re-execute per branch (the triangle_counts /
+    # dsir checkpoint discipline, r9 executed-plan audit)
+    ring = (
+        epoch_shuffle(
+            df.select(key), key, epoch=epoch, seed=seed, n_shards=n_shards
+        )
+        .select(key, "shard", "pos_in_shard")
+        .localCheckpoint(eager=True)
+    )
     sizes = ring.groupBy("shard").agg(
         F.count(F.lit(1)).alias("_sz")
     )
@@ -667,6 +683,11 @@ def ring_negatives(
             "_neg_pos",
             F.pmod(F.col("pos_in_shard") - 1 + F.col("j"), F.col("_sz")) + 1,
         )
+        # a wrap back onto the anchor's own POSITION (j ≡ 0 mod shard
+        # size, e.g. any j in a 1-row shard) is a self-pair — filtered
+        # by position, not key value, so duplicate key values elsewhere
+        # on the ring still pair as the distinct rows they are
+        .filter(F.col("_neg_pos") != F.col("pos_in_shard"))
     )
     lookup = ring.select(
         "shard",
@@ -675,7 +696,6 @@ def ring_negatives(
     )
     return (
         probes.join(lookup, ["shard", "_neg_pos"])
-        .filter(F.col("anchor") != F.col("negative"))  # 1-row shards
         .select("anchor", "negative", "j")
     )
 

@@ -1368,23 +1368,32 @@ def doc_pack_offset(star: Star) -> DataFrame:
 
 _EPOCH, _EPOCH_SEED, _EPOCH_SHARDS = 3, 17, 8
 
-@register(
-    "epoch_shuffle_order",
-    f"""
-    WITH k AS (
+# ONE ring definition shared by both companion oracles
+# (epoch_shuffle_order / ring_negatives_pairs are defined as the SAME
+# ring — a single fragment keeps them bit-identical under edits, the
+# TOKSEQ_SQL/_TOKS_CTE convention):
+_RING_CTE = f"""
+    hk AS (
         SELECT doc_id,
                {_hash64_sql(f"concat('e{_EPOCH}|', CAST(doc_id AS VARCHAR))", _EPOCH_SEED)} AS k
         FROM documents
-    )
-    SELECT doc_id, shard, pos_in_shard,
-           (pos_in_shard - 1) * {_EPOCH_SHARDS} + shard AS global_order
-    FROM (
+    ),
+    ring AS (
         SELECT doc_id, k % {_EPOCH_SHARDS} AS shard,
                ROW_NUMBER() OVER (
                    PARTITION BY k % {_EPOCH_SHARDS} ORDER BY k, doc_id
-               ) AS pos_in_shard
-        FROM k
+               ) AS pos
+        FROM hk
     )
+"""
+
+@register(
+    "epoch_shuffle_order",
+    f"""
+    WITH {_RING_CTE}
+    SELECT doc_id, shard, pos AS pos_in_shard,
+           (pos - 1) * {_EPOCH_SHARDS} + shard AS global_order
+    FROM ring
     """,
 )
 def epoch_shuffle_order(star: Star) -> DataFrame:
@@ -1410,18 +1419,7 @@ _RING_K = 2
 @register(
     "ring_negatives_pairs",
     f"""
-    WITH hk AS (
-        SELECT doc_id,
-               {_hash64_sql(f"concat('e{_EPOCH}|', CAST(doc_id AS VARCHAR))", _EPOCH_SEED)} AS k
-        FROM documents
-    ),
-    ring AS (
-        SELECT doc_id, k % {_EPOCH_SHARDS} AS shard,
-               ROW_NUMBER() OVER (
-                   PARTITION BY k % {_EPOCH_SHARDS} ORDER BY k, doc_id
-               ) AS pos
-        FROM hk
-    ),
+    WITH {_RING_CTE},
     sz AS (SELECT shard, COUNT(*) AS n FROM ring GROUP BY shard),
     probes AS (
         SELECT r.doc_id AS anchor, r.shard, j.j,
@@ -1429,11 +1427,11 @@ _RING_K = 2
         FROM ring r
         JOIN sz s USING (shard)
         CROSS JOIN (SELECT unnest(generate_series(1, {_RING_K})) AS j) j
+        WHERE ((r.pos - 1 + j.j) % s.n) + 1 <> r.pos
     )
     SELECT p.anchor, r2.doc_id AS negative, CAST(p.j AS INT) AS j
     FROM probes p
     JOIN ring r2 ON r2.shard = p.shard AND r2.pos = p.neg_pos
-    WHERE p.anchor <> r2.doc_id
     """,
 )
 def ring_negatives_pairs(star: Star) -> DataFrame:

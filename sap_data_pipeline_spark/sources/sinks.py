@@ -327,23 +327,26 @@ def write_epoch_shards(
     no shuffle or sort at read time (parquet preserves row order within
     a file; ``pos_in_shard`` is written so a resumed epoch can seek).
 
-    Plan shape: the epoch_shuffle exchange already hash-partitions on
-    ``shard``; one repartition-by-shard + ``sortWithinPartitions`` puts
-    each shard's rows in epoch order inside its own task, and
-    ``partitionBy("shard")`` writes each as its own directory.  With
-    one task per shard, every shard is ONE ordered file — no
-    cross-shard merge, bounded by corpus_bytes/n_shards per task.
+    Plan shape: the epoch_shuffle exchange already hash-co-locates every
+    row of a shard in ONE task and its window sort already ordered them
+    by (shard, pos) — this sink adds NO second shuffle; the explicit
+    ``sortWithinPartitions`` is belt-and-braces (Catalyst elides it as
+    satisfied) and ``partitionBy("shard")`` splits each task's output
+    into per-shard directories, so every shard is exactly one ordered
+    file.  Tasks hold ≈ n_shards/shuffle-partitions shards each (hash
+    placement) — size ``spark.sql.shuffle.partitions`` ≥ ``n_shards``
+    and each task sorts ~corpus_bytes/n_shards.
 
     Returns the row count written (the caller's audit number, same
-    contract as ``write_parquet_atomic``).
+    contract as ``write_parquet_atomic``); an empty input writes an
+    empty target and returns 0 (the read-back pins the schema, which
+    parquet cannot infer from zero files).
     """
     from sap_data_pipeline_spark.operators.sampling import epoch_shuffle
 
-    ordered = (
-        epoch_shuffle(df, key, epoch=epoch, seed=seed, n_shards=n_shards)
-        .repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "pos_in_shard")
-    )
+    ordered = epoch_shuffle(
+        df, key, epoch=epoch, seed=seed, n_shards=n_shards
+    ).sortWithinPartitions("shard", "pos_in_shard")
     ordered.write.mode("overwrite").partitionBy("shard").parquet(target_dir)
     spark = df.sparkSession
-    return spark.read.parquet(target_dir).count()
+    return spark.read.schema(ordered.schema).parquet(target_dir).count()

@@ -502,3 +502,12 @@ def test_write_epoch_shards_ordered_roundtrip(spark, tmp_path):
     all_back = spark.read.parquet(target)
     assert all_back.count() == 300
     assert all_back.select("doc_id").distinct().count() == 300
+
+
+def test_write_epoch_shards_empty_input_returns_zero(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.sources.sinks import write_epoch_shards
+
+    empty = spark.range(0).select(F.col("id").alias("doc_id"))
+    assert write_epoch_shards(empty, "doc_id", str(tmp_path / "e")) == 0
