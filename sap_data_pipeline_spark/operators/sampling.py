@@ -657,16 +657,17 @@ def ring_negatives(
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     # the ring feeds THREE consumers (sizes aggregate, probe side,
-    # lookup side) — cut the lineage diamond once so the per-shard
-    # sort + rank doesn't re-execute per branch (the triangle_counts /
-    # dsir checkpoint discipline, r9 executed-plan audit)
-    ring = (
-        epoch_shuffle(
-            df.select(key), key, epoch=epoch, seed=seed, n_shards=n_shards
-        )
-        .select(key, "shard", "pos_in_shard")
-        .localCheckpoint(eager=True)
-    )
+    # lookup side); the scan+hash below the exchange is ReusedExchange,
+    # only the narrow (key, shard, pos) sort+rank re-executes per
+    # branch.  A localCheckpoint here was MEASURED SLOWER at 20x scale
+    # (5.9 s vs 2.8 s at 5M rows, tools/measure_scale_r10_sampling.py):
+    # materializing and re-reading the ring 3x costs more than
+    # re-running its cheap sorts — the triangle_counts checkpoint
+    # precedent doesn't transfer because those arms re-read SOURCE
+    # scans, not a reused exchange.
+    ring = epoch_shuffle(
+        df.select(key), key, epoch=epoch, seed=seed, n_shards=n_shards
+    ).select(key, "shard", "pos_in_shard")
     sizes = ring.groupBy("shard").agg(
         F.count(F.lit(1)).alias("_sz")
     )

@@ -41,6 +41,35 @@ def main() -> None:
     def docs(n):
         return spark.range(n).select(F.col("id").alias("doc_id"))
 
+    from sap_data_pipeline_spark.operators.linear_model import (
+        logreg_score,
+        logreg_train,
+    )
+    from sap_data_pipeline_spark.operators.sampling import (
+        apply_mixture_plan_with_repetition,
+    )
+
+    def feats(n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 997).alias("x1"),
+            ((F.col("id") * 31) % 83).alias("x2"),
+            ((F.col("id") % 997 > 500).cast("int")).alias("y"),
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("src"),
+        )
+
+    upplan = spark.createDataFrame(
+        [("a", 2.5), ("b", 0.25)], "stratum string, sampling_fraction double"
+    )
+
+    def train_then_score(n):
+        d = feats(n).persist()
+        try:
+            m = logreg_train(d, ["x1", "x2"], "y", iterations=8, lr=1.0)
+        finally:
+            d.unpersist()
+        return logreg_score(feats(n), m)
+
     for name, fn in [
         # shards scale with the corpus so per-shard sort size stays
         # bounded (the 100 TB contract: n_shards ~ corpus/shard-target)
@@ -50,6 +79,11 @@ def main() -> None:
         ("ring_negatives k=2 (broadcast sizes + narrow self-join)",
          lambda n: ring_negatives(docs(n), "doc_id", k=2,
                                   n_shards=max(8, n // 8000))),
+        ("logreg train (8 iters, bounded driver transfer) + score",
+         train_then_score),
+        ("mixture apply with repetition (2.5x / 0.25x strata)",
+         lambda n: apply_mixture_plan_with_repetition(
+             feats(n), upplan, "src", key="doc_id")),
     ]:
         t1 = best2(lambda: fn(n1))
         tN = best2(lambda: fn(n1 * 20))
