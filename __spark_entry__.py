@@ -144,6 +144,30 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     tpch_q8_market_share (7-table star).
 _TAIL = (
     # r10 new work (never driver-hashed; oracle-green at sf0.01) — r11
+    # rotation candidate, rationale pre-written: the ExactSubstr EXCISE
+    # pass (Lee et al. 2021) — rewrites every document with repeated
+    # width-token spans removed, keep-first canonical occurrence.
+    # Distinct evidence from the in-window repeated_substring_stats
+    # (measures the duplicated fraction, never rewrites) and from
+    # decontaminate_spans (excises vs an external benchmark, not
+    # corpus-self): this is the only query whose oracle value-hashes
+    # the self-dedup REWRITE (clean_text) end-to-end:
+    "exact_substring_excise",
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
+    # RefinedWeb per-host boilerplate filter: lines repeating across
+    # ≥50% of ONE host's docs removed in exact integer arithmetic.
+    # Distinct evidence from line_dedup_c4 (corpus-GLOBAL line
+    # frequency): this verifies the per-host-conditioned frequency cut
+    # plus the min-docs gate that global dedup has no analogue of:
+    "host_boilerplate_lines",
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
+    # corpus-admission drift gate: per-feature Population Stability
+    # Index between deterministic ref/cur slices over fixed-edge
+    # buckets, eps-floored shares, full-outer bucket join.  Distinct
+    # evidence from quality_zscore_by_lang (per-doc scoring): this is
+    # the only query verifying a cross-SNAPSHOT distribution compare:
+    "source_drift_psi",
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — r11
     # rotation candidate, rationale pre-written: the training-loader
     # epoch-ordering pass (seeded-md5 global shuffle → shard →
     # per-shard rank → interleaved global_order), value-hashing the

@@ -100,6 +100,89 @@ def dedup_lines(df: DataFrame, *, min_count: int = 2, line_sep: str = "\n",
     )
 
 
+def host_boilerplate_removal(df: DataFrame, *, host_col: str = "host",
+                             threshold_pct: int = 50, min_docs: int = 3,
+                             line_sep: str = "\n", text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Per-host boilerplate line removal: drop every line that appears in
+    at least ``threshold_pct`` percent of a host's documents, for hosts
+    with at least ``min_docs`` documents — the RefinedWeb / CCNet-style
+    site-chrome filter (navigation menus, cookie banners, footers repeat
+    on *one site's* pages without being corpus-global, so corpus-global
+    line dedup — :func:`dedup_lines` — misses them, and a naive global
+    threshold would nuke legitimately common short lines).
+
+    Returns one row per input document: (id, host, n_lines,
+    n_boilerplate_removed, cleaned_text) with surviving lines re-joined
+    in original order.  ``threshold_pct`` is an integer percentage so
+    the cut compares ``100·line_docs ≥ threshold_pct·host_docs`` in
+    exact integer arithmetic — no float-boundary drift between engines.
+
+    Scale shape: posexplode lines → distinct (host, line, doc) →
+    ONE (host, line)-keyed count shuffle for line document-frequency and
+    one host-keyed count for host size (narrow aggregates; per-key state
+    is a single long).  The boilerplate verdict joins the two on the
+    host key, and the per-line keep-flag comes from a LEFT join of lines
+    against the boilerplate set on (host, line) — both shuffles are
+    keyed by (host, line), so AQE coalesces them; a pathological
+    mega-host skews only its own key range and is exactly the case
+    where per-host thresholds shrink the flagged set.  Reassembly is
+    the same doc-keyed sort_array(collect_list(struct)) as
+    :func:`dedup_lines`.
+    """
+    if not 0 < threshold_pct <= 100:
+        raise ValueError(f"threshold_pct must be in (0, 100]: {threshold_pct}")
+    lines = df.select(
+        F.col(id_col),
+        F.col(host_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("idx", "line"),
+    )
+    host_docs = (
+        df.select(host_col, id_col)
+        .distinct()
+        .groupBy(host_col)
+        .agg(F.count(F.lit(1)).alias("_host_docs"))
+    )
+    line_docs = (
+        lines.select(host_col, "line", id_col)
+        .distinct()
+        .groupBy(host_col, "line")
+        .agg(F.count(F.lit(1)).alias("_line_docs"))
+    )
+    boiler = (
+        line_docs.join(host_docs, host_col)
+        .filter(
+            (F.col("_host_docs") >= min_docs)
+            & (F.col("_line_docs") * 100 >= F.col("_host_docs") * threshold_pct)
+        )
+        .select(host_col, "line", F.lit(True).alias("_boiler"))
+    )
+    flagged = lines.join(boiler, [host_col, "line"], "left")
+    keep = F.col("_boiler").isNull()
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.first(host_col).alias(host_col),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("idx"), F.col("line")))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                line_sep,
+            ).alias("cleaned_text"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum((~keep).cast("long")).alias("n_boilerplate_removed"),
+        )
+        .select(
+            id_col, host_col, "n_lines", "n_boilerplate_removed", "cleaned_text"
+        )
+    )
+
+
 def top_ngrams(df: DataFrame, *, n: int = 2, k: int = 20,
                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus-wide top-``k`` word n-grams by occurrence count (vocabulary

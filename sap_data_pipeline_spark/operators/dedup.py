@@ -490,6 +490,94 @@ def repeated_substring_stats(corpus: DataFrame, *,
     )
 
 
+def exact_substring_excise(corpus: DataFrame, *,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           width: int = 50,
+                           broadcast_drops: bool = False) -> DataFrame:
+    """ExactSubstr excision: REWRITE each document's token stream with
+    every repeated ``width``-token span removed, keeping only the
+    corpus-canonical first occurrence (min id, then min position) — the
+    production counterpart of :func:`repeated_substring_stats`, which
+    only MEASURES the duplicated fraction.  This is the "remove the
+    duplicate span, keep one copy" pass of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"), which
+    excises repeated spans ≥ 50 tokens rather than dropping documents.
+
+    Returns one row per input document: (id, n_tokens, n_removed,
+    clean_text) where ``clean_text`` re-joins the surviving tokens of
+    the NORMALIZED token stream (same contract as
+    :func:`decontaminate_spans` — the tokenized stream is what training
+    consumes).  Duplicates within a single document count too: the
+    second occurrence of a span is excised even when the first lives in
+    the same document.
+
+    Scale shape: a suffix array is super-linear and single-machine;
+    rolling width-window md5 fingerprints give the same ≥width
+    guarantee in bounded shuffles — window expansion is a
+    projection-tier explode (≈ one row per token), duplicate marking is
+    ONE fingerprint-keyed exchange (row_number over (id, pos); md5 keys
+    are uniform, skew-free), drop-spans expand with a FIXED fan-out of
+    ``width`` rows per duplicate window, and the per-doc drop-sets
+    aggregate + re-join on the doc key.  Unlike benchmark
+    decontamination, duplicated text is corpus-proportional, so the
+    drop-set join defaults to a doc-keyed shuffle join
+    (``broadcast_drops=True`` opts into a map-side join when dups are
+    known-sparse).  The token filter is a higher-order array expression
+    — no UDF, no second corpus shuffle.
+    """
+    if width < 1:
+        raise ValueError(f"width must be >= 1: {width}")
+    toks = corpus.select(F.col(id_col), X.tokens(text_col).alias("_t"))
+    starts = F.when(
+        F.size("_t") >= width,
+        F.sequence(F.lit(1), F.size("_t") - F.lit(width - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = toks.select(
+        F.col(id_col),
+        F.explode(starts).alias("w1"),  # 1-based window start
+        F.col("_t"),
+    ).select(
+        id_col,
+        (F.col("w1") - 1).alias("pos"),  # 0-based
+        F.md5(F.concat_ws(" ", F.slice("_t", F.col("w1"), width))).alias("fp"),
+    )
+    dup = (
+        F.row_number().over(
+            Window.partitionBy("fp").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+        )
+        > 1
+    )
+    drops = (
+        wins.withColumn("_dup", dup)
+        .filter(F.col("_dup"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(width - 1))
+            ).alias("dpos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("dpos").alias("_drop_pos"))
+    )
+    if broadcast_drops:
+        drops = F.broadcast(drops)
+    kept = F.when(
+        F.col("_drop_pos").isNull(), F.col("_toks")
+    ).otherwise(
+        F.filter("_toks", lambda t, i: ~F.array_contains("_drop_pos", i))
+    )
+    return (
+        corpus.select(F.col(id_col), X.tokens(text_col).alias("_toks"))
+        .join(drops, id_col, "left")
+        .select(
+            id_col,
+            F.size("_toks").cast("long").alias("n_tokens"),
+            (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )
+
+
 def connected_components(ids: DataFrame, pairs: DataFrame, *,
                          id_col: str = "doc_id", max_iter: int = 25,
                          checkpoint_dir: str | None = None) -> DataFrame:

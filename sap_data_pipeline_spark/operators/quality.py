@@ -20,6 +20,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def violation(cond: Column) -> Column:
@@ -49,3 +50,77 @@ def quality_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     """
     wide = df.agg(*[expr.alias(name) for name, expr in checks.items()])
     return wide.unpivot([], list(checks), "check_name", "n_violations")
+
+
+def drift_psi(ref: DataFrame, cur: DataFrame,
+              features: dict[str, Column], *,
+              eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between a reference corpus snapshot and
+    a current one, per feature — the standard distribution-drift gate a
+    training-data pipeline runs before admitting a new crawl/refresh
+    (PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 investigate).
+
+    ``features`` maps a feature name to a BUCKET expression evaluable on
+    both frames (categorical value, or a deterministic binning of a
+    numeric — fixed-edge buckets, never data-dependent quantiles, so
+    the same bucket ids mean the same thing on both sides and at every
+    scale factor).  For each feature: per-bucket shares p_ref / p_cur
+    (floored at ``eps`` so a bucket present on only one side contributes
+    a finite penalty instead of ±inf), PSI = Σ (p_cur − p_ref) ·
+    ln(p_cur / p_ref).  Returns one row per feature: (feature,
+    n_buckets, psi) with psi rounded to 6 decimals.
+
+    Scale shape: one pass over each frame — every feature's bucket
+    count comes out of a SINGLE grouped aggregate per frame (the bucket
+    expressions are projected side by side, then unpivoted map-side
+    with a stack(), so F features cost one shuffle, not F) — followed
+    by a FULL OUTER join of the two bucket tables on (feature, bucket)
+    and a feature-keyed final aggregate.  Everything downstream of the
+    two corpus scans is bucket-cardinality-sized (thousands of rows at
+    most), never data-sized.
+    """
+    if not features:
+        raise ValueError("features must be non-empty")
+    names = sorted(features)
+    stack_expr = "stack({n}, {args}) as (feature, bucket)".format(
+        n=len(names),
+        args=", ".join(f"'{n}', _fb_{i}" for i, n in enumerate(names)),
+    )
+
+    def bucket_counts(df: DataFrame) -> DataFrame:
+        projected = df.select(
+            *[
+                features[n].cast("string").alias(f"_fb_{i}")
+                for i, n in enumerate(names)
+            ]
+        )
+        return (
+            projected.selectExpr(stack_expr)
+            .na.fill({"bucket": "<null>"})
+            .groupBy("feature", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    r = bucket_counts(ref).withColumnRenamed("cnt", "ref_cnt")
+    c = bucket_counts(cur).withColumnRenamed("cnt", "cur_cnt")
+    joined = r.join(c, ["feature", "bucket"], "full_outer").na.fill(
+        {"ref_cnt": 0, "cur_cnt": 0}
+    )
+    totals = Window.partitionBy("feature")
+    p_ref = F.greatest(
+        F.col("ref_cnt").cast("double") / F.sum("ref_cnt").over(totals),
+        F.lit(eps),
+    )
+    p_cur = F.greatest(
+        F.col("cur_cnt").cast("double") / F.sum("cur_cnt").over(totals),
+        F.lit(eps),
+    )
+    contrib = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        joined.select("feature", contrib.alias("_c"))
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.round(F.sum("_c"), 6).alias("psi"),
+        )
+    )

@@ -5645,3 +5645,208 @@ def concurrent_activity_pairs(star: Star) -> DataFrame:
             F.least("ea", "eb") - F.greatest("sa", "sb")
         ).cast("long").alias("total_overlap_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr excision (operators.dedup.exact_substring_excise): rewrite
+# every document with repeated width-token spans removed, keeping only
+# the corpus-canonical first occurrence (min doc, then min position) —
+# the production excise pass of Lee et al. 2021 whose MEASUREMENT twin
+# is repeated_substring_stats.  Width 8 against the synthetic corpus's
+# ~54-token documents plays the role 50 plays in production.  The
+# Spark side marks duplicates via row_number over md5 window
+# fingerprints; the oracle ranks the raw gram strings — identical
+# verdicts absent an md5 collision.  Both sides use their own
+# consistent position base (Spark 0-based, DuckDB 1-based).
+# ---------------------------------------------------------------------------
+
+_XS_W = 8
+
+@register(
+    "exact_substring_excise",
+    f"""
+    WITH d AS (SELECT doc_id, {TOKSEQ_SQL.format(col='text')} AS t FROM documents),
+    pos AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - {_XS_W - 1}, 0))) AS i
+        FROM d
+    ),
+    wins AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(t, i, i + {_XS_W - 1}), ' ') AS g
+        FROM pos
+    ),
+    hits AS (
+        SELECT doc_id, i FROM wins
+        QUALIFY row_number() OVER (PARTITION BY g ORDER BY doc_id, i) > 1
+    ),
+    dropsets AS (
+        SELECT doc_id,
+               list_distinct(flatten(list(generate_series(i, i + {_XS_W - 1}))))
+                   AS dp
+        FROM hits GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT d.doc_id, t,
+               CASE WHEN dp IS NULL THEN t
+                    ELSE list_filter(t, (x, j) -> NOT list_contains(dp, j))
+               END AS k
+        FROM d LEFT JOIN dropsets USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(k) AS BIGINT) AS n_removed,
+           -- DuckDB's array_to_string([]) is NULL, Spark's array_join is ''
+           COALESCE(array_to_string(k, ' '), '') AS clean_text
+    FROM kept
+    """,
+)
+def exact_substring_excise_q(star: Star) -> DataFrame:
+    return D.exact_substring_excise(star.documents, width=_XS_W)
+
+
+# ---------------------------------------------------------------------------
+# Per-host boilerplate removal (operators.corpus.
+# host_boilerplate_removal): the RefinedWeb-style site-chrome filter —
+# lines repeating across ≥ threshold% of ONE host's documents are
+# removed without touching corpus-global frequencies.  Hosts and chrome
+# lines are synthesized deterministically (doc_id residues) exactly as
+# line_dedup_c4 synthesizes its global boilerplate: NAV/COPYRIGHT lines
+# repeat on 100% of a host's docs (removed), the promo line on ~20%
+# (kept), the doc's own text is host-unique (kept).  The 50% cut
+# compares 100·line_docs ≥ 50·host_docs in integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_HB_HOSTS = 23
+_HB_DIRTY_SQL = f"""
+    SELECT doc_id, doc_id % {_HB_HOSTS} AS host,
+           'NAV menu host ' || CAST(doc_id % {_HB_HOSTS} AS VARCHAR) || chr(10)
+           || 'COPYRIGHT host ' || CAST(doc_id % {_HB_HOSTS} AS VARCHAR) || chr(10)
+           || text || chr(10)
+           || 'promo ' || CAST(doc_id % 5 AS VARCHAR)
+           || ' host ' || CAST(doc_id % {_HB_HOSTS} AS VARCHAR) AS t
+    FROM documents
+"""
+
+@register(
+    "host_boilerplate_lines",
+    f"""
+    WITH dirty AS ({_HB_DIRTY_SQL}),
+    lines AS (
+        SELECT doc_id, host,
+               generate_subscripts(string_split(t, chr(10)), 1) - 1 AS idx,
+               unnest(string_split(t, chr(10))) AS line
+        FROM dirty
+    ),
+    hostdocs AS (
+        SELECT host, COUNT(DISTINCT doc_id) AS hd FROM lines GROUP BY host
+    ),
+    linedocs AS (
+        SELECT host, line, COUNT(DISTINCT doc_id) AS ld
+        FROM lines GROUP BY host, line
+    ),
+    boiler AS (
+        SELECT l.host, l.line
+        FROM linedocs l JOIN hostdocs h USING (host)
+        WHERE h.hd >= 3 AND l.ld * 100 >= h.hd * 50
+    )
+    SELECT l.doc_id,
+           CAST(l.host AS BIGINT) AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE b.line IS NOT NULL) AS BIGINT)
+               AS n_boilerplate_removed,
+           COALESCE(string_agg(l.line, chr(10) ORDER BY l.idx)
+                        FILTER (WHERE b.line IS NULL), '') AS cleaned_text
+    FROM lines l LEFT JOIN boiler b ON l.host = b.host AND l.line = b.line
+    GROUP BY l.doc_id, l.host
+    """,
+)
+def host_boilerplate_lines_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import host_boilerplate_removal
+
+    host = F.pmod(F.col("doc_id"), F.lit(_HB_HOSTS))
+    dirty = star.documents.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(
+            F.lit("NAV menu host "), host.cast("string"), F.lit("\n"),
+            F.lit("COPYRIGHT host "), host.cast("string"), F.lit("\n"),
+            F.col("text"), F.lit("\n"),
+            F.lit("promo "),
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+            F.lit(" host "), host.cast("string"),
+        ).alias("text"),
+    )
+    return host_boilerplate_removal(
+        dirty, host_col="host", threshold_pct=50, min_docs=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift PSI (operators.quality.drift_psi): Population
+# Stability Index of the current corpus slice vs the reference slice,
+# per feature — the admit/investigate gate a pipeline runs on every new
+# crawl before mixing it in.  The ref/cur split is the deterministic
+# doc_id parity (the synthetic stand-in for crawl_date <= cutoff);
+# buckets are fixed-edge (lang, source, capped n_chars/100 decile) so
+# bucket ids are scale-stable.  Both engines floor shares at 1e-6 and
+# round the final PSI to 6 decimals.
+# ---------------------------------------------------------------------------
+
+_PSI_LEN_BUCKET = "CAST(least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS VARCHAR)"
+
+@register(
+    "source_drift_psi",
+    f"""
+    WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    cur AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    rb AS (
+        SELECT feature, COALESCE(bucket, '<null>') AS bucket, COUNT(*) AS ref_cnt
+        FROM (
+            SELECT 'lang' AS feature, lang AS bucket FROM ref
+            UNION ALL SELECT 'len_bucket', {_PSI_LEN_BUCKET} FROM ref
+            UNION ALL SELECT 'source', source FROM ref
+        ) GROUP BY 1, 2
+    ),
+    cb AS (
+        SELECT feature, COALESCE(bucket, '<null>') AS bucket, COUNT(*) AS cur_cnt
+        FROM (
+            SELECT 'lang' AS feature, lang AS bucket FROM cur
+            UNION ALL SELECT 'len_bucket', {_PSI_LEN_BUCKET} FROM cur
+            UNION ALL SELECT 'source', source FROM cur
+        ) GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT COALESCE(rb.feature, cb.feature) AS feature,
+               COALESCE(rb.ref_cnt, 0) AS ref_cnt,
+               COALESCE(cb.cur_cnt, 0) AS cur_cnt
+        FROM rb FULL OUTER JOIN cb
+          ON rb.feature = cb.feature AND rb.bucket = cb.bucket
+    ),
+    p AS (
+        SELECT feature,
+               greatest(ref_cnt * 1.0 / SUM(ref_cnt) OVER (PARTITION BY feature),
+                        1e-06) AS pr,
+               greatest(cur_cnt * 1.0 / SUM(cur_cnt) OVER (PARTITION BY feature),
+                        1e-06) AS pc
+        FROM j
+    )
+    SELECT feature,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           round(SUM((pc - pr) * ln(pc / pr)), 6) AS psi
+    FROM p GROUP BY feature
+    """,
+)
+def source_drift_psi_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.quality import drift_psi
+
+    ref = star.documents.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    cur = star.documents.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    features = {
+        "lang": F.col("lang"),
+        "source": F.col("source"),
+        "len_bucket": F.least(
+            F.floor(F.col("n_chars") / 100).cast("long"), F.lit(9).cast("long")
+        ),
+    }
+    return drift_psi(ref, cur, features)

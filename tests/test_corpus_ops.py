@@ -399,3 +399,49 @@ def test_bm25_ranks_term_dense_doc_first(spark):
     scores = {r["doc_id"]: r["score"] for r in got}
     assert order[0] == 1
     assert scores[1] > scores[2] > scores[3] == 0.0
+
+
+def test_host_boilerplate_removes_per_host_chrome(spark):
+    from sap_data_pipeline_spark.operators.corpus import host_boilerplate_removal
+
+    rows = []
+    # host A: 4 docs — NAV on all 4 (100%), "half" on exactly 2 (50%,
+    # boundary-inclusive at threshold 50), "once N" unique per doc.
+    for i in range(4):
+        body = f"NAV\nonce {i}" + ("\nhalf" if i < 2 else "")
+        rows.append((i, "A", body))
+    # host B: 2 docs (< min_docs=3) — NAV repeats on both but stays.
+    rows += [(10, "B", "NAV\nbeta one"), (11, "B", "NAV\nbeta two")]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in host_boilerplate_removal(
+            df, host_col="host", threshold_pct=50, min_docs=3
+        ).collect()
+    }
+    assert len(got) == 6                         # no doc vanishes
+    assert got[0]["cleaned_text"] == "once 0"    # NAV + half removed
+    assert got[0]["n_boilerplate_removed"] == 2
+    assert got[2]["cleaned_text"] == "once 2"    # NAV removed
+    assert got[2]["n_boilerplate_removed"] == 1
+    assert got[10]["cleaned_text"] == "NAV\nbeta one"   # host too small
+    assert got[10]["n_boilerplate_removed"] == 0
+
+
+def test_host_boilerplate_is_host_scoped_not_global(spark):
+    from sap_data_pipeline_spark.operators.corpus import host_boilerplate_removal
+
+    # "SHARED" repeats on every doc of host A but only one doc of host C
+    # (3 docs each): per-host scoping must remove it from A and keep it
+    # in C — a corpus-global counter would remove it everywhere.
+    rows = [(i, "A", f"SHARED\na{i}") for i in range(3)]
+    rows += [(10, "C", "SHARED\nc0"), (11, "C", "c1"), (12, "C", "c2")]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in host_boilerplate_removal(
+            df, host_col="host", threshold_pct=60, min_docs=3
+        ).collect()
+    }
+    assert got[0] == "a0"
+    assert got[10] == "SHARED\nc0"

@@ -1051,3 +1051,43 @@ def test_knn_graph_contracts_and_recall(spark, star):
     got1 = {r["vec_id"]: r["neighbor_id"] for r in g if r["rank"] == 1}
     hits = sum(1 for v, n in true1.items() if got1.get(v) == n)
     assert hits / len(true1) >= 0.6, hits / len(true1)
+
+
+def test_exact_substring_excise_keep_first(spark):
+    from sap_data_pipeline_spark.operators.dedup import exact_substring_excise
+
+    df = spark.createDataFrame([
+        (1, "a b c d e"),          # canonical "a b c" — intact
+        (2, "x a b c y"),          # repeats doc 1's gram → excised
+        (3, "p q"),                # shorter than width → intact
+        (4, "m n o m n o"),        # within-doc repeat → second copy excised
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in exact_substring_excise(df, width=3).collect()}
+    assert len(got) == 4
+    assert got[1]["clean_text"] == "a b c d e" and got[1]["n_removed"] == 0
+    assert got[2]["clean_text"] == "x y" and got[2]["n_removed"] == 3
+    assert got[3]["clean_text"] == "p q" and got[3]["n_removed"] == 0
+    assert got[4]["clean_text"] == "m n o" and got[4]["n_removed"] == 3
+    assert got[4]["n_tokens"] == 6
+
+
+def test_exact_substring_excise_overlapping_spans_merge(spark):
+    from sap_data_pipeline_spark.operators.dedup import exact_substring_excise
+
+    # doc 2 repeats a 4-token span of doc 1: two overlapping dup
+    # 3-windows whose drop positions must union, not double-count.
+    df = spark.createDataFrame([
+        (1, "a b c d"),
+        (2, "z a b c d"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in exact_substring_excise(df, width=3).collect()}
+    assert got[2]["clean_text"] == "z" and got[2]["n_removed"] == 4
+
+
+def test_exact_substring_excise_rejects_bad_width(spark):
+    from sap_data_pipeline_spark.operators.dedup import exact_substring_excise
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        exact_substring_excise(df, width=0)

@@ -629,3 +629,42 @@ def test_iterative_graph_queries_no_source_rescan(spark):
         plan = _plan(QUERIES[name](spark, SF_DIR))
         assert plan.count("Scan parquet") == 0, (name, plan)
         assert plan.count("Exchange hashpartitioning") <= max_ex, (name, plan)
+
+
+def test_exact_substring_excise_bounded_exchanges_no_cartesian(spark):
+    """ExactSubstr excise (r10): window expansion stays projection-tier
+    (one Window op, fingerprint-keyed), drop-sets aggregate + re-join on
+    the doc key — bounded exchanges, never a cartesian/nested-loop, no
+    Python in the plan; at 100 TB the fp exchange IS the algorithm."""
+    df = QUERIES["exact_substring_excise"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_host_boilerplate_host_size_scan_is_column_pruned(spark):
+    """host_boilerplate_lines (r10): the host-size side must read ONLY
+    the (doc, host) columns — its parquet scan never deserializes text —
+    and every join stays hash-based (AQE-skew-splittable), never a
+    cartesian.  The text explode feeds the other two scans."""
+    df = QUERIES["host_boilerplate_lines"](spark, SF_DIR)
+    plan = _explain_formatted(df)
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert any("text" not in ln for ln in scans), plan  # the pruned host scan
+    raw = _plan(df)
+    assert "CartesianProduct" not in raw and "BroadcastNestedLoopJoin" not in raw
+
+
+def test_source_drift_psi_two_scans_tiny_tail(spark):
+    """source_drift_psi (r10): F features over 2 snapshots must cost
+    exactly TWO source scans (the per-frame stack() unpivot is map-side
+    — one grouped aggregate per frame, not per feature); everything
+    after the scans is bucket-cardinality-sized."""
+    df = QUERIES["source_drift_psi"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -221,3 +221,50 @@ def test_fuzzy_self_pairs_blocks_and_bounds(spark):
         max_distance=20, max_block=2
     ).collect()
     assert {r["id_a"] for r in capped} <= {4}  # t1 block (4 rows) dropped whole
+
+
+def test_drift_psi_hand_computed(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.operators.quality import drift_psi
+
+    ref = spark.createDataFrame(
+        [("en",), ("en",), ("de",), ("fr",)], "lang string"
+    )
+    cur = spark.createDataFrame(
+        [("en",), ("de",), ("de",), ("zh",)], "lang string"
+    )
+    got = {r["feature"]: r for r in
+           drift_psi(ref, cur, {"lang": F.col("lang")}).collect()}
+    eps = 1e-6
+    expected = 0.0
+    for pr, pc in [(0.5, 0.25), (0.25, 0.5), (0.25, eps), (eps, 0.25)]:
+        expected += (pc - pr) * math.log(pc / pr)
+    assert got["lang"]["n_buckets"] == 4
+    assert got["lang"]["psi"] == round(expected, 6)
+
+
+def test_drift_psi_identical_distributions_zero(spark):
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.operators.quality import drift_psi
+
+    df = spark.createDataFrame([("a", 1), ("b", 250)], "k string, v long")
+    got = drift_psi(
+        df, df,
+        {"k": F.col("k"), "v_bucket": F.least(F.floor(F.col("v") / 100), F.lit(9))},
+    ).collect()
+    assert {r["feature"]: r["psi"] for r in got} == {"k": 0.0, "v_bucket": 0.0}
+    assert all(r["n_buckets"] == 2 for r in got)
+
+
+def test_drift_psi_rejects_empty_features(spark):
+    import pytest as _pytest
+
+    from sap_data_pipeline_spark.operators.quality import drift_psi
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with _pytest.raises(ValueError):
+        drift_psi(df, df, {})
