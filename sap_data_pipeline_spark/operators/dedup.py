@@ -514,9 +514,16 @@ def exact_substring_excise(corpus: DataFrame, *,
     Scale shape: a suffix array is super-linear and single-machine;
     rolling width-window md5 fingerprints give the same ≥width
     guarantee in bounded shuffles — window expansion is a
-    projection-tier explode (≈ one row per token), duplicate marking is
-    ONE fingerprint-keyed exchange (row_number over (id, pos); md5 keys
-    are uniform, skew-free), drop-spans expand with a FIXED fan-out of
+    projection-tier explode (≈ one row per token), and duplicate
+    marking is ONE fingerprint-keyed AGGREGATE (min(struct(id, pos)) +
+    count per fp, kept only where count ≥ 2) re-joined to the window
+    stream.  The aggregate — not a row_number window — is deliberate: a
+    viral boilerplate sentence shared by 10⁸ documents is ONE window
+    partition (unsplittable hot key), but partial aggregation collapses
+    it map-side to one row per partition, and the join back against the
+    duplicate-fp table (duplication-proportional, far smaller than the
+    gram stream) is AQE-skew-splittable — and broadcastable when dups
+    are sparse.  Drop-spans then expand with a FIXED fan-out of
     ``width`` rows per duplicate window, and the per-doc drop-sets
     aggregate + re-join on the doc key.  Unlike benchmark
     decontamination, duplicated text is corpus-proportional, so the
@@ -541,15 +548,21 @@ def exact_substring_excise(corpus: DataFrame, *,
         (F.col("w1") - 1).alias("pos"),  # 0-based
         F.md5(F.concat_ws(" ", F.slice("_t", F.col("w1"), width))).alias("fp"),
     )
-    dup = (
-        F.row_number().over(
-            Window.partitionBy("fp").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    dup_fps = (
+        wins.groupBy("fp")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+            F.count(F.lit(1)).alias("_n"),
         )
-        > 1
+        .filter(F.col("_n") >= 2)
+        .select("fp", "_first")
     )
     drops = (
-        wins.withColumn("_dup", dup)
-        .filter(F.col("_dup"))
+        wins.join(dup_fps, "fp")
+        .filter(
+            (F.col(id_col) != F.col("_first")[id_col])
+            | (F.col("pos") != F.col("_first")["pos"])
+        )
         .select(
             id_col,
             F.explode(

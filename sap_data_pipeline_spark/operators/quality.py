@@ -52,33 +52,17 @@ def quality_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     return wide.unpivot([], list(checks), "check_name", "n_violations")
 
 
-def drift_psi(ref: DataFrame, cur: DataFrame,
-              features: dict[str, Column], *,
-              eps: float = 1e-6) -> DataFrame:
-    """Population Stability Index between a reference corpus snapshot and
-    a current one, per feature — the standard distribution-drift gate a
-    training-data pipeline runs before admitting a new crawl/refresh
-    (PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 investigate).
-
-    ``features`` maps a feature name to a BUCKET expression evaluable on
-    both frames (categorical value, or a deterministic binning of a
-    numeric — fixed-edge buckets, never data-dependent quantiles, so
-    the same bucket ids mean the same thing on both sides and at every
-    scale factor).  For each feature: per-bucket shares p_ref / p_cur
-    (floored at ``eps`` so a bucket present on only one side contributes
-    a finite penalty instead of ±inf), PSI = Σ (p_cur − p_ref) ·
-    ln(p_cur / p_ref).  Returns one row per feature: (feature,
-    n_buckets, psi) with psi rounded to 6 decimals.
-
-    Scale shape: one pass over each frame — every feature's bucket
-    count comes out of a SINGLE grouped aggregate per frame (the bucket
-    expressions are projected side by side, then unpivoted map-side
-    with a stack(), so F features cost one shuffle, not F) — followed
-    by a FULL OUTER join of the two bucket tables on (feature, bucket)
-    and a feature-keyed final aggregate.  Everything downstream of the
-    two corpus scans is bucket-cardinality-sized (thousands of rows at
-    most), never data-sized.
-    """
+def feature_bucket_counts(df: DataFrame,
+                          features: dict[str, Column]) -> DataFrame:
+    """Per-(feature, bucket) row counts for every feature in ONE grouped
+    aggregate over one scan: the bucket expressions are projected side
+    by side, then unpivoted map-side with a ``stack()``, so F features
+    cost one shuffle, not F.  NULL buckets become the ``'<null>'``
+    sentinel so they survive the downstream join keys.  Returns
+    (feature, bucket, cnt) — the mergeable distribution sketch
+    :func:`psi_from_counts` consumes (and the thing to persist for a
+    100 TB reference snapshot: bucket-cardinality-sized, re-usable
+    across every later comparison without rescanning the corpus)."""
     if not features:
         raise ValueError("features must be non-empty")
     names = sorted(features)
@@ -86,26 +70,33 @@ def drift_psi(ref: DataFrame, cur: DataFrame,
         n=len(names),
         args=", ".join(f"'{n}', _fb_{i}" for i, n in enumerate(names)),
     )
-
-    def bucket_counts(df: DataFrame) -> DataFrame:
-        projected = df.select(
-            *[
-                features[n].cast("string").alias(f"_fb_{i}")
-                for i, n in enumerate(names)
-            ]
-        )
-        return (
-            projected.selectExpr(stack_expr)
-            .na.fill({"bucket": "<null>"})
-            .groupBy("feature", "bucket")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-
-    r = bucket_counts(ref).withColumnRenamed("cnt", "ref_cnt")
-    c = bucket_counts(cur).withColumnRenamed("cnt", "cur_cnt")
-    joined = r.join(c, ["feature", "bucket"], "full_outer").na.fill(
-        {"ref_cnt": 0, "cur_cnt": 0}
+    projected = df.select(
+        *[
+            features[n].cast("string").alias(f"_fb_{i}")
+            for i, n in enumerate(names)
+        ]
     )
+    return (
+        projected.selectExpr(stack_expr)
+        .na.fill({"bucket": "<null>"})
+        .groupBy("feature", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def psi_from_counts(ref_counts: DataFrame, cur_counts: DataFrame, *,
+                    eps: float = 1e-6) -> DataFrame:
+    """PSI per feature from two pre-aggregated (feature, bucket, cnt)
+    distributions (``ref_cnt`` / ``cur_cnt`` column names, as produced
+    by :func:`feature_bucket_counts` + a rename): FULL OUTER join on
+    (feature, bucket), shares floored at ``eps`` so one-sided buckets
+    contribute a finite penalty, PSI = Σ (p_cur − p_ref) ·
+    ln(p_cur / p_ref), rounded to 6 decimals.  Everything here is
+    bucket-cardinality-sized — the corpus-scale work happened in the
+    counts."""
+    joined = ref_counts.join(
+        cur_counts, ["feature", "bucket"], "full_outer"
+    ).na.fill({"ref_cnt": 0, "cur_cnt": 0})
     totals = Window.partitionBy("feature")
     p_ref = F.greatest(
         F.col("ref_cnt").cast("double") / F.sum("ref_cnt").over(totals),
@@ -124,3 +115,29 @@ def drift_psi(ref: DataFrame, cur: DataFrame,
             F.round(F.sum("_c"), 6).alias("psi"),
         )
     )
+
+
+def drift_psi(ref: DataFrame, cur: DataFrame,
+              features: dict[str, Column], *,
+              eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between a reference corpus snapshot and
+    a current one, per feature — the standard distribution-drift gate a
+    training-data pipeline runs before admitting a new crawl/refresh
+    (PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 investigate).
+
+    ``features`` maps a feature name to a BUCKET expression evaluable on
+    both frames (categorical value, or a deterministic binning of a
+    numeric — fixed-edge buckets, never data-dependent quantiles, so
+    the same bucket ids mean the same thing on both sides and at every
+    scale factor).  Returns one row per feature: (feature, n_buckets,
+    psi) with psi rounded to 6 decimals.
+
+    Scale shape: one pass over each frame
+    (:func:`feature_bucket_counts` — a single grouped aggregate per
+    frame, F features ≠ F shuffles) followed by the
+    bucket-cardinality-sized :func:`psi_from_counts` tail.  Nothing
+    downstream of the two corpus scans is data-sized.
+    """
+    r = feature_bucket_counts(ref, features).withColumnRenamed("cnt", "ref_cnt")
+    c = feature_bucket_counts(cur, features).withColumnRenamed("cnt", "cur_cnt")
+    return psi_from_counts(r, c, eps=eps)

@@ -563,3 +563,62 @@ def windowed_approx_distinct(
             F.hll_sketch_estimate("_sk").cast("long").alias("approx_distinct"),
         )
     )
+
+
+def stream_drift_monitor(
+    stream: DataFrame,
+    ref_counts: Sequence[tuple],
+    features: dict[str, "F.Column"],
+    *,
+    out_dir: str,
+    checkpoint_dir: str,
+    eps: float = 1e-6,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch → per-micro-batch PSI vs a frozen reference: the
+    streaming arm of :func:`operators.quality.drift_psi` — every
+    arriving slice of corpus is scored for distribution drift against
+    the admitted reference BEFORE it reaches the training mix, so a
+    crawler regression (language mix flips, length distribution
+    collapses) alarms within one micro-batch instead of at the next
+    full-corpus audit.
+
+    ``ref_counts`` is the PRE-AGGREGATED reference distribution — rows
+    of (feature, bucket, ref_cnt) as produced by
+    ``feature_bucket_counts(ref, features)`` and materialized ONCE
+    (``.collect()`` of a bucket-cardinality-sized frame).  At 100 TB
+    the reference is never rescanned per batch: scoring a micro-batch
+    costs one pass over the batch plus a bucket-sized join.
+
+    Each batch writes its per-feature report to
+    ``{out_dir}/batch_id={id}/`` with ``mode=overwrite`` — a replayed
+    batch (restart between write and checkpoint commit) rewrites the
+    same directory, so the sink is idempotent and reading ``out_dir``
+    yields exactly one report row per (batch, feature) with
+    ``batch_id`` recovered as a partition column.
+    """
+    from sap_data_pipeline_spark.operators.quality import (
+        feature_bucket_counts,
+        psi_from_counts,
+    )
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ref = spark.createDataFrame(
+            list(ref_counts), "feature string, bucket string, ref_cnt long"
+        )
+        cur = feature_bucket_counts(batch_df, features).withColumnRenamed(
+            "cnt", "cur_cnt"
+        )
+        psi_from_counts(ref, cur, eps=eps).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_id={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(score).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -631,14 +631,19 @@ def test_iterative_graph_queries_no_source_rescan(spark):
         assert plan.count("Exchange hashpartitioning") <= max_ex, (name, plan)
 
 
-def test_exact_substring_excise_bounded_exchanges_no_cartesian(spark):
-    """ExactSubstr excise (r10): window expansion stays projection-tier
-    (one Window op, fingerprint-keyed), drop-sets aggregate + re-join on
-    the doc key — bounded exchanges, never a cartesian/nested-loop, no
-    Python in the plan; at 100 TB the fp exchange IS the algorithm."""
+def test_exact_substring_excise_partial_agg_no_window_no_cartesian(spark):
+    """ExactSubstr excise (r10): duplicate marking must be the
+    map-side-combinable min(struct)+count AGGREGATE on the fingerprint
+    — never a row_number window, whose per-fp partition is an
+    unsplittable hot key under a viral duplicated span (measured 1.6×
+    slower at 20× even without pathological skew).  Bounded exchanges,
+    no cartesian/nested-loop, no Python."""
     df = QUERIES["exact_substring_excise"](spark, SF_DIR)
     plan = _plan(df)
-    assert plan.count("Window") == 1, plan
+    assert "Window" not in plan, plan
+    # partial ("partial_min"/"partial_count") phases must precede the
+    # fp exchange so hot fingerprints collapse map-side
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan

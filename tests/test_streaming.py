@@ -1132,3 +1132,81 @@ def test_hll_batch_twin_differential_and_error(spark):
     # per-row and tightly in aggregate.
     assert max(rel_errs) <= 1.0
     assert sum(rel_errs) / len(rel_errs) <= 0.35
+
+
+def test_stream_drift_monitor_psi_per_batch(spark, tmp_path):
+    """Streaming drift gate: each micro-batch (one file) is PSI-scored
+    against the frozen reference counts; the batch matching the
+    reference mix scores ~0, the flipped-mix batch scores high, and a
+    restart with the same checkpoint re-scores nothing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sap_data_pipeline_spark.operators.quality import (
+        drift_psi,
+        feature_bucket_counts,
+    )
+    from sap_data_pipeline_spark.streaming.ingest import (
+        stream_drift_monitor,
+        stream_file_source,
+    )
+
+    # reference: 80% en / 20% de, materialized once as bucket counts
+    ref = spark.createDataFrame(
+        [(i, "en" if i % 5 else "de") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    features = {"lang": F.col("lang")}
+    ref_counts = [
+        (r["feature"], r["bucket"], r["cnt"])
+        for r in feature_bucket_counts(ref, features).collect()
+    ]
+
+    watch = tmp_path / "drift_watch"
+    watch.mkdir()
+    # batch 0 ≈ reference mix; batch 1 = flipped mix
+    (watch / "a.csv").write_text(
+        "doc_id\tlang\n" + "".join(
+            f"{i}\t{'en' if i % 5 else 'de'}\n" for i in range(50)
+        )
+    )
+    (watch / "b.csv").write_text(
+        "doc_id\tlang\n" + "".join(
+            f"{i}\t{'de' if i % 5 else 'en'}\n" for i in range(50)
+        )
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    out = str(tmp_path / "drift_reports")
+    q = stream_drift_monitor(
+        stream_file_source(spark, str(watch), schema),
+        ref_counts, features,
+        out_dir=out, checkpoint_dir=str(tmp_path / "ckpt_drift"),
+    )
+    q.awaitTermination(120)
+
+    reports = spark.read.parquet(out)
+    got = {r["batch_id"]: r["psi"] for r in reports.collect()}
+    assert len(got) == 2
+    low, high = sorted(got.values())
+    assert low < 0.01       # reference-mix batch is stable
+    assert high > 0.25      # flipped batch crosses the investigate line
+
+    # the streamed scores equal the batch operator on the same slices
+    batch_a = spark.createDataFrame(
+        [(i, "en" if i % 5 else "de") for i in range(50)],
+        "doc_id long, lang string",
+    )
+    expect_a = drift_psi(ref, batch_a, features).collect()[0]["psi"]
+    assert low == expect_a
+
+    # restart on the same checkpoint: nothing re-scored, reports stable
+    q2 = stream_drift_monitor(
+        stream_file_source(spark, str(watch), schema),
+        ref_counts, features,
+        out_dir=out, checkpoint_dir=str(tmp_path / "ckpt_drift"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2
