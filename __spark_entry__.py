@@ -167,6 +167,14 @@ _TAIL = (
     # evidence from quality_zscore_by_lang (per-doc scoring): this is
     # the only query verifying a cross-SNAPSHOT distribution compare:
     "source_drift_psi",
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
+    # exact-size eval-set builder: largest-remainder (Hamilton)
+    # apportionment of an exact global total across strata + per-stratum
+    # lowest-hash picks.  Distinct evidence from train_test_split
+    # (fraction membership) and weighted_sample_by_length (per-stratum
+    # top-n): this is the only query whose oracle verifies an exact
+    # GLOBAL-total allocation (Σ quota == total by construction):
+    "eval_holdout_exact",
     # r10 new work (never driver-hashed; oracle-green at sf0.01) — r11
     # rotation candidate, rationale pre-written: the training-loader
     # epoch-ordering pass (seeded-md5 global shuffle → shard →

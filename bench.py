@@ -83,6 +83,14 @@ HEADLINE = [
     "epoch_shuffle_order",
     "ring_negatives_pairs",
     "quality_classifier_score_fixed",
+    # round-10 curation additions: the fingerprint-keyed ExactSubstr
+    # excision (the heaviest new shuffle shape), the per-host
+    # boilerplate filter, the PSI drift gate, and the exact-allocation
+    # holdout — tracked so their plans stay cheap round-over-round
+    "exact_substring_excise",
+    "host_boilerplate_lines",
+    "source_drift_psi",
+    "eval_holdout_exact",
 ]
 
 

@@ -752,3 +752,81 @@ def apply_mixture_plan_with_repetition(
         .withColumn(copy_col, F.explode(F.sequence(F.lit(1).cast("long"), F.col("_total"))))
         .drop("stratum", "sampling_fraction", "_total")
     )
+
+
+def proportional_allocation(counts: DataFrame, total: int, *,
+                            stratum_col: str = "stratum",
+                            n_col: str = "n") -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an exact global
+    ``total`` across strata proportional to their sizes: quota_s =
+    floor(total·n_s/N) plus one extra for the ``total − Σfloor`` largest
+    fractional remainders (ties → lexicographically smaller stratum).
+    Σ quota_s == total, exactly — the property fraction-based sampling
+    cannot give and uniform n-per-stratum gives only for flat mixes.
+
+    ``counts`` is a strata-cardinality-sized frame (stratum, n); the
+    windows here deliberately run over that single tiny frame (one
+    partition), never over data-sized input.  Returns (stratum, quota).
+    """
+    if total < 0:
+        raise ValueError(f"total must be >= 0: {total}")
+    w_all = Window.partitionBy()
+    share = (F.lit(total) * F.col(n_col)).cast("double") / F.sum(n_col).over(
+        w_all
+    ).cast("double")
+    with_share = counts.select(
+        F.col(stratum_col).alias("stratum"),
+        F.floor(share).cast("long").alias("_base"),
+        (share - F.floor(share)).alias("_rem"),
+    )
+    deficit = F.lit(total) - F.sum("_base").over(w_all)
+    rank = F.row_number().over(
+        Window.orderBy(F.col("_rem").desc(), F.col("stratum").asc())
+    )
+    return with_share.select(
+        "stratum",
+        (
+            F.col("_base")
+            + F.when(rank <= deficit, F.lit(1)).otherwise(F.lit(0))
+        ).alias("quota"),
+    )
+
+
+def proportional_holdout(df: DataFrame, stratum_col: str, total: int, *,
+                         key: str = "doc_id", seed: int = 41) -> DataFrame:
+    """Exact-size stratified holdout: select exactly ``total`` rows whose
+    stratum mix mirrors the corpus mix — the eval/calibration-set
+    builder ("give me exactly 10k docs, proportionally by language")
+    where hash-fraction splits drift by ±√n per stratum and uniform
+    caps distort the mix.
+
+    Quotas come from :func:`proportional_allocation`; within each
+    stratum the quota picks the lowest md5-hash rows (ties → smaller
+    key), so membership is a pure function of (key, seed) — re-runs,
+    retries, and incremental rebuilds select identical rows, and the
+    DuckDB oracle reproduces the exact set.  When ``total`` exceeds the
+    corpus size, quotas exceed stratum sizes and the selection
+    degrades deterministically to "everything".
+
+    Scale shape: one strata-sized count aggregate (map-side partial),
+    the tiny-frame allocation, a BROADCAST quota join, and one
+    stratum-keyed window ranking where Spark's WindowGroupLimit keeps
+    only quota-many candidates per partition before the sort — the
+    same shape as :func:`stratified_sample_n`; a mega-stratum is one
+    sort partition, acceptable for one-off holdout builds (holdouts
+    are rebuilt rarely, read often).
+    """
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    quotas = proportional_allocation(counts, total)
+    h = X.hash64(F.col(key).cast("string"), seed=seed)
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.join(
+            F.broadcast(quotas), F.col(stratum_col) == F.col("stratum")
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("quota"))
+        .drop("_rk", "stratum", "quota")
+    )

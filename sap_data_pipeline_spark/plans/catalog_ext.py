@@ -5850,3 +5850,62 @@ def source_drift_psi_q(star: Star) -> DataFrame:
         ),
     }
     return drift_psi(ref, cur, features)
+
+
+# ---------------------------------------------------------------------------
+# Exact-size proportional holdout (operators.sampling.
+# proportional_holdout): largest-remainder (Hamilton) apportionment of
+# an exact global total across language strata + lowest-md5-hash picks
+# within each stratum — the eval-set builder whose size is a CONTRACT
+# (hash-fraction splits drift ±sqrt(n); uniform caps distort the mix).
+# Shares are exact-integer products divided once (bit-identical doubles
+# on both engines); remainder ties break to the smaller stratum.
+# ---------------------------------------------------------------------------
+
+_HOLDOUT_TOTAL = 100
+_HOLDOUT_SEED = 41
+
+@register(
+    "eval_holdout_exact",
+    f"""
+    WITH counts AS (
+        SELECT lang AS stratum, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM counts),
+    alloc0 AS (
+        SELECT stratum,
+               CAST(floor(({_HOLDOUT_TOTAL} * n) / nn) AS BIGINT) AS base,
+               ({_HOLDOUT_TOTAL} * n) / nn
+                   - floor(({_HOLDOUT_TOTAL} * n) / nn) AS rem
+        FROM counts CROSS JOIN tot
+    ),
+    alloc AS (
+        SELECT stratum,
+               base + CASE WHEN row_number()
+                               OVER (ORDER BY rem DESC, stratum ASC)
+                           <= {_HOLDOUT_TOTAL}
+                              - (SELECT SUM(base) FROM alloc0)
+                      THEN 1 ELSE 0 END AS quota
+        FROM alloc0
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_hash64_sql('CAST(doc_id AS VARCHAR)', _HOLDOUT_SEED)} ASC,
+                            doc_id ASC
+               ) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang
+    FROM ranked r JOIN alloc a ON a.stratum = r.lang
+    WHERE r.rk <= a.quota
+    """,
+)
+def eval_holdout_exact_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import proportional_holdout
+
+    return proportional_holdout(
+        star.documents.select("doc_id", "lang"),
+        "lang", _HOLDOUT_TOTAL, key="doc_id", seed=_HOLDOUT_SEED,
+    )

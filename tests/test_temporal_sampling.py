@@ -945,3 +945,60 @@ def test_upsampling_mixture_plan_is_broadcast_explode_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in p, p
     assert "Generate explode" in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_proportional_allocation_hamilton(spark):
+    from sap_data_pipeline_spark.operators.sampling import proportional_allocation
+
+    counts = spark.createDataFrame(
+        [("en", 7), ("de", 2), ("fr", 1)], "stratum string, n long"
+    )
+    # total=5: shares 3.5 / 1.0 / 0.5 → bases 3/1/0, deficit 1 goes to
+    # the largest remainder (en .5 ties fr .5 → 'en' < 'fr' wins)
+    got = {r["stratum"]: r["quota"] for r in
+           proportional_allocation(counts, 5).collect()}
+    assert got == {"en": 4, "de": 1, "fr": 0}
+    assert sum(got.values()) == 5
+
+
+def test_proportional_allocation_sums_exactly_property(spark):
+    import itertools
+
+    from sap_data_pipeline_spark.operators.sampling import proportional_allocation
+
+    sizes = [13, 57, 1, 900, 29]
+    counts = spark.createDataFrame(
+        [(f"s{i}", n) for i, n in enumerate(sizes)], "stratum string, n long"
+    )
+    for total in (0, 1, 7, 100, 999):
+        got = {r["stratum"]: r["quota"] for r in
+               proportional_allocation(counts, total).collect()}
+        assert sum(got.values()) == total, total
+        # quotas never exceed stratum size when total <= N
+        assert all(got[f"s{i}"] <= sizes[i] for i in range(len(sizes))), total
+
+
+def test_proportional_holdout_exact_total_and_determinism(spark):
+    from sap_data_pipeline_spark.operators.sampling import proportional_holdout
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 10 else "de") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    a = proportional_holdout(df, "lang", 50, key="doc_id").collect()
+    b = proportional_holdout(df, "lang", 50, key="doc_id").collect()
+    assert len(a) == 50
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    langs = [r["lang"] for r in a]
+    # 180 en / 20 de → quotas 45 / 5
+    assert langs.count("en") == 45 and langs.count("de") == 5
+
+
+def test_proportional_holdout_oversized_total_degrades_to_all(spark):
+    from sap_data_pipeline_spark.operators.sampling import proportional_holdout
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(10)], "doc_id long, lang string"
+    )
+    got = proportional_holdout(df, "lang", 10, key="doc_id").collect()
+    assert len(got) == 10
