@@ -175,6 +175,13 @@ _TAIL = (
     # top-n): this is the only query whose oracle verifies an exact
     # GLOBAL-total allocation (Σ quota == total by construction):
     "eval_holdout_exact",
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
+    # privacy release gate: k-anonymity audit over the metadata
+    # quasi-identifier triple, at-risk groups only.  Distinct evidence
+    # from data_quality_checks (aggregate violation counts): this is
+    # the only query verifying a HAVING-gated group-size audit whose
+    # empty result is the pass verdict:
+    "k_anonymity_risk",
     # r10 new work (never driver-hashed; oracle-green at sf0.01) — r11
     # rotation candidate, rationale pre-written: the training-loader
     # epoch-ordering pass (seeded-md5 global shuffle → shard →

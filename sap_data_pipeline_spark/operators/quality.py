@@ -141,3 +141,32 @@ def drift_psi(ref: DataFrame, cur: DataFrame,
     r = feature_bucket_counts(ref, features).withColumnRenamed("cnt", "ref_cnt")
     c = feature_bucket_counts(cur, features).withColumnRenamed("cnt", "cur_cnt")
     return psi_from_counts(r, c, eps=eps)
+
+
+def k_anonymity_report(df: DataFrame, qid_cols: Sequence[str], k: int) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: every QID
+    group with fewer than ``k`` rows is a re-identification risk (its
+    members are distinguishable by attributes an adversary may know) —
+    the release gate run before publishing corpus metadata or sampling
+    user-adjacent records into a training set.
+
+    Returns the at-risk groups: one row per QID combination with
+    ``group_size < k`` — (qid columns..., group_size).  An empty result
+    IS the pass verdict.  Null QID values group as themselves (null is
+    a distinguishing value to an adversary too).
+
+    Scale shape: one grouped count on the QID key — map-side partial
+    aggregation collapses large (safe) groups to one row per partition
+    before the shuffle, so the exchange carries ~distinct-QID rows; the
+    ``< k`` filter is post-aggregate.  Output is risk-proportional,
+    never data-sized.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if not qid_cols:
+        raise ValueError("qid_cols must be non-empty")
+    return (
+        df.groupBy(*qid_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )

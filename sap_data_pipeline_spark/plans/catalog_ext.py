@@ -5909,3 +5909,38 @@ def eval_holdout_exact_q(star: Star) -> DataFrame:
         star.documents.select("doc_id", "lang"),
         "lang", _HOLDOUT_TOTAL, key="doc_id", seed=_HOLDOUT_SEED,
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity release gate (operators.quality.k_anonymity_report):
+# quasi-identifier groups below k are re-identification risks — the
+# audit run before publishing corpus metadata or sampling
+# user-adjacent records into a training set.  QIDs here are the
+# realistic metadata triple (lang, source, n_chars decile); k = 5.
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+@register(
+    "k_anonymity_risk",
+    f"""
+    SELECT lang, source,
+           CAST(least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS BIGINT)
+               AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM documents
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) < {_KANON_K}
+    """,
+)
+def k_anonymity_risk_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.quality import k_anonymity_report
+
+    qid = star.documents.select(
+        "lang",
+        "source",
+        F.least(
+            F.floor(F.col("n_chars") / 100).cast("long"), F.lit(9).cast("long")
+        ).alias("len_bucket"),
+    )
+    return k_anonymity_report(qid, ["lang", "source", "len_bucket"], _KANON_K)

@@ -268,3 +268,20 @@ def test_drift_psi_rejects_empty_features(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with _pytest.raises(ValueError):
         drift_psi(df, df, {})
+
+
+def test_k_anonymity_report_flags_small_groups_only(spark):
+    import pytest as _pytest
+
+    from sap_data_pipeline_spark.operators.quality import k_anonymity_report
+
+    rows = [("en", "a")] * 5 + [("en", "b")] * 2 + [("de", None)]
+    df = spark.createDataFrame(rows, "lang string, src string")
+    got = {(r["lang"], r["src"]): r["group_size"]
+           for r in k_anonymity_report(df, ["lang", "src"], 3).collect()}
+    assert got == {("en", "b"): 2, ("de", None): 1}  # null QID is a group
+    assert k_anonymity_report(df, ["lang", "src"], 1).count() == 0
+    with _pytest.raises(ValueError):
+        k_anonymity_report(df, [], 3)
+    with _pytest.raises(ValueError):
+        k_anonymity_report(df, ["lang"], 0)
