@@ -369,3 +369,110 @@ def test_ring_negatives_structure_property(spark, n, k, shards):
         s * (k - (k // s if s <= k else 0)) for s in sizes.values()
     )
     assert len(pairs) == expected
+
+
+# --- r10 curation-op properties ---------------------------------------------
+
+_tok = st.sampled_from(list("abcdefg"))
+_doc = st.lists(_tok, min_size=0, max_size=12).map(" ".join)
+_docs = st.lists(_doc, min_size=1, max_size=6)
+
+
+@PROP
+@given(texts=_docs)
+def test_exact_substring_excise_subsequence_and_accounting(spark, texts):
+    """For every input: clean tokens are a subsequence of the original
+    tokens, n_removed == n_tokens − len(clean), sub-width docs are
+    untouched, and no document vanishes."""
+    from sap_data_pipeline_spark.operators.dedup import exact_substring_excise
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in exact_substring_excise(df, width=3).collect()}
+    assert len(got) == len(texts)
+    for i, text in enumerate(texts):
+        orig = text.split() if text else []
+        clean = got[i]["clean_text"].split() if got[i]["clean_text"] else []
+        assert got[i]["n_tokens"] == len(orig)
+        assert got[i]["n_removed"] == len(orig) - len(clean)
+        it = iter(orig)
+        assert all(tok in it for tok in clean), (orig, clean)  # subsequence
+        if len(orig) < 3:
+            assert clean == orig
+
+
+@PROP
+@given(texts=_docs)
+def test_exact_substring_excise_identical_pair_keeps_exactly_first(spark, texts):
+    """Duplicating the whole corpus under higher ids fully excises every
+    copy long enough to carry a window, and never touches originals
+    that were dup-free standalone."""
+    from sap_data_pipeline_spark.operators.dedup import exact_substring_excise
+
+    base = list(enumerate(texts))
+    copies = [(1000 + i, t) for i, t in base]
+    df = spark.createDataFrame(base + copies, "doc_id long, text string")
+    solo = {
+        r["doc_id"]: r["clean_text"]
+        for r in exact_substring_excise(
+            spark.createDataFrame(base, "doc_id long, text string"), width=3
+        ).collect()
+    }
+    got = {r["doc_id"]: r for r in exact_substring_excise(df, width=3).collect()}
+    for i, t in base:
+        toks = t.split() if t else []
+        if len(toks) >= 3:
+            assert got[1000 + i]["clean_text"] == ""       # copy excised
+        else:
+            assert got[1000 + i]["clean_text"] == " ".join(toks)
+        # originals keep exactly what they kept standalone (first-doc
+        # canonical status is unaffected by higher-id copies)
+        assert got[i]["clean_text"] == solo[i]
+
+
+@PROP
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=6),
+    total_frac=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_proportional_allocation_properties(spark, sizes, total_frac):
+    """Hamilton apportionment: Σ quota == total exactly; 0 ≤ quota ≤ n
+    per stratum; quota is within 1 of the real-valued share."""
+    from sap_data_pipeline_spark.operators.sampling import proportional_allocation
+
+    n_total = sum(sizes)
+    total = int(n_total * total_frac)
+    counts = spark.createDataFrame(
+        [(f"s{i}", n) for i, n in enumerate(sizes)], "stratum string, n long"
+    )
+    got = {r["stratum"]: r["quota"] for r in
+           proportional_allocation(counts, total).collect()}
+    assert sum(got.values()) == total
+    for i, n in enumerate(sizes):
+        q = got[f"s{i}"]
+        share = total * n / n_total
+        assert 0 <= q <= n
+        assert abs(q - share) < 1.0 + 1e-9
+
+
+@PROP
+@given(
+    ref=st.lists(st.sampled_from("abcd"), min_size=1, max_size=20),
+    cur=st.lists(st.sampled_from("abcd"), min_size=1, max_size=20),
+)
+def test_drift_psi_nonnegative_symmetric_zero_on_self(spark, ref, cur):
+    """PSI properties: every contribution (p−q)·ln(p/q) ≥ 0 so psi ≥ 0;
+    the definition is symmetric under swapping snapshots; a snapshot
+    against itself scores exactly 0."""
+    from sap_data_pipeline_spark.operators.quality import drift_psi
+
+    r = spark.createDataFrame([(x,) for x in ref], "k string")
+    c = spark.createDataFrame([(x,) for x in cur], "k string")
+    feats = {"k": F.col("k")}
+    fwd = drift_psi(r, c, feats).collect()[0]["psi"]
+    bwd = drift_psi(c, r, feats).collect()[0]["psi"]
+    self_ = drift_psi(r, r, feats).collect()[0]["psi"]
+    assert fwd >= 0 and bwd >= 0
+    assert fwd == bwd
+    assert self_ == 0.0
