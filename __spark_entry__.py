@@ -182,6 +182,14 @@ _TAIL = (
     # the only query verifying a HAVING-gated group-size audit whose
     # empty result is the pass verdict:
     "k_anonymity_risk",
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
+    # token-level drift gate: OOV-occurrence share of the current
+    # snapshot vs the reference vocabulary (count >= 2), multiplicity
+    # counted.  Distinct evidence from source_drift_psi (metadata
+    # buckets) and unigram_logprob_scores (per-doc LM score): this is
+    # the only query verifying a cross-snapshot VOCABULARY-coverage
+    # compare:
+    "vocab_oov_drift",
     # r10 new work (never driver-hashed; oracle-green at sf0.01) — r11
     # rotation candidate, rationale pre-written: the training-loader
     # epoch-ordering pass (seeded-md5 global shuffle → shard →

@@ -606,3 +606,61 @@ def bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]], *,
             })
 
     return df.select(id_col, text_col).mapInPandas(count, schema)
+
+
+def oov_drift(ref: DataFrame, cur: DataFrame, *, text_col: str = "text",
+              group_col: str = "lang", min_count: int = 2,
+              broadcast_vocab: bool = True) -> DataFrame:
+    """Token-level drift: the share of current-snapshot token
+    OCCURRENCES not covered by the reference vocabulary (tokens seen at
+    least ``min_count`` times in the reference) — the tokenizer-
+    coverage check run before admitting a new crawl (metadata PSI —
+    :func:`operators.quality.drift_psi` — catches a flipped language
+    mix; this catches the content shifting under a frozen tokenizer:
+    new scripts, new jargon, emoji floods, encoding regressions).
+
+    Occurrences count with multiplicity (a drifted corpus that uses one
+    unseen token constantly is worse than one that uses many rare ones
+    once).  Returns one row per ``group_col`` value: (group, n_tokens,
+    n_oov, oov_rate) with the rate rounded to 6 decimals.
+
+    Scale shape: the reference vocabulary is ONE token-keyed count
+    aggregate (map-side partial absorbs heavy tokens) materializable
+    once per reference snapshot — like the PSI reference counts, it is
+    the persistable artifact, so scoring a new snapshot never rescans
+    the reference.  The membership probe is a LEFT join carrying a hit
+    marker (``broadcast_vocab=True`` for min_count-pruned vocabularies,
+    which are heavy-tailed small; shuffle join otherwise), and totals +
+    misses come out of ONE grouped aggregate — the
+    :func:`~sap_data_pipeline_spark.operators.dedup.ngram_contamination`
+    shape at token grain.
+    """
+    vocab = (
+        ref.select(F.explode(X.tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("tok", F.lit(1).alias("_known"))
+    )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    cur_toks = cur.select(
+        F.col(group_col), F.explode(X.tokens(text_col)).alias("tok")
+    )
+    return (
+        cur_toks.join(vocab, "tok", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.count(F.lit(1)) - F.count("_known")).cast("long").alias("n_oov"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -5944,3 +5944,44 @@ def k_anonymity_risk_q(star: Star) -> DataFrame:
         ).alias("len_bucket"),
     )
     return k_anonymity_report(qid, ["lang", "source", "len_bucket"], _KANON_K)
+
+
+# ---------------------------------------------------------------------------
+# Token-level OOV drift (operators.corpus.oov_drift): share of the
+# current snapshot's token OCCURRENCES outside the reference vocabulary
+# (ref tokens with count >= 2) — the tokenizer-coverage gate that
+# catches content drifting under a frozen tokenizer, complementing the
+# metadata-level source_drift_psi.  Same deterministic doc_id-parity
+# ref/cur split; occurrences count with multiplicity.
+# ---------------------------------------------------------------------------
+
+_OOV_MIN_COUNT = 2
+
+@register(
+    "vocab_oov_drift",
+    f"""
+    WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    cur AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT unnest({TOKSEQ_SQL.format(col='text')}) AS tok FROM ref
+        ) GROUP BY tok HAVING COUNT(*) >= {_OOV_MIN_COUNT}
+    ),
+    cur_toks AS (
+        SELECT lang, unnest({TOKSEQ_SQL.format(col='text')}) AS tok FROM cur
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+           round(CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate
+    FROM cur_toks c LEFT JOIN vocab v USING (tok)
+    GROUP BY lang
+    """,
+)
+def vocab_oov_drift_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import oov_drift
+
+    ref = star.documents.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    cur = star.documents.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    return oov_drift(ref, cur, group_col="lang", min_count=_OOV_MIN_COUNT)

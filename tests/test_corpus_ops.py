@@ -445,3 +445,33 @@ def test_host_boilerplate_is_host_scoped_not_global(spark):
     }
     assert got[0] == "a0"
     assert got[10] == "SHARED\nc0"
+
+
+def test_oov_drift_hand_computed(spark):
+    from sap_data_pipeline_spark.operators.corpus import oov_drift
+
+    ref = spark.createDataFrame(
+        [(1, "en", "a a b c"), (2, "en", "a b")], "doc_id long, lang string, text string"
+    )
+    # vocab at min_count=2: a (3x), b (2x); c is too rare → OOV
+    cur = spark.createDataFrame(
+        [(3, "en", "a b c z z"), (4, "de", "a a")],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["lang"]: r for r in
+           oov_drift(ref, cur, group_col="lang", min_count=2).collect()}
+    assert got["en"]["n_tokens"] == 5
+    assert got["en"]["n_oov"] == 3          # c + z + z (multiplicity counts)
+    assert got["en"]["oov_rate"] == 0.6
+    assert got["de"]["n_oov"] == 0 and got["de"]["oov_rate"] == 0.0
+
+
+def test_oov_drift_self_reference_zero(spark):
+    from sap_data_pipeline_spark.operators.corpus import oov_drift
+
+    df = spark.createDataFrame(
+        [(i, "en", "x y z x y z") for i in range(4)],
+        "doc_id long, lang string, text string",
+    )
+    got = oov_drift(df, df, group_col="lang", min_count=2).collect()[0]
+    assert got["n_oov"] == 0 and got["oov_rate"] == 0.0

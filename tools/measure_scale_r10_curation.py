@@ -118,5 +118,36 @@ def main() -> None:
     spark.stop()
 
 
+
+
+def main_tail() -> None:
+    """Second batch (holdout / k-anonymity / OOV drift), same instrument."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sap_data_pipeline_spark.operators.corpus import oov_drift
+    from sap_data_pipeline_spark.operators.quality import k_anonymity_report
+    from sap_data_pipeline_spark.operators.sampling import proportional_holdout
+
+    spark = get_spark("scale-r10-curation2")
+    base = 20_000
+    for label, factor in (("1x", 1), ("20x", 20)):
+        n = base * factor
+        d = docs(spark, n)
+        t_h = best2(lambda: proportional_holdout(d, "lang", n // 10, key="doc_id"))
+        qid = d.select(
+            "lang", "source",
+            F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).alias("lb"),
+        )
+        t_k = best2(lambda: k_anonymity_report(qid, ["lang", "source", "lb"], 5))
+        ref = d.filter(F.col("doc_id") % 2 == 0)
+        cur = d.filter(F.col("doc_id") % 2 == 1)
+        t_o = best2(lambda: oov_drift(ref, cur, group_col="lang"))
+        print(
+            f"{label} n={n}: proportional_holdout={t_h:.2f}s "
+            f"k_anonymity={t_k:.2f}s oov_drift={t_o:.2f}s"
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    main_tail() if "--tail" in sys.argv else main()
