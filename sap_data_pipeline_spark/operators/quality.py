@@ -170,3 +170,34 @@ def k_anonymity_report(df: DataFrame, qid_cols: Sequence[str], k: int) -> DataFr
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < k)
     )
+
+
+def reference_distribution(df: "DataFrame", features: dict[str, Column], *,
+                           sf_dir: str | None, table: str = "documents",
+                           params: str = "") -> DataFrame:
+    """The persisted form of :func:`feature_bucket_counts`: serve the
+    reference snapshot's (feature, bucket, cnt) distribution from the
+    content-addressed artifact store, building it with ONE corpus scan
+    only when the (corpus bytes, feature set, params) key has never
+    been seen — so at 100 TB the reference is aggregated once per
+    snapshot and every later PSI comparison / streaming micro-batch
+    score is bucket-cardinality-sized work.
+
+    ``sf_dir``/``table`` locate the corpus files for fingerprinting
+    (metadata only, never a scan); a None ``sf_dir`` (in-memory test
+    frames) falls back to an in-process build with no persistence —
+    same contract as the ANN/BPE model artifacts.
+    """
+    from sap_data_pipeline_spark.sources import artifacts as A
+
+    key_params = f"refdist|{sorted(features)}|{params}"
+    fp = A.corpus_fingerprint(sf_dir or "", table, params=key_params)
+    if fp is None:
+        return feature_bucket_counts(df, features)
+    frames = A.load_or_build(
+        df.sparkSession,
+        "reference_distribution",
+        fp,
+        lambda: {"counts": feature_bucket_counts(df, features)},
+    )
+    return frames["counts"]

@@ -222,3 +222,60 @@ def test_prune_ages_out_by_last_serve(spark, tmp_path, monkeypatch):
     # the pruned artifact just rebuilds on next demand
     A.load_or_build(spark, "fam", "old", build)
     assert len(calls) == 3
+
+
+def test_reference_distribution_served_from_store(spark, tmp_path, monkeypatch):
+    """The PSI reference distribution persists: second call with the same
+    corpus + features reads the committed parquet (no rebuild); a
+    changed feature set gets its own key; in-memory frames (no sf_dir)
+    fall back to a plain in-process build."""
+    import pyspark.sql.functions as F
+
+    from sap_data_pipeline_spark.operators.quality import (
+        drift_psi,
+        psi_from_counts,
+        reference_distribution,
+    )
+    from sap_data_pipeline_spark.sources import artifacts as A
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_ROOT", str(tmp_path / "store"))
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = {"lang": F.col("lang")}
+
+    calls = {"n": 0}
+    orig = A.load_or_build
+
+    def counting(spark_, family, fp, build):
+        def counted_build():
+            calls["n"] += 1
+            return build()
+        return orig(spark_, family, fp, counted_build)
+
+    monkeypatch.setattr(A, "load_or_build", counting)
+
+    a = reference_distribution(docs, feats, sf_dir=sf_dir).collect()
+    b = reference_distribution(docs, feats, sf_dir=sf_dir).collect()
+    assert calls["n"] == 1                       # second call served, not rebuilt
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    feats2 = {"lang": F.col("lang"), "source": F.col("source")}
+    reference_distribution(docs, feats2, sf_dir=sf_dir).collect()
+    assert calls["n"] == 2                       # different feature set → new key
+
+    # served counts drive PSI identically to the direct operator
+    ref_counts = reference_distribution(docs, feats, sf_dir=sf_dir)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    from sap_data_pipeline_spark.operators.quality import feature_bucket_counts
+    via_store = psi_from_counts(
+        ref_counts.withColumnRenamed("cnt", "ref_cnt"),
+        feature_bucket_counts(cur, feats).withColumnRenamed("cnt", "cur_cnt"),
+    ).collect()[0]["psi"]
+    direct = drift_psi(docs, cur, feats).collect()[0]["psi"]
+    assert via_store == direct
+
+    # no corpus files to fingerprint → in-process build, no persistence
+    mem = spark.createDataFrame([("en",), ("de",)], "lang string")
+    got = reference_distribution(mem, feats, sf_dir=None).collect()
+    assert {r["bucket"] for r in got} == {"en", "de"}
