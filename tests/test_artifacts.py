@@ -238,7 +238,7 @@ def test_reference_distribution_served_from_store(spark, tmp_path, monkeypatch):
     )
     from sap_data_pipeline_spark.sources import artifacts as A
 
-    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_ROOT", str(tmp_path / "store"))
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "store"))
 
     sf_dir = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
