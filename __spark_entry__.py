@@ -143,6 +143,36 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     revenue window) and its multi-dim star by the in-window
 #     tpch_q8_market_share (7-table star).
 _TAIL = (
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
+    # leakage-safe split: the split hash key is the CONTENT fingerprint
+    # (md5 of normalized text) so exact duplicates / re-crawls can never
+    # straddle train and test.  Distinct evidence from the in-window
+    # train_test_split (id-keyed membership, leakage-prone by design):
+    # this is the only query verifying GROUP-ATOMIC split assignment:
+    "dedup_safe_split",
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
+    # domain-tier admission cut: per-host low-quality share over the
+    # hash-verified quality_score kernel, exact integer gate
+    # (100·n_low >= pct·n_docs) with a min-docs evidence floor.
+    # Distinct evidence from gopher_quality_flags / quality_scores
+    # (per-DOC verdicts): this is the only query verifying a
+    # HOST-aggregated admission verdict:
+    "host_quality_blocklist",
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
+    # web-graph construction pass: absolute-anchor host extraction →
+    # (src, dst, n_links) edge aggregation, the list the in-window
+    # host_pagerank / host_communities_lpa / host_triangle_stats
+    # consume.  Distinct evidence from url_components (single-URL
+    # field parsing) and html_text_extract (tag stripping): this is
+    # the only query verifying the EDGE-LIST extraction end-to-end:
+    "html_link_graph",
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
+    # cross-snapshot admission dedup: within-batch keep-first THEN an
+    # anti-join against the reference snapshot's fingerprint set — the
+    # batch twin of the streaming incremental near-dedup.  Distinct
+    # evidence from exact_dedup_documents (single-corpus group-by):
+    # this is the only query verifying CROSS-SNAPSHOT rejection:
+    "snapshot_dedup_admission",
     # r10 new work (never driver-hashed; oracle-green at sf0.01) — r11
     # rotation candidate, rationale pre-written: the ExactSubstr EXCISE
     # pass (Lee et al. 2021) — rewrites every document with repeated

@@ -91,6 +91,14 @@ HEADLINE = [
     "host_boilerplate_lines",
     "source_drift_psi",
     "eval_holdout_exact",
+    # round-10 admission additions: the leakage-safe content-keyed
+    # split (zero-shuffle scan), the host-tier quality blocklist, the
+    # link-graph extraction pass feeding the host-authority family, and
+    # the cross-snapshot admission dedup (fingerprint anti-join)
+    "dedup_safe_split",
+    "host_quality_blocklist",
+    "html_link_graph",
+    "snapshot_dedup_admission",
 ]
 
 

@@ -1097,3 +1097,35 @@ def embedding_near_dup_pairs_by_cell(emb: DataFrame, *, id_col: str = "vec_id",
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def snapshot_admission(ref: DataFrame, cur: DataFrame, *,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Cross-snapshot admission dedup — the batch twin of the streaming
+    incremental near-dedup (streaming/ingest.py): a new crawl batch
+    ``cur`` is admitted against the already-ingested corpus ``ref``.
+    A candidate survives iff (a) it is the keep-first canonical (min id)
+    of its exact-content group WITHIN the batch, and (b) its fingerprint
+    does not already exist in the reference corpus.
+
+    Returns ``(fingerprint, id, n_copies)`` — ``n_copies`` is the
+    within-batch multiplicity, the re-crawl audit number.
+
+    Scale: both sides reduce to fingerprint-keyed rows (32-hex md5 —
+    uniform, skew-free); the reference side is distinct-fingerprints
+    only, and the anti-join shuffles fingerprints, never documents.  At
+    100 TB the reference fingerprint set is exactly what the versioned
+    corpus table already stores per snapshot — this operator never
+    re-reads reference text.
+    """
+    ref_fp = ref.select(X.md5_fingerprint(text_col).alias("fingerprint")).distinct()
+    grp = (
+        cur.select(F.col(id_col), X.md5_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    return grp.join(ref_fp, "fingerprint", "left_anti")

@@ -201,3 +201,52 @@ def reference_distribution(df: "DataFrame", features: dict[str, Column], *,
         lambda: {"counts": feature_bucket_counts(df, features)},
     )
     return frames["counts"]
+
+
+def host_quality_gate(
+    scored: DataFrame,
+    *,
+    host_col: str = "host",
+    low_col: str = "is_low",
+    min_docs: int = 5,
+    max_low_pct: int = 50,
+) -> DataFrame:
+    """Domain-level admission verdict (the CCNet/RefinedWeb host-tier
+    cut): a host is BLOCKED when at least ``max_low_pct`` percent of its
+    documents are low-quality AND it has ``min_docs`` or more documents
+    (small hosts never block — not enough evidence).
+
+    Input is one row per document with a boolean ``low_col`` (the
+    per-doc quality verdict, computed map-side by the caller); output is
+    one row per host: ``(host, n_docs, n_low, blocked)``.  The gate is
+    exact integer arithmetic (``100·n_low >= max_low_pct·n_docs``) — no
+    float ratios, so verdicts are engine-portable and re-run stable.
+
+    Scale: one partial-aggregated shuffle on the host key (hosts are
+    many and the aggregate is two counters, so skew is bounded by the
+    largest single host); the verdict table is hosts-sized — small
+    enough to broadcast back against the corpus for the doc-level
+    admission anti-join (:func:`blocklist_filter`).
+    """
+    return (
+        scored.groupBy(host_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(low_col).cast("long")).alias("n_low"),
+        )
+        .withColumn(
+            "blocked",
+            (F.col("n_docs") >= min_docs)
+            & (F.col("n_low") * 100 >= F.col("n_docs") * max_low_pct),
+        )
+    )
+
+
+def blocklist_filter(docs: DataFrame, verdict: DataFrame,
+                     *, host_col: str = "host") -> DataFrame:
+    """Doc-level admission: drop every document on a blocked host.
+
+    The verdict frame is hosts-sized → broadcast left-anti join; the
+    corpus never shuffles."""
+    blocked = verdict.filter(F.col("blocked")).select(host_col)
+    return docs.join(F.broadcast(blocked), host_col, "left_anti")

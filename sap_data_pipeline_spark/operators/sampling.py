@@ -830,3 +830,29 @@ def proportional_holdout(df: DataFrame, stratum_col: str, total: int, *,
         .filter(F.col("_rk") <= F.col("quota"))
         .drop("_rk", "stratum", "quota")
     )
+
+
+def dedup_safe_split(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    seed: int = 31,
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash key is the CONTENT
+    fingerprint (md5 of normalized text), not the row id, so exact
+    duplicates are assigned atomically — a document and its re-crawls
+    can never straddle train and test (the classic eval-leakage bug
+    that id-keyed splits like :func:`hash_split` cannot prevent).
+
+    Same banding contract as :func:`hash_split` (portable md5 hash →
+    bucket mod 100 → cumulative weight bands), so membership is a
+    reproducible contract across engines and re-runs.  Stateless scan —
+    the fingerprint and band are computed map-side per row; ZERO
+    shuffles at any corpus size (group-atomicity needs no group-by:
+    equal texts hash equal, period).
+    """
+    with_fp = df.withColumn(fingerprint_col, X.md5_fingerprint(text_col))
+    return hash_split(with_fp, fingerprint_col, weights=weights, seed=seed)

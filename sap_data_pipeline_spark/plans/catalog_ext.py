@@ -5985,3 +5985,201 @@ def vocab_oov_drift_q(star: Star) -> DataFrame:
     ref = star.documents.filter(F.pmod("doc_id", F.lit(2)) == 0)
     cur = star.documents.filter(F.pmod("doc_id", F.lit(2)) == 1)
     return oov_drift(ref, cur, group_col="lang", min_count=_OOV_MIN_COUNT)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split (operators.sampling.dedup_safe_split): the split
+# hash key is the CONTENT fingerprint, not the row id — exact
+# duplicates / re-crawls land in the same band by construction, closing
+# the train/test-leakage hole an id-keyed split (train_test_split)
+# leaves open.  Stateless scan, zero shuffles: group-atomicity needs no
+# group-by because equal texts hash equal.
+# ---------------------------------------------------------------------------
+
+_DSS_SEED = 31
+_DSS_H = _hash64_sql("fingerprint", _DSS_SEED)
+
+@register(
+    "dedup_safe_split",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, md5({NORM_SQL.format(col='text')}) AS fingerprint
+        FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           CAST({_DSS_H} % 100 AS BIGINT) AS bucket,
+           CASE WHEN {_DSS_H} % 100 < 80 THEN 'train'
+                WHEN {_DSS_H} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM fp
+    """,
+)
+def dedup_safe_split_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import dedup_safe_split
+
+    return dedup_safe_split(
+        star.documents, seed=_DSS_SEED
+    ).select("doc_id", "fingerprint", "bucket", "split")
+
+
+# ---------------------------------------------------------------------------
+# Host-level quality blocklist (operators.quality.host_quality_gate):
+# the domain-tier admission cut (CCNet buckets / RefinedWeb blocklists)
+# — a host whose documents are majority low-quality is blocked
+# wholesale, with a min-docs evidence gate so small hosts never block.
+# Per-doc verdict reuses the hash-verified quality_score kernel; the
+# gate itself is exact integer arithmetic (100·n_low >= pct·n_docs).
+# Hosts are synthesized from doc_id residues exactly as the
+# host-graph / boilerplate queries do.
+# ---------------------------------------------------------------------------
+
+_HQB_HOSTS = 23
+_HQB_LOW = 0.81      # per-doc low-quality cut (corpus median at sf0.01)
+_HQB_MIN_DOCS = 5
+_HQB_PCT = 50
+
+@register(
+    "host_quality_blocklist",
+    f"""
+    WITH {_QUALITY_CTES},
+    hostq AS (
+        SELECT doc_id % {_HQB_HOSTS} AS host, quality FROM quality
+    )
+    SELECT CAST(host AS BIGINT) AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN quality < {_HQB_LOW} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low,
+           (COUNT(*) >= {_HQB_MIN_DOCS}
+            AND SUM(CASE WHEN quality < {_HQB_LOW} THEN 1 ELSE 0 END) * 100
+                >= COUNT(*) * {_HQB_PCT}) AS blocked
+    FROM hostq GROUP BY host
+    """,
+)
+def host_quality_blocklist_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.quality import host_quality_gate
+
+    scored = star.documents.select(
+        F.pmod(F.col("doc_id"), F.lit(_HQB_HOSTS)).cast("long").alias("host"),
+        (X.quality_score("text") < _HQB_LOW).alias("is_low"),
+    )
+    return host_quality_gate(
+        scored, min_docs=_HQB_MIN_DOCS, max_low_pct=_HQB_PCT
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host link-graph extraction (operators.corpus.link_host_graph): the
+# web-graph construction pass feeding the host-authority family — the
+# PageRank/LPA/triangle queries consume exactly this (src, dst, weight)
+# edge list.  HTML is synthesized deterministically (same recipe family
+# as html_text_extract): two absolute anchors per doc (one https, one
+# http — exercising the scheme alternation) plus a relative href that
+# carries no host signal and must be ignored by the extractor.
+# ---------------------------------------------------------------------------
+
+_LG_HOSTS = 7
+
+@register(
+    "html_link_graph",
+    f"""
+    WITH dirty AS (
+        SELECT 'host' || CAST(doc_id % {_LG_HOSTS} AS VARCHAR)
+                   || '.example.com' AS src_host,
+               '<html><body><p>' || text
+               || '</p><a href="https://host'
+               || CAST((doc_id + 1) % {_LG_HOSTS} AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+               || '">x</a><a href="/nav">n</a><a href="http://host'
+               || CAST((doc_id * 2 + 3) % {_LG_HOSTS} AS VARCHAR)
+               || '.example.com/q">y</a></body></html>' AS html
+        FROM documents
+    ),
+    edges AS (
+        SELECT src_host,
+               unnest(regexp_extract_all(html, 'href="https?://([^/"]+)', 1))
+                   AS dst_host
+        FROM dirty
+    )
+    SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+    FROM edges GROUP BY 1, 2
+    """,
+)
+def html_link_graph_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import link_host_graph
+
+    def host(e):
+        return F.concat(F.lit("host"), e.cast("string"), F.lit(".example.com"))
+
+    d = F.col("doc_id")
+    dirty = star.documents.select(
+        host(F.pmod(d, F.lit(_LG_HOSTS))).alias("src_host"),
+        F.concat(
+            F.lit("<html><body><p>"), F.col("text"),
+            F.lit('</p><a href="https://'),
+            host(F.pmod(d + 1, F.lit(_LG_HOSTS))),
+            F.lit("/p/"), d.cast("string"),
+            F.lit('">x</a><a href="/nav">n</a><a href="http://'),
+            host(F.pmod(d * 2 + 3, F.lit(_LG_HOSTS))),
+            F.lit('/q">y</a></body></html>'),
+        ).alias("html"),
+    )
+    return link_host_graph(dirty)
+
+
+# ---------------------------------------------------------------------------
+# Cross-snapshot admission dedup (operators.dedup.snapshot_admission):
+# the batch twin of the streaming incremental near-dedup — a new crawl
+# batch is admitted against the already-ingested corpus: within-batch
+# keep-first (min id per exact fingerprint) THEN an anti-join against
+# the reference snapshot's fingerprint set.  The batch is synthesized
+# deterministically: one third re-crawls (same text — must be
+# rejected), one third edits (' rev2' suffix — admitted), one third
+# templated batch pages sharing ~50 texts (admitted ONCE each, the
+# within-batch dedup path).
+# ---------------------------------------------------------------------------
+
+_SA_OFFSET = 100_000
+
+@register(
+    "snapshot_dedup_admission",
+    f"""
+    WITH cur AS (
+        SELECT doc_id + {_SA_OFFSET} AS doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text
+                    WHEN doc_id % 3 = 1 THEN text || ' rev2'
+                    ELSE 'new page batch ' || CAST(doc_id % 50 AS VARCHAR)
+               END AS text
+        FROM documents
+    ),
+    ref_fp AS (
+        SELECT DISTINCT md5({NORM_SQL.format(col='text')}) AS fingerprint
+        FROM documents
+    ),
+    grp AS (
+        SELECT md5({NORM_SQL.format(col='text')}) AS fingerprint,
+               MIN(doc_id) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM cur GROUP BY 1
+    )
+    SELECT g.fingerprint, g.doc_id, g.n_copies
+    FROM grp g LEFT JOIN ref_fp r USING (fingerprint)
+    WHERE r.fingerprint IS NULL
+    """,
+)
+def snapshot_dedup_admission_q(star: Star) -> DataFrame:
+    d = F.col("doc_id")
+    cur = star.documents.select(
+        (d + _SA_OFFSET).alias("doc_id"),
+        F.when(F.pmod(d, F.lit(3)) == 0, F.col("text"))
+        .when(F.pmod(d, F.lit(3)) == 1, F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(
+            F.concat(
+                F.lit("new page batch "),
+                F.pmod(d, F.lit(50)).cast("string"),
+            )
+        )
+        .alias("text"),
+    )
+    return D.snapshot_admission(star.documents, cur).select(
+        "fingerprint", "doc_id", "n_copies"
+    )

@@ -1,0 +1,258 @@
+"""Tests for the r10 admission/curation additions: leakage-safe split,
+host quality blocklist, link-graph extraction, cross-snapshot admission
+dedup.  All hand-computed fixtures plus plan-shape pins for the scale
+claims (zero-shuffle split, broadcast anti-join blocklist)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_safe_split
+# ---------------------------------------------------------------------------
+
+def test_dedup_safe_split_duplicates_never_straddle(spark):
+    from sap_data_pipeline_spark.operators.sampling import dedup_safe_split
+
+    # 40 texts × 3 exact copies each (ids far apart), plus whitespace/case
+    # variants that normalize equal — every group must land in ONE split.
+    rows = []
+    for i in range(40):
+        rows.append((i, f"Document body number {i} with words"))
+        rows.append((1000 + i, f"document   body number {i} with words"))
+        rows.append((2000 + i, f"DOCUMENT BODY NUMBER {i} WITH WORDS"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup_safe_split(df)
+    straddlers = (
+        out.groupBy("fingerprint")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    # groups really are size 3 (normalization collapsed the variants)
+    sizes = dict(
+        out.groupBy("fingerprint").count().groupBy("count").count().collect()
+    )
+    assert sizes == {3: 40}
+
+
+def test_dedup_safe_split_matches_hash_split_on_fingerprint(spark):
+    """The banding contract is hash_split's, applied to the fingerprint."""
+    from sap_data_pipeline_spark.functions import text as X
+    from sap_data_pipeline_spark.operators.sampling import (
+        dedup_safe_split,
+        hash_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(100)], ["doc_id", "text"]
+    )
+    got = dedup_safe_split(df, seed=31).select("doc_id", "split")
+    want = hash_split(
+        df.withColumn("fingerprint", X.md5_fingerprint("text")),
+        "fingerprint",
+        seed=31,
+    ).select("doc_id", "split")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_dedup_safe_split_plan_has_no_exchange(spark):
+    """Group-atomicity without a group-by: the whole split is map-side."""
+    from sap_data_pipeline_spark.operators.sampling import dedup_safe_split
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = _plan(dedup_safe_split(df))
+    assert "Exchange" not in plan, plan
+
+
+def test_dedup_safe_split_custom_weights(spark):
+    from sap_data_pipeline_spark.operators.sampling import dedup_safe_split
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(500)], ["doc_id", "text"]
+    )
+    out = dedup_safe_split(df, weights={"train": 90, "test": 10})
+    labels = {r["split"] for r in out.select("split").distinct().collect()}
+    assert labels <= {"train", "test"}
+    n_test = out.filter(F.col("split") == "test").count()
+    assert 20 <= n_test <= 90  # ~10% of 500, generous hash-variance band
+
+
+# ---------------------------------------------------------------------------
+# host_quality_gate / blocklist_filter
+# ---------------------------------------------------------------------------
+
+def _scored(spark):
+    # host A: 6 docs, 4 low  -> blocked (4*100 >= 6*50)
+    # host B: 6 docs, 2 low  -> kept   (2*100 <  6*50)
+    # host C: 3 docs, 3 low  -> kept   (below min_docs=5, never blocks)
+    # host D: 6 docs, 3 low  -> blocked (exactly at the 50% boundary)
+    rows = (
+        [("A", True)] * 4 + [("A", False)] * 2
+        + [("B", True)] * 2 + [("B", False)] * 4
+        + [("C", True)] * 3
+        + [("D", True)] * 3 + [("D", False)] * 3
+    )
+    return spark.createDataFrame(rows, ["host", "is_low"])
+
+
+def test_host_quality_gate_hand_computed(spark):
+    from sap_data_pipeline_spark.operators.quality import host_quality_gate
+
+    out = host_quality_gate(_scored(spark), min_docs=5, max_low_pct=50)
+    verdict = {r["host"]: (r["n_docs"], r["n_low"], r["blocked"])
+               for r in out.collect()}
+    assert verdict == {
+        "A": (6, 4, True),
+        "B": (6, 2, False),
+        "C": (3, 3, False),
+        "D": (6, 3, True),
+    }
+
+
+def test_blocklist_filter_drops_exactly_blocked_hosts(spark):
+    from sap_data_pipeline_spark.operators.quality import (
+        blocklist_filter,
+        host_quality_gate,
+    )
+
+    scored = _scored(spark)
+    verdict = host_quality_gate(scored, min_docs=5, max_low_pct=50)
+    docs = spark.createDataFrame(
+        [(i, h) for i, h in enumerate("AABBCCDD")], ["doc_id", "host"]
+    )
+    kept = blocklist_filter(docs, verdict)
+    assert {r["host"] for r in kept.select("host").distinct().collect()} == {
+        "B", "C",
+    }
+    assert kept.count() == 4
+
+
+def test_blocklist_filter_is_broadcast_anti_join(spark):
+    from sap_data_pipeline_spark.operators.quality import (
+        blocklist_filter,
+        host_quality_gate,
+    )
+
+    verdict = host_quality_gate(_scored(spark), min_docs=5, max_low_pct=50)
+    docs = spark.createDataFrame([(1, "A")], ["doc_id", "host"])
+    plan = _plan(blocklist_filter(docs, verdict))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# link_host_graph
+# ---------------------------------------------------------------------------
+
+def test_link_host_graph_hand_computed(spark):
+    from sap_data_pipeline_spark.operators.corpus import link_host_graph
+
+    df = spark.createDataFrame(
+        [
+            # two absolute links (one repeated host), one relative (ignored)
+            ("a.com",
+             '<a href="https://x.com/p">1</a><a href="/nav">r</a>'
+             '<a href="http://x.com/q">2</a>'),
+            # same edge again from a second doc + a different dst
+            ("a.com", '<a href="https://x.com/z">3</a>'
+                      '<a href="https://y.com/">4</a>'),
+            # doc with no absolute links contributes nothing
+            ("b.com", '<a href="/only/relative">r</a> plain text'),
+        ],
+        ["src_host", "html"],
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in link_host_graph(df).collect()
+    }
+    assert got == {("a.com", "x.com"): 3, ("a.com", "y.com"): 1}
+
+
+def test_link_host_graph_strips_port_free_authority_up_to_slash(spark):
+    from sap_data_pipeline_spark.operators.corpus import link_host_graph
+
+    df = spark.createDataFrame(
+        [("s", '<a href="https://h.example.com:8443/deep/path?q=1">x</a>')],
+        ["src_host", "html"],
+    )
+    [row] = link_host_graph(df).collect()
+    # authority (incl. port) up to the first '/', query never leaks in
+    assert row["dst_host"] == "h.example.com:8443"
+
+
+# ---------------------------------------------------------------------------
+# snapshot_admission
+# ---------------------------------------------------------------------------
+
+def test_snapshot_admission_hand_computed(spark):
+    from sap_data_pipeline_spark.operators.dedup import snapshot_admission
+
+    ref = spark.createDataFrame(
+        [(1, "old page one"), (2, "old page two")], ["doc_id", "text"]
+    )
+    cur = spark.createDataFrame(
+        [
+            (10, "old page one"),       # re-crawl -> rejected
+            (11, "Old  Page   ONE"),    # normalizes to re-crawl -> rejected
+            (12, "fresh page"),         # new -> admitted
+            (13, "fresh page"),         # within-batch dup -> folded into 12
+            (14, "old page two rev2"),  # edit -> admitted
+        ],
+        ["doc_id", "text"],
+    )
+    out = snapshot_admission(ref, cur)
+    got = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    assert got == {12: 2, 14: 1}
+
+
+def test_snapshot_admission_empty_reference_admits_all_once(spark):
+    from sap_data_pipeline_spark.operators.dedup import snapshot_admission
+
+    ref = spark.createDataFrame([], "doc_id long, text string")
+    cur = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["doc_id", "text"]
+    )
+    out = snapshot_admission(ref, cur)
+    got = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    assert got == {1: 2, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# Catalog-query plan pins (shuffle budget of the new admission passes)
+# ---------------------------------------------------------------------------
+
+def test_html_link_graph_one_exchange_partial_agg(spark):
+    """Edge aggregation: partial agg collapses repeated edges map-side,
+    ONE hash exchange carries the edge set (never the corpus)."""
+    import sap_data_pipeline_spark.plans.catalog_ext  # noqa: F401
+    from sap_data_pipeline_spark.plans.catalog import QUERIES
+
+    plan = _plan(QUERIES["html_link_graph"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_snapshot_admission_two_fingerprint_exchanges_anti_join(spark):
+    """Exactly two fingerprint-keyed exchanges — the batch side's
+    keep-first aggregate and the reference side's DISTINCT — and both
+    carry 32-hex fingerprints, never document text; the anti-join
+    itself is broadcast at this size."""
+    import sap_data_pipeline_spark.plans.catalog_ext  # noqa: F401
+    from sap_data_pipeline_spark.plans.catalog import QUERIES
+
+    plan = _plan(
+        QUERIES["snapshot_dedup_admission"](spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("Arguments: hashpartitioning") == 2, plan
+    assert "LeftAnti" in plan, plan
