@@ -173,6 +173,15 @@ _TAIL = (
     # evidence from exact_dedup_documents (single-corpus group-by):
     # this is the only query verifying CROSS-SNAPSHOT rejection:
     "snapshot_dedup_admission",
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
+    # image-modality near-dup: aHash over the REAL BMP decode path
+    # (integer 8×8 lattice, brightness-invariant by construction),
+    # four 16-bit Hamming bands, exact bit_count(xor) verify at
+    # radius 3.  Distinct evidence from simhash_near_dup_pairs (TEXT
+    # sketches) and media_sniff_dispatch (decode only): this is the
+    # only query value-hashing a PERCEPTUAL media fingerprint + its
+    # banded pairing end-to-end:
+    "image_ahash_pairs",
     # r10 new work (never driver-hashed; oracle-green at sf0.01) — r11
     # rotation candidate, rationale pre-written: the ExactSubstr EXCISE
     # pass (Lee et al. 2021) — rewrites every document with repeated

@@ -99,6 +99,10 @@ HEADLINE = [
     "host_quality_blocklist",
     "html_link_graph",
     "snapshot_dedup_admission",
+    # round-10 addition: the image-modality near-dup (Arrow-batched
+    # real-decode aHash + banded Hamming self-join — the heaviest new
+    # Python-boundary stage, tracked so the decode path stays cheap)
+    "image_ahash_pairs",
 ]
 
 

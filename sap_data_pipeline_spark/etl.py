@@ -1031,3 +1031,76 @@ def refresh_packed_corpus_incremental(
     audit["n_affected_shards"] = len(affected or shards_written)
     audit["shards_written"] = shards_written
     return audit
+
+
+def admit_crawl_batch(
+    reference,
+    batch,
+    out_path: str,
+    *,
+    host_col: str = "host",
+    min_quality: float = 0.3,
+    host_min_docs: int = 5,
+    host_max_low_pct: int = 50,
+    split_weights: dict[str, int] | None = None,
+) -> dict:
+    """Crawl-batch ADMISSION pipeline — the ingest-side complement of
+    :func:`build_training_corpus` (which curates a corpus already
+    admitted).  Every stage is an independently-oracled catalog
+    operator; this function adds plumbing and the per-stage loss audit:
+
+        cross-snapshot exact dedup (reject re-crawls of the reference
+        corpus, fold within-batch copies to their keep-first canonical)
+        → host-tier quality blocklist (domain-level admission cut)
+        → leakage-safe content-keyed train/val/test assignment
+        → atomic write
+
+    Returns the audit dict: ``batch_rows``, ``admitted_after_dedup``,
+    ``blocked_hosts``, ``rows_final`` — each stage's loss is visible,
+    silent drops are pipeline bugs.
+
+    Scale notes: the snapshot dedup shuffles 32-hex fingerprints (never
+    reference text); the host verdict is hosts-sized and re-enters
+    broadcast; the split is a stateless scan.  The admitted-count audit
+    is ONE extra aggregate over fingerprint-sized rows, not a pipeline
+    re-execution; the blocked-host count collects the hosts-sized
+    verdict only.
+    """
+    from sap_data_pipeline_spark.functions import text as X
+    from sap_data_pipeline_spark.operators.dedup import snapshot_admission
+    from sap_data_pipeline_spark.operators.quality import (
+        blocklist_filter,
+        host_quality_gate,
+    )
+    from sap_data_pipeline_spark.operators.sampling import dedup_safe_split
+    from sap_data_pipeline_spark.sources.sinks import write_parquet_atomic
+
+    audit: dict = {}
+
+    admitted_ids = snapshot_admission(reference, batch).select(
+        "doc_id", "n_copies"
+    )
+    admitted = batch.join(admitted_ids, "doc_id", "semi")
+
+    scored = admitted.select(
+        F.col(host_col),
+        (X.quality_score("text") < min_quality).alias("is_low"),
+    )
+    verdict = host_quality_gate(
+        scored,
+        host_col=host_col,
+        min_docs=host_min_docs,
+        max_low_pct=host_max_low_pct,
+    )
+    kept = blocklist_filter(admitted, verdict, host_col=host_col)
+
+    split = dedup_safe_split(kept, weights=split_weights)
+    audit["rows_final"] = write_parquet_atomic(split, out_path)
+
+    # loss accounting: one scalar count per pre-write stage (fingerprint-
+    # sized / hosts-sized inputs — never a corpus re-scan), after the
+    # write so the cached shuffle files are reused where possible.
+    audit["batch_rows"] = batch.count()
+    audit["admitted_after_dedup"] = admitted_ids.count()
+    audit["blocked_hosts"] = verdict.filter(F.col("blocked")).count()
+    return audit

@@ -1312,3 +1312,166 @@ def synth_gif_media(documents: DataFrame) -> DataFrame:
         T.StructField("payload", T.BinaryType(), True),
     ])
     return documents.select("doc_id").mapInPandas(run, schema=schema)
+
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("hash_hi", T.LongType(), True),
+    T.StructField("hash_lo", T.LongType(), True),
+])
+
+
+def image_ahash(media: DataFrame, *, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) over the REAL BMP decode path —
+    the image-modality dedup fingerprint (the LAION-style near-dup
+    primitive): nearest-neighbor-sample the image to a ``grid``×``grid``
+    cell lattice (same index map as :func:`resize_images`:
+    ``src = (dst · src_dim) // grid``), sum the 3 channel bytes per cell
+    (channel-order-invariant), and set bit i when its cell is strictly
+    above the lattice mean.  The mean compare is cross-multiplied
+    integer arithmetic (``grid²·cell > Σcells``) — no floats, so hashes
+    are engine- and platform-exact, and a uniform brightness shift
+    (+b to every byte) provably flips no bit: both sides of the compare
+    gain ``grid²·3b``.
+
+    Bits are row-major; the 64-bit hash ships as two non-negative
+    32-bit words ``(hash_hi, hash_lo)`` so SQL engines without unsigned
+    64-bit types can reproduce it.  Arrow-batched ``mapInPandas`` — one
+    decode pass per payload, no per-row pickling.
+    """
+    if grid * grid != 64:
+        raise ValueError("grid must be 8 (64-bit hash contract)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in AHASH_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, bpp, px = decode_bmp_pixels(payload)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                if px is None:
+                    out["hash_hi"].append(None)
+                    out["hash_lo"].append(None)
+                    continue
+                rs = (np.arange(grid) * h) // grid
+                cs = (np.arange(grid) * w) // grid
+                cells = px[np.ix_(rs, cs)].astype(np.int64).sum(axis=2)
+                total = int(cells.sum())
+                bits = (cells.reshape(-1) * (grid * grid)) > total
+                hi = lo = 0
+                for i in range(32):
+                    if bits[i]:
+                        hi |= 1 << (31 - i)
+                    if bits[32 + i]:
+                        lo |= 1 << (31 - i)
+                out["hash_hi"].append(hi)
+                out["hash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def ahash_near_dup_pairs(hashes: DataFrame, *, max_hamming: int = 3,
+                         id_col: str = "media_id") -> DataFrame:
+    """Banded Hamming pairing over aHash fingerprints — the image twin
+    of the SimHash text near-dup: the 64 bits split into four 16-bit
+    bands, candidates join on (band index, band value), and exact
+    Hamming distance (``bit_count(xor)``) verifies.  Pigeonhole:
+    distance ≤ 3 leaves at least one of 4 bands intact, so recall is
+    complete for the default radius.
+
+    Scale: the self-join shuffles narrow (id, band) rows keyed by band
+    value — never pixels; candidate volume is Σ|bucket|², bounded by
+    how many images truly share a 16-bit band.  Output is
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``, each pair once.
+    """
+    b = [
+        (F.shiftright(F.col("hash_hi"), 16) % 65536).alias("b0"),
+        (F.col("hash_hi") % 65536).alias("b1"),
+        (F.shiftright(F.col("hash_lo"), 16) % 65536).alias("b2"),
+        (F.col("hash_lo") % 65536).alias("b3"),
+    ]
+    banded = (
+        hashes.filter(F.col("hash_hi").isNotNull())
+        .select(F.col(id_col), "hash_hi", "hash_lo", *b)
+        .select(
+            F.col(id_col), "hash_hi", "hash_lo",
+            F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+                "band_idx", "band_val"
+            ),
+        )
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("hash_hi").alias("hi_a"),
+        F.col("hash_lo").alias("lo_a"),
+        "band_idx", "band_val",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("hash_hi").alias("hi_b"),
+        F.col("hash_lo").alias("lo_b"),
+        "band_idx", "band_val",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).alias("hamming")
+    return (
+        cand.select("id_a", "id_b", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def synth_bmp_media_templated(documents: DataFrame, *,
+                              n_templates: int = 100) -> DataFrame:
+    """Templated BMP fixture generator for the near-dup path: image
+    CONTENT is parameterized by ``doc_id % n_templates`` (so template
+    peers are visual duplicates) plus a per-document brightness shift
+    ``doc_id % 3`` added to every channel byte (base bytes are mod 250,
+    so +2 never wraps) — a perturbation :func:`image_ahash` is provably
+    invariant to.  The template drives the image STRUCTURE (gradient
+    slopes and a row×col interaction term), never a uniform offset —
+    a uniform offset would be brightness by another name and every
+    template would hash identically.  Same closed-form discipline as
+    :func:`synth_bmp_media`: every pixel is arithmetic in ``doc_id``,
+    so the REAL decode → hash → band → verify pipeline gets a full
+    value-hash oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                t = did % n_templates
+                bright = did % 3
+                w, h = 4 + t % 13, 3 + t % 7
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                px = (
+                    ((t % 13 + 2) * r + (t % 11 + 3) * c * (r + 1)
+                     + 41 * (t // 13) + ch) % 250 + bright
+                ).astype(np.uint8)
+                ids.append(did)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    return documents.select("doc_id").mapInPandas(run, schema=schema)

@@ -6183,3 +6183,99 @@ def snapshot_dedup_admission_q(star: Star) -> DataFrame:
     return D.snapshot_admission(star.documents, cur).select(
         "fingerprint", "doc_id", "n_copies"
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup (operators.multimodal.image_ahash +
+# ahash_near_dup_pairs): the image-modality twin of the SimHash text
+# near-dup — aHash fingerprints over the REAL BMP decode path
+# (nearest-neighbor 8×8 lattice, integer cell sums, cross-multiplied
+# strict-> mean threshold), four 16-bit Hamming bands, exact
+# bit_count(xor) verify at radius 3 (pigeonhole-complete).  Fixtures
+# are templated closed-form BMPs (template = structure, brightness
+# shift = the invariance the hash must absorb), so the oracle
+# value-hashes decode → hash → band → verify end-to-end — the
+# image_meta_bmp precedent applied to the dedup family.
+# ---------------------------------------------------------------------------
+
+_AH_TEMPLATES = 100
+_AH_RADIUS = 3
+
+@register(
+    "image_ahash_pairs",
+    f"""
+    WITH imgs AS (
+        SELECT doc_id,
+               doc_id % {_AH_TEMPLATES} AS t,
+               doc_id % 3 AS bright,
+               4 + (doc_id % {_AH_TEMPLATES}) % 13 AS w,
+               3 + (doc_id % {_AH_TEMPLATES}) % 7 AS h
+        FROM documents
+    ),
+    grid AS (
+        SELECT gr, gc, gr * 8 + gc AS idx
+        FROM (SELECT unnest(range(8)) AS gr), (SELECT unnest(range(8)) AS gc)
+    ),
+    cells AS (
+        SELECT i.doc_id, g.idx,
+               (((i.t % 13 + 2) * ((g.gr * i.h) // 8)
+                 + (i.t % 11 + 3) * ((g.gc * i.w) // 8)
+                                  * ((g.gr * i.h) // 8 + 1)
+                 + 41 * (i.t // 13) + 0) % 250)
+             + (((i.t % 13 + 2) * ((g.gr * i.h) // 8)
+                 + (i.t % 11 + 3) * ((g.gc * i.w) // 8)
+                                  * ((g.gr * i.h) // 8 + 1)
+                 + 41 * (i.t // 13) + 1) % 250)
+             + (((i.t % 13 + 2) * ((g.gr * i.h) // 8)
+                 + (i.t % 11 + 3) * ((g.gc * i.w) // 8)
+                                  * ((g.gr * i.h) // 8 + 1)
+                 + 41 * (i.t // 13) + 2) % 250)
+             + 3 * i.bright AS cell
+        FROM imgs i CROSS JOIN grid g
+    ),
+    tot AS (SELECT doc_id, SUM(cell) AS total FROM cells GROUP BY doc_id),
+    hashes AS (
+        SELECT c.doc_id,
+               CAST(SUM(CASE WHEN c.idx < 32 AND 64 * c.cell > t.total
+                             THEN (CAST(1 AS BIGINT) << (31 - c.idx))
+                             ELSE 0 END) AS BIGINT) AS hash_hi,
+               CAST(SUM(CASE WHEN c.idx >= 32 AND 64 * c.cell > t.total
+                             THEN (CAST(1 AS BIGINT) << (63 - c.idx))
+                             ELSE 0 END) AS BIGINT) AS hash_lo
+        FROM cells c JOIN tot t USING (doc_id)
+        GROUP BY c.doc_id
+    ),
+    bands AS (
+        SELECT doc_id, hash_hi, hash_lo,
+               0 AS band_idx, hash_hi // 65536 AS band_val FROM hashes
+        UNION ALL SELECT doc_id, hash_hi, hash_lo, 1, hash_hi % 65536
+        FROM hashes
+        UNION ALL SELECT doc_id, hash_hi, hash_lo, 2, hash_lo // 65536
+        FROM hashes
+        UNION ALL SELECT doc_id, hash_hi, hash_lo, 3, hash_lo % 65536
+        FROM hashes
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+               l.hash_hi AS hi_a, l.hash_lo AS lo_a,
+               r.hash_hi AS hi_b, r.hash_lo AS lo_b
+        FROM bands l JOIN bands r
+          ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(hi_a, hi_b))
+                + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+          <= {_AH_RADIUS}
+    """,
+)
+def image_ahash_pairs_q(star: Star) -> DataFrame:
+    media = MM.synth_bmp_media_templated(
+        star.documents, n_templates=_AH_TEMPLATES
+    )
+    hashes = MM.image_ahash(media)
+    return MM.ahash_near_dup_pairs(hashes, max_hamming=_AH_RADIUS).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )

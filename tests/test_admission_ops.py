@@ -256,3 +256,64 @@ def test_snapshot_admission_two_fingerprint_exchanges_anti_join(spark):
     )
     assert plan.count("Arguments: hashpartitioning") == 2, plan
     assert "LeftAnti" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# admit_crawl_batch (the ingest-side E2E composition)
+# ---------------------------------------------------------------------------
+
+def test_admit_crawl_batch_end_to_end(spark, tmp_path):
+    """Re-crawls rejected, within-batch copies folded, spammy host
+    blocked wholesale, survivors split leakage-safely, audit accounts
+    for every loss."""
+    from sap_data_pipeline_spark.etl import admit_crawl_batch
+
+    good = ("a perfectly reasonable document with the usual amount of "
+            "words and the standard sprinkling of stopwords in it to "
+            "pass the quality score gate comfortably every single time")
+    ref = spark.createDataFrame(
+        [(1, good + " ref one", "h1"), (2, good + " ref two", "h2")],
+        ["doc_id", "text", "host"],
+    )
+    spam = "$$$ !!! 0123456789 %%% ### @@@ ^^^ &&& *** ((( )))"
+    batch_rows = (
+        # re-crawl of ref doc 1 -> rejected by snapshot dedup
+        [(10, good + " ref one", "h1")]
+        # fresh doc + its exact copy -> folded to keep-first (11)
+        + [(11, good + " fresh alpha", "h3"), (12, good + " fresh alpha", "h3")]
+        # fresh unique docs on a clean host
+        + [(13 + i, good + f" fresh beta {i}", "h3") for i in range(5)]
+        # a spam host: 6 docs, all low quality -> host blocked
+        + [(30 + i, spam + f" {i}", "spamhost") for i in range(6)]
+    )
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text", "host"])
+    out = str(tmp_path / "admitted")
+    audit = admit_crawl_batch(ref, batch, out, min_quality=0.6)
+
+    assert audit["batch_rows"] == 14
+    # 13 distinct fingerprints in batch; one (re-crawl) is in ref
+    assert audit["admitted_after_dedup"] == 12
+    assert audit["blocked_hosts"] == 1
+    # 11 admitted minus the 6 spam-host docs... but the folded copy (12)
+    # was dropped by keep-first too: kept = 11, 13..17 -> 6 rows
+    assert audit["rows_final"] == 6
+
+    got = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert ids == {11, 13, 14, 15, 16, 17}
+    assert {"split", "fingerprint"} <= set(got.columns)
+
+
+def test_admit_crawl_batch_clean_batch_admits_everything(spark, tmp_path):
+    from sap_data_pipeline_spark.etl import admit_crawl_batch
+
+    good = ("a perfectly reasonable document with the usual amount of "
+            "words and the standard sprinkling of stopwords in it to "
+            "pass the quality score gate comfortably every single time")
+    ref = spark.createDataFrame([], "doc_id long, text string, host string")
+    batch = spark.createDataFrame(
+        [(i, good + f" v{i}", f"h{i % 3}") for i in range(9)],
+        ["doc_id", "text", "host"],
+    )
+    audit = admit_crawl_batch(ref, batch, str(tmp_path / "out"))
+    assert audit["rows_final"] == 9 and audit["blocked_hosts"] == 0
