@@ -182,6 +182,14 @@ _TAIL = (
     # only query value-hashing a PERCEPTUAL media fingerprint + its
     # banded pairing end-to-end:
     "image_ahash_pairs",
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
+    # anchor-text index: two aligned regexp_extract_all group passes
+    # zipped positionally (host, anchor text), corpus-tokenized, top-k
+    # terms per destination host with an exact tie rule.  Distinct
+    # evidence from html_link_graph (edge counts, no text) and
+    # tfidf_top_terms (a doc's OWN terms): this is the only query
+    # verifying the what-the-web-calls-it INBOUND text signal:
+    "anchor_text_terms",
     # r10 new work (never driver-hashed; oracle-green at sf0.01) — r11
     # rotation candidate, rationale pre-written: the ExactSubstr EXCISE
     # pass (Lee et al. 2021) — rewrites every document with repeated

@@ -103,6 +103,9 @@ HEADLINE = [
     # real-decode aHash + banded Hamming self-join — the heaviest new
     # Python-boundary stage, tracked so the decode path stays cheap)
     "image_ahash_pairs",
+    # round-10 addition: the anchor-text index (two aligned regex group
+    # passes + tokenize + per-host top-k — regex-heaviest new scan)
+    "anchor_text_terms",
 ]
 
 

@@ -6279,3 +6279,86 @@ def image_ahash_pairs_q(star: Star) -> DataFrame:
     return MM.ahash_near_dup_pairs(hashes, max_hamming=_AH_RADIUS).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text index (operators.corpus.anchor_text_terms): what the web
+# CALLS a host — the terms inside <a> tags pointing at it — is the
+# classic curation relevance/quality signal the host's own content
+# cannot fake.  Extraction is two aligned regexp_extract_all passes
+# (group 1 = host, group 2 = anchor text) zipped positionally; terms
+# ride the corpus tokenizer; top-k per destination host with an exact
+# (count DESC, term ASC) tie rule so both engines rank identically.
+# HTML synth extends the link-graph recipe with word-bearing anchors.
+# ---------------------------------------------------------------------------
+
+_AT_K = 5
+_AT_DIRTY_SQL = f"""
+    SELECT '<p>' || text || '</p><a href="https://host'
+           || CAST((doc_id + 1) % {_LG_HOSTS} AS VARCHAR)
+           || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+           || '" class="x">click best site '
+           || CAST(doc_id % 5 AS VARCHAR)
+           || '</a><a href="/nav">skip this one</a><a href="http://host'
+           || CAST((doc_id * 2 + 3) % {_LG_HOSTS} AS VARCHAR)
+           || '.example.com/q">read more '
+           || CAST(doc_id % 4 AS VARCHAR) || '</a>' AS html
+    FROM documents
+"""
+
+@register(
+    "anchor_text_terms",
+    f"""
+    WITH dirty AS ({_AT_DIRTY_SQL}),
+    z AS (
+        SELECT unnest(list_zip(
+            regexp_extract_all(html, 'href="https?://([^/"]+)[^"]*"[^>]*>([^<]*)<', 1),
+            regexp_extract_all(html, 'href="https?://([^/"]+)[^"]*"[^>]*>([^<]*)<', 2)
+        )) AS s
+        FROM dirty
+    ),
+    terms AS (
+        SELECT s[1] AS dst_host,
+               unnest({TOKSEQ_SQL.format(col='s[2]')}) AS term
+        FROM z
+    ),
+    counts AS (
+        SELECT dst_host, term, CAST(COUNT(*) AS BIGINT) AS n
+        FROM terms GROUP BY 1, 2
+    )
+    SELECT dst_host, term, n, CAST(rk AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY dst_host ORDER BY n DESC, term ASC
+        ) AS rk
+        FROM counts
+    )
+    WHERE rk <= {_AT_K}
+    """,
+)
+def anchor_text_terms_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import anchor_text_terms
+
+    def host(e):
+        return F.concat(F.lit("host"), e.cast("string"), F.lit(".example.com"))
+
+    d = F.col("doc_id")
+    dirty = star.documents.select(
+        F.concat(
+            F.lit("<p>"), F.col("text"),
+            F.lit('</p><a href="https://'),
+            host(F.pmod(d + 1, F.lit(_LG_HOSTS))),
+            F.lit("/p/"), d.cast("string"),
+            F.lit('" class="x">click best site '),
+            F.pmod(d, F.lit(5)).cast("string"),
+            F.lit('</a><a href="/nav">skip this one</a><a href="http://'),
+            host(F.pmod(d * 2 + 3, F.lit(_LG_HOSTS))),
+            F.lit('/q">read more '),
+            F.pmod(d, F.lit(4)).cast("string"),
+            F.lit("</a>"),
+        ).alias("html"),
+    )
+    return anchor_text_terms(dirty, k=_AT_K).select(
+        "dst_host", "term", F.col("n").cast("long").alias("n"),
+        F.col("rank").cast("long").alias("rank"),
+    )

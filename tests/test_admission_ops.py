@@ -317,3 +317,50 @@ def test_admit_crawl_batch_clean_batch_admits_everything(spark, tmp_path):
     )
     audit = admit_crawl_batch(ref, batch, str(tmp_path / "out"))
     assert audit["rows_final"] == 9 and audit["blocked_hosts"] == 0
+
+
+# ---------------------------------------------------------------------------
+# anchor_text_terms
+# ---------------------------------------------------------------------------
+
+def test_anchor_text_terms_hand_computed(spark):
+    from sap_data_pipeline_spark.operators.corpus import anchor_text_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, '<a href="https://x.com/p" class="z">best site ever</a>'
+                '<a href="/rel">skip me entirely</a>'
+                '<a href="http://y.com/q">read this</a>'),
+            (2, '<a href="https://x.com/other">best page</a>'),
+        ],
+        ["doc_id", "html"],
+    )
+    got = {
+        (r["dst_host"], r["term"]): (r["n"], r["rank"])
+        for r in anchor_text_terms(df, k=2).collect()
+    }
+    # 'best' counted across both docs; tie at n=1 broken by term ASC;
+    # the relative link's text never indexes
+    assert got == {
+        ("x.com", "best"): (2, 1),
+        ("x.com", "ever"): (1, 2),
+        ("y.com", "read"): (1, 1),
+        ("y.com", "this"): (1, 2),
+    }
+
+
+def test_anchor_text_terms_group_alignment(spark):
+    """Host and text come from TWO regexp_extract_all passes — this
+    pins their positional alignment when anchors interleave."""
+    from sap_data_pipeline_spark.operators.corpus import anchor_text_terms
+
+    df = spark.createDataFrame(
+        [(1, '<a href="https://a.com/1">alpha</a>'
+             '<a href="https://b.com/2">beta</a>'
+             '<a href="https://a.com/3">gamma</a>')],
+        ["doc_id", "html"],
+    )
+    got = {(r["dst_host"], r["term"]) for r in
+           anchor_text_terms(df, k=5).collect()}
+    assert got == {("a.com", "alpha"), ("a.com", "gamma"),
+                   ("b.com", "beta")}
