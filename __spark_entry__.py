@@ -190,6 +190,15 @@ _TAIL = (
     # tfidf_top_terms (a doc's OWN terms): this is the only query
     # verifying the what-the-web-calls-it INBOUND text signal:
     "anchor_text_terms",
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
+    # crawl-frontier URL dedup: fragment/tracking-param/default-port/
+    # case/trailing-slash canonicalization as a pure regex codegen
+    # chain, then keep-first per canonical form.  Distinct evidence
+    # from url_components (parses fields, never normalizes) and
+    # exact_dedup_documents (content fingerprints — runs AFTER a fetch
+    # this query's dedup avoids): the only query verifying URL
+    # NORMALIZATION semantics byte-identically across engines:
+    "url_canonical_dedup",
     # r10 new work (never driver-hashed; oracle-green at sf0.01) — r11
     # rotation candidate, rationale pre-written: the ExactSubstr EXCISE
     # pass (Lee et al. 2021) — rewrites every document with repeated

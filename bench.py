@@ -106,6 +106,9 @@ HEADLINE = [
     # round-10 addition: the anchor-text index (two aligned regex group
     # passes + tokenize + per-host top-k — regex-heaviest new scan)
     "anchor_text_terms",
+    # round-10 addition: crawl-frontier URL canonicalization dedup
+    # (regex codegen chain + one canonical-keyed keep-first exchange)
+    "url_canonical_dedup",
 ]
 
 

@@ -451,3 +451,31 @@ def url_path(c: ColumnOrName) -> Column:
 
 def url_query_param(c: ColumnOrName, name: str) -> Column:
     return F.regexp_extract(_c(c), rf"[?&]{name}=([^&#]*)", 1)
+
+
+def canonicalize_url(c: ColumnOrName) -> Column:
+    """Canonical URL form for crawl dedup — the variations that make one
+    page look like many: fragment stripped, tracking params removed
+    (``utm_*``/``gclid``/``fbclid``, the lowercase convention), dangling
+    ``?``/``&`` cleaned, default ports dropped (``:80`` for http,
+    ``:443`` for https), scheme+authority lowercased (path case is
+    preserved — it is significant), trailing slash removed.
+
+    Pure regexp_replace/extract chain (whole-stage codegen, no UDF);
+    every regex is RE2-compatible so the DuckDB oracle replays the
+    identical transforms (replacement backref syntax differs — ``$1``
+    vs ``\\1`` — but the OUTPUT strings are verified byte-identical by
+    the ``url_canonical_dedup`` hash oracle).
+    """
+    u = _c(c)
+    u = F.regexp_replace(u, "#.*$", "")
+    u = F.regexp_replace(u, "(utm_[a-z]+|gclid|fbclid)=[^&]*&?", "")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, "[?&]$", "")
+    u = F.regexp_replace(u, "(?i)^(http://[^/:]+):80(/|$)", "$1$2")
+    u = F.regexp_replace(u, "(?i)^(https://[^/:]+):443(/|$)", "$1$2")
+    head = F.regexp_extract(u, "(?i)^(https?://[^/]+)", 1)
+    u = F.concat(
+        F.lower(head), F.substring(u, F.length(head) + 1, F.lit(1 << 30))
+    )
+    return F.regexp_replace(u, "/$", "")

@@ -6362,3 +6362,88 @@ def anchor_text_terms_q(star: Star) -> DataFrame:
         "dst_host", "term", F.col("n").cast("long").alias("n"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (functions.text.canonicalize_url): the
+# crawl-frontier dedup that exact text dedup runs too late for — one
+# page crawled under tracking params / fragments / default ports /
+# case-varied authorities / trailing slashes is one document.  Pure
+# regex codegen chain; the oracle replays every transform (RE2
+# backrefs \1 where Spark uses $1 — outputs verified byte-identical)
+# then keep-first groups by the canonical form.  Messy URLs are
+# synthesized per doc: group = doc_id % 200, variant by doc_id // 200.
+# ---------------------------------------------------------------------------
+
+_UC_VARIANT_SQL = """
+    CASE (doc_id // 200) % 4
+      WHEN 0 THEN 'https://Host' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.Example.com/page/' || CAST(doc_id % 200 AS VARCHAR) || '/'
+      WHEN 1 THEN 'https://host' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.example.com/page/' || CAST(doc_id % 200 AS VARCHAR)
+                  || '?utm_source=s' || CAST(doc_id % 7 AS VARCHAR)
+                  || '&utm_campaign=c'
+      WHEN 2 THEN 'https://host' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.example.com:443/page/' || CAST(doc_id % 200 AS VARCHAR)
+      ELSE 'HTTPS://HOST' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.EXAMPLE.COM/page/' || CAST(doc_id % 200 AS VARCHAR)
+                  || '#sec' || CAST(doc_id % 5 AS VARCHAR)
+    END
+"""
+
+@register(
+    "url_canonical_dedup",
+    f"""
+    WITH raw AS (SELECT doc_id, {_UC_VARIANT_SQL} AS url FROM documents),
+    s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+    s2 AS (SELECT doc_id, regexp_replace(u, '(utm_[a-z]+|gclid|fbclid)=[^&]*&?', '', 'g') AS u FROM s1),
+    s3 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '\\?&', '?'), '[?&]$', '') AS u FROM s2),
+    s4 AS (SELECT doc_id,
+                  regexp_replace(
+                      regexp_replace(u, '(?i)^(http://[^/:]+):80(/|$)', '\\1\\2'),
+                      '(?i)^(https://[^/:]+):443(/|$)', '\\1\\2') AS u
+           FROM s3),
+    s5 AS (SELECT doc_id,
+                  lower(regexp_extract(u, '(?i)^(https?://[^/]+)', 1))
+                  || substr(u, length(regexp_extract(u, '(?i)^(https?://[^/]+)', 1)) + 1)
+                      AS u
+           FROM s4),
+    canon AS (SELECT doc_id, regexp_replace(u, '/$', '') AS canonical_url
+              FROM s5)
+    SELECT canonical_url,
+           MIN(doc_id) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_variants
+    FROM canon GROUP BY 1
+    """,
+)
+def url_canonical_dedup_q(star: Star) -> DataFrame:
+    d = F.col("doc_id")
+    host_n = F.pmod(d, F.lit(50)).cast("string")
+    page_n = F.pmod(d, F.lit(200)).cast("string")
+    v = F.pmod(F.floor(d / 200), F.lit(4))
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://Host"), host_n, F.lit(".Example.com/page/"),
+            page_n, F.lit("/")))
+        .when(v == 1, F.concat(
+            F.lit("https://host"), host_n, F.lit(".example.com/page/"),
+            page_n, F.lit("?utm_source=s"),
+            F.pmod(d, F.lit(7)).cast("string"), F.lit("&utm_campaign=c")))
+        .when(v == 2, F.concat(
+            F.lit("https://host"), host_n, F.lit(".example.com:443/page/"),
+            page_n))
+        .otherwise(F.concat(
+            F.lit("HTTPS://HOST"), host_n, F.lit(".EXAMPLE.COM/page/"),
+            page_n, F.lit("#sec"), F.pmod(d, F.lit(5)).cast("string")))
+    )
+    return (
+        star.documents.select(
+            d, X.canonicalize_url(url).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+        .select("canonical_url", "doc_id", "n_variants")
+    )

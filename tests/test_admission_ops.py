@@ -364,3 +364,41 @@ def test_anchor_text_terms_group_alignment(spark):
            anchor_text_terms(df, k=5).collect()}
     assert got == {("a.com", "alpha"), ("a.com", "gamma"),
                    ("b.com", "beta")}
+
+
+# ---------------------------------------------------------------------------
+# canonicalize_url / url_canonical_dedup
+# ---------------------------------------------------------------------------
+
+def test_canonicalize_url_hand_computed(spark):
+    from sap_data_pipeline_spark.functions.text import canonicalize_url
+
+    cases = {
+        "https://WWW.Example.COM/Path/?utm_source=x&id=3&utm_campaign=y#f":
+            "https://www.example.com/Path/?id=3",
+        "http://example.com:80/a?gclid=zz": "http://example.com/a",
+        "https://example.com:443/": "https://example.com",
+        "https://example.com/path/": "https://example.com/path",
+        "http://h.com/p?utm_only=1": "http://h.com/p",
+        "https://h.com/p?a=1&fbclid=q&b=2": "https://h.com/p?a=1&b=2",
+        "HTTPS://H.COM/Upper/Case": "https://h.com/Upper/Case",
+        "https://h.com:8080/x/": "https://h.com:8080/x",  # non-default port kept
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {r["url"]: r["c"] for r in
+           df.select("url", canonicalize_url("url").alias("c")).collect()}
+    assert got == cases
+
+
+def test_canonicalize_url_is_idempotent(spark):
+    from sap_data_pipeline_spark.functions.text import canonicalize_url
+
+    urls = [
+        "https://WWW.Example.COM/Path/?utm_source=x&id=3#f",
+        "http://example.com:80/a?gclid=zz",
+        "https://h.com/p?a=1&fbclid=q&b=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(canonicalize_url("url").alias("c"))
+    twice = once.select(canonicalize_url("c").alias("c"))
+    assert [r["c"] for r in once.collect()] == [r["c"] for r in twice.collect()]

@@ -115,5 +115,33 @@ def main() -> None:
     spark.stop()
 
 
+
+
+def main_anchor() -> None:
+    """anchor_text_terms batch, same instrument."""
+    from sap_data_pipeline_spark.operators.corpus import anchor_text_terms
+
+    spark = get_spark("scale-r10-anchor")
+    base = 20_000
+    for label, factor in (("1x", 1), ("20x", 20)):
+        n = base * factor
+        html = docs(spark, n).select(
+            F.concat(
+                F.lit('<a href="https://h'),
+                (F.col("doc_id") % 997).cast("string"),
+                F.lit('.example.com/p">click best site '),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit('</a><a href="http://h'),
+                ((F.col("doc_id") * 3 + 1) % 997).cast("string"),
+                F.lit('.example.com/q">read more '),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit("</a>"),
+            ).alias("html")
+        )
+        t = best2(lambda: anchor_text_terms(html, k=5))
+        print(f"{label} n={n}: anchor_text_terms={t:.2f}s")
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    main_anchor() if "--anchor" in sys.argv else main()
