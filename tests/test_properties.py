@@ -476,3 +476,155 @@ def test_drift_psi_nonnegative_symmetric_zero_on_self(spark, ref, cur):
     assert fwd >= 0 and bwd >= 0
     assert fwd == bwd
     assert self_ == 0.0
+
+
+_texts = st.lists(
+    st.text(alphabet="abcdef ", min_size=1, max_size=30),
+    min_size=1, max_size=15,
+)
+
+
+@PROP
+@given(texts=_texts, copies=st.lists(st.integers(0, 14), max_size=10))
+def test_dedup_safe_split_group_atomic_property(spark, texts, copies):
+    """For ANY corpus (including hash-adversarial duplicates injected at
+    arbitrary ids), rows sharing a normalized-text fingerprint always
+    carry the same split label."""
+    from sap_data_pipeline_spark.operators.sampling import dedup_safe_split
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [
+        (1000 + j, texts[c % len(texts)]) for j, c in enumerate(copies)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup_safe_split(df)
+    bad = (
+        out.groupBy("fingerprint")
+        .agg(F.count_distinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert bad == 0
+
+
+@PROP
+@given(
+    hi=st.integers(0, (1 << 32) - 1),
+    lo=st.integers(0, (1 << 32) - 1),
+    flips=st.lists(st.integers(0, 63), min_size=0, max_size=3, unique=True),
+)
+def test_ahash_banded_recall_within_radius_property(spark, hi, lo, flips):
+    """ANY pair of 64-bit hashes within Hamming distance 3 is found by
+    the banded pairing (pigeonhole: 4 bands, <= 3 damaged bits leave one
+    band intact) with the exact distance reported."""
+    from sap_data_pipeline_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+    )
+
+    hi2, lo2 = hi, lo
+    for b in flips:
+        if b < 32:
+            hi2 ^= 1 << (31 - b)
+        else:
+            lo2 ^= 1 << (63 - b)
+    hashes = spark.createDataFrame(
+        [(1, hi, lo), (2, hi2, lo2)],
+        "media_id long, hash_hi long, hash_lo long",
+    )
+    out = ahash_near_dup_pairs(hashes, max_hamming=3).collect()
+    assert len(out) == 1
+    assert (out[0]["id_a"], out[0]["id_b"], out[0]["hamming"]) == (
+        1, 2, len(flips),
+    )
+
+
+_url_strategy = st.builds(
+    lambda scheme, up, host, port, path, slash, params, frag: (
+        (scheme.upper() if up else scheme) + "://" + host
+        + (f":{port}" if port else "")
+        + "/" + "/".join(path)
+        + ("/" if slash and path else "")
+        + ("?" + "&".join(params) if params else "")
+        + (f"#{frag}" if frag is not None else "")
+    ),
+    scheme=st.sampled_from(["http", "https"]),
+    up=st.booleans(),
+    host=st.sampled_from(["a.com", "B.Example.COM", "x-y.org"]),
+    port=st.sampled_from([None, 80, 443, 8080]),
+    path=st.lists(st.sampled_from(["p", "Q", "r2"]), max_size=3),
+    slash=st.booleans(),
+    params=st.lists(
+        st.sampled_from(["a=1", "utm_source=x", "gclid=7", "b=2",
+                         "utm_campaign=c"]),
+        max_size=4,
+    ),
+    frag=st.sampled_from([None, "top", "sec2"]),
+)
+
+
+@PROP
+@given(urls=st.lists(_url_strategy, min_size=1, max_size=12))
+def test_canonicalize_url_idempotent_property(spark, urls):
+    """canon(canon(u)) == canon(u) for any URL the grammar generates, and
+    the output never carries fragments, tracking params, default ports,
+    or a trailing slash."""
+    from sap_data_pipeline_spark.functions.text import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(
+        "url", canonicalize_url("url").alias("c1")
+    ).select(
+        "url", "c1", canonicalize_url("c1").alias("c2")
+    )
+    for r in once.collect():
+        assert r["c1"] == r["c2"], (r["url"], r["c1"], r["c2"])
+        assert "#" not in r["c1"] and "utm_" not in r["c1"]
+        assert "gclid" not in r["c1"] and not r["c1"].endswith("/")
+        # DEFAULT ports are stripped (http:80 / https:443); a
+        # non-default port (https on :80, anything on :8080) is kept —
+        # it addresses a different origin.
+        import re as _re
+
+        assert not _re.search(r"^http://[^/:]+:80(/|$)", r["c1"]), r["c1"]
+        assert not _re.search(r"^https://[^/:]+:443(/|$)", r["c1"]), r["c1"]
+
+
+@PROP
+@given(
+    ref_texts=st.lists(st.text(alphabet="abc ", min_size=1, max_size=10),
+                       max_size=8),
+    cur_texts=st.lists(st.text(alphabet="abc ", min_size=1, max_size=10),
+                       min_size=1, max_size=12),
+)
+def test_snapshot_admission_partition_property(spark, ref_texts, cur_texts):
+    """Every batch fingerprint is either admitted exactly once (with the
+    min id and the true multiplicity) or present in the reference —
+    never both, never dropped."""
+    from sap_data_pipeline_spark.functions import text as X
+    from sap_data_pipeline_spark.operators.dedup import snapshot_admission
+
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)] or [(0, "seed")],
+        ["doc_id", "text"],
+    )
+    cur = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(cur_texts)], ["doc_id", "text"]
+    )
+    out = {r["fingerprint"]: (r["doc_id"], r["n_copies"])
+           for r in snapshot_admission(ref, cur).collect()}
+    ref_fp = {r["f"] for r in
+              ref.select(X.md5_fingerprint("text").alias("f")).collect()}
+    cur_fp: dict = {}
+    for r in cur.select(
+        "doc_id", X.md5_fingerprint("text").alias("f")
+    ).collect():
+        lo, n = cur_fp.get(r["f"], (None, 0))
+        cur_fp[r["f"]] = (
+            r["doc_id"] if lo is None else min(lo, r["doc_id"]), n + 1,
+        )
+    for f, (lo, n) in cur_fp.items():
+        if f in ref_fp:
+            assert f not in out
+        else:
+            assert out[f] == (lo, n)
+    assert set(out) == set(cur_fp) - ref_fp
