@@ -402,3 +402,42 @@ def test_canonicalize_url_is_idempotent(spark):
     once = df.select(canonicalize_url("url").alias("c"))
     twice = once.select(canonicalize_url("c").alias("c"))
     assert [r["c"] for r in once.collect()] == [r["c"] for r in twice.collect()]
+
+
+def test_admit_crawl_batch_readmission_is_empty(spark, tmp_path):
+    """Content-level exactly-once: once a batch is admitted into the
+    reference corpus, replaying the SAME batch admits nothing — the
+    property that makes crash-replayed ingest safe."""
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.etl import admit_crawl_batch
+
+    good = ("a perfectly reasonable document with the usual amount of "
+            "words and the standard sprinkling of stopwords in it to "
+            "pass the quality score gate comfortably every single time")
+    ref = spark.createDataFrame(
+        [(1, good + " seed", "h0")], ["doc_id", "text", "host"]
+    )
+    batch = spark.createDataFrame(
+        [(10 + i, good + f" page {i}", f"h{i % 2}") for i in range(6)],
+        ["doc_id", "text", "host"],
+    )
+    first = admit_crawl_batch(ref, batch, str(tmp_path / "v1"))
+    assert first["rows_final"] == 6
+
+    admitted = spark.read.parquet(str(tmp_path / "v1")).select(
+        "doc_id", "text", "host"
+    )
+    ref2 = ref.unionByName(admitted)
+    second = admit_crawl_batch(ref2, batch, str(tmp_path / "v2"))
+    assert second["admitted_after_dedup"] == 0
+    assert second["rows_final"] == 0
+    # and a half-new batch admits exactly the new half
+    batch2 = batch.unionByName(spark.createDataFrame(
+        [(50 + i, good + f" fresh {i}", "h9") for i in range(3)],
+        ["doc_id", "text", "host"],
+    ))
+    third = admit_crawl_batch(ref2, batch2, str(tmp_path / "v3"))
+    assert third["admitted_after_dedup"] == 3
+    got = spark.read.parquet(str(tmp_path / "v3"))
+    assert {r["doc_id"] for r in got.select("doc_id").collect()} == {50, 51, 52}
