@@ -199,6 +199,14 @@ _TAIL = (
     # this query's dedup avoids): the only query verifying URL
     # NORMALIZATION semantics byte-identically across engines:
     "url_canonical_dedup",
+    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
+    # image near-dup clusters: the aHash pair graph closed with the
+    # text family's connected-components operator (perceptual dups
+    # chain exactly like text near-dups).  Distinct evidence from
+    # near_dup_clusters (MinHash TEXT pair graph) and image_ahash_pairs
+    # (pairs only): the only query verifying transitive closure over a
+    # PERCEPTUAL pair graph:
+    "image_ahash_clusters",
     # r10 new work (never driver-hashed; oracle-green at sf0.01) — r11
     # rotation candidate, rationale pre-written: the ExactSubstr EXCISE
     # pass (Lee et al. 2021) — rewrites every document with repeated

@@ -109,6 +109,10 @@ HEADLINE = [
     # round-10 addition: crawl-frontier URL canonicalization dedup
     # (regex codegen chain + one canonical-keyed keep-first exchange)
     "url_canonical_dedup",
+    # round-10 addition: image near-dup clusters (aHash pair graph +
+    # pointer-jumping components — the iterative path over the
+    # perceptual graph, tracked like near_dup_clusters is for text)
+    "image_ahash_clusters",
 ]
 
 

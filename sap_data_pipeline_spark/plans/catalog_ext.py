@@ -6201,10 +6201,12 @@ def snapshot_dedup_admission_q(star: Star) -> DataFrame:
 _AH_TEMPLATES = 100
 _AH_RADIUS = 3
 
-@register(
-    "image_ahash_pairs",
-    f"""
-    WITH imgs AS (
+# Shared CTE chain: closed-form templated BMPs -> integer aHash cells ->
+# 64-bit hash words -> 16-bit bands -> candidate pairs -> verified pairs.
+# Used by both image_ahash_pairs (the pair list) and image_ahash_clusters
+# (its transitive closure).
+_AH_CTES = f"""
+    imgs AS (
         SELECT doc_id,
                doc_id % {_AH_TEMPLATES} AS t,
                doc_id % 3 AS bright,
@@ -6262,13 +6264,22 @@ _AH_RADIUS = 3
         FROM bands l JOIN bands r
           ON l.band_idx = r.band_idx AND l.band_val = r.band_val
          AND l.doc_id < r.doc_id
+    ),
+    apairs AS (
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(hi_a, hi_b))
+                    + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+              <= {_AH_RADIUS}
     )
-    SELECT id_a, id_b,
-           CAST(bit_count(xor(hi_a, hi_b))
-                + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
-    FROM cand
-    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
-          <= {_AH_RADIUS}
+"""
+
+@register(
+    "image_ahash_pairs",
+    f"""
+    WITH {_AH_CTES}
+    SELECT id_a, id_b, hamming FROM apairs
     """,
 )
 def image_ahash_pairs_q(star: Star) -> DataFrame:
@@ -6446,4 +6457,50 @@ def url_canonical_dedup_q(star: Star) -> DataFrame:
             F.count(F.lit(1)).alias("n_variants"),
         )
         .select("canonical_url", "doc_id", "n_variants")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup CLUSTERS: the aHash pair graph closed transitively —
+# perceptual dups chain exactly like text near-dups (A~B~C with A≁C),
+# so keep-one-per-cluster needs components, not pairs.  Reuses the
+# text family's connected-components operator (pointer jumping,
+# O(log d) rounds) over the image pair graph; the oracle closes the
+# SAME pair CTEs with a recursive CTE — the min-reachable-id fixpoint
+# is unique, so both strategies agree exactly.
+# ---------------------------------------------------------------------------
+
+@register(
+    "image_ahash_clusters",
+    f"""
+    WITH RECURSIVE {_AH_CTES},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM apairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM apairs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON r.src = e.dst
+    ),
+    comp AS (
+        SELECT src AS media_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    csizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY cluster_id
+    )
+    SELECT c.media_id, c.cluster_id, s.cluster_size,
+           c.media_id = c.cluster_id AS is_canonical
+    FROM comp c JOIN csizes s USING (cluster_id)
+    """,
+)
+def image_ahash_clusters_q(star: Star) -> DataFrame:
+    hashes = MM.image_ahash(
+        MM.synth_bmp_media_templated(star.documents, n_templates=_AH_TEMPLATES)
+    )
+    pairs = MM.ahash_near_dup_pairs(hashes, max_hamming=_AH_RADIUS)
+    return D.near_dup_clusters(
+        hashes.select("media_id"), id_col="media_id", pairs=pairs
     )

@@ -122,3 +122,36 @@ def test_templated_synth_template_peers_hash_equal(spark, star):
         n * (n - 1) // 2 for n in Counter(i % 10 for i in ids).values()
     )
     assert same_template == want
+
+
+def test_ahash_clusters_chain_collapses_to_one(spark):
+    """Perceptual dups chain: A~B and B~C within radius with A~C beyond
+    it must still land in ONE cluster with the min id canonical."""
+    from sap_data_pipeline_spark.operators.dedup import near_dup_clusters
+    from sap_data_pipeline_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+    )
+
+    base = 0x0F0F0F0F
+    rows = [
+        (1, base, base),                  # A
+        (2, base ^ 0b11, base),           # B: 2 bits from A
+        (3, base ^ 0b11, base ^ 0b11),    # C: 2 bits from B, 4 from A
+        (9, 0x70F0F0F0, 0x12345678),      # unrelated singleton
+    ]
+    hashes = spark.createDataFrame(
+        rows, "media_id long, hash_hi long, hash_lo long"
+    )
+    pairs = ahash_near_dup_pairs(hashes, max_hamming=3)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got_pairs and (2, 3) in got_pairs
+    assert (1, 3) not in got_pairs  # distance 4 — chained only
+
+    out = near_dup_clusters(
+        hashes.select("media_id"), id_col="media_id", pairs=pairs
+    )
+    got = {r["media_id"]: (r["cluster_id"], r["cluster_size"],
+                           r["is_canonical"]) for r in out.collect()}
+    assert got[1] == (1, 3, True)
+    assert got[2] == (1, 3, False) and got[3] == (1, 3, False)
+    assert got[9] == (9, 1, True)
