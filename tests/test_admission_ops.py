@@ -441,3 +441,49 @@ def test_admit_crawl_batch_readmission_is_empty(spark, tmp_path):
     assert third["admitted_after_dedup"] == 3
     got = spark.read.parquet(str(tmp_path / "v3"))
     assert {r["doc_id"] for r in got.select("doc_id").collect()} == {50, 51, 52}
+
+
+def test_admission_feeds_pretraining_build(spark, tmp_path):
+    """The two E2E pipelines compose: admit_crawl_batch's output is a
+    valid build_training_corpus input, and the final packed corpus
+    contains only admitted, non-blocked, deduplicated documents."""
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.etl import (
+        admit_crawl_batch,
+        build_training_corpus,
+    )
+
+    # docs share only a short stopword-rich prefix (for the quality
+    # gate) over 40 doc-unique letter tokens — distinct enough that the
+    # downstream NEAR-dedup must keep all of them
+    def text_for(i):
+        prefix = "the and of to in is that for with was "
+        return prefix + " ".join(
+            f"zz{chr(97 + i)}{chr(97 + j)}word" for j in range(40)
+        )
+
+    ref = spark.createDataFrame(
+        [(1, text_for(20), "h0")], ["doc_id", "text", "host"]
+    )
+    batch = spark.createDataFrame(
+        [(10 + i, text_for(i), f"h{i % 2}") for i in range(8)]
+        + [(30, text_for(0), "h0")],   # within-batch dup of 10
+        ["doc_id", "text", "host"],
+    )
+    admit_crawl_batch(ref, batch, str(tmp_path / "admitted"))
+    admitted = spark.read.parquet(str(tmp_path / "admitted"))
+    assert admitted.count() == 8  # dup folded
+
+    audit = build_training_corpus(
+        admitted.select("doc_id", "text"),
+        str(tmp_path / "corpus"),
+        pack_budget=64,
+        n_shards=2,
+    )
+    assert audit["rows_final"] == 8
+    packed = spark.read.parquet(str(tmp_path / "corpus"))
+    assert packed.count() == 8
+    assert {r["doc_id"] for r in packed.select("doc_id").collect()} == set(
+        range(10, 18)
+    )
