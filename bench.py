@@ -116,6 +116,30 @@ HEADLINE = [
 ]
 
 
+def format_bench_line(out: dict, *, limit: int = 1900) -> str:
+    """Render the single driver-facing stdout JSON line, guaranteed under
+    ``limit`` chars at ANY catalog size (r10 verdict #1: 55 per-query
+    minimums pushed the line to 1952 chars and tripped the guard, so
+    round 10 recorded ``rc:1, parsed:null`` — the instrument itself
+    broke).  Strategy: print the full object (driver contract includes
+    the per-query dict) when it fits; otherwise drop ``queries`` from
+    stdout and point at BENCH_FULL.json, which always persists the
+    complete object — that was its stated purpose.  The aggregate stats
+    (value / total_median5 / sf / spread / floor ratio / regressions)
+    are ~300 chars regardless of catalog size, so the fallback can't
+    overflow."""
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) >= limit:
+        slim = {k: v for k, v in out.items() if k != "queries"}
+        slim["queries_n"] = len(out.get("queries", {}))
+        slim["queries_full"] = "BENCH_FULL.json"
+        line = json.dumps(slim, separators=(",", ":"))
+    assert len(line) < limit, (
+        f"bench line {len(line)} chars overflows the driver tail"
+    )
+    return line
+
+
 def compute_regressions(timings: dict[str, float], floor: dict[str, float],
                         *, envelope: float = 1.25,
                         abs_slack: float = 0.6) -> list[str]:
@@ -249,9 +273,7 @@ def main() -> None:
     (Path(__file__).resolve().parent / "BENCH_FULL.json").write_text(
         json.dumps(full, indent=1) + "\n"
     )
-    line = json.dumps(out)
-    assert len(line) < 1900, f"bench line {len(line)} chars overflows the driver tail"
-    print(line)
+    print(format_bench_line(out))
 
 
 if __name__ == "__main__":

@@ -66,3 +66,79 @@ def test_floor_comparison_is_sf_gated():
                      .read_text())
     assert "sf" in doc  # the gate needs the floor to declare its SF
     assert float(doc["sf"]) == 0.1
+
+
+def test_bench_line_small_catalog_keeps_per_query_dict():
+    """When the per-query dict fits the driver's stdout tail, the line
+    keeps the full driver-contract shape (queries inline)."""
+    from bench import format_bench_line
+    import json
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": 3.5,
+        "unit": "sec",
+        "queries": {"q1": 1.0, "q2": 2.5},
+        "total_median5": 3.6,
+        "sf": 0.1,
+        "run_spread_pct": 5.0,
+    }
+    line = format_bench_line(out)
+    assert len(line) < 1900
+    parsed = json.loads(line)
+    assert parsed["queries"] == {"q1": 1.0, "q2": 2.5}
+    assert parsed["value"] == 3.5
+
+
+def test_bench_line_500_query_catalog_stays_under_driver_tail():
+    """r10 verdict #1: 55 per-query minimums pushed the printed line to
+    1952 chars and tripped bench.py's own guard — the round recorded
+    rc:1/parsed:null.  The formatter must stay under 1900 chars at ANY
+    catalog size by dropping the queries dict (persisted in
+    BENCH_FULL.json) and keeping the aggregate stats."""
+    from bench import format_bench_line
+    import json
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": 1234.567,
+        "unit": "sec",
+        "queries": {f"an_operator_with_a_long_name_{i:03d}": i * 0.123
+                    for i in range(500)},
+        "total_median5": 1250.0,
+        "sf": 0.1,
+        "run_spread_pct": 12.3,
+        "vs_local_floor": 0.975,
+        "floor_shared_n": 500,
+        "regressions": ["an_operator_with_a_long_name_007"],
+    }
+    line = format_bench_line(out)
+    assert len(line) < 1900
+    parsed = json.loads(line)
+    # aggregate stats survive; per-query data is pointed at, not inlined
+    assert parsed["value"] == 1234.567
+    assert parsed["vs_local_floor"] == 0.975
+    assert parsed["regressions"] == ["an_operator_with_a_long_name_007"]
+    assert "queries" not in parsed
+    assert parsed["queries_n"] == 500
+    assert parsed["queries_full"] == "BENCH_FULL.json"
+
+
+def test_bench_line_current_headline_set_shape():
+    """The actual HEADLINE catalog (the thing that overflowed) renders
+    under the limit with realistic 3-decimal timings."""
+    from bench import HEADLINE, format_bench_line
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": 87.9,
+        "unit": "sec",
+        "queries": {q: 1.234 for q in HEADLINE},
+        "total_median5": 90.1,
+        "sf": 0.1,
+        "run_spread_pct": 12.0,
+        "vs_local_floor": 0.975,
+        "floor_shared_n": len(HEADLINE),
+        "regressions": [],
+    }
+    assert len(format_bench_line(out)) < 1900
