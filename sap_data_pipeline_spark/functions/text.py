@@ -469,7 +469,16 @@ def canonicalize_url(c: ColumnOrName) -> Column:
     """
     u = _c(c)
     u = F.regexp_replace(u, "#.*$", "")
-    u = F.regexp_replace(u, "(utm_[a-z]+|gclid|fbclid)=[^&]*&?", "")
+    # Tracking params must be anchored on a [?&] separator (kept via $1)
+    # or the pattern matches MID-TOKEN: the unanchored r10 form turned
+    # `?myutm_a=1` into `?my`, conflating distinct URLs, while
+    # `?UTM_SOURCE=x` survived (ADVICE r10).  The repeated inner group
+    # strips RUNS of consecutive tracking params in one match — with a
+    # single-param pattern the replacement consumes the `&` that the
+    # next param needs as its own anchor and leaves it behind.
+    u = F.regexp_replace(
+        u, r"(?i)([?&])((utm_[a-z]+|gclid|fbclid)=[^&]*&?)+", "$1"
+    )
     u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, "[?&]$", "")
     u = F.regexp_replace(u, "(?i)^(http://[^/:]+):80(/|$)", "$1$2")

@@ -666,7 +666,16 @@ def oov_drift(ref: DataFrame, cur: DataFrame, *, text_col: str = "text",
     )
 
 
-LINK_HOST_RE = r'href="https?://([^/"]+)'
+# Real-web HTML is sloppy (ADVICE r10): uppercase HREF, whitespace
+# around `=`, single-quoted / unquoted attribute values, and
+# protocol-relative `//host/...` links all occur and all carry host
+# signal — so the pattern is case-insensitive, tolerates `\s*=\s*`, an
+# optional quote of either kind, and an optional scheme.  The host
+# group stops at `/`, either quote, whitespace, or `>` (the unquoted
+# terminators).  RE2-compatible (no backrefs) so the DuckDB oracle
+# replays it verbatim.  Known tolerance: a mismatched quote pair
+# (`href="x'`) still extracts — acceptable for signal extraction.
+LINK_HOST_RE = r'(?i)href\s*=\s*["\']?(?:https?:)?//([^/"\'\s>]+)'
 
 
 def link_host_graph(df: DataFrame, *, html_col: str = "html",
@@ -696,7 +705,13 @@ def link_host_graph(df: DataFrame, *, html_col: str = "html",
     )
 
 
-ANCHOR_RE = r'href="https?://([^/"]+)[^"]*"[^>]*>([^<]*)<'
+# Anchor-text needs the closing quote to find the tag end, so unquoted
+# hrefs are out of scope here (they remain covered by LINK_HOST_RE for
+# the edge list); case, whitespace, either quote kind, and
+# protocol-relative links are all tolerated as above.
+ANCHOR_RE = (
+    r'(?i)href\s*=\s*["\'](?:https?:)?//([^/"\']+)[^"\']*["\'][^>]*>([^<]*)<'
+)
 
 
 def anchor_text_terms(df: DataFrame, *, html_col: str = "html",

@@ -1350,7 +1350,16 @@ def image_ahash(media: DataFrame, *, grid: int = 8) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in AHASH_SCHEMA.fieldNames()}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, bpp, px = decode_bmp_pixels(payload)
+                # A mixed-modality corpus WILL contain non-BMP / null
+                # payloads in the same batch; the codec env-gate raises
+                # NotImplementedError for those, and one such row must
+                # not kill the whole job (ADVICE r10).  Degrade to the
+                # null-hash contract (ahash_near_dup_pairs filters
+                # null hashes), same as compressed/non-24bpp BMPs.
+                try:
+                    w, h, bpp, px = decode_bmp_pixels(payload)
+                except NotImplementedError:
+                    w = h = px = None
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)

@@ -6091,12 +6091,17 @@ _LG_HOSTS = 7
                || '.example.com/p/' || CAST(doc_id AS VARCHAR)
                || '">x</a><a href="/nav">n</a><a href="http://host'
                || CAST((doc_id * 2 + 3) % {_LG_HOSTS} AS VARCHAR)
-               || '.example.com/q">y</a></body></html>' AS html
+               || '.example.com/q">y</a><a HREF = ''https://host'
+               || CAST((doc_id * 3 + 1) % {_LG_HOSTS} AS VARCHAR)
+               || '.example.com/r''>z</a><a href=//host'
+               || CAST((doc_id * 5 + 2) % {_LG_HOSTS} AS VARCHAR)
+               || '.example.com/s>w</a></body></html>' AS html
         FROM documents
     ),
     edges AS (
         SELECT src_host,
-               unnest(regexp_extract_all(html, 'href="https?://([^/"]+)', 1))
+               unnest(regexp_extract_all(html,
+                   '(?i)href\\s*=\\s*["'']?(?:https?:)?//([^/"''\\s>]+)', 1))
                    AS dst_host
         FROM dirty
     )
@@ -6120,7 +6125,14 @@ def html_link_graph_q(star: Star) -> DataFrame:
             F.lit("/p/"), d.cast("string"),
             F.lit('">x</a><a href="/nav">n</a><a href="http://'),
             host(F.pmod(d * 2 + 3, F.lit(_LG_HOSTS))),
-            F.lit('/q">y</a></body></html>'),
+            # messy-HTML variants the broadened pattern must catch
+            # (ADVICE r10): uppercase HREF + spaced `=` + single quotes,
+            # and an unquoted protocol-relative link
+            F.lit("/q\">y</a><a HREF = 'https://"),
+            host(F.pmod(d * 3 + 1, F.lit(_LG_HOSTS))),
+            F.lit("/r'>z</a><a href=//"),
+            host(F.pmod(d * 5 + 2, F.lit(_LG_HOSTS))),
+            F.lit("/s>w</a></body></html>"),
         ).alias("html"),
     )
     return link_host_graph(dirty)
@@ -6313,7 +6325,11 @@ _AT_DIRTY_SQL = f"""
            || '</a><a href="/nav">skip this one</a><a href="http://host'
            || CAST((doc_id * 2 + 3) % {_LG_HOSTS} AS VARCHAR)
            || '.example.com/q">read more '
-           || CAST(doc_id % 4 AS VARCHAR) || '</a>' AS html
+           || CAST(doc_id % 4 AS VARCHAR)
+           || '</a><a HREF = ''//host'
+           || CAST((doc_id * 3 + 1) % {_LG_HOSTS} AS VARCHAR)
+           || '.example.com/r''>mirror page '
+           || CAST(doc_id % 3 AS VARCHAR) || '</a>' AS html
     FROM documents
 """
 
@@ -6323,8 +6339,8 @@ _AT_DIRTY_SQL = f"""
     WITH dirty AS ({_AT_DIRTY_SQL}),
     z AS (
         SELECT unnest(list_zip(
-            regexp_extract_all(html, 'href="https?://([^/"]+)[^"]*"[^>]*>([^<]*)<', 1),
-            regexp_extract_all(html, 'href="https?://([^/"]+)[^"]*"[^>]*>([^<]*)<', 2)
+            regexp_extract_all(html, '(?i)href\\s*=\\s*["''](?:https?:)?//([^/"'']+)[^"'']*["''][^>]*>([^<]*)<', 1),
+            regexp_extract_all(html, '(?i)href\\s*=\\s*["''](?:https?:)?//([^/"'']+)[^"'']*["''][^>]*>([^<]*)<', 2)
         )) AS s
         FROM dirty
     ),
@@ -6366,6 +6382,13 @@ def anchor_text_terms_q(star: Star) -> DataFrame:
             host(F.pmod(d * 2 + 3, F.lit(_LG_HOSTS))),
             F.lit('/q">read more '),
             F.pmod(d, F.lit(4)).cast("string"),
+            # messy-HTML anchor the broadened pattern must catch
+            # (ADVICE r10): uppercase HREF, spaced `=`, single quotes,
+            # protocol-relative target
+            F.lit("</a><a HREF = '//"),
+            host(F.pmod(d * 3 + 1, F.lit(_LG_HOSTS))),
+            F.lit("/r'>mirror page "),
+            F.pmod(d, F.lit(3)).cast("string"),
             F.lit("</a>"),
         ).alias("html"),
     )
@@ -6407,7 +6430,7 @@ _UC_VARIANT_SQL = """
     f"""
     WITH raw AS (SELECT doc_id, {_UC_VARIANT_SQL} AS url FROM documents),
     s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
-    s2 AS (SELECT doc_id, regexp_replace(u, '(utm_[a-z]+|gclid|fbclid)=[^&]*&?', '', 'g') AS u FROM s1),
+    s2 AS (SELECT doc_id, regexp_replace(u, '(?i)([?&])((utm_[a-z]+|gclid|fbclid)=[^&]*&?)+', '\\1', 'g') AS u FROM s1),
     s3 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '\\?&', '?'), '[?&]$', '') AS u FROM s2),
     s4 AS (SELECT doc_id,
                   regexp_replace(

@@ -191,6 +191,46 @@ def test_link_host_graph_strips_port_free_authority_up_to_slash(spark):
     assert row["dst_host"] == "h.example.com:8443"
 
 
+def test_link_host_graph_sloppy_real_web_html(spark):
+    """ADVICE r10: real-web HTML carries uppercase HREF, whitespace
+    around `=`, single-quoted / unquoted values, and protocol-relative
+    links — each carries host signal and must extract; mid-word
+    `data-href` noise and relative links must not."""
+    from sap_data_pipeline_spark.operators.corpus import link_host_graph
+
+    df = spark.createDataFrame(
+        [
+            ("s",
+             '<a HREF="https://up.com/p">1</a>'
+             "<a href = 'https://sq.com/q'>2</a>"
+             '<a href=//proto.com/r>3</a>'
+             '<a href=HTTP://cased.com/s>4</a>'
+             '<a href="/relative">r</a>'),
+        ],
+        ["src_host", "html"],
+    )
+    got = {r["dst_host"] for r in link_host_graph(df).collect()}
+    assert got == {"up.com", "sq.com", "proto.com", "cased.com"}
+
+
+def test_anchor_text_terms_sloppy_real_web_html(spark):
+    """The anchor-text twin of the above: quoted-but-messy anchors
+    (uppercase HREF, spaced `=`, single quotes, protocol-relative)
+    extract both host and text."""
+    from sap_data_pipeline_spark.operators.corpus import anchor_text_terms
+
+    df = spark.createDataFrame(
+        [("<a HREF = '//m.com/x' class='z'>mirror page</a>"
+          '<a href="https://n.com/y">plain link</a>',)],
+        ["html"],
+    )
+    got = {(r["dst_host"], r["term"]) for r in
+           anchor_text_terms(df, k=5).collect()}
+    assert ("m.com", "mirror") in got
+    assert ("m.com", "page") in got
+    assert ("n.com", "plain") in got
+
+
 # ---------------------------------------------------------------------------
 # snapshot_admission
 # ---------------------------------------------------------------------------
@@ -383,6 +423,20 @@ def test_canonicalize_url_hand_computed(spark):
         "https://h.com/p?a=1&fbclid=q&b=2": "https://h.com/p?a=1&b=2",
         "HTTPS://H.COM/Upper/Case": "https://h.com/Upper/Case",
         "https://h.com:8080/x/": "https://h.com:8080/x",  # non-default port kept
+        # ADVICE r10: the tracking-param pattern must anchor on a [?&]
+        # separator — a legitimate param that merely CONTAINS "utm_"
+        # mid-token is not a tracking param and must survive intact
+        # (the unanchored form canonicalized `?myutm_a=1` to `?my`):
+        "https://h.com/p?myutm_a=1": "https://h.com/p?myutm_a=1",
+        # ...and must be case-insensitive, since the authority is
+        # lowercased but param names were matched lowercase-only:
+        "https://h.com/p?UTM_SOURCE=x": "https://h.com/p",
+        "https://h.com/p?a=1&FbClId=q": "https://h.com/p?a=1",
+        # runs of consecutive tracking params collapse in one match
+        # (a single-param pattern eats the `&` the next one anchors on):
+        "https://h.com/p?utm_a=1&utm_b=2&c=3": "https://h.com/p?c=3",
+        "https://h.com/p?a=1&utm_x=2&utm_y=3&b=4":
+            "https://h.com/p?a=1&b=4",
     }
     df = spark.createDataFrame([(u,) for u in cases], ["url"])
     got = {r["url"]: r["c"] for r in

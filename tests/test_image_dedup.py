@@ -155,3 +155,32 @@ def test_ahash_clusters_chain_collapses_to_one(spark):
     assert got[1] == (1, 3, True)
     assert got[2] == (1, 3, False) and got[3] == (1, 3, False)
     assert got[9] == (9, 1, True)
+
+
+def test_ahash_mixed_modality_batch_degrades_to_null_hash(spark):
+    """ADVICE r10: one non-BMP or null payload in a batch must not kill
+    the job — the row degrades to the null-hash contract (null
+    width/height/hash) that ahash_near_dup_pairs already filters,
+    while BMP rows in the SAME batch still hash."""
+    from sap_data_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+        image_ahash,
+    )
+
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    px[:, 8:, :] = 200
+    rows = [
+        (1, bytearray(encode_bmp(px))),          # real BMP
+        (2, bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)),  # PNG magic
+        (3, None),                               # null payload
+        (4, bytearray(b"shrt")),                 # truncated garbage
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in image_ahash(media).collect()}
+    assert len(got) == 4
+    assert got[1]["hash_hi"] == 0x0F0F0F0F  # the BMP row still hashes
+    for mid in (2, 3, 4):
+        assert got[mid]["width"] is None
+        assert got[mid]["height"] is None
+        assert got[mid]["hash_hi"] is None
+        assert got[mid]["hash_lo"] is None
