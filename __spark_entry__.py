@@ -143,13 +143,76 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     revenue window) and its multi-dim star by the in-window
 #     tpch_q8_market_share (7-table star).
 _TAIL = (
-    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
-    # leakage-safe split: the split hash key is the CONTENT fingerprint
-    # (md5 of normalized text) so exact duplicates / re-crawls can never
-    # straddle train and test.  Distinct evidence from the in-window
-    # train_test_split (id-keyed membership, leakage-prone by design):
-    # this is the only query verifying GROUP-ATOMIC split assignment:
-    "dedup_safe_split",
+    # r11 rotation (r10 verdict #4 — promote the never-driver-hashed r10
+    # tail: dedup_safe_split, snapshot_dedup_admission, image_ahash_pairs,
+    # image_ahash_clusters, url_canonical_dedup, exact_substring_excise,
+    # eval_holdout_exact, epoch_shuffle_order, quality_classifier_score_fixed,
+    # corpus_mixture_upsampled, and ann_ivf_fixed_centroids_topk — each
+    # rationale pre-written at its r10 tail entry).  Demoted to make room,
+    # every one driver-hashed green in CORRECTNESS_r10 (most across many
+    # rounds) and each double-evidenced by a strictly harder in-window
+    # query:
+    #   train_test_split — id-keyed fractional membership, superseded by
+    #   the promoted dedup_safe_split, the same split kernel keyed on the
+    #   CONTENT fingerprint with group-atomic assignment (strictly harder:
+    #   it verifies membership AND that no duplicate straddles splits);
+    #   driver-green r4-r10:
+    "train_test_split",
+    #   corpus_weighted_mix — hash-gated downsampling, superseded by the
+    #   promoted corpus_mixture_upsampled whose fractional-epoch selection
+    #   composes bit-exactly with (and replays) the same portable-hash
+    #   keep rule while additionally verifying the map-side multi-copy
+    #   explode; driver-green r5-r10:
+    "corpus_weighted_mix",
+    #   tpch_q5_local_supplier_volume — 6-table star, a strict subset of
+    #   the in-window tpch_q8_market_share's 7-table star computing the
+    #   harder conditional share; driver-green r4-r10:
+    "tpch_q5_local_supplier_volume",
+    #   tpch_q18_large_volume_customers — HAVING semi-join + top-100, the
+    #   nested-subquery shape evidenced by the in-window tpch_q21's
+    #   strictly harder nested semi/anti self-joins and the ordered-output
+    #   shape by store_rp_report (O1); driver-green r6-r10:
+    "tpch_q18_large_volume_customers",
+    #   embedding_near_dup_cells — cell-blocked cosine pairing, the same
+    #   blocking shape the in-window knn_graph_cells drives through the
+    #   harder per-source global top-k (Σ|block|² candidates, then rank);
+    #   driver-green r5-r10:
+    "embedding_near_dup_cells",
+    #   ann_lsh_topk — hyperplane-LSH serving path; the ANN serving
+    #   family's in-window evidence moves to the promoted
+    #   ann_ivf_fixed_centroids_topk, which value-hashes the PRODUCTION
+    #   ivf_topk kernel end-to-end (assignment, nprobe probing, cell
+    #   join, rank) — the 100 TB serving path; the LSH variant keeps its
+    #   recall gate + unit tests and stays oracle-green in the tail;
+    #   driver-green r4-r10:
+    "ann_lsh_topk",
+    #   embedding_centroids — nearest-centroid assignment, replayed
+    #   verbatim as stage 1 of the promoted ann_ivf_fixed_centroids_topk
+    #   (cell assignment over the same literal centroids, then strictly
+    #   more: probing + ADC rank); driver-green r5-r10:
+    "embedding_centroids",
+    #   text_stats — length/punct/stopword profile, a strict subset of
+    #   the in-window gopher_quality_flags battery computed over the same
+    #   tokenizer; driver-green r3-r10:
+    "text_stats",
+    #   near_dup_cluster_quality — audit aggregates over the SAME pair
+    #   CTE the in-window near_dup_clusters closes transitively (the
+    #   candidate SQL is shared verbatim); the aggregate-audit shape is
+    #   independently in-window via data_quality_checks; driver-green
+    #   r7-r10:
+    "near_dup_cluster_quality",
+    #   corpus_stats_rollup — multi-grain rollup, evidenced by the
+    #   in-window weekly_site_sales_analytics' strictly harder multi-grain
+    #   branch merge + analytic windows; driver-green r3-r10:
+    "corpus_stats_rollup",
+    #   media_sniff_dispatch — magic-byte dispatch into the real
+    #   decoders; the promoted image_ahash_pairs/image_ahash_clusters now
+    #   drive the REAL BMP decode through the same Arrow mapInPandas
+    #   stage shape and verify strictly more downstream (perceptual
+    #   fingerprint + banded pairing + components); WAV/Y4M decode stays
+    #   oracle-green in the tail (audio_meta_wav, video_meta_y4m) and
+    #   unit-tested; driver-green r6-r10:
+    "media_sniff_dispatch",
     # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
     # domain-tier admission cut: per-host low-quality share over the
     # hash-verified quality_score kernel, exact integer gate
@@ -167,22 +230,6 @@ _TAIL = (
     # the only query verifying the EDGE-LIST extraction end-to-end:
     "html_link_graph",
     # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
-    # cross-snapshot admission dedup: within-batch keep-first THEN an
-    # anti-join against the reference snapshot's fingerprint set — the
-    # batch twin of the streaming incremental near-dedup.  Distinct
-    # evidence from exact_dedup_documents (single-corpus group-by):
-    # this is the only query verifying CROSS-SNAPSHOT rejection:
-    "snapshot_dedup_admission",
-    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
-    # image-modality near-dup: aHash over the REAL BMP decode path
-    # (integer 8×8 lattice, brightness-invariant by construction),
-    # four 16-bit Hamming bands, exact bit_count(xor) verify at
-    # radius 3.  Distinct evidence from simhash_near_dup_pairs (TEXT
-    # sketches) and media_sniff_dispatch (decode only): this is the
-    # only query value-hashing a PERCEPTUAL media fingerprint + its
-    # banded pairing end-to-end:
-    "image_ahash_pairs",
-    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
     # anchor-text index: two aligned regexp_extract_all group passes
     # zipped positionally (host, anchor text), corpus-tokenized, top-k
     # terms per destination host with an exact tie rule.  Distinct
@@ -190,33 +237,6 @@ _TAIL = (
     # tfidf_top_terms (a doc's OWN terms): this is the only query
     # verifying the what-the-web-calls-it INBOUND text signal:
     "anchor_text_terms",
-    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
-    # crawl-frontier URL dedup: fragment/tracking-param/default-port/
-    # case/trailing-slash canonicalization as a pure regex codegen
-    # chain, then keep-first per canonical form.  Distinct evidence
-    # from url_components (parses fields, never normalizes) and
-    # exact_dedup_documents (content fingerprints — runs AFTER a fetch
-    # this query's dedup avoids): the only query verifying URL
-    # NORMALIZATION semantics byte-identically across engines:
-    "url_canonical_dedup",
-    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
-    # image near-dup clusters: the aHash pair graph closed with the
-    # text family's connected-components operator (perceptual dups
-    # chain exactly like text near-dups).  Distinct evidence from
-    # near_dup_clusters (MinHash TEXT pair graph) and image_ahash_pairs
-    # (pairs only): the only query verifying transitive closure over a
-    # PERCEPTUAL pair graph:
-    "image_ahash_clusters",
-    # r10 new work (never driver-hashed; oracle-green at sf0.01) — r11
-    # rotation candidate, rationale pre-written: the ExactSubstr EXCISE
-    # pass (Lee et al. 2021) — rewrites every document with repeated
-    # width-token spans removed, keep-first canonical occurrence.
-    # Distinct evidence from the in-window repeated_substring_stats
-    # (measures the duplicated fraction, never rewrites) and from
-    # decontaminate_spans (excises vs an external benchmark, not
-    # corpus-self): this is the only query whose oracle value-hashes
-    # the self-dedup REWRITE (clean_text) end-to-end:
-    "exact_substring_excise",
     # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
     # RefinedWeb per-host boilerplate filter: lines repeating across
     # ≥50% of ONE host's docs removed in exact integer arithmetic.
@@ -232,14 +252,6 @@ _TAIL = (
     # the only query verifying a cross-SNAPSHOT distribution compare:
     "source_drift_psi",
     # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
-    # exact-size eval-set builder: largest-remainder (Hamilton)
-    # apportionment of an exact global total across strata + per-stratum
-    # lowest-hash picks.  Distinct evidence from train_test_split
-    # (fraction membership) and weighted_sample_by_length (per-stratum
-    # top-n): this is the only query whose oracle verifies an exact
-    # GLOBAL-total allocation (Σ quota == total by construction):
-    "eval_holdout_exact",
-    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
     # privacy release gate: k-anonymity audit over the metadata
     # quasi-identifier triple, at-risk groups only.  Distinct evidence
     # from data_quality_checks (aggregate violation counts): this is
@@ -254,15 +266,6 @@ _TAIL = (
     # the only query verifying a cross-snapshot VOCABULARY-coverage
     # compare:
     "vocab_oov_drift",
-    # r10 new work (never driver-hashed; oracle-green at sf0.01) — r11
-    # rotation candidate, rationale pre-written: the training-loader
-    # epoch-ordering pass (seeded-md5 global shuffle → shard →
-    # per-shard rank → interleaved global_order), value-hashing the
-    # exact permutation both engines derive from the portable hash.
-    # Distinct evidence from the in-window train_test_split (membership
-    # label) and weighted_sample_by_length (top-n selection): this is
-    # the only query whose oracle verifies a total ORDER:
-    "epoch_shuffle_order",
     # r10 new work (never driver-hashed; oracle-green at sf0.01) — its
     # companion: contrastive ring negative sampling (k deterministic
     # negatives per anchor by stepping the epoch-shuffle ring; broadcast
@@ -270,32 +273,10 @@ _TAIL = (
     # Distinct evidence from hard_negatives_topk (embedding-similarity
     # negatives): this verifies the UNIFORM-pairing path end-to-end:
     "ring_negatives_pairs",
-    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
-    # learned quality filter's serving kernel over FROZEN literal
-    # weights (feature extraction → raw-scale dot product → rounded
-    # sigmoid → decision), the fixed-model precedent applied to the
-    # linear-classifier family; its gradient-descent training twin is
-    # rows-only by design (numpy-differential-tested):
-    "quality_classifier_score_fixed",
     # rows-only-by-design (iterative full-batch logistic GD; one
     # gradient aggregate per iteration, differential-tested against a
     # numpy replica of the exact spec in test_linear_model.py):
     "quality_classifier_train",
-    # r10 new work (never driver-hashed; oracle-green at sf0.01) — the
-    # epochs-per-source upsampling mix (GPT-3/LLaMA recipe: fraction
-    # 2.5 = 2 copies + hash-selected 50% third; broadcast plan +
-    # map-side explode, fractional part composes bit-exactly with the
-    # in-window corpus_weighted_mix's downsample hash contract):
-    "corpus_mixture_upsampled",
-    # r10 new work (never driver-hashed; oracle-green at sf0.01) — prime
-    # r11 rotation candidate, rationale pre-written: oracled
-    # fixed-literal-centroid run of the production similarity.ivf_topk
-    # serving pipeline (assignment, nprobe probing, cell join,
-    # one-exchange rank-then-dedup tail) — value-hashes end-to-end the
-    # IVF serving kernel whose KMeans training keeps ann_ivf_topk
-    # rows-only, the same precedent embedding_fixed_basis_project set
-    # for the PCA family in r9:
-    "ann_ivf_fixed_centroids_topk",
     # likewise for the PQ family: oracled fixed-literal-codebook run of
     # the production pq_topk ADC pipeline (encode argmin, broadcast
     # distance tables, m-lookup ADC, top-4k shortlist, exact-cosine
