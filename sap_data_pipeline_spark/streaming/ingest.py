@@ -574,6 +574,7 @@ def stream_drift_monitor(
     checkpoint_dir: str,
     eps: float = 1e-6,
     available_now: bool = True,
+    cumulative: bool = False,
 ) -> StreamingQuery:
     """foreachBatch → per-micro-batch PSI vs a frozen reference: the
     streaming arm of :func:`operators.quality.drift_psi` — every
@@ -596,6 +597,17 @@ def stream_drift_monitor(
     same directory, so the sink is idempotent and reading ``out_dir``
     yields exactly one report row per (batch, feature) with
     ``batch_id`` recovered as a partition column.
+
+    ``cumulative=True`` switches from scoring each slice in isolation
+    to scoring EVERYTHING ADMITTED SO FAR: batch N's report is exactly
+    the batch twin (:func:`operators.quality.drift_psi`) evaluated on
+    the concatenation of batches 0..N — per-batch bucket counts are
+    persisted under ``{out_dir}/_counts/batch_id={id}/`` (overwrite →
+    idempotent under replay, same argument as the report sink) and the
+    cumulative distribution is their bucket-wise sum.  State is
+    bucket-cardinality-sized parquet, never corpus-sized: at 100 TB a
+    batch pays one pass over itself plus a sum over #batches tiny
+    count files — the reference and prior corpus are never rescanned.
     """
     from sap_data_pipeline_spark.operators.quality import (
         feature_bucket_counts,
@@ -609,9 +621,20 @@ def stream_drift_monitor(
         ref = spark.createDataFrame(
             list(ref_counts), "feature string, bucket string, ref_cnt long"
         )
-        cur = feature_bucket_counts(batch_df, features).withColumnRenamed(
-            "cnt", "cur_cnt"
-        )
+        cur = feature_bucket_counts(batch_df, features)
+        if cumulative:
+            cur.coalesce(1).write.mode("overwrite").parquet(
+                f"{out_dir}/_counts/batch_id={batch_id}"
+            )
+            # batches commit in order, so every dir present is ≤ this
+            # batch_id (a replayed uncommitted batch just overwrote its
+            # own dir) — the sum IS the cumulative distribution
+            cur = (
+                spark.read.parquet(f"{out_dir}/_counts")
+                .groupBy("feature", "bucket")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        cur = cur.withColumnRenamed("cnt", "cur_cnt")
         psi_from_counts(ref, cur, eps=eps).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/batch_id={batch_id}")
