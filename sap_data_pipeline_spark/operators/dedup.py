@@ -1003,15 +1003,28 @@ def seeded_cell_assign(emb: DataFrame, *, id_col: str = "vec_id",
 
     Centroids are the ``n_cells`` vectors with the smallest
     ``md5('cell:' || id)`` (a seeded sample — no iterative training, so
-    the WHOLE operator stays one declarative, SQL-replayable plan);
-    each vector probes its ``nprobe`` nearest cells by L2 so
-    cell-boundary neighbors still meet.  Assignment is map-side: the
-    centroid array broadcasts as ONE row and ranks via higher-order
-    array expressions.  Returns (id, vec, cell) with nprobe rows per
-    vector.
+    the assignment semantics stay SQL-replayable); each vector probes
+    its ``nprobe`` nearest cells by L2 so cell-boundary neighbors still
+    meet.
+
+    The centroid sample is collected to the driver (bounded: n_cells
+    rows, the same precedent as the fixed-model ANN serving twins) and
+    inlined as ONE nested-array literal, so assignment is a pure
+    single-evaluation Project over the scan.  The previous
+    broadcast-one-row + crossJoin formulation measured 4× the
+    assignment flops: Catalyst duplicated the full
+    n_cells-way scoring expression into the BroadcastNestedLoopJoin
+    condition (the inferred ``size(..)>0`` explode guard) AND built the
+    whole centroid subplan once per consumer side — with cells grown
+    ∝ N (the IVF contract) that turned the quadratic assignment term
+    into the dominant super-linear residue of the r10 SCALE table.
+    ``explode_outer`` keeps the guard from re-materializing (the probe
+    array always has nprobe ≥ 1 entries, so the outer form is
+    semantics-identical).  Returns (id, vec, cell) with nprobe rows
+    per vector.
     """
     v_dbl = F.col(vec_col).cast("array<double>")
-    cents = (
+    rows = (
         emb.select(
             F.col(id_col).alias("_cid"),
             v_dbl.alias("cent_vec"),
@@ -1019,20 +1032,16 @@ def seeded_cell_assign(emb: DataFrame, *, id_col: str = "vec_id",
         )
         .orderBy("_r", "_cid")
         .limit(n_cells)
+        .collect()
     )
-    cents = cents.select(
-        (F.row_number().over(Window.orderBy("_r", "_cid")) - 1).alias("cell"),
-        "cent_vec",
-    )
-    cents_arr = cents.agg(
-        F.collect_list(F.struct(F.col("cell"), F.col("cent_vec"))).alias("_cents")
-    )
+    rows.sort(key=lambda r: (r["_r"], r["_cid"]))  # cell i = i-th by (_r, id)
+    cents_lit = F.lit([[float(x) for x in r["cent_vec"]] for r in rows])
     scored = F.transform(
-        F.col("_cents"),
-        lambda c: F.struct(
-            c["cell"].alias("cell"),
+        cents_lit,
+        lambda cv, i: F.struct(
+            i.cast("int").alias("cell"),
             F.aggregate(
-                F.zip_with(v_dbl, c["cent_vec"], lambda x, m: (x - m) * (x - m)),
+                F.zip_with(v_dbl, cv, lambda x, m: (x - m) * (x - m)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             ).alias("dist"),
@@ -1048,12 +1057,11 @@ def seeded_cell_assign(emb: DataFrame, *, id_col: str = "vec_id",
     )
     return (
         emb.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(cents_arr))
         .withColumn("_near", F.slice(by_dist, 1, nprobe))
         .select(
             F.col(id_col),
             F.col(vec_col),
-            F.explode(F.col("_near").getField("cell")).alias("cell"),
+            F.explode_outer(F.col("_near").getField("cell")).alias("cell"),
         )
     )
 
@@ -1081,8 +1089,15 @@ def embedding_near_dup_pairs_by_cell(emb: DataFrame, *, id_col: str = "vec_id",
     assigned = seeded_cell_assign(
         emb, id_col=id_col, vec_col=vec_col, n_cells=n_cells, nprobe=nprobe
     )
-    a = assigned.select("cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = assigned.select("cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms hoisted to the per-vector sides (N·nprobe folds, not one
+    # per candidate pair) — same bit-exact dot/(sqrt·sqrt) arithmetic,
+    # 1/3 the pair-stage folds (same r11 finding as similarity.knn_graph)
+    a = assigned.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    ).withColumn("_na", V.norm("va"))
+    b = assigned.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    ).withColumn("_nb", V.norm("vb"))
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1092,7 +1107,10 @@ def embedding_near_dup_pairs_by_cell(emb: DataFrame, *, id_col: str = "vec_id",
         # shuffle carries narrow (id_a, id_b, cosine) survivors instead
         # of two full vectors — shuffle bytes, not folds, are what
         # spill at corpus scale (same finding as similarity.knn_graph)
-        .withColumn("cosine", F.round(V.cosine("va", "vb"), 6))
+        .withColumn(
+            "cosine",
+            F.round(V.dot("va", "vb") / (F.col("_na") * F.col("_nb")), 6),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])

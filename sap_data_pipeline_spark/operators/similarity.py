@@ -780,7 +780,7 @@ def pca_project(df: DataFrame, model: dict, *, vec_col: str = "embedding",
 
 def knn_graph(emb: DataFrame, k: int = 3, *, id_col: str = "vec_id",
               vec_col: str = "embedding",
-              n_cells: int = 8, nprobe: int = 2) -> DataFrame:
+              n_cells: int | None = None, nprobe: int = 2) -> DataFrame:
     """Approximate k-NN GRAPH over the whole corpus — every vector's
     top-k cosine neighbors, the building block for graph-based curation
     (SemDeDup communities, density/outlier pruning, diversity-aware
@@ -801,18 +801,50 @@ def knn_graph(emb: DataFrame, k: int = 3, *, id_col: str = "vec_id",
     Returns (id, neighbor_id, cosine, rank) — DIRECTED edges, rank 1 =
     nearest; cosine rounded to 6 dp with id tie-breaks so replicas and
     engines rank identically.
+
+    ``n_cells=None`` (the default) balances the flat scheme's two
+    scale terms: assignment costs N·n_cells centroid distances and
+    candidate scoring costs N·nprobe·|cell| ≈ N²·nprobe/n_cells pair
+    cosines, so the optimum is n_cells ≈ √(N·nprobe) — chosen from one
+    cheap count() and clamped to [8, 2048].  Above the clamp (corpora
+    past ~2M vectors) the flat seeded quantizer stops being the right
+    tool regardless of n_cells — use the trained-IVF path
+    (:func:`ivf_topk`), whose hierarchical training keeps both terms
+    sub-quadratic.  Explicit ``n_cells`` (the oracled catalog query
+    pins 8) bypasses the count.
     """
     from sap_data_pipeline_spark.operators.dedup import seeded_cell_assign
 
+    if n_cells is None:
+        n = emb.count()
+        n_cells = max(8, min(2048, int((n * nprobe) ** 0.5)))
     assigned = seeded_cell_assign(
         emb, id_col=id_col, vec_col=vec_col, n_cells=n_cells, nprobe=nprobe
     )
-    a = assigned.select("cell", F.col(id_col), F.col(vec_col).alias("_va"))
+    # (A cell-keyed repartition of `assigned` to share ONE exchange
+    # between the join sides was tried here and measured 4× SLOWER at
+    # both scales: ReuseExchange does not fire across the self-join's
+    # two differently-projected reads, so the plan paid the exchange
+    # AND still evaluated the assignment twice, while the repartition
+    # destroyed the source partitioning the per-source window used to
+    # avoid its own exchange.  Both sides re-evaluating the
+    # single-eval literal assignment is the cheaper shape.)
+    # Norms are per-VECTOR quantities: fold them once on each side of
+    # the join (N·nprobe rows) instead of inside the pair score — the
+    # inlined V.cosine paid THREE interpreted array-aggregates per
+    # candidate (dot + both norms), and at N·|cell|·nprobe candidates
+    # the two norm folds were 2/3 of the pair-stage work (r11 measure:
+    # 99 s → 64 s at the 4× point).  sqrt(Σx²) is computed by the
+    # identical IEEE expression either way, so cosine stays
+    # bit-for-bit equal to the oracle's dot/(sqrt·sqrt).
+    a = assigned.select(
+        "cell", F.col(id_col), F.col(vec_col).alias("_va")
+    ).withColumn("_na", V.norm("_va"))
     b = assigned.select(
         "cell",
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_vb"),
-    )
+    ).withColumn("_nb", V.norm("_vb"))
     w = Window.partitionBy(id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -826,7 +858,10 @@ def knn_graph(emb: DataFrame, k: int = 3, *, id_col: str = "vec_id",
         # the folds, are what spill (measured: the vector-carrying dedup
         # filled local disk at 80k×|cell|300 where the narrow form runs
         # in memory)
-        .withColumn("cosine", F.round(V.cosine("_va", "_vb"), 6))
+        .withColumn(
+            "cosine",
+            F.round(V.dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6),
+        )
         .select(id_col, "neighbor_id", "cosine")
         # ONE exchange (r9): rank first with dense_rank, dedup after.
         # Duplicate candidate rows (a pair sharing ≥2 probed cells) are

@@ -457,3 +457,27 @@ def test_hll_register_frame_fixed_at_scale(spark):
                 r["exact_distinct"], 1
             )
             assert rel <= 4 * sigma, (u, dict(r.asDict()))
+
+
+def test_knn_graph_auto_cells_balanced_and_assignment_single_eval(spark):
+    """r10 verdict #5 follow-up: (a) the auto n_cells default balances
+    assignment (N·n_cells) against candidate volume (N²·nprobe/n_cells)
+    at √(N·nprobe), clamped to [8, 2048]; (b) the assignment is a
+    single-evaluation literal Project — the plan must contain NO
+    BroadcastNestedLoopJoin (the old crossJoin shape whose inferred
+    size()>0 condition re-evaluated the full n_cells-way scoring per
+    row) and NO ObjectHashAggregate centroid collect_list subplan."""
+    emb = _embeddings(spark, 2000, 16)
+
+    # (a) auto default: results identical to the explicit balanced value
+    expect_cells = max(8, min(2048, int((2000 * 2) ** 0.5)))  # 63
+    auto = S.knn_graph(emb, k=3)
+    explicit = S.knn_graph(emb, k=3, n_cells=expect_cells)
+    assert sorted(map(tuple, auto.collect())) == \
+        sorted(map(tuple, explicit.collect()))
+
+    # (b) plan shape: literal assignment, no nested-loop join, no
+    # centroid aggregate
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
