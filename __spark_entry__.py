@@ -143,6 +143,31 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     revenue window) and its multi-dim star by the in-window
 #     tpch_q8_market_share (7-table star).
 _TAIL = (
+    # r11 new work (never driver-hashed; oracle-green at sf0.01) — r12
+    # rotation candidates, rationales pre-written:
+    # the code-vs-prose router: regexp_count signal battery + exact
+    # integer-vote verdict, the routing pass that sends code documents
+    # to code-specific processing.  Distinct evidence from
+    # gopher_quality_flags (prose-quality gates): this is the only
+    # query verifying a MODALITY-ROUTING verdict:
+    "code_prose_router",
+    # the recrawl scheduler: per-URL content change rate over the fetch
+    # ledger (lag window) → staleness-weighted revisit priority.
+    # Distinct evidence from source_drift_psi (distribution drift) and
+    # url_canonical_dedup (normalization): the only query verifying a
+    # PER-KEY CHANGE-RATE schedule:
+    "url_change_rate",
+    # the DoReMi-style training-feedback step: multiplicative-weights
+    # domain rebalancing over exact per-source excess loss (linearized
+    # 1+ηx factor — exp() differs by ulps across libms).  Distinct
+    # evidence from corpus_weighted_mix / temperature_mix_plan (static
+    # recipes): the only query verifying a FEEDBACK-UPDATED mix:
+    "domain_reweight_mw",
+    # the snapshot diff audit: id-keyed added/removed/modified/unchanged
+    # counts per source between two crawls.  Distinct evidence from
+    # snapshot_dedup_admission (content-keyed ingest decision): the
+    # only query verifying DELETION/EDIT accounting:
+    "corpus_snapshot_diff",
     # r11 rotation (r10 verdict #4 — promote the never-driver-hashed r10
     # tail: dedup_safe_split, snapshot_dedup_admission, image_ahash_pairs,
     # image_ahash_clusters, url_canonical_dedup, exact_substring_excise,

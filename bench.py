@@ -113,6 +113,14 @@ HEADLINE = [
     # pointer-jumping components — the iterative path over the
     # perceptual graph, tracked like near_dup_clusters is for text)
     "image_ahash_clusters",
+    # round-11 additions: the code-vs-prose router (regex-count signal
+    # battery), the recrawl scheduler (url-keyed lag window), the
+    # DoReMi-style multiplicative-weights mix update, and the snapshot
+    # diff audit (id-keyed full-outer fingerprint join)
+    "code_prose_router",
+    "url_change_rate",
+    "domain_reweight_mw",
+    "corpus_snapshot_diff",
 ]
 
 

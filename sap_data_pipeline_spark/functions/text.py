@@ -488,3 +488,61 @@ def canonicalize_url(c: ColumnOrName) -> Column:
         F.lower(head), F.substring(u, F.length(head) + 1, F.lit(1 << 30))
     )
     return F.regexp_replace(u, "/$", "")
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose detection — the routing signal every mixed web corpus
+# needs before training: code documents go to code-specific processing
+# (permissive-license filters, AST dedup, language tagging) while prose
+# rides the text-quality pipeline.  All pure Column expressions
+# (regexp_count / length arithmetic, whole-stage codegen); every regex
+# is RE2-compatible so the DuckDB oracle replays them verbatim.
+# ---------------------------------------------------------------------------
+
+# whole-word keywords shared by the big languages; fixed list = part of
+# the detector's contract (mirrored in the SQL twin)
+CODE_KEYWORD_RE = (
+    r"\b(def|class|import|return|function|var|const|let|if|else|for|"
+    r"while|public|private|static|void|int|float|struct|enum|lambda|"
+    r"print|printf|println)\b"
+)
+CODE_SYMBOL_RE = r"[{}\[\]();=<>]"
+INDENT_LINE_RE = r"(?m)^(?:    |\t)"
+
+
+def code_signals(c: ColumnOrName) -> dict[str, Column]:
+    """Raw code-likeness signals for one text column:
+
+    - ``n_chars`` / ``n_lines`` — sizes (lines = newline count + 1);
+    - ``sym_hits`` — structural symbol count (braces/brackets/
+      parens/semicolons/operators), the densest code giveaway;
+    - ``kw_hits`` — whole-word hits on a fixed cross-language keyword
+      list;
+    - ``indent_lines`` — lines starting with 4 spaces or a tab (block
+      indentation, the prose-rarest signal).
+    """
+    t = _c(c)
+    return {
+        "n_chars": F.length(t).cast("long"),
+        "n_lines": (F.regexp_count(t, F.lit(r"\n")) + F.lit(1)).cast("long"),
+        "sym_hits": F.regexp_count(t, F.lit(CODE_SYMBOL_RE)).cast("long"),
+        "kw_hits": F.regexp_count(t, F.lit(CODE_KEYWORD_RE)).cast("long"),
+        "indent_lines": F.regexp_count(t, F.lit(INDENT_LINE_RE)).cast("long"),
+    }
+
+
+def is_code_verdict(s: dict[str, Column]) -> Column:
+    """Routing verdict over :func:`code_signals` — exact integer
+    cross-multiplication (no float thresholds, so both engines agree
+    bit-for-bit): code iff at least TWO of
+
+    - symbol density  ≥ 4%   (100·sym_hits ≥ 4·n_chars)
+    - keyword density ≥ 1 per 100 chars (100·kw_hits ≥ n_chars)
+    - indented lines  ≥ 20%  (5·indent_lines ≥ n_lines)
+    """
+    votes = (
+        (s["sym_hits"] * 100 >= s["n_chars"] * 4).cast("int")
+        + (s["kw_hits"] * 100 >= s["n_chars"]).cast("int")
+        + (s["indent_lines"] * 5 >= s["n_lines"]).cast("int")
+    )
+    return votes >= F.lit(2)

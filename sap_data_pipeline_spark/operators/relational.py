@@ -237,3 +237,43 @@ def fuzzy_self_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "name_a", "name_b", "distance")
     )
+
+
+def snapshot_diff_stats(ref: DataFrame, cur: DataFrame, *,
+                        id_col: str = "doc_id",
+                        hash_col: str = "fingerprint",
+                        group_col: str | None = None) -> DataFrame:
+    """Snapshot-over-snapshot corpus diff — the ops dashboard every
+    recurring ingest needs: what did the new crawl ADD, REMOVE, MODIFY
+    (same id, different content fingerprint), or leave UNCHANGED,
+    optionally broken down by a group column (source, host, lang).
+
+    One id-keyed FULL OUTER join of two (id, fingerprint[, group])
+    projections — the diff never touches document payloads, so at
+    100 TB the shuffle carries two fingerprint columns.  Distinct from
+    ``dedup.snapshot_admission`` (content-keyed anti-join deciding what
+    to INGEST): this is the id-keyed audit of what HAPPENED, including
+    deletions the admission path never sees.  Returns
+    (status[, group], n_docs) with statuses
+    ``added | removed | modified | unchanged``.
+    """
+    rcols = [F.col(id_col), F.col(hash_col).alias("_rh")] + (
+        [F.col(group_col).alias("_rg")] if group_col else []
+    )
+    ccols = [F.col(id_col), F.col(hash_col).alias("_ch")] + (
+        [F.col(group_col).alias("_cg")] if group_col else []
+    )
+    j = ref.select(*rcols).join(cur.select(*ccols), id_col, "full_outer")
+    status = (
+        F.when(F.col("_rh").isNull(), "added")
+        .when(F.col("_ch").isNull(), "removed")
+        .when(F.col("_rh") != F.col("_ch"), "modified")
+        .otherwise("unchanged")
+    )
+    keys = [status.alias("status")] + (
+        [F.coalesce(F.col("_cg"), F.col("_rg")).alias(group_col)]
+        if group_col else []
+    )
+    return j.select(*keys).groupBy(
+        "status", *([group_col] if group_col else [])
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))

@@ -856,3 +856,49 @@ def dedup_safe_split(
     """
     with_fp = df.withColumn(fingerprint_col, X.md5_fingerprint(text_col))
     return hash_split(with_fp, fingerprint_col, weights=weights, seed=seed)
+
+
+def domain_reweight_mw(weights: DataFrame, losses: DataFrame, *,
+                       domain_col: str = "domain",
+                       weight_col: str = "weight",
+                       loss_col: str = "excess_loss",
+                       eta: float = 0.5) -> DataFrame:
+    """One multiplicative-weights step of DoReMi-style domain
+    rebalancing: domains where the proxy model's EXCESS loss (loss
+    minus a reference model's loss) is high get upweighted in the next
+    training mix — the training-feedback loop that turns static corpus
+    mixing into an adaptive recipe.
+
+    Update: ``w'_d ∝ w_d · (1 + η·excess_d)`` then renormalize to sum 1.
+    The linearized (1 + ηx) form replaces DoReMi's exp(ηx) — same
+    ascent direction, but a plain multiply instead of a transcendental,
+    so the arithmetic is bit-replayable across engines (exp() is not
+    correctly-rounded and differs by ulps between libms).  Negative
+    excess (domain already over-trained) downweights; the factor is
+    floored at 0.05 so one bad round can never zero a domain out.
+
+    Both inputs are domain-cardinality frames (tens of rows at any
+    corpus scale — the LOSSES are aggregates the training job emits,
+    not per-document data), so the join broadcasts and the normalizing
+    sum is a scalar aggregate.  Returns (domain, weight, excess_loss,
+    new_weight) with new_weight rounded 6dp.
+    """
+    raw = (
+        weights.join(losses, domain_col, "left")
+        .withColumn("_x", F.coalesce(F.col(loss_col), F.lit(0.0)))
+        .withColumn(
+            "_raw",
+            F.col(weight_col)
+            * F.greatest(F.lit(1.0) + F.lit(eta) * F.col("_x"), F.lit(0.05)),
+        )
+    )
+    total = raw.agg(F.sum("_raw").alias("_tot"))
+    return (
+        raw.crossJoin(F.broadcast(total))
+        .select(
+            F.col(domain_col),
+            F.col(weight_col).alias("weight"),
+            F.round(F.col("_x"), 6).alias("excess_loss"),
+            F.round(F.col("_raw") / F.col("_tot"), 6).alias("new_weight"),
+        )
+    )

@@ -289,3 +289,69 @@ def interval_overlap_join(
         )
         .drop("_bin")
     )
+
+
+def url_change_rate(history: DataFrame, *, url_col: str = "url",
+                    ts_col: str = "fetch_ts", hash_col: str = "content_hash",
+                    order_tiebreak: str | None = None) -> DataFrame:
+    """Recrawl scheduler input — per-URL content change rate from the
+    fetch ledger: the crawl-frequency signal every production crawler
+    maintains (fast-changing pages get revisited, static pages age out
+    of the frontier).
+
+    Per URL over the (ts, tiebreak)-ordered fetch history:
+
+    * ``n_fetches`` — total observations;
+    * ``n_changes`` — fetches whose content hash differs from the
+      previous fetch (``lag`` over the per-URL window);
+    * ``change_rate`` = n_changes / max(n_fetches − 1, 1), rounded 6dp;
+    * ``days_stale`` — days from the URL's last fetch to the ledger's
+      global max timestamp (one broadcast scalar);
+    * ``priority`` = round(change_rate · days_stale, 6) — revisit-next
+      ordering: stale AND volatile first.  A product of two exactly-
+      derived doubles (no transcendental functions), so both engines
+      agree bit-for-bit.
+
+    Scale: one url-keyed window (the per-URL history is short — the
+    frontier, not the corpus, is the row count) + one global max
+    aggregate broadcast back; shuffle rows are (url, hash, ts) narrow.
+    """
+    tie = [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    w = Window.partitionBy(url_col).orderBy(F.col(ts_col).asc(), *tie)
+    changed = (
+        history.select(url_col, ts_col, hash_col,
+                       *([order_tiebreak] if order_tiebreak else []))
+        .withColumn("_prev", F.lag(hash_col).over(w))
+        .withColumn(
+            "_chg",
+            (F.col("_prev").isNotNull()
+             & (F.col(hash_col) != F.col("_prev"))).cast("long"),
+        )
+    )
+    per_url = changed.groupBy(url_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.sum("_chg").cast("long").alias("n_changes"),
+        F.max(ts_col).alias("_last"),
+    )
+    global_max = history.agg(F.max(ts_col).alias("_gmax"))
+    return (
+        per_url.crossJoin(F.broadcast(global_max))
+        .select(
+            F.col(url_col),
+            "n_fetches",
+            "n_changes",
+            F.round(
+                F.col("n_changes").cast("double")
+                / F.greatest(F.col("n_fetches") - 1, F.lit(1)).cast("double"),
+                6,
+            ).alias("change_rate"),
+            F.round(
+                (F.unix_timestamp("_gmax") - F.unix_timestamp("_last"))
+                .cast("double") / F.lit(86400.0),
+                6,
+            ).alias("days_stale"),
+        )
+        .withColumn(
+            "priority", F.round(F.col("change_rate") * F.col("days_stale"), 6)
+        )
+    )

@@ -6527,3 +6527,295 @@ def image_ahash_clusters_q(star: Star) -> DataFrame:
     return D.near_dup_clusters(
         hashes.select("media_id"), id_col="media_id", pairs=pairs
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose router (functions.text.code_signals / is_code_verdict):
+# the routing pass a mixed web corpus needs before training — code
+# documents leave the prose pipeline for code-specific processing.
+# Pure regexp_count/length arithmetic with an exact integer-vote
+# verdict; every regex is RE2-compatible and the DuckDB twin replays
+# them verbatim (len(regexp_extract_all) = regexp_count).  A third of
+# docs get a deterministic code snippet appended so both verdicts and
+# both vote paths are exercised.
+# ---------------------------------------------------------------------------
+
+_CODE_KW_SQL = (
+    r"\b(def|class|import|return|function|var|const|let|if|else|for|"
+    r"while|public|private|static|void|int|float|struct|enum|lambda|"
+    r"print|printf|println)\b"
+)
+
+@register(
+    "code_prose_router",
+    f"""
+    WITH mixed AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN
+                 text || chr(10) || 'def f_' || CAST(doc_id AS VARCHAR)
+                 || '(x):' || chr(10) || '    return x + '
+                 || CAST(doc_id % 7 AS VARCHAR) || ';' || chr(10)
+                 || '    y = [1, 2];' || chr(10) || '    print(y)'
+               ELSE text END AS t
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(length(t) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(t, chr(10))) + 1 AS BIGINT)
+                   AS n_lines,
+               CAST(len(regexp_extract_all(t, '[{{}}\\[\\]();=<>]')) AS BIGINT)
+                   AS sym_hits,
+               CAST(len(regexp_extract_all(t, '{_CODE_KW_SQL}')) AS BIGINT)
+                   AS kw_hits,
+               CAST(len(regexp_extract_all(t, '(?m)^(?:    |\\t)')) AS BIGINT)
+                   AS indent_lines
+        FROM mixed
+    )
+    SELECT doc_id, n_chars, n_lines, sym_hits, kw_hits, indent_lines,
+           (CAST(sym_hits * 100 >= n_chars * 4 AS INT)
+            + CAST(kw_hits * 100 >= n_chars AS INT)
+            + CAST(indent_lines * 5 >= n_lines AS INT)) >= 2 AS is_code
+    FROM sig
+    """,
+)
+def code_prose_router_q(star: Star) -> DataFrame:
+    d = F.col("doc_id")
+    snippet = F.concat(
+        F.col("text"), F.lit("\ndef f_"), d.cast("string"),
+        F.lit("(x):\n    return x + "),
+        F.pmod(d, F.lit(7)).cast("string"),
+        F.lit(";\n    y = [1, 2];\n    print(y)"),
+    )
+    mixed = star.documents.select(
+        d,
+        F.when(F.pmod(d, F.lit(3)) == 0, snippet)
+        .otherwise(F.col("text")).alias("t"),
+    )
+    s = X.code_signals(F.col("t"))
+    return mixed.select(
+        "doc_id",
+        s["n_chars"].alias("n_chars"),
+        s["n_lines"].alias("n_lines"),
+        s["sym_hits"].alias("sym_hits"),
+        s["kw_hits"].alias("kw_hits"),
+        s["indent_lines"].alias("indent_lines"),
+    ).withColumn(
+        "is_code",
+        X.is_code_verdict({
+            "n_chars": F.col("n_chars"), "n_lines": F.col("n_lines"),
+            "sym_hits": F.col("sym_hits"), "kw_hits": F.col("kw_hits"),
+            "indent_lines": F.col("indent_lines"),
+        }),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recrawl scheduler (operators.temporal.url_change_rate): per-URL
+# content change rate from the fetch ledger → revisit priority.  The
+# fetch history is synthesized from events (url per user bucket; the
+# content hash flips when a per-URL-width time bucket rolls over, so
+# change rates genuinely vary across URLs).  priority multiplies two
+# exactly-derived doubles — no transcendentals — so the value hash
+# holds bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@register(
+    "url_change_rate",
+    """
+    WITH hist AS (
+        SELECT event_id,
+               'u' || CAST(user_id % 500 AS VARCHAR) AS url,
+               ts AS fetch_ts,
+               md5('u' || CAST(user_id % 500 AS VARCHAR) || ':' ||
+                   CAST(CAST(floor(epoch(ts)
+                        / (86400 * (1 + (user_id % 500) % 5))) AS BIGINT)
+                        AS VARCHAR)) AS content_hash
+        FROM events
+    ),
+    seq AS (
+        SELECT url, fetch_ts, content_hash,
+               lag(content_hash) OVER (
+                   PARTITION BY url ORDER BY fetch_ts, event_id
+               ) AS prev_hash
+        FROM hist
+    ),
+    per_url AS (
+        SELECT url,
+               CAST(COUNT(*) AS BIGINT) AS n_fetches,
+               CAST(SUM(CASE WHEN prev_hash IS NOT NULL
+                              AND content_hash <> prev_hash
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+               MAX(fetch_ts) AS last_ts
+        FROM seq GROUP BY url
+    ),
+    gmax AS (SELECT MAX(fetch_ts) AS g FROM hist)
+    SELECT url, n_fetches, n_changes,
+           round(CAST(n_changes AS DOUBLE)
+                 / CAST(greatest(n_fetches - 1, 1) AS DOUBLE), 6)
+               AS change_rate,
+           round(CAST(CAST(floor(epoch(g)) AS BIGINT)
+                      - CAST(floor(epoch(last_ts)) AS BIGINT) AS DOUBLE)
+                 / 86400.0, 6) AS days_stale,
+           round(round(CAST(n_changes AS DOUBLE)
+                 / CAST(greatest(n_fetches - 1, 1) AS DOUBLE), 6)
+                 * round(CAST(CAST(floor(epoch(g)) AS BIGINT)
+                        - CAST(floor(epoch(last_ts)) AS BIGINT) AS DOUBLE)
+                        / 86400.0, 6), 6) AS priority
+    FROM per_url, gmax
+    """,
+)
+def url_change_rate_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.temporal import url_change_rate
+
+    u = F.pmod(F.col("user_id"), F.lit(500))
+    width = (F.lit(86400) * (F.lit(1) + F.pmod(u, F.lit(5)))).cast("long")
+    url = F.concat(F.lit("u"), u.cast("string"))
+    hist = star.events.select(
+        "event_id",
+        url.alias("url"),
+        F.col("ts").alias("fetch_ts"),
+        F.md5(F.concat(
+            url, F.lit(":"),
+            F.floor(F.unix_timestamp("ts").cast("double") / width)
+            .cast("long").cast("string"),
+        )).alias("content_hash"),
+    )
+    return url_change_rate(hist, order_tiebreak="event_id")
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain rebalancing (operators.sampling.domain_reweight_mw):
+# one multiplicative-weights step over per-source excess loss.  Weights
+# and losses are derived EXACTLY from documents (integer sums divided
+# once), so the whole update is bit-replayable; the (1 + ηx) linearized
+# factor replaces exp(ηx) precisely to avoid cross-libm ulps.
+# ---------------------------------------------------------------------------
+
+@register(
+    "domain_reweight_mw",
+    """
+    WITH per AS (
+        SELECT source AS domain,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents GROUP BY source
+    ),
+    gstats AS (
+        SELECT CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS gavg,
+               CAST(COUNT(*) AS BIGINT) AS gtotal
+        FROM documents
+    ),
+    base AS (
+        SELECT domain,
+               CAST(n_docs AS DOUBLE) / gtotal AS weight,
+               (avg_chars - gavg) / gavg AS x
+        FROM per, gstats
+    ),
+    upd AS (
+        SELECT domain, weight, x,
+               weight * greatest(1.0 + 0.5 * x, 0.05) AS raw
+        FROM base
+    ),
+    tot AS (SELECT SUM(raw) AS t FROM upd)
+    SELECT domain, weight,
+           round(x, 6) AS excess_loss,
+           round(raw / t, 6) AS new_weight
+    FROM upd, tot
+    """,
+)
+def domain_reweight_mw_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import domain_reweight_mw
+
+    per = star.documents.groupBy(F.col("source").alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("n_chars").cast("double")
+         / F.count(F.lit(1))).alias("avg_chars"),
+    )
+    glob = star.documents.agg(
+        (F.sum("n_chars").cast("double")
+         / F.count(F.lit(1))).alias("gavg"),
+        F.count(F.lit(1)).cast("long").alias("gtotal"),
+    )
+    base = per.crossJoin(F.broadcast(glob)).select(
+        "domain",
+        (F.col("n_docs").cast("double") / F.col("gtotal")).alias("weight"),
+        ((F.col("avg_chars") - F.col("gavg")) / F.col("gavg"))
+        .alias("excess_loss"),
+    )
+    weights = base.select("domain", "weight")
+    losses = base.select("domain", "excess_loss")
+    return domain_reweight_mw(weights, losses, eta=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff audit (operators.relational.snapshot_diff_stats): the
+# id-keyed added/removed/modified/unchanged dashboard between two crawl
+# snapshots, per source.  The "next crawl" is simulated
+# deterministically: every 11th doc vanishes, every 7th is edited,
+# every 13th contributes a brand-new id.  Distinct from
+# snapshot_dedup_admission (content-keyed ingest decision): this audits
+# deletions and edits the admission path never sees.
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_snapshot_diff",
+    f"""
+    WITH ref AS (
+        SELECT doc_id, source,
+               md5({NORM_SQL.format(col='text')}) AS fp
+        FROM documents
+    ),
+    cur AS (
+        SELECT doc_id, source,
+               md5({NORM_SQL.format(col="text || CASE WHEN doc_id % 7 = 0 THEN ' upd' ELSE '' END")}) AS fp
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, source,
+               md5({NORM_SQL.format(col="text || ' new'")}) AS fp
+        FROM documents WHERE doc_id % 13 = 0
+    ),
+    j AS (
+        SELECT COALESCE(r.doc_id, c.doc_id) AS doc_id,
+               COALESCE(c.source, r.source) AS source,
+               r.fp AS rfp, c.fp AS cfp
+        FROM ref r FULL OUTER JOIN cur c ON r.doc_id = c.doc_id
+    )
+    SELECT CASE WHEN rfp IS NULL THEN 'added'
+                WHEN cfp IS NULL THEN 'removed'
+                WHEN rfp <> cfp THEN 'modified'
+                ELSE 'unchanged' END AS status,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY 1, 2
+    """,
+)
+def corpus_snapshot_diff_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.relational import (
+        snapshot_diff_stats,
+    )
+
+    d = F.col("doc_id")
+    ref = star.documents.select(
+        d, "source",
+        F.md5(X.normalize_text("text")).alias("fingerprint"),
+    )
+    kept = star.documents.filter(F.pmod(d, F.lit(11)) != 0).select(
+        d, "source",
+        F.md5(X.normalize_text(
+            F.concat(
+                F.col("text"),
+                F.when(F.pmod(d, F.lit(7)) == 0, F.lit(" upd"))
+                .otherwise(F.lit("")),
+            )
+        )).alias("fingerprint"),
+    )
+    new = star.documents.filter(F.pmod(d, F.lit(13)) == 0).select(
+        (d + F.lit(1000000)).alias("doc_id"), "source",
+        F.md5(X.normalize_text(
+            F.concat(F.col("text"), F.lit(" new"))
+        )).alias("fingerprint"),
+    )
+    return snapshot_diff_stats(
+        ref, kept.unionByName(new), group_col="source"
+    )

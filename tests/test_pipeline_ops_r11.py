@@ -1,0 +1,214 @@
+"""Round-11 pipeline operators: code-vs-prose routing, recrawl
+scheduling, multiplicative-weights domain rebalancing, and the
+snapshot diff audit."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# code_signals / is_code_verdict
+# ---------------------------------------------------------------------------
+
+def _route(spark, texts):
+    from sap_data_pipeline_spark.functions.text import (
+        code_signals,
+        is_code_verdict,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["i", "t"])
+    s = code_signals(F.col("t"))
+    out = df.select("i", *[v.alias(k) for k, v in s.items()]).withColumn(
+        "is_code",
+        is_code_verdict({k: F.col(k) for k in s}),
+    )
+    return {r["i"]: r for r in out.collect()}
+
+
+def test_code_detector_routes_obvious_code_and_prose(spark):
+    rows = _route(spark, [
+        # 0: python
+        "def add(x, y):\n    return x + y\n\nclass Foo:\n"
+        "    def run(self):\n        print(self)\n        return 1",
+        # 1: C-ish
+        "int main() { int x = 0; for (x = 0; x < 10; x++) "
+        "{ printf(\"%d\", x); } return 0; }",
+        # 2: plain prose
+        "The quick brown fox jumps over the lazy dog and then "
+        "wanders through the quiet forest looking for supper.",
+        # 3: prose with one incidental parenthesis
+        "It was a bright day (cold for April), and the clocks were "
+        "striking thirteen as he slipped through the glass doors.",
+    ])
+    assert rows[0]["is_code"] and rows[1]["is_code"]
+    assert not rows[2]["is_code"] and not rows[3]["is_code"]
+
+
+def test_code_detector_signal_arithmetic_hand_computed(spark):
+    [r] = _route(spark, ["a = [1];\n    b(2)"]).values()
+    assert r["n_chars"] == 17
+    assert r["n_lines"] == 2
+    # symbols: = [ ] ; ( )  -> 6
+    assert r["sym_hits"] == 6
+    assert r["kw_hits"] == 0
+    assert r["indent_lines"] == 1
+    # votes: sym 6*100 >= 17*4 yes; kw 0 no; indent 1*5 >= 2 yes -> code
+    assert r["is_code"]
+
+
+def test_code_detector_keywords_whole_word_only(spark):
+    # "definition", "classic", "important" contain keyword substrings
+    # but must NOT hit the whole-word pattern
+    rows = _route(spark, ["definition classic important interest"])
+    [r] = rows.values()
+    assert r["kw_hits"] == 0
+
+
+# ---------------------------------------------------------------------------
+# url_change_rate
+# ---------------------------------------------------------------------------
+
+def test_url_change_rate_hand_computed(spark):
+    from sap_data_pipeline_spark.operators.temporal import url_change_rate
+
+    def ts(day):
+        return datetime(2026, 1, day)
+
+    hist = spark.createDataFrame(
+        [
+            # volatile url: 3 fetches, 2 changes, last on day 5
+            (1, "a", ts(1), "h1"),
+            (2, "a", ts(3), "h2"),
+            (3, "a", ts(5), "h3"),
+            # static url: 3 fetches, 0 changes, last on day 9 (global max)
+            (4, "b", ts(2), "s"),
+            (5, "b", ts(6), "s"),
+            (6, "b", ts(9), "s"),
+            # single-fetch url: rate 0 via the max(n-1, 1) floor
+            (7, "c", ts(4), "x"),
+        ],
+        "event_id long, url string, fetch_ts timestamp, content_hash string",
+    )
+    got = {r["url"]: r for r in url_change_rate(
+        hist, order_tiebreak="event_id").collect()}
+    assert got["a"]["n_fetches"] == 3 and got["a"]["n_changes"] == 2
+    assert got["a"]["change_rate"] == 1.0
+    assert got["a"]["days_stale"] == 4.0      # day 9 - day 5
+    assert got["a"]["priority"] == 4.0
+    assert got["b"]["change_rate"] == 0.0 and got["b"]["priority"] == 0.0
+    assert got["b"]["days_stale"] == 0.0
+    assert got["c"]["n_fetches"] == 1 and got["c"]["change_rate"] == 0.0
+
+
+def test_url_change_rate_orders_by_ts_not_arrival(spark):
+    from sap_data_pipeline_spark.operators.temporal import url_change_rate
+
+    # rows arrive shuffled; the ts order is h1,h1,h2 -> ONE change
+    hist = spark.createDataFrame(
+        [
+            (3, "a", datetime(2026, 1, 5), "h2"),
+            (1, "a", datetime(2026, 1, 1), "h1"),
+            (2, "a", datetime(2026, 1, 3), "h1"),
+        ],
+        "event_id long, url string, fetch_ts timestamp, content_hash string",
+    )
+    [r] = url_change_rate(hist, order_tiebreak="event_id").collect()
+    assert r["n_changes"] == 1
+
+
+# ---------------------------------------------------------------------------
+# domain_reweight_mw
+# ---------------------------------------------------------------------------
+
+def test_domain_reweight_upweights_high_loss_and_normalizes(spark):
+    from sap_data_pipeline_spark.operators.sampling import domain_reweight_mw
+
+    weights = spark.createDataFrame(
+        [("web", 0.5), ("code", 0.3), ("books", 0.2)],
+        "domain string, weight double",
+    )
+    losses = spark.createDataFrame(
+        [("web", 0.0), ("code", 1.0), ("books", -0.5)],
+        "domain string, excess_loss double",
+    )
+    got = {r["domain"]: r for r in
+           domain_reweight_mw(weights, losses, eta=0.5).collect()}
+    # raw: web 0.5*1.0=0.5, code 0.3*1.5=0.45, books 0.2*0.75=0.15 -> sum 1.1
+    assert got["web"]["new_weight"] == round(0.5 / 1.1, 6)
+    assert got["code"]["new_weight"] == round(0.45 / 1.1, 6)
+    assert got["books"]["new_weight"] == round(0.15 / 1.1, 6)
+    assert abs(sum(r["new_weight"] for r in got.values()) - 1.0) < 1e-5
+    # direction: high-loss domain gained share, negative-loss lost it
+    assert got["code"]["new_weight"] > 0.3
+    assert got["books"]["new_weight"] < 0.2
+
+
+def test_domain_reweight_floor_prevents_domain_zeroing(spark):
+    from sap_data_pipeline_spark.operators.sampling import domain_reweight_mw
+
+    weights = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.5)], "domain string, weight double")
+    losses = spark.createDataFrame(
+        [("a", -10.0), ("b", 0.0)], "domain string, excess_loss double")
+    got = {r["domain"]: r for r in
+           domain_reweight_mw(weights, losses).collect()}
+    # factor floored at 0.05: a keeps 0.5*0.05=0.025 raw, never 0/negative
+    assert got["a"]["new_weight"] == round(0.025 / 0.525, 6)
+
+
+def test_domain_reweight_missing_loss_means_no_update(spark):
+    from sap_data_pipeline_spark.operators.sampling import domain_reweight_mw
+
+    weights = spark.createDataFrame(
+        [("a", 0.6), ("b", 0.4)], "domain string, weight double")
+    losses = spark.createDataFrame(
+        [("b", 0.0)], "domain string, excess_loss double")
+    got = {r["domain"]: r["new_weight"] for r in
+           domain_reweight_mw(weights, losses).collect()}
+    assert got == {"a": 0.6, "b": 0.4}  # factors all 1.0 -> unchanged
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff_stats
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_all_four_statuses(spark):
+    from sap_data_pipeline_spark.operators.relational import (
+        snapshot_diff_stats,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "f1"), (2, "f2"), (3, "f3")], "doc_id long, fingerprint string")
+    cur = spark.createDataFrame(
+        [(1, "f1"),           # unchanged
+         (2, "f2-edited"),    # modified
+         (4, "f4")],          # added; 3 removed
+        "doc_id long, fingerprint string")
+    got = {r["status"]: r["n_docs"]
+           for r in snapshot_diff_stats(ref, cur).collect()}
+    assert got == {"unchanged": 1, "modified": 1, "added": 1, "removed": 1}
+
+
+def test_snapshot_diff_grouped_by_source(spark):
+    from sap_data_pipeline_spark.operators.relational import (
+        snapshot_diff_stats,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "f1", "web"), (2, "f2", "web"), (3, "f3", "books")],
+        "doc_id long, fingerprint string, source string")
+    cur = spark.createDataFrame(
+        [(1, "f1", "web"), (4, "f4", "books")],
+        "doc_id long, fingerprint string, source string")
+    got = {(r["status"], r["source"]): r["n_docs"] for r in
+           snapshot_diff_stats(ref, cur, group_col="source").collect()}
+    assert got == {
+        ("unchanged", "web"): 1,
+        ("removed", "web"): 1,
+        ("removed", "books"): 1,
+        ("added", "books"): 1,
+    }
