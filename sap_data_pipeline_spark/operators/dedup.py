@@ -982,13 +982,17 @@ def embedding_near_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
     from a quantizer cell.  Returns (id_a, id_b, cosine) ≥ threshold.
     """
     a = emb.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"),
-                   F.col(vec_col).alias("va"))
+                   F.col(vec_col).alias("va")).withColumn("_na", V.norm("va"))
     b = emb.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"),
-                   F.col(vec_col).alias("vb"))
+                   F.col(vec_col).alias("vb")).withColumn("_nb", V.norm("vb"))
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(V.cosine("va", "vb"), 6))
+        # per-vector norms hoisted (r11, same finding as knn_graph)
+        .withColumn(
+            "cosine",
+            F.round(V.dot("va", "vb") / (F.col("_na") * F.col("_nb")), 6),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

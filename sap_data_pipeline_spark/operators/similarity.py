@@ -43,14 +43,24 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     Ties broken by neighbor id for determinism.  Returns
     (query_id, neighbor_id, cosine, rank).
     """
+    # norms hoisted to the per-vector projections (r11: the inlined
+    # V.cosine paid 3 interpreted folds per PAIR — for brute force that
+    # recomputed every corpus norm once per QUERY); same bit-exact
+    # dot/(sqrt*sqrt) arithmetic, dot-only per pair
     q = F.broadcast(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("_nq", V.norm("qv"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("_nc", V.norm("cv"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(V.cosine("qv", "cv"), 6))
+        .withColumn(
+            "cosine",
+            F.round(V.dot("qv", "cv") / (F.col("_nq") * F.col("_nc")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -82,20 +92,24 @@ def hard_negatives_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
             F.col(label_col).alias("_qlabel"),
-        )
+        ).withColumn("_nq", V.norm("qv"))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.col(label_col).alias("neighbor_label"),
-    )
+    ).withColumn("_nc", V.norm("cv"))
     scored = (
         q.crossJoin(c)
         .filter(
             (F.col("query_id") != F.col("neighbor_id"))
             & ~F.col("neighbor_label").eqNullSafe(F.col("_qlabel"))
         )
-        .withColumn("cosine", F.round(V.cosine("qv", "cv"), 6))
+        # per-vector norms hoisted (r11, same finding as knn_graph)
+        .withColumn(
+            "cosine",
+            F.round(V.dot("qv", "cv") / (F.col("_nq") * F.col("_nc")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -160,12 +174,12 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *, dim: int,
                      n_tables=n_tables).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         "lsh_table", "lsh_bucket",
-    )
+    ).withColumn("_nc", V.norm("cv"))
     qb = lsh_buckets(queries, vec_col=vec_col, dim=dim, n_planes=n_planes,
                      n_tables=n_tables).select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         "lsh_table", "lsh_bucket",
-    )
+    ).withColumn("_nq", V.norm("qv"))
     # Score map-side BEFORE any shuffle ("shuffle verdicts, not
     # payloads"): a pair colliding in t tables pays ≤ t redundant
     # cosine folds, but the one exchange then carries narrow (query,
@@ -179,7 +193,11 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *, dim: int,
     scored = (
         qb.join(cb, ["lsh_table", "lsh_bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(V.cosine("qv", "cv"), 6))
+        # per-vector norms hoisted (r11, same finding as knn_graph)
+        .withColumn(
+            "cosine",
+            F.round(V.dot("qv", "cv") / (F.col("_nq") * F.col("_nc")), 6),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -267,11 +285,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     cb = _assign_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
         centroids, vec_col="cv", nprobe=1,
-    )
+    ).withColumn("_nc", V.norm("cv"))
     qb = _assign_cells(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         centroids, vec_col="qv", nprobe=nprobe,
-    )
+    ).withColumn("_nq", V.norm("qv"))
     # Same one-exchange rank-then-dedup tail as lsh_topk/knn_graph:
     # cosine folds run map-side on the join output, the exchange
     # carries narrow rows, dense_rank ≡ post-dedup row_number (each
@@ -281,7 +299,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     scored = (
         qb.join(cb, "ivf_cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(V.cosine("qv", "cv"), 6))
+        # per-vector norms hoisted (r11, same finding as knn_graph)
+        .withColumn(
+            "cosine",
+            F.round(V.dot("qv", "cv") / (F.col("_nq") * F.col("_nc")), 6),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -509,14 +531,21 @@ def _cosine_rerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
     """Exact-cosine rerank of a (query_id, neighbor_id) short list — the
     shared tail of every two-stage ANN here (Hamming, PQ, IVFPQ): float
     vectors are fetched only for the short list."""
-    vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("_nc", V.norm("cv"))
     qvecs = F.broadcast(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("_nq", V.norm("qv"))
     )
     rescored = (
         cand.join(vecs, "neighbor_id")
         .join(qvecs, "query_id")
-        .withColumn("cosine", F.round(V.cosine("qv", "cv"), 6))
+        # per-vector norms hoisted (r11, same finding as knn_graph)
+        .withColumn(
+            "cosine",
+            F.round(V.dot("qv", "cv") / (F.col("_nq") * F.col("_nc")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
