@@ -168,6 +168,19 @@ _TAIL = (
     # snapshot_dedup_admission (content-keyed ingest decision): the
     # only query verifying DELETION/EDIT accounting:
     "corpus_snapshot_diff",
+    # the Bloom seen-set gate: frontier membership probed MAP-SIDE
+    # against a 32 KiB bitmap literal (k md5-derived bit positions;
+    # no false negatives, documented-FPR false positives that both
+    # engines flag identically).  Distinct evidence from
+    # snapshot_dedup_admission (exact anti-join): the only query
+    # verifying an APPROXIMATE-membership structure bit-for-bit:
+    "url_seen_bloom",
+    # the interpolated-bigram LM gate: word-ORDER quality scoring
+    # (shuffled/keyword-stuffed text has ordinary unigrams but
+    # improbable transitions).  Distinct evidence from
+    # unigram_logprob_scores (orderless vocabulary): the only query
+    # verifying a CONDITIONAL-probability LM:
+    "bigram_logprob_scores",
     # r11 rotation (r10 verdict #4 — promote the never-driver-hashed r10
     # tail: dedup_safe_split, snapshot_dedup_admission, image_ahash_pairs,
     # image_ahash_clusters, url_canonical_dedup, exact_substring_excise,

@@ -121,6 +121,12 @@ HEADLINE = [
     "url_change_rate",
     "domain_reweight_mw",
     "corpus_snapshot_diff",
+    # round-11 additions: the Bloom seen-set gate (map-side bitmap
+    # probe — tracked so the probe stays exchange-free) and the
+    # bigram LM scorer (the heaviest new shuffle shape: one bigram
+    # count aggregate + three keyed windows over it)
+    "url_seen_bloom",
+    "bigram_logprob_scores",
 ]
 
 

@@ -756,3 +756,164 @@ def anchor_text_terms(df: DataFrame, *, html_col: str = "html",
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter seen-set gate (crawl-frontier membership at scale)
+# ---------------------------------------------------------------------------
+
+def _bloom_hash(expr, i: int, m_bits: int, seed: int):
+    """Position i for one element: 60-bit md5-derived int mod m_bits.
+    Engine-portable (md5 + hex substring + modulo — no xxhash), exactly
+    the catalog's _hash64_sql recipe."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"b{seed}:{i}:"), expr)), 1, 15),
+        16, 10,
+    ).cast("long")
+    return F.pmod(h, F.lit(m_bits))
+
+
+def bloom_bitmap(seen: DataFrame, col: str, *, m_bits: int = 1 << 18,
+                 k: int = 4, seed: int = 7) -> list[int]:
+    """Build the Bloom bitmap for a seen-set column as a Python list of
+    ``m_bits/64`` longs (collected: BOUNDED by m_bits, never by |seen| —
+    the whole point; 2^18 bits = 4 096 words = 32 KiB).
+
+    The classic frontier-scale membership structure: "have we fetched
+    this URL before?" as an m-bit filter instead of an anti-join
+    against the full fetched set.  False positives at the standard
+    (1 - e^{-kn/m})^k rate (a false positive = one wasted dedup lookup
+    or a skipped re-crawl — tunable via m); false NEGATIVES are
+    impossible, so nothing already fetched is ever re-admitted.
+
+    Build plan: k position rows per element → (word, bit) → per-word
+    ``bit_or`` partial-aggregates map-side → ≤ m/64 rows collected.
+    """
+    n_words = m_bits // 64
+    e = F.col(col)
+    pos = seen.select(
+        F.explode(F.array(*[
+            _bloom_hash(e, i, m_bits, seed) for i in range(k)
+        ])).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / F.lit(64)).cast("long").alias("w"),
+            F.pmod(F.col("p"), F.lit(64)).cast("int").alias("bit"),
+        )
+        # shiftleft's bit-count arg must be a column here, which the
+        # Python DSL does not take — the SQL form does
+        .select("w", F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("b"))
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in words:
+        bitmap[r["w"]] = r["bits"]
+    return bitmap
+
+
+def bloom_probe(candidates: DataFrame, bitmap: list[int], col: str, *,
+                m_bits: int = 1 << 18, k: int = 4,
+                seed: int = 7) -> DataFrame:
+    """Probe candidates against a :func:`bloom_bitmap` — a PURE MAP
+    projection: the bitmap ships as one array<long> literal (32 KiB at
+    the default m) and each candidate tests its k bits with
+    element_at/shift/AND.  Zero shuffles, zero joins: at 100 TB the
+    frontier scan streams through unchanged, which is what makes the
+    Bloom gate cheaper than the exact anti-join it approximates.
+
+    Returns the input plus ``bloom_hits`` (0..k) and ``maybe_seen``
+    (all k bits set).  ``maybe_seen=False`` is definitive (no false
+    negatives); True means "check the exact store" or, for a frontier,
+    "skip — at worst we skip a never-fetched URL at the documented
+    false-positive rate".
+    """
+    e = F.col(col)
+    out = candidates.withColumn("_bm", F.lit(bitmap))
+    hits = None
+    for i in range(k):
+        out = out.withColumn(f"_p{i}", _bloom_hash(e, i, m_bits, seed))
+        # shiftright's bit-count arg must be a column — SQL form only
+        hit = F.expr(
+            f"CAST(shiftright(element_at(_bm, CAST(_p{i} DIV 64 AS INT) + 1),"
+            f" CAST(_p{i} % 64 AS INT)) & 1 AS INT)"
+        )
+        hits = hit if hits is None else hits + hit
+    return (
+        out.withColumn("bloom_hits", hits.cast("int"))
+        .withColumn("maybe_seen", F.col("bloom_hits") == F.lit(k))
+        .drop("_bm", *[f"_p{i}" for i in range(k)])
+    )
+
+
+def bigram_logprob(df: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   lam: float = 0.75) -> DataFrame:
+    """Interpolated-bigram perplexity proxy — the CCNet-style LM quality
+    filter one order up from :func:`unigram_logprob`: word-ORDER
+    gibberish (shuffled tokens, keyword-stuffed spam, wrong-language
+    text run through a word list) has ordinary unigrams but improbable
+    transitions, so it scores high here while passing the unigram gate.
+
+    Per document, over its consecutive token pairs:
+    ``p(w2|w1) = λ·c(w1,w2)/c(w1·) + (1−λ)·c(·w2)/N`` (λ default
+    0.75 — chosen so 1−λ is exactly representable and the SQL twin can
+    write the literal 0.25) with counts from
+    the corpus's own bigram table (c(w1·)/c(·w2) = bigram first/second
+    marginals, N = total bigrams — the interpolation means p > 0
+    whenever w2 was ever seen as a successor, and the marginals
+    guarantee that).  Score = mean of −ln p weighted by pair
+    multiplicity, rounded 6dp (the unigram precedent: a 1-ulp ln
+    difference cannot move the rounded value).  Documents with < 2
+    tokens have no transitions and drop out.
+
+    Scale shape: one (doc, w1, w2) count aggregate, then THREE keyed
+    windows over that bigram frame (pair, first-marginal,
+    second-marginal — windows reuse the frame instead of joining back
+    to raw tokens), a broadcast one-row total, and the final doc-keyed
+    aggregate.  At 100 TB prune to a top-V bigram table + broadcast
+    join with a floor probability, exactly like unigram_logprob's
+    ``vocab_size`` path.
+    """
+    from pyspark.sql.window import Window
+
+    t = X.tokens(text_col)
+    pairs = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                    F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c12 = F.sum("cnt").over(Window.partitionBy("w1", "w2"))
+    c1 = F.sum("cnt").over(Window.partitionBy("w1"))
+    c2 = F.sum("cnt").over(Window.partitionBy("w2"))
+    total = pairs.agg(F.sum("cnt").cast("double").alias("_n_total"))
+    scored = (
+        pairs.withColumn("_c12", c12)
+        .withColumn("_c1", c1)
+        .withColumn("_c2", c2)
+        .crossJoin(F.broadcast(total))
+    )
+    p = (
+        F.lit(lam) * (F.col("_c12").cast("double") / F.col("_c1").cast("double"))
+        + F.lit(1.0 - lam) * (F.col("_c2").cast("double") / F.col("_n_total"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("cnt").cast("double") * (-F.log(p)))
+            / F.sum(F.col("cnt").cast("double")),
+            6,
+        ).alias("avg_neg_logprob"),
+    )

@@ -6819,3 +6819,124 @@ def corpus_snapshot_diff_q(star: Star) -> DataFrame:
     return snapshot_diff_stats(
         ref, kept.unionByName(new), group_col="source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom seen-set gate (operators.corpus.bloom_bitmap / bloom_probe):
+# frontier membership — "have we fetched this URL before?" — as an
+# m-bit filter probed MAP-SIDE against one 32 KiB array literal,
+# replacing the exact anti-join against the full fetched set.  False
+# negatives impossible; false positives at the documented (1-e^-kn/m)^k
+# rate, and the oracle replays the identical md5-position arithmetic
+# (a false positive is a deterministic hash fact, not noise — both
+# engines flag the same URLs).  Fixture: every even doc's URL is seen;
+# candidates are those plus an equal set of never-seen URLs.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 12
+_BLOOM_K = 4
+_BLOOM_SEED = 7
+
+def _bloom_pos_sql(expr: str, i: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5('b{_BLOOM_SEED}:{i}:' || {expr}), 1, 15))"
+        f" AS BIGINT) % {_BLOOM_M}"
+    )
+
+@register(
+    "url_seen_bloom",
+    f"""
+    WITH seen AS (
+        SELECT 'u' || CAST(doc_id AS VARCHAR) AS url FROM documents
+        WHERE doc_id % 2 = 0
+    ),
+    pos AS (
+        {" UNION ".join(f"SELECT DISTINCT {_bloom_pos_sql('url', i)} AS p FROM seen" for i in range(_BLOOM_K))}
+    ),
+    cand AS (
+        SELECT 'u' || CAST(doc_id AS VARCHAR) AS url FROM documents
+        WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 'u' || CAST(doc_id + 10000000 AS VARCHAR) AS url FROM documents
+    )
+    SELECT url,
+           CAST({" + ".join(f"CASE WHEN {_bloom_pos_sql('url', i)} IN (SELECT p FROM pos) THEN 1 ELSE 0 END" for i in range(_BLOOM_K))} AS INT)
+               AS bloom_hits,
+           ({" AND ".join(f"{_bloom_pos_sql('url', i)} IN (SELECT p FROM pos)" for i in range(_BLOOM_K))})
+               AS maybe_seen
+    FROM cand
+    """,
+)
+def url_seen_bloom_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import (
+        bloom_bitmap,
+        bloom_probe,
+    )
+
+    d = F.col("doc_id")
+    url = F.concat(F.lit("u"), d.cast("string"))
+    seen = star.documents.filter(F.pmod(d, F.lit(2)) == 0).select(
+        url.alias("url")
+    )
+    bm = bloom_bitmap(seen, "url", m_bits=_BLOOM_M, k=_BLOOM_K,
+                      seed=_BLOOM_SEED)
+    cand = seen.unionByName(
+        star.documents.select(
+            F.concat(F.lit("u"), (d + F.lit(10000000)).cast("string"))
+            .alias("url")
+        )
+    )
+    return bloom_probe(cand, bm, "url", m_bits=_BLOOM_M, k=_BLOOM_K,
+                       seed=_BLOOM_SEED)
+
+
+# ---------------------------------------------------------------------------
+# Interpolated-bigram LM scoring (operators.corpus.bigram_logprob): the
+# word-ORDER quality gate — shuffled/keyword-stuffed text has ordinary
+# unigrams but improbable transitions.  λ=0.75 so both engines write
+# exactly-representable literals; ln parity rides the unigram
+# precedent (6dp rounding absorbs 1-ulp libm differences).
+# ---------------------------------------------------------------------------
+
+@register(
+    "bigram_logprob_scores",
+    f"""
+    WITH doctoks AS (
+        SELECT doc_id, {TOKSEQ_SQL.format(col='text')} AS t FROM documents
+    ),
+    raw AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(t) - 1, 0)),
+                   i -> t[i])) AS w1,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(t) - 1, 0)),
+                   i -> t[i + 1])) AS w2
+        FROM doctoks
+    ),
+    pairs AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM raw GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM pairs),
+    win AS (
+        SELECT doc_id, cnt,
+               SUM(cnt) OVER (PARTITION BY w1, w2) AS c12,
+               SUM(cnt) OVER (PARTITION BY w1) AS c1,
+               SUM(cnt) OVER (PARTITION BY w2) AS c2
+        FROM pairs
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           round(SUM(CAST(cnt AS DOUBLE) *
+                     (-ln(0.75 * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                          + 0.25 * (CAST(c2 AS DOUBLE) / n))))
+                 / SUM(CAST(cnt AS DOUBLE)), 6) AS avg_neg_logprob
+    FROM win, tot
+    GROUP BY doc_id
+    """,
+)
+def bigram_logprob_scores_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import bigram_logprob
+
+    return bigram_logprob(star.documents, lam=0.75)

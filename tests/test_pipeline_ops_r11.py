@@ -212,3 +212,111 @@ def test_snapshot_diff_grouped_by_source(spark):
         ("removed", "books"): 1,
         ("added", "books"): 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# bloom_bitmap / bloom_probe
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_fpr_tracks_theory(spark):
+    """Seen elements are ALWAYS flagged (Bloom's contract — nothing
+    fetched is ever re-admitted); unseen elements false-positive at
+    roughly the (1-e^-kn/m)^k rate: ~15% at n=1000, m=4096, k=4 (the
+    deliberately tight fixture), gated loosely at [5%, 30%]."""
+    from sap_data_pipeline_spark.operators.corpus import (
+        bloom_bitmap,
+        bloom_probe,
+    )
+
+    seen = spark.range(1000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"))
+    bm = bloom_bitmap(seen, "url", m_bits=1 << 12, k=4)
+    assert len(bm) == (1 << 12) // 64
+    cand = spark.range(500, 1500).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"))
+    rows = bloom_probe(cand, bm, "url", m_bits=1 << 12, k=4).collect()
+    fn = sum(1 for r in rows
+             if int(r["url"][1:]) < 1000 and not r["maybe_seen"])
+    fp = sum(1 for r in rows
+             if int(r["url"][1:]) >= 1000 and r["maybe_seen"])
+    assert fn == 0
+    assert 25 <= fp <= 150  # ~76 expected of 500
+
+
+def test_bloom_probe_is_pure_map_projection(spark):
+    """The probe plan must contain NO exchange, join, or aggregate —
+    the frontier scan streams through unchanged (the whole point of
+    the Bloom gate vs the exact anti-join)."""
+    from sap_data_pipeline_spark.operators.corpus import (
+        bloom_bitmap,
+        bloom_probe,
+    )
+
+    seen = spark.range(100).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"))
+    bm = bloom_bitmap(seen, "url", m_bits=1 << 12, k=4)
+    probe = bloom_probe(
+        spark.range(50).select(
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("url")),
+        bm, "url", m_bits=1 << 12, k=4)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Aggregate" not in plan, plan
+
+
+def test_bloom_bitmap_size_bounded_by_m_not_n(spark):
+    from sap_data_pipeline_spark.operators.corpus import bloom_bitmap
+
+    big = spark.range(20000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"))
+    bm = bloom_bitmap(big, "url", m_bits=1 << 10, k=4)
+    assert len(bm) == (1 << 10) // 64  # 16 words regardless of n
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob
+# ---------------------------------------------------------------------------
+
+def test_bigram_logprob_hand_computed_two_docs(spark):
+    """Corpus 'a b' + 'a b a': bigrams (a,b)x2, (b,a)x1, N=3.
+    c1(a)=2, c1(b)=1, c2(b)=2, c2(a)=1.
+    p(b|a) = .75*(2/2) + .25*(2/3); p(a|b) = .75*(1/1) + .25*(1/3)."""
+    import math
+
+    from sap_data_pipeline_spark.operators.corpus import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b a")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    p_ba = 0.75 * (2 / 2) + 0.25 * (2 / 3)
+    p_ab = 0.75 * (1 / 1) + 0.25 * (1 / 3)
+    assert got[1]["n_bigrams"] == 1
+    assert got[1]["avg_neg_logprob"] == round(-math.log(p_ba), 6)
+    assert got[2]["n_bigrams"] == 2
+    expect2 = round((-math.log(p_ba) - math.log(p_ab)) / 2, 6)
+    assert got[2]["avg_neg_logprob"] == expect2
+
+
+def test_bigram_logprob_flags_shuffled_word_order(spark):
+    """The gate's reason to exist: a document whose tokens are a
+    PERMUTATION of ordinary text (same unigrams) must score worse than
+    the ordinary documents when the corpus repeats the ordinary
+    transition pattern."""
+    from sap_data_pipeline_spark.operators.corpus import bigram_logprob
+
+    normal = "the cat sat on the mat"
+    rows = [(i, normal) for i in range(10)] + [(99, "mat the on sat cat the")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["avg_neg_logprob"]
+           for r in bigram_logprob(df).collect()}
+    assert got[99] > got[0]
+
+
+def test_bigram_logprob_short_docs_drop_out(spark):
+    from sap_data_pipeline_spark.operators.corpus import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two words")], ["doc_id", "text"])
+    got = {r["doc_id"] for r in bigram_logprob(df).collect()}
+    assert got == {3}
