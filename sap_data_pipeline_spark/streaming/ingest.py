@@ -645,3 +645,90 @@ def stream_drift_monitor(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_frontier_gate(
+    stream: DataFrame,
+    *,
+    url_col: str = "url",
+    out_dir: str,
+    checkpoint_dir: str,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+    seed: int = 7,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming crawl-frontier admission through the Bloom seen-set
+    gate (the incremental arm of the batch ``url_seen_bloom`` path):
+    each micro-batch's URLs are probed MAP-SIDE against the bitmap of
+    everything admitted so far; unseen URLs are admitted and their bit
+    positions persisted.
+
+    Exactly-once is STRUCTURAL here, not checkpoint-dependent: the
+    per-batch position files land under ``{out_dir}/_bloom/batch_id=``
+    with overwrite, and a Bloom bitmap is a SET UNION of positions —
+    re-adding the same bits is the identity, so a crash-replayed batch
+    converges to the identical bitmap (the admitted-rows sink is the
+    same overwrite-per-batch-dir pattern as the drift monitor).  State
+    read per batch is ≤ m/64 words after the union — bounded by the
+    filter size, never by how many URLs have ever been admitted, which
+    is the entire reason a frontier uses a Bloom gate instead of an
+    exact anti-join at 100 TB.
+
+    False positives (rate documented on :func:`corpus.bloom_probe`)
+    skip a never-fetched URL; false negatives are impossible, so a URL
+    is never admitted twice.
+    """
+    from sap_data_pipeline_spark.operators.corpus import (
+        _bloom_hash,
+        bloom_probe,
+    )
+
+    n_words = m_bits // 64
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        state = f"{out_dir}/_bloom"
+        try:
+            words = spark.read.parquet(state).groupBy("w").agg(
+                F.expr("bit_or(bits)").alias("bits")
+            ).collect()
+        except Exception:
+            words = []
+        bitmap = [0] * n_words
+        for r in words:
+            bitmap[r["w"]] = r["bits"]
+        batch = batch_df.dropDuplicates([url_col])
+        admitted = bloom_probe(
+            batch, bitmap, url_col, m_bits=m_bits, k=k, seed=seed
+        ).filter(~F.col("maybe_seen")).drop("bloom_hits", "maybe_seen")
+        admitted.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+        e = F.col(url_col)
+        pos = admitted.select(
+            F.explode(F.array(*[
+                _bloom_hash(e, i, m_bits, seed) for i in range(k)
+            ])).alias("p")
+        )
+        (
+            pos.select(
+                (F.col("p") / F.lit(64)).cast("long").alias("w"),
+                F.pmod(F.col("p"), F.lit(64)).cast("int").alias("bit"),
+            )
+            .select("w", F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("b"))
+            .groupBy("w")
+            .agg(F.expr("bit_or(b)").alias("bits"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{state}/batch_id={batch_id}")
+        )
+
+    writer = stream.writeStream.foreachBatch(admit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

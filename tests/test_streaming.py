@@ -1292,3 +1292,69 @@ def test_stream_drift_monitor_cumulative_equals_batch_twin(spark, tmp_path):
     q2.awaitTermination(180)
     assert {r["batch_id"] for r in spark.read.parquet(out).collect()} \
         == {0, 1, 2}
+
+
+def test_stream_frontier_gate_bloom_admission(spark, tmp_path):
+    """Streaming crawl-frontier admission through the Bloom gate:
+    batch-0 URLs admit; batch 1 re-offers half of them (rejected — no
+    false negatives, ever) plus new ones (admitted); batch 2 re-offers
+    EVERYTHING admitted so far (all rejected).  A restart on the same
+    checkpoint admits nothing new, and the per-batch state/output dirs
+    make replay idempotent by set-union structure."""
+    from pyspark.sql import types as T
+
+    from sap_data_pipeline_spark.streaming.ingest import (
+        stream_file_source,
+        stream_frontier_gate,
+    )
+
+    watch = tmp_path / "frontier_watch"
+    watch.mkdir()
+
+    def write_batch(name, urls):
+        (watch / name).write_text("url\n" + "".join(u + "\n" for u in urls))
+
+    b0 = [f"http://h{i}.com/p" for i in range(100)]
+    b1 = b0[:50] + [f"http://n{i}.com/q" for i in range(60)]
+    b2 = b0 + [f"http://n{i}.com/q" for i in range(60)]
+    write_batch("a.csv", b0)
+    write_batch("b.csv", b1)
+    write_batch("c.csv", b2)
+
+    schema = T.StructType([T.StructField("url", T.StringType())])
+    out = str(tmp_path / "admitted")
+    q = stream_frontier_gate(
+        stream_file_source(spark, str(watch), schema),
+        url_col="url", out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt_frontier"),
+        m_bits=1 << 14, k=4,
+    )
+    q.awaitTermination(180)
+
+    rows = spark.read.parquet(out).collect()
+    admitted = {}
+    for r in rows:
+        admitted.setdefault(r["batch_id"], set()).add(r["url"])
+    # batch 0: everything new -> all admitted
+    assert admitted[0] == set(b0)
+    # batch 1: the 50 re-offers rejected (no false negatives); the 60
+    # new URLs admitted except documented-rate false positives
+    assert not (admitted.get(1, set()) & set(b0))
+    assert len(admitted.get(1, set())) >= 55
+    # batch 2: every URL was offered before -> nothing admitted except
+    # none (all seen; FPs only SHRINK admission, never grow it)
+    assert 2 not in admitted or admitted[2] == set()
+
+    # the same URL never admits twice across the whole run
+    all_urls = [r["url"] for r in rows]
+    assert len(all_urls) == len(set(all_urls))
+
+    # restart on the same checkpoint: no new output
+    q2 = stream_frontier_gate(
+        stream_file_source(spark, str(watch), schema),
+        url_col="url", out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt_frontier"),
+        m_bits=1 << 14, k=4,
+    )
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == len(all_urls)
