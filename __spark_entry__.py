@@ -181,6 +181,19 @@ _TAIL = (
     # unigram_logprob_scores (orderless vocabulary): the only query
     # verifying a CONDITIONAL-probability LM:
     "bigram_logprob_scores",
+    # the admission funnel: one verdict per doc (FIRST failing rule in
+    # order) so the counts sum exactly to the corpus — composes the
+    # hash-verified token/code/quality kernels.  Distinct evidence
+    # from gopher_quality_flags (per-doc flags, overlapping): the only
+    # query verifying MUTUALLY-EXCLUSIVE gate accounting:
+    "admission_funnel",
+    # the crawl-cycle scheduler: exact global fetch budget split across
+    # hosts ∝ revisit-priority mass (integer-micro-unit Hamilton),
+    # per-host quota filled by priority rank.  Distinct evidence from
+    # url_change_rate (per-URL signal) and eval_holdout_exact
+    # (size-proportional quotas): the only query verifying a
+    # MASS-proportional budget allocation:
+    "crawl_schedule",
     # r11 rotation (r10 verdict #4 — promote the never-driver-hashed r10
     # tail: dedup_safe_split, snapshot_dedup_admission, image_ahash_pairs,
     # image_ahash_clusters, url_canonical_dedup, exact_substring_excise,

@@ -127,6 +127,11 @@ HEADLINE = [
     # count aggregate + three keyed windows over it)
     "url_seen_bloom",
     "bigram_logprob_scores",
+    # round-11 additions: the admission funnel (one-scan CASE ladder
+    # over three kernel batteries) and the crawl-cycle scheduler
+    # (url_change_rate -> Hamilton quotas -> per-host rank)
+    "admission_funnel",
+    "crawl_schedule",
 ]
 
 

@@ -355,3 +355,60 @@ def url_change_rate(history: DataFrame, *, url_col: str = "url",
             "priority", F.round(F.col("change_rate") * F.col("days_stale"), 6)
         )
     )
+
+
+def crawl_schedule(history: DataFrame, budget: int, *,
+                   url_col: str = "url", host_col: str = "host",
+                   ts_col: str = "fetch_ts", hash_col: str = "content_hash",
+                   order_tiebreak: str | None = None) -> DataFrame:
+    """Politeness-aware recrawl scheduling: spend an exact global fetch
+    ``budget`` across hosts proportionally to each host's revisit-
+    priority mass, then fill each host's quota with its highest-
+    priority URLs — the cycle plan a production crawler emits (a
+    global top-N ignores politeness and would spend the whole budget
+    on one volatile host; a uniform per-host cap ignores volatility).
+
+    Composition of two verified kernels: :func:`url_change_rate`
+    (per-URL priority = change_rate · days_stale) and
+    ``sampling.proportional_allocation`` (largest-remainder quotas, so
+    Σ host quotas == budget EXACTLY; a host holding fewer candidate
+    URLs than its quota undersubscribes — the budget is a CEILING, and
+    unspent quota signals an exhausted host pool, not an error).  Host
+    mass uses integer
+    micro-units (``round(priority·10⁶)`` of the already-6dp-rounded
+    priority — exact on both engines), so the Hamilton remainder
+    ranking never depends on float summation order.
+
+    Returns (url, host, priority, rank_in_host) for the scheduled
+    fetches.  Scale: everything after url_change_rate is frontier- or
+    hosts-sized; the per-host rank window is quota-cut.
+    """
+    from sap_data_pipeline_spark.operators.sampling import (
+        proportional_allocation,
+    )
+
+    rates = url_change_rate(
+        history, url_col=url_col, ts_col=ts_col, hash_col=hash_col,
+        order_tiebreak=order_tiebreak,
+    ).withColumn(host_col, F.split(F.col(url_col), "/").getItem(0))
+    mass = (
+        rates.groupBy(host_col)
+        .agg(
+            F.sum(F.round(F.col("priority") * 1000000).cast("long"))
+            .alias("mass")
+        )
+        .filter(F.col("mass") > 0)
+    )
+    quotas = proportional_allocation(
+        mass, budget, stratum_col=host_col, n_col="mass"
+    ).withColumnRenamed("stratum", host_col)
+    w = Window.partitionBy(host_col).orderBy(
+        F.col("priority").desc(), F.col(url_col).asc()
+    )
+    return (
+        rates.withColumn("rank_in_host", F.row_number().over(w))
+        .join(F.broadcast(quotas), host_col)
+        .filter(F.col("rank_in_host") <= F.col("quota"))
+        .select(url_col, host_col, "priority",
+                F.col("rank_in_host").cast("int").alias("rank_in_host"))
+    )

@@ -6940,3 +6940,174 @@ def bigram_logprob_scores_q(star: Star) -> DataFrame:
     from sap_data_pipeline_spark.operators.corpus import bigram_logprob
 
     return bigram_logprob(star.documents, lam=0.75)
+
+
+# ---------------------------------------------------------------------------
+# Admission funnel (operators.quality.admission_funnel): the final gate
+# with per-REASON accounting — each doc gets exactly one verdict (the
+# first failing rule, in order), so the funnel sums exactly to the
+# corpus; overlapping per-filter stats never reconcile.  Rules compose
+# the already-hash-verified kernels: token count, the code-router
+# votes, the quality score.
+# ---------------------------------------------------------------------------
+
+@register(
+    "admission_funnel",
+    f"""
+    WITH {_QUALITY_CTES},
+    toks AS (
+        SELECT doc_id, CAST(len({TOKSEQ_SQL.format(col='text')}) AS BIGINT)
+                   AS ntok
+        FROM documents
+    ),
+    code AS (
+        SELECT doc_id,
+               (CAST(CAST(len(regexp_extract_all(text, '[{{}}\\[\\]();=<>]')) AS BIGINT) * 100
+                     >= length(text) * 4 AS INT)
+                + CAST(CAST(len(regexp_extract_all(text, '{_CODE_KW_SQL}')) AS BIGINT) * 100
+                       >= length(text) AS INT)
+                + CAST(CAST(len(regexp_extract_all(text, '(?m)^(?:    |\\t)')) AS BIGINT) * 5
+                       >= len(regexp_extract_all(text, chr(10))) + 1 AS INT)
+               ) >= 2 AS is_code
+        FROM documents
+    ),
+    verdicts AS (
+        SELECT d.source,
+               CASE WHEN t.ntok < 20 THEN 'too_short'
+                    WHEN c.is_code THEN 'code'
+                    WHEN q.quality < 0.5 THEN 'low_quality'
+                    ELSE 'admitted' END AS reason
+        FROM documents d
+        JOIN toks t USING (doc_id)
+        JOIN code c USING (doc_id)
+        JOIN quality q USING (doc_id)
+    )
+    SELECT reason, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM verdicts GROUP BY 1, 2
+    """,
+)
+def admission_funnel_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.quality import admission_funnel
+
+    s = X.code_signals(F.col("text"))
+    enriched = star.documents.select(
+        "source",
+        X.token_count("text").alias("_ntok"),
+        X.is_code_verdict(s).alias("_is_code"),
+        X.quality_score("text").alias("_q"),
+    )
+    return admission_funnel(
+        enriched,
+        {
+            "too_short": F.col("_ntok") < 20,
+            "code": F.col("_is_code"),
+            "low_quality": F.col("_q") < 0.5,
+        },
+        group_col="source",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-cycle scheduling (operators.temporal.crawl_schedule): spend an
+# exact global fetch budget across hosts ∝ revisit-priority mass
+# (Hamilton quotas over integer micro-units — no float-sum-order
+# dependence), fill each quota with the host's highest-priority URLs.
+# Composition of the verified url_change_rate and
+# proportional_allocation kernels; fixture extends the fetch-history
+# recipe with host-ful URLs.
+# ---------------------------------------------------------------------------
+
+_CS_BUDGET = 200
+
+@register(
+    "crawl_schedule",
+    f"""
+    WITH hist AS (
+        SELECT event_id,
+               'h' || CAST(user_id % 40 AS VARCHAR) || '/p'
+                   || CAST(user_id % 500 AS VARCHAR) AS url,
+               ts AS fetch_ts,
+               md5('h' || CAST(user_id % 40 AS VARCHAR) || '/p'
+                   || CAST(user_id % 500 AS VARCHAR) || ':' ||
+                   CAST(CAST(floor(epoch(ts)
+                        / (86400 * (1 + (user_id % 500) % 5))) AS BIGINT)
+                        AS VARCHAR)) AS content_hash
+        FROM events
+    ),
+    seq AS (
+        SELECT url, fetch_ts, content_hash,
+               lag(content_hash) OVER (
+                   PARTITION BY url ORDER BY fetch_ts, event_id
+               ) AS prev_hash
+        FROM hist
+    ),
+    per_url AS (
+        SELECT url,
+               CAST(COUNT(*) AS BIGINT) AS n_fetches,
+               CAST(SUM(CASE WHEN prev_hash IS NOT NULL
+                              AND content_hash <> prev_hash
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+               MAX(fetch_ts) AS last_ts
+        FROM seq GROUP BY url
+    ),
+    gmax AS (SELECT MAX(fetch_ts) AS g FROM hist),
+    rates AS (
+        SELECT url,
+               round(round(CAST(n_changes AS DOUBLE)
+                     / CAST(greatest(n_fetches - 1, 1) AS DOUBLE), 6)
+                     * round(CAST(CAST(floor(epoch(g)) AS BIGINT)
+                            - CAST(floor(epoch(last_ts)) AS BIGINT) AS DOUBLE)
+                            / 86400.0, 6), 6) AS priority,
+               string_split(url, '/')[1] AS host
+        FROM per_url, gmax
+    ),
+    mass AS (
+        SELECT host, SUM(CAST(round(priority * 1000000) AS BIGINT)) AS m
+        FROM rates GROUP BY host
+        HAVING SUM(CAST(round(priority * 1000000) AS BIGINT)) > 0
+    ),
+    tot AS (SELECT CAST(SUM(m) AS DOUBLE) AS mm FROM mass),
+    alloc0 AS (
+        SELECT host,
+               CAST(floor(({_CS_BUDGET} * m) / mm) AS BIGINT) AS base,
+               ({_CS_BUDGET} * m) / mm - floor(({_CS_BUDGET} * m) / mm) AS rem
+        FROM mass CROSS JOIN tot
+    ),
+    alloc AS (
+        SELECT host,
+               base + CASE WHEN row_number()
+                               OVER (ORDER BY rem DESC, host ASC)
+                           <= {_CS_BUDGET} - (SELECT SUM(base) FROM alloc0)
+                      THEN 1 ELSE 0 END AS quota
+        FROM alloc0
+    ),
+    ranked AS (
+        SELECT url, host, priority,
+               CAST(row_number() OVER (
+                   PARTITION BY host ORDER BY priority DESC, url ASC
+               ) AS INT) AS rank_in_host
+        FROM rates
+    )
+    SELECT r.url, r.host, r.priority, r.rank_in_host
+    FROM ranked r JOIN alloc a USING (host)
+    WHERE r.rank_in_host <= a.quota
+    """,
+)
+def crawl_schedule_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.temporal import crawl_schedule
+
+    u = F.pmod(F.col("user_id"), F.lit(500))
+    h = F.pmod(F.col("user_id"), F.lit(40))
+    width = (F.lit(86400) * (F.lit(1) + F.pmod(u, F.lit(5)))).cast("long")
+    url = F.concat(F.lit("h"), h.cast("string"), F.lit("/p"), u.cast("string"))
+    hist = star.events.select(
+        "event_id",
+        url.alias("url"),
+        F.col("ts").alias("fetch_ts"),
+        F.md5(F.concat(
+            url, F.lit(":"),
+            F.floor(F.unix_timestamp("ts").cast("double") / width)
+            .cast("long").cast("string"),
+        )).alias("content_hash"),
+    )
+    return crawl_schedule(hist, _CS_BUDGET, order_tiebreak="event_id")

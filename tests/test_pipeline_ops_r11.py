@@ -320,3 +320,91 @@ def test_bigram_logprob_short_docs_drop_out(spark):
         [(1, "single"), (2, ""), (3, "two words")], ["doc_id", "text"])
     got = {r["doc_id"] for r in bigram_logprob(df).collect()}
     assert got == {3}
+
+
+# ---------------------------------------------------------------------------
+# admission_funnel
+# ---------------------------------------------------------------------------
+
+def test_admission_funnel_first_failing_rule_wins_and_sums_exact(spark):
+    from sap_data_pipeline_spark.operators.quality import admission_funnel
+
+    df = spark.createDataFrame(
+        [
+            (1, 5, True),    # fails BOTH rules -> first one ('short') wins
+            (2, 50, True),   # fails only 'flagged'
+            (3, 50, False),  # admitted
+            (4, 3, False),   # 'short'
+        ],
+        "doc_id long, ntok long, flag boolean",
+    )
+    got = {r["reason"]: r["n_docs"] for r in admission_funnel(
+        df, {"short": F.col("ntok") < 20, "flagged": F.col("flag")},
+    ).collect()}
+    assert got == {"short": 2, "flagged": 1, "admitted": 1}
+    assert sum(got.values()) == 4  # exactly one verdict per doc
+
+
+def test_admission_funnel_grouped(spark):
+    from sap_data_pipeline_spark.operators.quality import admission_funnel
+
+    df = spark.createDataFrame(
+        [(1, "web", True), (2, "web", False), (3, "books", False)],
+        "doc_id long, src string, bad boolean",
+    )
+    got = {(r["reason"], r["src"]): r["n_docs"] for r in admission_funnel(
+        df, {"bad": F.col("bad")}, group_col="src").collect()}
+    assert got == {("bad", "web"): 1, ("admitted", "web"): 1,
+                   ("admitted", "books"): 1}
+
+
+# ---------------------------------------------------------------------------
+# crawl_schedule
+# ---------------------------------------------------------------------------
+
+def test_crawl_schedule_budget_ceiling_and_host_proportionality(spark):
+    from sap_data_pipeline_spark.operators.temporal import crawl_schedule
+
+    # host A: 4 volatile urls (every fetch changes); host B: 4 static
+    rows = []
+    eid = 0
+    for h, volatile in (("hA", True), ("hB", False)):
+        for p in range(4):
+            for f in range(3):
+                eid += 1
+                rows.append((
+                    eid, f"{h}/p{p}", datetime(2026, 1, 1 + f),
+                    f"c{f}" if volatile else "same",
+                ))
+    # a later sentinel fetch (single observation -> zero priority of its
+    # own) makes every other URL stale; without it days_stale = 0
+    # everywhere and no host has mass
+    rows.append((999, "hZ/px", datetime(2026, 1, 9), "z"))
+    hist = spark.createDataFrame(
+        rows,
+        "event_id long, url string, fetch_ts timestamp, content_hash string",
+    )
+    out = crawl_schedule(hist, 3, order_tiebreak="event_id").collect()
+    # hB has zero priority mass -> excluded; all 3 slots go to hA
+    assert all(r["host"] == "hA" for r in out)
+    assert len(out) == 3
+    assert sorted(r["rank_in_host"] for r in out) == [1, 2, 3]
+
+
+def test_crawl_schedule_quota_is_ceiling_when_host_pool_small(spark):
+    from sap_data_pipeline_spark.operators.temporal import crawl_schedule
+
+    # one volatile host with only 2 urls; budget 10 -> schedules 2
+    rows = []
+    eid = 0
+    for p in range(2):
+        for f in range(3):
+            eid += 1
+            rows.append((eid, f"hA/p{p}", datetime(2026, 1, 1 + f), f"c{f}"))
+    rows.append((999, "hZ/px", datetime(2026, 1, 9), "z"))
+    hist = spark.createDataFrame(
+        rows,
+        "event_id long, url string, fetch_ts timestamp, content_hash string",
+    )
+    out = crawl_schedule(hist, 10, order_tiebreak="event_id").collect()
+    assert len(out) == 2
