@@ -28,6 +28,7 @@ from sap_data_pipeline_spark.operators.sampling import (  # noqa: E402
     domain_reweight_mw,
 )
 from sap_data_pipeline_spark.operators.temporal import (  # noqa: E402
+    crawl_schedule,
     url_change_rate,
 )
 from sap_data_pipeline_spark.session import get_spark  # noqa: E402
@@ -106,6 +107,26 @@ def main() -> None:
         return domain_reweight_mw(per.select("domain", "weight"),
                                   per.select("domain", "excess_loss"))
 
+    def funnel(n):
+        from sap_data_pipeline_spark.operators.quality import (
+            admission_funnel,
+        )
+        d = docs(spark, n)
+        sig = X.code_signals(F.col("text"))
+        enriched = d.select(
+            "source",
+            X.token_count("text").alias("_ntok"),
+            X.is_code_verdict(sig).alias("_is_code"),
+            X.quality_score("text").alias("_q"),
+        )
+        return admission_funnel(
+            enriched,
+            {"too_short": F.col("_ntok") < 20,
+             "code": F.col("_is_code"),
+             "low_quality": F.col("_q") < 0.5},
+            group_col="source",
+        )
+
     def bloom(n):
         seen = docs(spark, n).select(
             F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"))
@@ -124,6 +145,11 @@ def main() -> None:
         ("url_seen_bloom kernel: bloom build m=2^20 + map-side probe", bloom),
         ("bigram_logprob (bigram count agg + 3 keyed windows)",
          lambda n: bigram_logprob(docs(spark, n))),
+        ("admission_funnel (token+code+quality kernels, one scan)",
+         funnel),
+        ("crawl_schedule (lag window -> Hamilton -> per-host rank)",
+         lambda n: crawl_schedule(fetches(spark, n), n // 100 + 10,
+                                  order_tiebreak="event_id")),
     ]:
         t1 = best2(lambda: fn(n1))
         tN = best2(lambda: fn(n1 * 20))
