@@ -673,3 +673,42 @@ def test_source_drift_psi_two_scans_tiny_tail(spark):
     assert plan.count("Scan parquet") == 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_code_prose_router_zero_exchange_map_battery(spark):
+    """The routing verdict is a pure map stage: five regexp signals +
+    the integer vote in one codegen project — at 100 TB this is scan
+    CPU, never a job.  (load_star's deliberate round-robin rebalance
+    for CPU-bound scans is allowed; no DATA-keyed exchange may
+    appear.)"""
+    plan = _plan(QUERIES["code_prose_router"](spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_snapshot_diff_shuffles_fingerprints_not_payloads(spark):
+    """The diff's full-outer join must exchange (id, fingerprint,
+    source) projections — the document text is pruned before any
+    exchange, so the shuffle is payload-free regardless of doc size."""
+    plan = _plan(QUERIES["corpus_snapshot_diff"](spark, SF_DIR))
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text" not in ln, ln
+
+
+def test_url_seen_bloom_probe_side_no_join(spark):
+    """The Bloom gate's probe is a map projection against a bitmap
+    literal: the full query plan contains no join node at all (the
+    build side ran at plan-construction time, bounded by m)."""
+    plan = _plan(QUERIES["url_seen_bloom"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_admission_funnel_one_scan_one_aggregate(spark):
+    """The funnel is one scan through the kernel expressions + one
+    reasons×sources aggregate: exactly one hash exchange, no joins."""
+    plan = _plan(QUERIES["admission_funnel"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
