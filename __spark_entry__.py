@@ -194,6 +194,12 @@ _TAIL = (
     # (size-proportional quotas): the only query verifying a
     # MASS-proportional budget allocation:
     "crawl_schedule",
+    # the TIFF decode battery: REAL stdlib single-strip baseline decode
+    # with BOTH byte orders exercised per doc (TIFF is the only common
+    # image container where endianness is a per-file fact).  Distinct
+    # evidence from image_meta_bmp/png/gif (single-endian containers):
+    # the only query value-hashing an endianness-branching decode:
+    "image_meta_tiff",
     # r11 rotation (r10 verdict #4 — promote the never-driver-hashed r10
     # tail: dedup_safe_split, snapshot_dedup_admission, image_ahash_pairs,
     # image_ahash_clusters, url_canonical_dedup, exact_substring_excise,

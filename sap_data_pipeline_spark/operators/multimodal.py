@@ -1484,3 +1484,196 @@ def synth_bmp_media_templated(documents: DataFrame, *,
         T.StructField("payload", T.BinaryType(), True),
     ])
     return documents.select("doc_id").mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline, uncompressed) — the scanned-document / print-pipeline
+# format the web corpus still carries; REAL stdlib decode like
+# BMP/PNG/GIF (struct for the IFD walk, numpy for the strip bytes).
+# Both byte orders ('II' little / 'MM' big) are first-class: TIFF is
+# the only common image container where endianness is a per-FILE fact.
+# ---------------------------------------------------------------------------
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits_per_sample",
+    259: "compression", 262: "photometric", 273: "strip_offsets",
+    277: "samples_per_pixel", 278: "rows_per_strip",
+    279: "strip_byte_counts",
+}
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def encode_tiff(pixels, *, big_endian: bool = False) -> bytes:
+    """Minimal single-strip baseline TIFF writer for (h, w, ch) uint8
+    RGB arrays — test-fixture encoder (same role as encode_bmp /
+    encode_png): header, pixel strip, external BitsPerSample array,
+    one IFD."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    bo = ">" if big_endian else "<"
+    magic = b"MM" if big_endian else b"II"
+
+    strip = px.tobytes()
+    strip_off = 8
+    bps_off = strip_off + len(strip)
+    ifd_off = bps_off + 2 * ch
+    if ifd_off % 2:  # IFD offsets must be word-aligned
+        bps_off += 1
+        ifd_off += 1
+
+    def entry(tag, typ, count, value):
+        return struct.pack(f"{bo}HHI", tag, typ, count) + struct.pack(
+            f"{bo}I", value
+        )
+
+    entries = [
+        entry(256, 4, 1, w),
+        entry(257, 4, 1, h),
+        entry(258, 3, ch, bps_off),       # external SHORT[ch] array
+        entry(259, 3, 1, 1),              # no compression
+        entry(262, 3, 1, 2),              # RGB
+        entry(273, 4, 1, strip_off),
+        entry(277, 3, 1, ch),
+        entry(278, 4, 1, h),
+        entry(279, 4, 1, len(strip)),
+    ]
+    # SHORT values < 65536 stored left-justified in the 4-byte slot:
+    # re-pack the SHORT-typed inline entries correctly for big-endian
+    def entry_short(tag, count, value):
+        return struct.pack(f"{bo}HHI", tag, 3, count) + struct.pack(
+            f"{bo}HH", value, 0
+        )
+
+    entries[3] = entry_short(259, 1, 1)
+    entries[4] = entry_short(262, 1, 2)
+    entries[6] = entry_short(277, 1, ch)
+
+    out = bytearray()
+    out += magic + struct.pack(f"{bo}HI", 42, ifd_off)
+    out += strip
+    if bps_off > strip_off + len(strip):
+        out += b"\x00"  # alignment pad
+    out += struct.pack(f"{bo}{ch}H", *([8] * ch))
+    out += struct.pack(f"{bo}H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack(f"{bo}I", 0)  # next-IFD terminator
+    return bytes(out)
+
+
+def decode_tiff_pixels(payload: bytes):
+    """REAL decode of a single-strip uncompressed 8-bit TIFF — returns
+    (width, height, samples_per_pixel, big_endian, pixels) with pixels
+    an (h, w, ch) uint8 array, or None pixels for compressed /
+    non-8-bit / multi-strip files (header metadata still reported).
+    Non-TIFF payloads raise ``NotImplementedError`` (the codec
+    env-gate, same contract as :func:`decode_bmp_pixels`)."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise NotImplementedError(
+            "payload is not a TIFF; other containers are decoded by "
+            "their own stdlib decoders or env-gated"
+        )
+    big = payload[:2] == b"MM"
+    bo = ">" if big else "<"
+    (forty_two, ifd_off) = struct.unpack_from(f"{bo}HI", payload, 2)
+    if forty_two != 42:
+        raise NotImplementedError("bad TIFF version")
+    n = struct.unpack_from(f"{bo}H", payload, ifd_off)[0]
+    tags: dict[str, tuple] = {}
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(f"{bo}HHI", payload, off)
+        name = _TIFF_TAGS.get(tag)
+        if name is None or typ not in _TIFF_TYPE_SIZE:
+            continue
+        size = _TIFF_TYPE_SIZE[typ] * count
+        if size <= 4:
+            vals_off = off + 8
+        else:
+            vals_off = struct.unpack_from(f"{bo}I", payload, off + 8)[0]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        vals = struct.unpack_from(f"{bo}{count}{fmt}", payload, vals_off)
+        tags[name] = vals
+    w = tags["width"][0]
+    h = tags["height"][0]
+    spp = tags.get("samples_per_pixel", (1,))[0]
+    comp = tags.get("compression", (1,))[0]
+    bps = tags.get("bits_per_sample", (8,))
+    offs = tags.get("strip_offsets", ())
+    if (comp != 1 or any(b != 8 for b in bps) or len(offs) != 1
+            or tags.get("rows_per_strip", (h,))[0] < h):
+        return w, h, spp, big, None
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=w * h * spp, offset=offs[0])
+    return w, h, spp, big, raw.reshape(h, w, spp)
+
+
+TIFF_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("big_endian", T.BooleanType(), True),
+    T.StructField("mean_luma", T.DoubleType(), True),
+    T.StructField("max_luma", T.IntegerType(), True),
+])
+
+
+def extract_tiff_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched TIFF decode + stats — the TIFF instance of the
+    image decode stage (same shape as :func:`extract_png_meta`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in TIFF_META_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, spp, big, px = decode_tiff_pixels(bytes(payload))
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(spp)
+                out["big_endian"].append(big)
+                out["mean_luma"].append(
+                    float(px.mean()) if px is not None else None)
+                out["max_luma"].append(
+                    int(px.max()) if px is not None else None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=TIFF_META_SCHEMA)
+
+
+def synth_tiff_media(documents: DataFrame) -> DataFrame:
+    """Deterministic TIFF fixture: width ``4 + doc_id % 13``, height
+    ``3 + doc_id % 7``, RGB, byte order alternating per doc (both
+    endian paths under the value-hash oracle), channel byte
+    ``(doc_id + 11 r + 5 c + ch) % 256``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                chs = np.arange(3)[None, None, :]
+                px = ((did + 11 * r + 5 * c + chs) % 256).astype(np.uint8)
+                ids.append(did)
+                payloads.append(encode_tiff(px, big_endian=bool(did % 2)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    return documents.select("doc_id").mapInPandas(run, schema=schema)

@@ -7111,3 +7111,42 @@ def crawl_schedule_q(star: Star) -> DataFrame:
         )).alias("content_hash"),
     )
     return crawl_schedule(hist, _CS_BUDGET, order_tiebreak="event_id")
+
+
+# ---------------------------------------------------------------------------
+# TIFF metadata battery (operators.multimodal.extract_tiff_meta): REAL
+# stdlib decode of the scanned-document container, BOTH byte orders
+# exercised per doc (TIFF is the only common image format where
+# endianness is a per-file fact) — closed-form fixture, so every
+# column value-hashes like the BMP/PNG/GIF batteries.
+# ---------------------------------------------------------------------------
+
+@register(
+    "image_meta_tiff",
+    """
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+        FROM documents
+    ),
+    rr AS (SELECT unnest(generate_series(0, 8)) AS r),
+    cc AS (SELECT unnest(generate_series(0, 15)) AS c),
+    chs AS (SELECT unnest(generate_series(0, 2)) AS ch),
+    px AS (
+        SELECT d.doc_id,
+               (d.doc_id + 11 * rr.r + 5 * cc.c + chs.ch) % 256 AS v
+        FROM dims d, rr, cc, chs
+        WHERE rr.r < d.h AND cc.c < d.w
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           d.doc_id % 2 = 1 AS big_endian,
+           CAST(SUM(p.v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_luma,
+           CAST(MAX(p.v) AS INT) AS max_luma
+    FROM dims d JOIN px p ON p.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.w, d.h
+    """,
+)
+def image_meta_tiff(star: Star) -> DataFrame:
+    return MM.extract_tiff_meta(MM.synth_tiff_media(star.documents))

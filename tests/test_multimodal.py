@@ -508,3 +508,79 @@ def test_sniff_quarantines_corrupt_payloads_with_valid_magic(spark):
     got = {r["media_id"]: r["kind"] for r in MM.sniff_media_meta(media).collect()}
     assert got[1] == "png"
     assert got[2] == "corrupt" and got[3] == "corrupt" and got[4] == "corrupt"
+
+
+# ---------------------------------------------------------------------------
+# TIFF (r11): real stdlib decode, both byte orders
+# ---------------------------------------------------------------------------
+
+def test_tiff_roundtrip_both_endian():
+    import numpy as np
+
+    from sap_data_pipeline_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    px = ((np.arange(5)[:, None, None] * 11
+           + np.arange(7)[None, :, None] * 5
+           + np.arange(3)[None, None, :]) % 256).astype(np.uint8)
+    for big in (False, True):
+        w, h, spp, b, out = decode_tiff_pixels(encode_tiff(px, big_endian=big))
+        assert (w, h, spp, b) == (7, 5, 3, big)
+        assert np.array_equal(out, px)
+
+
+def test_tiff_non_tiff_payload_is_env_gated():
+    import pytest as _pytest
+
+    from sap_data_pipeline_spark.operators.multimodal import (
+        decode_tiff_pixels,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        decode_tiff_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    with _pytest.raises(NotImplementedError):
+        decode_tiff_pixels(b"xx")
+
+
+def test_tiff_compressed_reports_header_only():
+    """A compression tag != 1 degrades to header-only metadata (None
+    pixels) instead of failing — same contract as the BMP decoder."""
+    import struct
+
+    import numpy as np
+
+    from sap_data_pipeline_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(encode_tiff(px))
+    # entry 4 (index 3) is the Compression SHORT: flip its value to 5 (LZW)
+    ifd_off = struct.unpack_from("<I", payload, 4)[0]
+    comp_entry = ifd_off + 2 + 12 * 3
+    assert struct.unpack_from("<H", payload, comp_entry)[0] == 259
+    struct.pack_into("<H", payload, comp_entry + 8, 5)
+    w, h, spp, big, out = decode_tiff_pixels(bytes(payload))
+    assert (w, h, spp, big) == (2, 2, 3, False)
+    assert out is None
+
+
+def test_tiff_meta_query_shapes(spark):
+    from sap_data_pipeline_spark.operators.multimodal import (
+        extract_tiff_meta,
+        synth_tiff_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    rows = {r["media_id"]: r for r in
+            extract_tiff_meta(synth_tiff_media(docs)).collect()}
+    assert len(rows) == 6
+    for did, r in rows.items():
+        assert r["width"] == 4 + did % 13
+        assert r["height"] == 3 + did % 7
+        assert r["channels"] == 3
+        assert r["big_endian"] == bool(did % 2)
+        assert r["max_luma"] is not None
