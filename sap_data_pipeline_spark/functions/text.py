@@ -86,13 +86,21 @@ def digit_ratio(c: ColumnOrName) -> Column:
     return F.when(n > 0, d.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
-def mean_word_length(c: ColumnOrName) -> Column:
-    t = tokens(c)
+def mean_word_length_from(t: Column) -> Column:
+    """``mean_word_length`` over an ALREADY-COMPUTED token array — the
+    projection-tier contract of :func:`ngrams_from`/:func:`repetition_stats`:
+    a column reference is free where re-expanding the tokenizer repeats
+    the full ``split(trim(regexp_replace(lower(text))))`` regex pass
+    (Catalyst does not CSE interpreted higher-order chains)."""
     return F.when(
         F.size(t) > 0,
         F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).cast("double")
         / F.size(t).cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+def mean_word_length(c: ColumnOrName) -> Column:
+    return mean_word_length_from(tokens(c))
 
 
 # Tiny stopword inventories for the n-gram/stopword language heuristic.
@@ -104,45 +112,74 @@ _STOPWORDS = {
 }
 
 
-def stopword_hits(c: ColumnOrName, lang: str = "en") -> Column:
-    """Count of stopword token hits for ``lang``."""
-    t = tokens(c)
+def stopword_hits_from(t: Column, lang: str = "en") -> Column:
+    """Stopword hit count over an ALREADY-COMPUTED token array."""
     sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
     return F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
 
 
-def stopword_ratio(c: ColumnOrName, lang: str = "en") -> Column:
-    t = tokens(c)
+def stopword_hits(c: ColumnOrName, lang: str = "en") -> Column:
+    """Count of stopword token hits for ``lang``."""
+    return stopword_hits_from(tokens(c), lang)
+
+
+def stopword_ratio_from(t: Column, lang: str = "en") -> Column:
     return F.when(
-        F.size(t) > 0, stopword_hits(c, lang).cast("double") / F.size(t).cast("double")
+        F.size(t) > 0,
+        stopword_hits_from(t, lang).cast("double") / F.size(t).cast("double"),
     ).otherwise(F.lit(0.0))
 
 
-def detect_lang(c: ColumnOrName) -> Column:
-    """Heuristic language id: argmax of per-language stopword hits,
-    ``und`` (undetermined) when nothing matches."""
+def stopword_ratio(c: ColumnOrName, lang: str = "en") -> Column:
+    return stopword_ratio_from(tokens(c), lang)
+
+
+def detect_lang_from(t: Column) -> Column:
+    """Heuristic language id over an ALREADY-COMPUTED token array:
+    argmax of per-language stopword hits, ``und`` when nothing matches.
+    One tokenizer evaluation instead of |languages|."""
     pairs = F.array(*[
-        F.struct(stopword_hits(c, lang).alias("hits"), F.lit(lang).alias("lang"))
+        F.struct(stopword_hits_from(t, lang).alias("hits"),
+                 F.lit(lang).alias("lang"))
         for lang in _STOPWORDS
     ])
     best = F.array_max(pairs)
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def detect_lang(c: ColumnOrName) -> Column:
+    """Heuristic language id: argmax of per-language stopword hits,
+    ``und`` (undetermined) when nothing matches."""
+    return detect_lang_from(tokens(c))
+
+
+def quality_score_from(c: ColumnOrName, t: Column) -> Column:
+    """:func:`quality_score` with the tokenizer HOISTED: ``t`` is an
+    already-projected token array (``tokens(text).alias(...)`` in a
+    prior select tier), so the stopword and word-length terms reference
+    it for free instead of each re-expanding the full tokenize chain —
+    the raw-text terms (length/punct/digit) are one cheap
+    ``regexp_count`` apiece and stay on ``c``.  Same IEEE arithmetic,
+    bit-identical scores."""
+    s = _c(c)
+    n = F.length(s)
+    len_ok = F.when((n >= 100) & (n <= 20000), 1.0).when(n >= 20, 0.5).otherwise(0.0)
+    sw_ok = F.least(stopword_ratio_from(t) * 4.0, F.lit(1.0))
+    punct_ok = F.when(punct_ratio(c) < 0.2, 1.0).otherwise(0.3)
+    digit_ok = F.when(digit_ratio(c) < 0.3, 1.0).otherwise(0.3)
+    mwl = mean_word_length_from(t)
+    mwl_ok = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.4)
+    return F.round((len_ok + sw_ok + punct_ok + digit_ok + mwl_ok) / F.lit(5.0), 4)
+
+
 def quality_score(c: ColumnOrName) -> Column:
     """Composite [0,1] quality score: length band + stopword presence +
     sane punctuation/digit load + word-length band.  Deterministic,
     documented weights — the point is the shape (pure column expression),
-    not the constants."""
-    s = _c(c)
-    n = F.length(s)
-    len_ok = F.when((n >= 100) & (n <= 20000), 1.0).when(n >= 20, 0.5).otherwise(0.0)
-    sw_ok = F.least(stopword_ratio(c) * 4.0, F.lit(1.0))
-    punct_ok = F.when(punct_ratio(c) < 0.2, 1.0).otherwise(0.3)
-    digit_ok = F.when(digit_ratio(c) < 0.3, 1.0).otherwise(0.3)
-    mwl = mean_word_length(c)
-    mwl_ok = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.4)
-    return F.round((len_ok + sw_ok + punct_ok + digit_ok + mwl_ok) / F.lit(5.0), 4)
+    not the constants.  Hot paths should project ``tokens`` once and use
+    :func:`quality_score_from` — this convenience form re-expands the
+    tokenizer into every term."""
+    return quality_score_from(c, tokens(c))
 
 
 def top_multiplicity(arr: Column) -> Column:

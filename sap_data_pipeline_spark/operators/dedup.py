@@ -851,8 +851,14 @@ def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, *,
 
     from sap_data_pipeline_spark.functions import text as X
 
+    extra_cols: list[str] = []
     if score is None:
-        score = X.quality_score("text")
+        # hoist the tokenizer into its own projection tier — the default
+        # quality score otherwise re-expands the tokenize chain into its
+        # stopword and word-length terms (r11 verdict #2)
+        df = df.withColumn("_kb_toks", X.tokens("text"))
+        score = X.quality_score_from(F.col("text"), F.col("_kb_toks"))
+        extra_cols = ["_kb_toks"]
     if cc is None:
         cc = connected_components(df.select(id_col), pairs, id_col=id_col,
                                   checkpoint_dir=checkpoint_dir)
@@ -863,7 +869,7 @@ def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, *,
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .drop("_rk", "_score", "cluster_id")
+        .drop("_rk", "_score", "cluster_id", *extra_cols)
     )
 
 
@@ -1026,6 +1032,13 @@ def seeded_cell_assign(emb: DataFrame, *, id_col: str = "vec_id",
     array always has nprobe ≥ 1 entries, so the outer form is
     semantics-identical).  Returns (id, vec, cell) with nprobe rows
     per vector.
+
+    Contract note: the centroid sample is collected when the plan is
+    CONSTRUCTED (eager — the bounded-literal precedent of the
+    fixed-model ANN twins), not at action time like the old lazy
+    crossJoin formulation.  An empty input short-circuits to an empty
+    (id, vec, cell) frame rather than building an untyped empty-array
+    literal the downstream higher-order expressions cannot analyze.
     """
     v_dbl = F.col(vec_col).cast("array<double>")
     rows = (
@@ -1038,6 +1051,12 @@ def seeded_cell_assign(emb: DataFrame, *, id_col: str = "vec_id",
         .limit(n_cells)
         .collect()
     )
+    if not rows:
+        return (
+            emb.select(F.col(id_col), F.col(vec_col))
+            .withColumn("cell", F.lit(None).cast("int"))
+            .limit(0)
+        )
     rows.sort(key=lambda r: (r["_r"], r["_cid"]))  # cell i = i-th by (_r, id)
     cents_lit = F.lit([[float(x) for x in r["cent_vec"]] for r in rows])
     scored = F.transform(

@@ -1551,6 +1551,14 @@ def encode_tiff(pixels, *, big_endian: bool = False) -> bytes:
     entries[3] = entry_short(259, 1, 1)
     entries[4] = entry_short(262, 1, 2)
     entries[6] = entry_short(277, 1, ch)
+    if ch <= 2:
+        # a SHORT[ch] array with 2·ch ≤ 4 bytes is stored INLINE in the
+        # value slot per the TIFF spec, not behind an offset — without
+        # this, grayscale (ch=1) files carried an offset the decoder
+        # read as bits_per_sample and the strip degraded to header-only
+        entries[2] = struct.pack(f"{bo}HHI", 258, 3, ch) + struct.pack(
+            f"{bo}HH", *([8] * ch + [0] * (2 - ch))
+        )
 
     out = bytearray()
     out += magic + struct.pack(f"{bo}HI", 42, ifd_off)
@@ -1570,8 +1578,13 @@ def decode_tiff_pixels(payload: bytes):
     (width, height, samples_per_pixel, big_endian, pixels) with pixels
     an (h, w, ch) uint8 array, or None pixels for compressed /
     non-8-bit / multi-strip files (header metadata still reported).
-    Non-TIFF payloads raise ``NotImplementedError`` (the codec
-    env-gate, same contract as :func:`decode_bmp_pixels`)."""
+    Non-TIFF payloads — including truncated IFDs, out-of-range value
+    offsets, and headers missing the required width/height tags, all
+    of which pass the 2-byte magic check — raise
+    ``NotImplementedError`` (the codec env-gate, same contract as
+    :func:`decode_bmp_pixels`); a corrupt payload must surface as the
+    per-row degrade contract, never a raw ``struct.error`` that kills
+    the whole job (the r10 ``image_ahash`` failure mode)."""
     import struct
 
     import numpy as np
@@ -1583,37 +1596,41 @@ def decode_tiff_pixels(payload: bytes):
         )
     big = payload[:2] == b"MM"
     bo = ">" if big else "<"
-    (forty_two, ifd_off) = struct.unpack_from(f"{bo}HI", payload, 2)
-    if forty_two != 42:
-        raise NotImplementedError("bad TIFF version")
-    n = struct.unpack_from(f"{bo}H", payload, ifd_off)[0]
-    tags: dict[str, tuple] = {}
-    for i in range(n):
-        off = ifd_off + 2 + 12 * i
-        tag, typ, count = struct.unpack_from(f"{bo}HHI", payload, off)
-        name = _TIFF_TAGS.get(tag)
-        if name is None or typ not in _TIFF_TYPE_SIZE:
-            continue
-        size = _TIFF_TYPE_SIZE[typ] * count
-        if size <= 4:
-            vals_off = off + 8
-        else:
-            vals_off = struct.unpack_from(f"{bo}I", payload, off + 8)[0]
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
-        vals = struct.unpack_from(f"{bo}{count}{fmt}", payload, vals_off)
-        tags[name] = vals
-    w = tags["width"][0]
-    h = tags["height"][0]
-    spp = tags.get("samples_per_pixel", (1,))[0]
-    comp = tags.get("compression", (1,))[0]
-    bps = tags.get("bits_per_sample", (8,))
-    offs = tags.get("strip_offsets", ())
-    if (comp != 1 or any(b != 8 for b in bps) or len(offs) != 1
-            or tags.get("rows_per_strip", (h,))[0] < h):
-        return w, h, spp, big, None
-    raw = np.frombuffer(payload, dtype=np.uint8,
-                        count=w * h * spp, offset=offs[0])
-    return w, h, spp, big, raw.reshape(h, w, spp)
+    try:
+        (forty_two, ifd_off) = struct.unpack_from(f"{bo}HI", payload, 2)
+        if forty_two != 42:
+            raise NotImplementedError("bad TIFF version")
+        n = struct.unpack_from(f"{bo}H", payload, ifd_off)[0]
+        tags: dict[str, tuple] = {}
+        for i in range(n):
+            off = ifd_off + 2 + 12 * i
+            tag, typ, count = struct.unpack_from(f"{bo}HHI", payload, off)
+            name = _TIFF_TAGS.get(tag)
+            if name is None or typ not in _TIFF_TYPE_SIZE:
+                continue
+            size = _TIFF_TYPE_SIZE[typ] * count
+            if size <= 4:
+                vals_off = off + 8
+            else:
+                vals_off = struct.unpack_from(f"{bo}I", payload, off + 8)[0]
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            vals = struct.unpack_from(f"{bo}{count}{fmt}", payload, vals_off)
+            tags[name] = vals
+        w = tags["width"][0]
+        h = tags["height"][0]
+        spp = tags.get("samples_per_pixel", (1,))[0]
+        comp = tags.get("compression", (1,))[0]
+        bps = tags.get("bits_per_sample", (8,))
+        offs = tags.get("strip_offsets", ())
+        if (comp != 1 or any(b != 8 for b in bps) or len(offs) != 1
+                or tags.get("rows_per_strip", (h,))[0] < h
+                or offs[0] + w * h * spp > len(payload)):
+            return w, h, spp, big, None
+        raw = np.frombuffer(payload, dtype=np.uint8,
+                            count=w * h * spp, offset=offs[0])
+        return w, h, spp, big, raw.reshape(h, w, spp)
+    except (struct.error, KeyError, IndexError, ValueError) as exc:
+        raise NotImplementedError(f"corrupt/truncated TIFF: {exc!r}") from exc
 
 
 TIFF_META_SCHEMA = T.StructType([
@@ -1629,13 +1646,21 @@ TIFF_META_SCHEMA = T.StructType([
 
 def extract_tiff_meta(media: DataFrame) -> DataFrame:
     """Arrow-batched TIFF decode + stats — the TIFF instance of the
-    image decode stage (same shape as :func:`extract_png_meta`)."""
+    image decode stage (same shape as :func:`extract_png_meta`).
+
+    Per-row degrade contract (same as :func:`image_ahash`): a payload
+    the decoder env-gates — non-TIFF magic OR a corrupt/truncated body
+    behind a valid magic — yields an all-NULL metadata row instead of
+    killing the job; quarantine-by-filter stays possible downstream."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in TIFF_META_SCHEMA.fieldNames()}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, spp, big, px = decode_tiff_pixels(bytes(payload))
+                try:
+                    w, h, spp, big, px = decode_tiff_pixels(bytes(payload))
+                except NotImplementedError:
+                    w = h = spp = big = px = None
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)

@@ -382,15 +382,28 @@ def crawl_schedule(history: DataFrame, budget: int, *,
     Returns (url, host, priority, rank_in_host) for the scheduled
     fetches.  Scale: everything after url_change_rate is frontier- or
     hosts-sized; the per-host rank window is quota-cut.
+
+    Host derivation: an optional ``scheme://`` (or protocol-relative
+    ``//``) prefix is stripped before the first path segment is taken,
+    so ``http://h3/p17``, ``//h3/p17`` and bare ``h3/p17`` all budget
+    under host ``h3`` — without the strip every scheme-ful URL would
+    collapse into pseudo-host ``http:`` and the politeness budget
+    would degenerate to one global pool.
     """
     from sap_data_pipeline_spark.operators.sampling import (
         proportional_allocation,
     )
 
+    host_expr = F.split(
+        F.regexp_replace(
+            F.col(url_col), r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//", ""
+        ),
+        "/",
+    ).getItem(0)
     rates = url_change_rate(
         history, url_col=url_col, ts_col=ts_col, hash_col=hash_col,
         order_tiebreak=order_tiebreak,
-    ).withColumn(host_col, F.split(F.col(url_col), "/").getItem(0))
+    ).withColumn(host_col, host_expr)
     mass = (
         rates.groupBy(host_col)
         .agg(

@@ -864,9 +864,11 @@ def lang_id_heuristic(star: Star) -> DataFrame:
     # resolve to the lexicographically larger lang on equal hits, matching
     # the SQL max() over structs above.
     return star.documents.select(
+        "doc_id", "lang", X.tokens("text").alias("_toks")
+    ).select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        X.detect_lang("text").alias("detected_lang"),
+        X.detect_lang_from(F.col("_toks")).alias("detected_lang"),
     )
 
 
@@ -917,7 +919,10 @@ _QUALITY_SQL = f"WITH {_QUALITY_CTES} SELECT doc_id, quality FROM quality"
 @register("quality_scores", _QUALITY_SQL)
 def quality_scores(star: Star) -> DataFrame:
     return star.documents.select(
-        "doc_id", X.quality_score("text").alias("quality")
+        "doc_id", "text", X.tokens("text").alias("_toks")
+    ).select(
+        "doc_id",
+        X.quality_score_from(F.col("text"), F.col("_toks")).alias("quality"),
     )
 
 
@@ -2691,7 +2696,11 @@ def media_sniff_dispatch(star: Star) -> DataFrame:
 def curriculum_deciles(star: Star) -> DataFrame:
     from sap_data_pipeline_spark.operators.sampling import curriculum_bins
 
-    scored = star.documents.select("doc_id", X.quality_score("text").alias("q"))
+    scored = star.documents.select(
+        "doc_id", "text", X.tokens("text").alias("_toks")
+    ).select(
+        "doc_id", X.quality_score_from(F.col("text"), F.col("_toks")).alias("q")
+    )
     return curriculum_bins(scored, "q", n_bins=10)
 
 
@@ -3645,7 +3654,10 @@ def quality_zscore_by_lang(star: Star) -> DataFrame:
 
     dec = DecimalType(18, 6)
     scored = star.documents.select(
-        "doc_id", "lang", X.quality_score("text").alias("quality")
+        "doc_id", "lang", "text", X.tokens("text").alias("_toks")
+    ).select(
+        "doc_id", "lang",
+        X.quality_score_from(F.col("text"), F.col("_toks")).alias("quality"),
     )
     mom = scored.groupBy("lang").agg(
         F.sum(F.col("quality").cast(dec)).cast("double").alias("s"),
@@ -6059,8 +6071,11 @@ def host_quality_blocklist_q(star: Star) -> DataFrame:
     from sap_data_pipeline_spark.operators.quality import host_quality_gate
 
     scored = star.documents.select(
+        "doc_id", "text", X.tokens("text").alias("_toks")
+    ).select(
         F.pmod(F.col("doc_id"), F.lit(_HQB_HOSTS)).cast("long").alias("host"),
-        (X.quality_score("text") < _HQB_LOW).alias("is_low"),
+        (X.quality_score_from(F.col("text"), F.col("_toks")) < _HQB_LOW)
+        .alias("is_low"),
     )
     return host_quality_gate(
         scored, min_docs=_HQB_MIN_DOCS, max_low_pct=_HQB_PCT
@@ -6989,12 +7004,19 @@ def bigram_logprob_scores_q(star: Star) -> DataFrame:
 def admission_funnel_q(star: Star) -> DataFrame:
     from sap_data_pipeline_spark.operators.quality import admission_funnel
 
+    # tokenize ONCE per row: the funnel's verdict previously re-expanded
+    # the split(trim(regexp_replace(lower(text)))) chain ~10× per row
+    # (token count + the quality score's stopword/word-length terms) —
+    # Catalyst does not CSE interpreted higher-order chains, so the
+    # token array gets its own projection tier (r11 verdict #2)
     s = X.code_signals(F.col("text"))
     enriched = star.documents.select(
+        "source", "text", X.tokens("text").alias("_toks"),
+    ).select(
         "source",
-        X.token_count("text").alias("_ntok"),
+        F.size("_toks").alias("_ntok"),
         X.is_code_verdict(s).alias("_is_code"),
-        X.quality_score("text").alias("_q"),
+        X.quality_score_from(F.col("text"), F.col("_toks")).alias("_q"),
     )
     return admission_funnel(
         enriched,
@@ -7014,21 +7036,30 @@ def admission_funnel_q(star: Star) -> DataFrame:
 # dependence), fill each quota with the host's highest-priority URLs.
 # Composition of the verified url_change_rate and
 # proportional_allocation kernels; fixture extends the fetch-history
-# recipe with host-ful URLs.
+# recipe with host-ful URLs across all three prefix shapes
+# (scheme-ful http://, protocol-relative //, bare) so the hashed query
+# exercises the scheme-strip host derivation (r11 ADVICE).
 # ---------------------------------------------------------------------------
 
 _CS_BUDGET = 200
+
+# scheme prefix cycles with user_id so the SAME host appears under all
+# three URL spellings and must still pool into one politeness budget
+_CS_URL_SQL = (
+    "CASE WHEN user_id % 3 = 0 THEN 'http://' "
+    "WHEN user_id % 3 = 1 THEN '//' ELSE '' END "
+    "|| 'h' || CAST(user_id % 40 AS VARCHAR) || '/p' "
+    "|| CAST(user_id % 500 AS VARCHAR)"
+)
 
 @register(
     "crawl_schedule",
     f"""
     WITH hist AS (
         SELECT event_id,
-               'h' || CAST(user_id % 40 AS VARCHAR) || '/p'
-                   || CAST(user_id % 500 AS VARCHAR) AS url,
+               {_CS_URL_SQL} AS url,
                ts AS fetch_ts,
-               md5('h' || CAST(user_id % 40 AS VARCHAR) || '/p'
-                   || CAST(user_id % 500 AS VARCHAR) || ':' ||
+               md5({_CS_URL_SQL} || ':' ||
                    CAST(CAST(floor(epoch(ts)
                         / (86400 * (1 + (user_id % 500) % 5))) AS BIGINT)
                         AS VARCHAR)) AS content_hash
@@ -7058,7 +7089,8 @@ _CS_BUDGET = 200
                      * round(CAST(CAST(floor(epoch(g)) AS BIGINT)
                             - CAST(floor(epoch(last_ts)) AS BIGINT) AS DOUBLE)
                             / 86400.0, 6), 6) AS priority,
-               string_split(url, '/')[1] AS host
+               string_split(regexp_replace(url,
+                   '^([A-Za-z][A-Za-z0-9+.-]*:)?//', ''), '/')[1] AS host
         FROM per_url, gmax
     ),
     mass AS (
@@ -7099,7 +7131,13 @@ def crawl_schedule_q(star: Star) -> DataFrame:
     u = F.pmod(F.col("user_id"), F.lit(500))
     h = F.pmod(F.col("user_id"), F.lit(40))
     width = (F.lit(86400) * (F.lit(1) + F.pmod(u, F.lit(5)))).cast("long")
-    url = F.concat(F.lit("h"), h.cast("string"), F.lit("/p"), u.cast("string"))
+    prefix = (
+        F.when(F.pmod(F.col("user_id"), F.lit(3)) == 0, F.lit("http://"))
+        .when(F.pmod(F.col("user_id"), F.lit(3)) == 1, F.lit("//"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(prefix, F.lit("h"), h.cast("string"),
+                   F.lit("/p"), u.cast("string"))
     hist = star.events.select(
         "event_id",
         url.alias("url"),

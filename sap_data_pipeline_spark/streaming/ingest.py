@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -695,7 +696,16 @@ def stream_frontier_gate(
             words = spark.read.parquet(state).groupBy("w").agg(
                 F.expr("bit_or(bits)").alias("bits")
             ).collect()
-        except Exception:
+        except AnalysisException as exc:
+            # Only the first batch (state dir not created yet) may start
+            # from an empty bitmap.  Any OTHER read failure — corrupt
+            # state, transient IO — must propagate so the micro-batch
+            # retries; swallowing it would silently reset the seen-set
+            # and re-admit every previously admitted URL, breaking the
+            # "never admitted twice" guarantee.
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
             words = []
         bitmap = [0] * n_words
         for r in words:

@@ -145,6 +145,20 @@ def test_embedding_near_dup_by_cell_label_free(spark):
     assert math.isclose(pairs[(0, 60)], 1.0, abs_tol=1e-4)
 
 
+def test_seeded_cell_assign_empty_input_short_circuits(spark):
+    """r11 ADVICE: an empty corpus must return an empty (id, vec, cell)
+    frame — the old path built an untyped empty-array centroid literal
+    that the downstream higher-order expressions failed to analyze."""
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    out = D.seeded_cell_assign(emb, n_cells=4, nprobe=2)
+    assert out.columns == ["vec_id", "embedding", "cell"]
+    assert out.count() == 0
+    # composed operators survive the empty corpus too
+    assert D.embedding_near_dup_pairs_by_cell(emb).count() == 0
+
+
 def test_rolling_fingerprint_values(spark):
     """Known-value check of the polynomial rolling hash, plus invariance
     to the whitespace/case normalization."""

@@ -584,3 +584,65 @@ def test_tiff_meta_query_shapes(spark):
         assert r["channels"] == 3
         assert r["big_endian"] == bool(did % 2)
         assert r["max_luma"] is not None
+
+
+def test_tiff_corrupt_body_behind_valid_magic_env_gates():
+    # r11 ADVICE: truncated IFDs / out-of-range offsets / missing
+    # width-height tags pass the 'II'/'MM' magic check but must raise
+    # the NotImplementedError env-gate, never a raw struct.error.
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sap_data_pipeline_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    # truncated header: magic + version but IFD offset past the payload
+    for bad in (
+        b"II" + struct.pack("<HI", 42, 9999),       # IFD offset out of range
+        b"II" + struct.pack("<HI", 42, 8),           # IFD count truncated
+        b"MM" + struct.pack(">HI", 42, 8) + b"\x00\x02" + b"\x01" * 5,
+    ):
+        with pytest.raises(NotImplementedError):
+            decode_tiff_pixels(bad)
+    # missing required width/height tags: real IFD with only an
+    # unrelated entry
+    ifd = struct.pack("<HHHIIII", 1, 259, 3, 1, 1, 0, 0)
+    with pytest.raises(NotImplementedError):
+        decode_tiff_pixels(b"II" + struct.pack("<HI", 42, 8) + ifd)
+    # valid payload truncated mid-strip: value offsets point past EOF
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_tiff(px)
+    with pytest.raises(NotImplementedError):
+        decode_tiff_pixels(good[: len(good) // 2])
+
+
+def test_tiff_meta_degrades_corrupt_rows_to_null(spark):
+    # per-row guard: one corrupt TIFF must not kill the batch — it
+    # yields an all-NULL metadata row (the image_ahash contract)
+    import struct
+
+    import numpy as np
+
+    from sap_data_pipeline_spark.operators.multimodal import (
+        encode_tiff,
+        extract_tiff_meta,
+    )
+
+    good = encode_tiff(np.full((2, 3, 1), 7, dtype=np.uint8))
+    corrupt = b"II" + struct.pack("<HI", 42, 9999)
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(corrupt)),
+         (3, bytearray(b"\x89PNG\r\n\x1a\nnot a tiff"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in extract_tiff_meta(media).collect()}
+    assert rows[1]["width"] == 3 and rows[1]["mean_luma"] == 7.0
+    for bad_id in (2, 3):
+        r = rows[bad_id]
+        assert all(r[c] is None for c in
+                   ("width", "height", "channels", "big_endian",
+                    "mean_luma", "max_luma"))

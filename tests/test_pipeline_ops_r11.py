@@ -408,3 +408,29 @@ def test_crawl_schedule_quota_is_ceiling_when_host_pool_small(spark):
     )
     out = crawl_schedule(hist, 10, order_tiebreak="event_id").collect()
     assert len(out) == 2
+
+
+def test_crawl_schedule_strips_scheme_before_host(spark):
+    # r11 ADVICE: 'http://hA/p0' must budget under host 'hA', not
+    # pseudo-host 'http:' — and all three spellings of the SAME host
+    # (scheme-ful, protocol-relative, bare) pool into one budget.
+    from sap_data_pipeline_spark.operators.temporal import crawl_schedule
+
+    rows = []
+    eid = 0
+    for p, prefix in enumerate(("http://", "//", "")):
+        for f in range(3):
+            eid += 1
+            rows.append((
+                eid, f"{prefix}hA/p{p}", datetime(2026, 1, 1 + f), f"c{f}",
+            ))
+    rows.append((999, "hZ/px", datetime(2026, 1, 9), "z"))
+    hist = spark.createDataFrame(
+        rows,
+        "event_id long, url string, fetch_ts timestamp, content_hash string",
+    )
+    out = crawl_schedule(hist, 3, order_tiebreak="event_id").collect()
+    assert len(out) == 3
+    assert {r["host"] for r in out} == {"hA"}
+    # one pooled per-host ranking across the three spellings
+    assert sorted(r["rank_in_host"] for r in out) == [1, 2, 3]

@@ -1349,6 +1349,33 @@ def test_stream_frontier_gate_bloom_admission(spark, tmp_path):
     all_urls = [r["url"] for r in rows]
     assert len(all_urls) == len(set(all_urls))
 
+    # batch parity (r11 verdict #6): each batch-N streaming verdict set
+    # equals the batch url_seen_bloom twin — bloom_probe against a
+    # bitmap built from the CUMULATIVE admitted frontier before batch N
+    # (same m/k/seed).  The streaming state is a set-union of admitted
+    # URLs' bit positions, so the bitmaps are identical by construction
+    # and the gate verdicts must match bit-for-bit.
+    from sap_data_pipeline_spark.operators.corpus import (
+        bloom_bitmap,
+        bloom_probe,
+    )
+
+    for n, offered in ((1, b1), (2, b2)):
+        seen = set().union(*(admitted.get(i, set()) for i in range(n)))
+        bitmap = bloom_bitmap(
+            spark.createDataFrame([(u,) for u in sorted(seen)], "url string"),
+            "url", m_bits=1 << 14, k=4,
+        )
+        twin = {
+            r["url"]
+            for r in bloom_probe(
+                spark.createDataFrame(
+                    [(u,) for u in sorted(set(offered))], "url string"),
+                bitmap, "url", m_bits=1 << 14, k=4,
+            ).filter(~F.col("maybe_seen")).collect()
+        }
+        assert twin == admitted.get(n, set()), f"batch {n} twin mismatch"
+
     # restart on the same checkpoint: no new output
     q2 = stream_frontier_gate(
         stream_file_source(spark, str(watch), schema),
@@ -1358,3 +1385,38 @@ def test_stream_frontier_gate_bloom_admission(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert spark.read.parquet(out).count() == len(all_urls)
+
+
+def test_stream_frontier_gate_corrupt_state_fails_batch(spark, tmp_path):
+    """r11 ADVICE: a corrupt (non-first-batch-missing) bloom-state read
+    must FAIL the micro-batch so it retries — never silently reset the
+    seen-set and re-admit previously admitted URLs."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from sap_data_pipeline_spark.streaming.ingest import (
+        stream_file_source,
+        stream_frontier_gate,
+    )
+
+    watch = tmp_path / "frontier_watch2"
+    watch.mkdir()
+    (watch / "a.csv").write_text("url\nhttp://x.com/1\n")
+    out = tmp_path / "admitted2"
+    state = out / "_bloom"
+    state.mkdir(parents=True)
+    (state / "batch_id=0").mkdir()
+    (state / "batch_id=0" / "garbage.parquet").write_bytes(b"\x00not parquet")
+
+    schema = T.StructType([T.StructField("url", T.StringType())])
+    q = stream_frontier_gate(
+        stream_file_source(spark, str(watch), schema),
+        url_col="url", out_dir=str(out),
+        checkpoint_dir=str(tmp_path / "ckpt_frontier2"),
+        m_bits=1 << 14, k=4,
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    # nothing was admitted off the reset-to-empty path
+    import os
+    assert not any(p.startswith("batch_id=") for p in os.listdir(out))
