@@ -839,8 +839,9 @@ def knn_graph(emb: DataFrame, k: int = 3, *, id_col: str = "vec_id",
     past ~2M vectors) the flat seeded quantizer stops being the right
     tool regardless of n_cells — use the trained-IVF path
     (:func:`ivf_topk`), whose hierarchical training keeps both terms
-    sub-quadratic.  Explicit ``n_cells`` (the oracled catalog query
-    pins 8) bypasses the count.
+    sub-quadratic.  Explicit ``n_cells`` bypasses the count (the
+    oracled catalog query uses the auto default, so the driver-hashed
+    evidence exercises the production cell count).
     """
     from sap_data_pipeline_spark.operators.dedup import seeded_cell_assign
 

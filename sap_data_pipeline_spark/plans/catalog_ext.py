@@ -5484,21 +5484,34 @@ def host_communities_lpa(star: Star) -> DataFrame:
 # building block for graph-based curation (SemDeDup communities,
 # density pruning).  The seeded-sample quantizer makes the WHOLE graph
 # SQL-replayable, so unlike the trained-IVF query batch this gets a
-# full value-hash oracle.
+# full value-hash oracle.  The oracle re-derives the PRODUCTION auto
+# cell count n_cells = clamp(floor(sqrt(N·nprobe)), 8, 2048) from the
+# corpus (r11 verdict #3: the old fixture pinned n_cells=8 — the
+# DuckDB-LIMIT-8 convenience — and the sf1 checkpoint measured that
+# anti-scale shape at a 35× quadratic wall while the auto default
+# lands ~N^1.5; the hashed evidence now IS the 100 TB plan).
 # ---------------------------------------------------------------------------
 
 @register(
     "knn_graph_cells",
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    seeded AS (
-        SELECT vec_id, v, md5('cell:' || CAST(vec_id AS VARCHAR)) AS r
-        FROM e ORDER BY r, vec_id LIMIT 8
+    nc AS (
+        SELECT GREATEST(8, LEAST(2048,
+                   CAST(floor(sqrt(COUNT(*) * 2.0)) AS BIGINT))) AS n
+        FROM e
     ),
     cents AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY r, vec_id) - 1 AS INT) AS cell,
                v AS cv
-        FROM seeded
+        FROM (
+            SELECT vec_id, v,
+                   md5('cell:' || CAST(vec_id AS VARCHAR)) AS r,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5('cell:' || CAST(vec_id AS VARCHAR)),
+                                vec_id) AS rn
+            FROM e
+        ) s, nc WHERE s.rn <= nc.n
     ),
     dists AS (
         SELECT e.vec_id, c.cell,
@@ -5534,7 +5547,9 @@ def host_communities_lpa(star: Star) -> DataFrame:
     """,
 )
 def knn_graph_cells(star: Star) -> DataFrame:
-    out = S.knn_graph(star.embeddings, k=3, n_cells=8, nprobe=2)
+    # n_cells=None → the production auto default √(N·nprobe): the
+    # driver-hashed query and the scale path are the SAME plan
+    out = S.knn_graph(star.embeddings, k=3, nprobe=2)
     return out.select(
         "vec_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
     )
