@@ -6436,22 +6436,38 @@ def anchor_text_terms_q(star: Star) -> DataFrame:
 # regex codegen chain; the oracle replays every transform (RE2
 # backrefs \1 where Spark uses $1 — outputs verified byte-identical)
 # then keep-first groups by the canonical form.  Messy URLs are
-# synthesized per doc: group = doc_id % 200, variant by doc_id // 200.
+# synthesized per doc: group = doc_id // 6 (six consecutive docs share
+# one page), variant = doc_id % 6 — so EVERY variant, including the
+# two adversarial regression rows below, is exercised at every sf
+# (the old doc_id // 200 selector never reached variant 3 at sf0.01).
+# Variants 0-3 canonicalize to one URL; the two r11-verdict-#7
+# adversarial rows stay DISTINCT canonicals and pin the ADVICE-hardened
+# tracking-param anchor: 4 carries `?myutm_a=1`, which the unanchored
+# r10 regex corrupted to `?my` (must survive untouched), and 5 carries
+# `?keep=2&UTM_SOURCE=..&fbclid=x`, an uppercase + run-of-two tracking
+# tail after a kept param (must canonicalize to exactly `?keep=2`).
 # ---------------------------------------------------------------------------
 
 _UC_VARIANT_SQL = """
-    CASE (doc_id // 200) % 4
-      WHEN 0 THEN 'https://Host' || CAST(doc_id % 50 AS VARCHAR)
-                  || '.Example.com/page/' || CAST(doc_id % 200 AS VARCHAR) || '/'
-      WHEN 1 THEN 'https://host' || CAST(doc_id % 50 AS VARCHAR)
-                  || '.example.com/page/' || CAST(doc_id % 200 AS VARCHAR)
+    CASE doc_id % 6
+      WHEN 0 THEN 'https://Host' || CAST((doc_id // 6) % 50 AS VARCHAR)
+                  || '.Example.com/page/' || CAST((doc_id // 6) % 80 AS VARCHAR) || '/'
+      WHEN 1 THEN 'https://host' || CAST((doc_id // 6) % 50 AS VARCHAR)
+                  || '.example.com/page/' || CAST((doc_id // 6) % 80 AS VARCHAR)
                   || '?utm_source=s' || CAST(doc_id % 7 AS VARCHAR)
                   || '&utm_campaign=c'
-      WHEN 2 THEN 'https://host' || CAST(doc_id % 50 AS VARCHAR)
-                  || '.example.com:443/page/' || CAST(doc_id % 200 AS VARCHAR)
-      ELSE 'HTTPS://HOST' || CAST(doc_id % 50 AS VARCHAR)
-                  || '.EXAMPLE.COM/page/' || CAST(doc_id % 200 AS VARCHAR)
+      WHEN 2 THEN 'https://host' || CAST((doc_id // 6) % 50 AS VARCHAR)
+                  || '.example.com:443/page/' || CAST((doc_id // 6) % 80 AS VARCHAR)
+      WHEN 3 THEN 'HTTPS://HOST' || CAST((doc_id // 6) % 50 AS VARCHAR)
+                  || '.EXAMPLE.COM/page/' || CAST((doc_id // 6) % 80 AS VARCHAR)
                   || '#sec' || CAST(doc_id % 5 AS VARCHAR)
+      WHEN 4 THEN 'https://host' || CAST((doc_id // 6) % 50 AS VARCHAR)
+                  || '.example.com/page/' || CAST((doc_id // 6) % 80 AS VARCHAR)
+                  || '?myutm_a=1'
+      ELSE 'https://host' || CAST((doc_id // 6) % 50 AS VARCHAR)
+                  || '.example.com/page/' || CAST((doc_id // 6) % 80 AS VARCHAR)
+                  || '?keep=2&UTM_SOURCE=S' || CAST(doc_id % 7 AS VARCHAR)
+                  || '&fbclid=x'
     END
 """
 
@@ -6482,9 +6498,10 @@ _UC_VARIANT_SQL = """
 )
 def url_canonical_dedup_q(star: Star) -> DataFrame:
     d = F.col("doc_id")
-    host_n = F.pmod(d, F.lit(50)).cast("string")
-    page_n = F.pmod(d, F.lit(200)).cast("string")
-    v = F.pmod(F.floor(d / 200), F.lit(4))
+    grp = F.floor(d / 6)
+    host_n = F.pmod(grp, F.lit(50)).cast("string")
+    page_n = F.pmod(grp, F.lit(80)).cast("string")
+    v = F.pmod(d, F.lit(6))
     url = (
         F.when(v == 0, F.concat(
             F.lit("https://Host"), host_n, F.lit(".Example.com/page/"),
@@ -6496,9 +6513,20 @@ def url_canonical_dedup_q(star: Star) -> DataFrame:
         .when(v == 2, F.concat(
             F.lit("https://host"), host_n, F.lit(".example.com:443/page/"),
             page_n))
-        .otherwise(F.concat(
+        .when(v == 3, F.concat(
             F.lit("HTTPS://HOST"), host_n, F.lit(".EXAMPLE.COM/page/"),
             page_n, F.lit("#sec"), F.pmod(d, F.lit(5)).cast("string")))
+        # adversarial regression rows (r11 verdict #7): a param that
+        # merely CONTAINS "utm_" must survive the anchored strip...
+        .when(v == 4, F.concat(
+            F.lit("https://host"), host_n, F.lit(".example.com/page/"),
+            page_n, F.lit("?myutm_a=1")))
+        # ...and an UPPERCASE tracking run after a kept param must strip
+        # down to exactly that kept param
+        .otherwise(F.concat(
+            F.lit("https://host"), host_n, F.lit(".example.com/page/"),
+            page_n, F.lit("?keep=2&UTM_SOURCE=S"),
+            F.pmod(d, F.lit(7)).cast("string"), F.lit("&fbclid=x")))
     )
     return (
         star.documents.select(
