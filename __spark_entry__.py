@@ -143,6 +143,40 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     revenue window) and its multi-dim star by the in-window
 #     tpch_q8_market_share (7-table star).
 _TAIL = (
+    # r12 new work (never driver-hashed; oracle-green at sf0.01) — r13
+    # rotation candidates, rationales pre-written:
+    # within-document line dedup: keep-first rewrite of repeated lines
+    # INSIDE one page (nav blocks / banners / footers) — zero-shuffle
+    # per-row projection.  Distinct evidence from line_dedup_c4
+    # (corpus-GLOBAL line frequency) and host_boilerplate_lines
+    # (per-host conditioning): the only WITHIN-document rewrite:
+    "intra_doc_line_dedup",
+    # the C4 line-shape battery (Raffel et al. 2020 §2.2): terminal
+    # punctuation + min-words rules REWRITE the document line-by-line.
+    # Distinct evidence from gopher_quality_flags (whole-doc gates over
+    # line-shape ratios): the only per-LINE keep/drop rewrite with
+    # rule-ordered drop accounting:
+    "c4_line_filters",
+    # the robots.txt politeness gate (RFC 9309): longest matching
+    # prefix wins, allow beats disallow on ties, no match ⇒ allowed —
+    # hosts-sized broadcast rules + one per-URL best-rule window.
+    # Distinct evidence from url_seen_bloom (membership) and
+    # crawl_schedule (budget): the only RULE-PRECEDENCE verdict:
+    "robots_disallow_gate",
+    # per-source embedding centroids + distance-to-centroid outliers:
+    # the centroid is a distributed dimension-wise aggregate over exact
+    # 1e-9 integer micro-units, so the one KMeans UPDATE step the
+    # rows-only trained-ANN family could never hash now value-hashes.
+    # Distinct evidence from embedding_fixed_basis_project (projection)
+    # and ann_ivf_fixed_centroids_topk (serving over FROZEN centroids):
+    # the only GROUP-aggregated embedding statistic:
+    "source_centroid_outliers",
+    # the hashing-trick linear scorer (fastText/CCNet-style serving):
+    # tokens + bigrams hash into a fixed 64-bucket space, frozen
+    # literal weights score map-side.  Distinct evidence from
+    # quality_classifier_score_fixed (engineered features): the only
+    # query value-hashing the HASH-BUCKET feature map itself:
+    "hashed_ngram_score",
     # r12 rotation (r11 verdict #1 — promote the nine never-driver-hashed
     # r11 queries: code_prose_router, url_change_rate, domain_reweight_mw,
     # corpus_snapshot_diff, url_seen_bloom, bigram_logprob_scores,

@@ -583,3 +583,56 @@ def is_code_verdict(s: dict[str, Column]) -> Column:
         + (s["indent_lines"] * 5 >= s["n_lines"]).cast("int")
     )
     return votes >= F.lit(2)
+
+
+def hashed_gram_buckets(t: Column, *, n_buckets: int, seed: int = 5,
+                        include_bigrams: bool = True) -> Column:
+    """Hashing-trick feature map (fastText / CCNet linear-filter style,
+    public): every token — and optionally every word bigram — hashes
+    into one of ``n_buckets`` buckets via the portable seeded-md5
+    :func:`hash64`, so the feature space is FIXED-width regardless of
+    vocabulary and the map is bit-identical across engines.  Takes an
+    ALREADY-COMPUTED token array (projection-tier contract).
+
+    Returns array<int> of bucket ids, one per gram, order preserved
+    (multiplicity carries the count weight downstream).
+    """
+    grams = F.concat(t, ngrams_from(t, 2)) if include_bigrams else t
+    return F.transform(
+        grams, lambda g: F.pmod(hash64(g, seed=seed), F.lit(n_buckets)).cast("int")
+    )
+
+
+def hashed_linear_score_from(buckets: Column, weights: list[float]) -> Column:
+    """Length-normalized linear score over ALREADY-COMPUTED hashed gram
+    buckets — the serving arithmetic of a fastText-style quality filter
+    with FROZEN weights (the fixed-model precedent: training is out of
+    scope here, the hashing-trick feature map + dot product is what
+    must be bit-reproducible at corpus scale).  ``weights[b]`` is the
+    bucket-b weight, shipped as one array literal; ``buckets`` should
+    be an aliased projection-tier column so the gram-hash chain is
+    evaluated once per row.
+
+    score = Σ_g weights[bucket(g)] / n_grams, a sequential left fold
+    (both engines sum in list order → identical IEEE result), rounded
+    6dp; empty token arrays score 0.0.
+    """
+    w_lit = F.array(*[F.lit(float(w)) for w in weights])
+    total = F.aggregate(
+        buckets, F.lit(0.0),
+        lambda acc, b: acc + F.element_at(w_lit, b + F.lit(1)),
+    )
+    return F.when(
+        F.size(buckets) > 0,
+        F.round(total / F.size(buckets).cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def hashed_linear_score(t: Column, weights: list[float], *,
+                        seed: int = 5) -> Column:
+    """Convenience form of :func:`hashed_linear_score_from` over a token
+    array — re-expands the gram-hash chain; hot paths should project
+    :func:`hashed_gram_buckets` once and use the ``_from`` variant."""
+    return hashed_linear_score_from(
+        hashed_gram_buckets(t, n_buckets=len(weights), seed=seed), weights
+    )

@@ -917,3 +917,169 @@ def bigram_logprob(df: DataFrame, *, text_col: str = "text",
             6,
         ).alias("avg_neg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document line dedup (C4-family curation, new r12)
+# ---------------------------------------------------------------------------
+
+def intra_doc_line_dedup(df: DataFrame, *, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Remove REPEATED lines within one document, keeping the first
+    occurrence — the within-doc arm of the line-dedup family (scraped
+    pages repeat nav blocks, cookie banners, and footer text several
+    times in one page body).  Corpus-GLOBAL line frequency is
+    ``line_dedup_c4``; per-HOST site chrome is
+    ``host_boilerplate_lines``; this is the only operator that needs no
+    cross-document context at all, so it is a pure per-row projection —
+    zero shuffles, the cheapest curation pass in the pipeline and the
+    one that scales to 100 TB by construction.
+
+    Keep rule: line i survives iff the first index holding an equal
+    trimmed line is i (``array_position`` = first occurrence, 1-based),
+    expressed as an index-sequence filter so the DuckDB oracle replays
+    it verbatim with ``generate_series``/``list_position``.
+
+    Returns (id, n_lines, n_kept, n_dupes_removed, chars_removed,
+    clean_text) — chars_removed counts the trimmed characters of the
+    dropped duplicate lines (newline bookkeeping excluded, same
+    convention both engines).
+    """
+    from sap_data_pipeline_spark.functions import text as X
+
+    lines = X.line_array(F.col(text_col))
+    base = df.select(F.col(id_col), lines.alias("_l"))
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), F.size("_l")),
+        lambda i: F.array_position(F.col("_l"), F.element_at(F.col("_l"), i)) == i,
+    )
+    kept = F.transform(keep_idx, lambda i: F.element_at(F.col("_l"), i))
+    return (
+        base.filter(F.size("_l") > 0)
+        .withColumn("_kept", kept)
+        .select(
+            id_col,
+            F.size("_l").cast("long").alias("n_lines"),
+            F.size("_kept").cast("long").alias("n_kept"),
+            (F.size("_l") - F.size("_kept")).cast("long")
+            .alias("n_dupes_removed"),
+            (
+                F.aggregate(F.col("_l"), F.lit(0).cast("long"),
+                            lambda a, x: a + F.length(x))
+                - F.aggregate(F.col("_kept"), F.lit(0).cast("long"),
+                              lambda a, x: a + F.length(x))
+            ).alias("chars_removed"),
+            F.concat_ws("\n", F.col("_kept")).alias("clean_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 line-shape filters (Raffel et al. 2020, §2.2 — public paper)
+# ---------------------------------------------------------------------------
+
+def c4_line_filters(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id", min_words: int = 3) -> DataFrame:
+    """The C4 line-level shape rules that run BEFORE any document-level
+    scoring: keep a line only if it (a) ends in terminal punctuation
+    (``.!?"`` — the "terminal punctuation" rule) and (b) carries at
+    least ``min_words`` whitespace words.  Documents keep their
+    surviving lines in order; the dropped-line accounting is what the
+    curation dashboard tracks per source.
+
+    Distinct from the Gopher battery (``gopher_signals`` gates whole
+    DOCUMENTS on line-shape ratios): this REWRITES the document by
+    dropping individual lines.  Pure per-row projection — no shuffle,
+    no UDF; the oracle replays the same two rules with list ops.
+
+    Returns (id, n_lines, n_kept, n_dropped_short, n_dropped_terminal,
+    clean_text).  A line failing both rules counts toward the
+    ``min_words`` bucket (rule order is part of the contract).
+    """
+    from sap_data_pipeline_spark.functions import text as X
+
+    lines = X.line_array(F.col(text_col))
+    base = df.select(F.col(id_col), lines.alias("_l"))
+    n_words = lambda x: F.size(F.split(x, r"\s+", -1))  # noqa: E731
+    is_short = lambda x: n_words(x) < min_words  # noqa: E731
+    is_term = lambda x: x.rlike('[.!?"]$')  # noqa: E731
+    kept = F.filter(F.col("_l"), lambda x: ~is_short(x) & is_term(x))
+    return (
+        base.filter(F.size("_l") > 0)
+        .select(
+            id_col,
+            F.size("_l").cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.size(F.filter(F.col("_l"), is_short)).cast("long")
+            .alias("n_dropped_short"),
+            F.size(F.filter(F.col("_l"), lambda x: ~is_short(x) & ~is_term(x)))
+            .cast("long").alias("n_dropped_terminal"),
+            F.concat_ws("\n", kept).alias("clean_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt politeness gate (REP, RFC 9309 — public spec)
+# ---------------------------------------------------------------------------
+
+def robots_disallow_gate(frontier: DataFrame, rules: DataFrame, *,
+                         url_col: str = "url") -> DataFrame:
+    """Gate a crawl frontier against per-host robots rules with the
+    RFC 9309 / Googlebot precedence: the LONGEST matching path prefix
+    wins; on equal length, allow beats disallow; no matching rule ⇒
+    allowed.  The politeness pass every crawler runs between frontier
+    scheduling and fetch.
+
+    ``rules`` is (host, path_prefix, allow: boolean) — the parsed
+    robots.txt corpus, hosts-sized (bounded by the crawl's host count,
+    NOT the frontier), so it broadcasts.  The frontier pays one
+    broadcast join + one per-URL best-rule window; at 100 TB frontier
+    scale the only data-sized cost is the scan itself.
+
+    Returns (url, host, path, matched_prefix, allowed) with
+    matched_prefix NULL for rule-less URLs.
+    """
+    from pyspark.sql.window import Window
+
+    host = F.regexp_extract(
+        F.regexp_replace(F.col(url_col),
+                         r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//", ""),
+        r"^([^/]*)", 1,
+    )
+    path = F.concat(F.lit("/"), F.coalesce(F.regexp_extract(
+        F.regexp_replace(F.col(url_col),
+                         r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//", ""),
+        r"^[^/]*/(.*)$", 1,
+    ), F.lit("")))
+    parsed = frontier.select(
+        F.col(url_col), host.alias("host"), path.alias("path")
+    )
+    # Non-matching rules are MASKED to null candidates, not filtered
+    # out — a host whose rules all miss must still emit its URL with
+    # the default-allow verdict.
+    m = (
+        F.col("path_prefix").isNotNull()
+        & F.col("path").startswith(F.col("path_prefix"))
+    )
+    cand = parsed.join(F.broadcast(rules), "host", "left").select(
+        url_col, "host", "path",
+        F.when(m, F.col("path_prefix")).alias("_mp"),
+        F.when(m, F.col("allow")).alias("_al"),
+    )
+    w = Window.partitionBy(url_col).orderBy(
+        F.length("_mp").desc_nulls_last(),
+        # equal length: allow (true) sorts before disallow
+        F.col("_al").desc_nulls_last(),
+        # equal (length, verdict): lexicographic prefix — engines agree
+        F.col("_mp").asc_nulls_last(),
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            url_col, "host", "path",
+            F.col("_mp").alias("matched_prefix"),
+            F.coalesce(F.col("_al"), F.lit(True)).alias("allowed"),
+        )
+    )

@@ -908,3 +908,81 @@ def knn_graph(emb: DataFrame, k: int = 3, *, id_col: str = "vec_id",
         .dropDuplicates([id_col, "neighbor_id"])
         .select(id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group embedding centroids + distance-to-centroid outliers (r12)
+# ---------------------------------------------------------------------------
+
+def group_centroids(emb: DataFrame, group_col: str, *,
+                    vec_col: str = "embedding",
+                    scale: int = 1_000_000_000) -> DataFrame:
+    """Per-group mean embedding — the centroid primitive under domain
+    profiling, per-source outlier pruning, and one KMeans update step,
+    computed as a DISTRIBUTED dimension-wise aggregate (posexplode →
+    (group, dim) partial-aggregated sum → array rebuild), never a
+    collect.  Groups are unbounded (hosts, sources, clusters) but the
+    output is groups×1 rows — the scan is the only data-sized term.
+
+    Engine parity: float summation order is scheduler-dependent, so
+    components are quantized to exact ``1/scale`` integer micro-units
+    (``round(x·scale)`` longs — the crawl_schedule mass precedent) and
+    summed exactly; the mean's single double division is the only IEEE
+    op, computed from identical operands on both engines.  The 1e-9
+    default grain is far below float32 input precision.  Overflow
+    headroom: |x|≤2 ⇒ 2e9/row ⇒ ~4.6e9 rows per (group, dim) before
+    BIGINT overflow.
+
+    Returns (group, centroid: array<double>, n_members).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    dims = emb.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(v).alias("dim", "x"),
+    ).select(
+        "grp", "dim",
+        F.round(F.col("x") * scale).cast("long").alias("xq"),
+    )
+    per_dim = dims.groupBy("grp", "dim").agg(
+        F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_dim.groupBy("grp")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s", "n"))),
+                lambda t: t["s"].cast("double")
+                / (t["n"].cast("double") * F.lit(float(scale))),
+            ).alias("centroid"),
+            F.max("n").cast("long").alias("n_members"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def centroid_outliers(emb: DataFrame, group_col: str, *,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      threshold: float = 0.0) -> DataFrame:
+    """Cosine of every vector to its OWN group's centroid, with an
+    outlier flag below ``threshold`` — the per-domain consistency gate
+    (a document whose embedding sits far from its source's centroid is
+    mislabeled, spam, or a scrape artifact; SemDeDup prunes the
+    opposite end).  One groups-sized broadcast join back onto the scan;
+    the centroid aggregate is :func:`group_centroids`.
+
+    Returns (id, group, cosine_to_centroid, is_outlier), cosine rounded
+    6dp with the shared dot/(norm·norm) arithmetic.
+    """
+    cents = group_centroids(emb, group_col, vec_col=vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    joined = emb.select(F.col(id_col), F.col(group_col), v.alias("_v")).join(
+        F.broadcast(cents), group_col
+    )
+    cos = F.round(
+        V.dot("_v", "centroid") / (V.norm("_v") * V.norm("centroid")), 6
+    )
+    return joined.select(
+        id_col, group_col,
+        cos.alias("cosine_to_centroid"),
+        (cos < F.lit(threshold)).alias("is_outlier"),
+    )

@@ -7231,3 +7231,390 @@ def crawl_schedule_q(star: Star) -> DataFrame:
 )
 def image_meta_tiff(star: Star) -> DataFrame:
     return MM.extract_tiff_meta(MM.synth_tiff_media(star.documents))
+
+
+# ===========================================================================
+# r12 additions — curation / crawl / embedding-profile operators
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Within-document line dedup (operators.corpus.intra_doc_line_dedup):
+# scraped pages repeat nav blocks / banners / footers INSIDE one page
+# body; the keep-first-occurrence rewrite is a pure per-row projection
+# (zero shuffles — the only line-dedup arm needing no cross-document
+# context).  Testdata documents are single-line, so the fixture
+# synthesizes multi-line text deterministically: 4 + doc_id % 5 lines,
+# every third line the same repeated chrome string, body lines cycling
+# mod 9 so longer docs collide within themselves too.
+# ---------------------------------------------------------------------------
+
+_IDL_LINE_SQL = (
+    "CASE WHEN i % 3 = 0 THEN 'nav menu item' "
+    "ELSE 'body line ' || CAST((doc_id + i * i) % 9 AS VARCHAR) END"
+)
+
+@register(
+    "intra_doc_line_dedup",
+    f"""
+    WITH built AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 3 + doc_id % 5),
+                              i -> {_IDL_LINE_SQL}) AS l
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, l,
+               list_transform(
+                   list_filter(generate_series(1, len(l)),
+                               i -> list_position(l, l[i]) = i),
+                   i -> l[i]) AS k
+        FROM built
+    )
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS n_lines,
+           CAST(len(k) AS BIGINT) AS n_kept,
+           CAST(len(l) - len(k) AS BIGINT) AS n_dupes_removed,
+           CAST(list_sum(list_transform(l, x -> length(x)))
+                - COALESCE(list_sum(list_transform(k, x -> length(x))), 0)
+                AS BIGINT) AS chars_removed,
+           list_aggregate(k, 'string_agg', chr(10)) AS clean_text
+    FROM kept
+    """,
+)
+def intra_doc_line_dedup_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import intra_doc_line_dedup
+
+    d = F.col("doc_id")
+    line = lambda i: F.when(  # noqa: E731
+        i % 3 == 0, F.lit("nav menu item")
+    ).otherwise(F.concat(F.lit("body line "),
+                         F.pmod(d + i * i, F.lit(9)).cast("string")))
+    text = F.concat_ws(
+        "\n",
+        F.transform(F.sequence(F.lit(0), (F.lit(3) + F.pmod(d, F.lit(5))).cast("int")),
+                    line),
+    )
+    return intra_doc_line_dedup(
+        star.documents.select("doc_id", text.alias("text"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 line-shape filters (operators.corpus.c4_line_filters — Raffel et
+# al. 2020 §2.2, public paper): keep a line only if it ends in terminal
+# punctuation AND has ≥3 words; the line-REWRITE battery that runs
+# before any document scoring (Gopher's line gates only score whole
+# docs).  Same multi-line synthesis convention as intra_doc_line_dedup;
+# the four line shapes cycle so every rule fires in every doc.
+# ---------------------------------------------------------------------------
+
+_C4L_LINE_SQL = (
+    "CASE i % 4"
+    " WHEN 0 THEN 'this is sentence number ' || CAST(doc_id + i AS VARCHAR)"
+    "             || ' of the body.'"
+    " WHEN 1 THEN 'short line'"
+    " WHEN 2 THEN 'a trailing line without terminal punctuation mark '"
+    "             || CAST(i AS VARCHAR)"
+    " ELSE 'is this a question line number ' || CAST(i AS VARCHAR) || '?'"
+    " END"
+)
+
+@register(
+    "c4_line_filters",
+    f"""
+    WITH built AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 4 + doc_id % 4),
+                              i -> {_C4L_LINE_SQL}) AS l
+        FROM documents
+    ),
+    shaped AS (
+        SELECT doc_id, l,
+               list_filter(l, x -> len(string_split_regex(x, '\\s+')) >= 3
+                                    AND regexp_matches(x, '[.!?"]$')) AS k,
+               list_filter(l, x -> len(string_split_regex(x, '\\s+')) < 3)
+                   AS short_l,
+               list_filter(l, x -> len(string_split_regex(x, '\\s+')) >= 3
+                                    AND NOT regexp_matches(x, '[.!?"]$'))
+                   AS noterm_l
+        FROM built
+    )
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS n_lines,
+           CAST(len(k) AS BIGINT) AS n_kept,
+           CAST(len(short_l) AS BIGINT) AS n_dropped_short,
+           CAST(len(noterm_l) AS BIGINT) AS n_dropped_terminal,
+           COALESCE(list_aggregate(k, 'string_agg', chr(10)), '') AS clean_text
+    FROM shaped
+    """,
+)
+def c4_line_filters_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import c4_line_filters
+
+    d = F.col("doc_id")
+
+    def line(i):
+        m = i % 4
+        return (
+            F.when(m == 0, F.concat(
+                F.lit("this is sentence number "),
+                (d + i).cast("string"), F.lit(" of the body.")))
+            .when(m == 1, F.lit("short line"))
+            .when(m == 2, F.concat(
+                F.lit("a trailing line without terminal punctuation mark "),
+                i.cast("string")))
+            .otherwise(F.concat(
+                F.lit("is this a question line number "),
+                i.cast("string"), F.lit("?")))
+        )
+
+    text = F.concat_ws(
+        "\n",
+        F.transform(F.sequence(F.lit(0), (F.lit(4) + F.pmod(d, F.lit(4))).cast("int")),
+                    line),
+    )
+    return c4_line_filters(
+        star.documents.select("doc_id", text.alias("text"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt politeness gate (operators.corpus.robots_disallow_gate —
+# RFC 9309 precedence: longest matching prefix wins, allow beats
+# disallow on ties, no match ⇒ allowed).  Rules are hosts-sized and
+# broadcast; the fixture exercises every precedence branch (longer
+# allow under a disallow, an exact-length allow/disallow tie, a
+# rule-less host, scheme-ful / protocol-relative / bare URL spellings)
+# and the frontier dedups identical URLs through the same rank-1
+# window on both engines.
+# ---------------------------------------------------------------------------
+
+_RB_HOSTS = 20
+
+_RB_URL_SQL = f"""
+    CASE doc_id % 6
+      WHEN 0 THEN 'https://h' || CAST(doc_id % {_RB_HOSTS} AS VARCHAR)
+                  || '/a/x' || CAST(doc_id % 7 AS VARCHAR)
+      WHEN 1 THEN 'https://h' || CAST(doc_id % {_RB_HOSTS} AS VARCHAR)
+                  || '/a/pub/y'
+      WHEN 2 THEN '//h' || CAST(doc_id % {_RB_HOSTS} AS VARCHAR) || '/dup/z'
+      WHEN 3 THEN 'h' || CAST(doc_id % {_RB_HOSTS} AS VARCHAR) || '/free/w'
+      WHEN 4 THEN 'https://h' || CAST(doc_id % {_RB_HOSTS} AS VARCHAR) || '/a'
+      ELSE 'https://z' || CAST(doc_id % {_RB_HOSTS} AS VARCHAR) || '/a/x'
+    END
+"""
+
+_RB_RULES_SQL = f"""
+    SELECT 'h' || CAST(h AS VARCHAR) AS host, r.path_prefix, r.allow
+    FROM generate_series(0, {_RB_HOSTS - 1}) g(h),
+         (VALUES ('/a', false), ('/a/pub', true),
+                 ('/dup', true), ('/dup', false)) r(path_prefix, allow)
+"""
+
+@register(
+    "robots_disallow_gate",
+    f"""
+    WITH frontier AS (SELECT {_RB_URL_SQL} AS url FROM documents),
+    rules AS ({_RB_RULES_SQL}),
+    parsed AS (
+        SELECT url,
+               string_split(regexp_replace(url,
+                   '^([A-Za-z][A-Za-z0-9+.-]*:)?//', ''), '/')[1] AS host,
+               '/' || COALESCE(regexp_extract(regexp_replace(url,
+                   '^([A-Za-z][A-Za-z0-9+.-]*:)?//', ''),
+                   '^[^/]*/(.*)$', 1), '') AS path
+        FROM frontier
+    ),
+    cand AS (
+        SELECT p.url, p.host, p.path,
+               CASE WHEN r.path_prefix IS NOT NULL
+                         AND starts_with(p.path, r.path_prefix)
+                    THEN r.path_prefix END AS mp,
+               CASE WHEN r.path_prefix IS NOT NULL
+                         AND starts_with(p.path, r.path_prefix)
+                    THEN r.allow END AS al
+        FROM parsed p LEFT JOIN rules r USING (host)
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY url
+                   ORDER BY length(mp) DESC NULLS LAST,
+                            al DESC NULLS LAST,
+                            mp ASC NULLS LAST) AS rk
+        FROM cand
+    )
+    SELECT url, host, path, mp AS matched_prefix,
+           COALESCE(al, true) AS allowed
+    FROM ranked WHERE rk = 1
+    """,
+)
+def robots_disallow_gate_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import robots_disallow_gate
+
+    d = F.col("doc_id")
+    h = F.pmod(d, F.lit(_RB_HOSTS)).cast("string")
+    url = (
+        F.when(F.pmod(d, F.lit(6)) == 0, F.concat(
+            F.lit("https://h"), h, F.lit("/a/x"),
+            F.pmod(d, F.lit(7)).cast("string")))
+        .when(F.pmod(d, F.lit(6)) == 1,
+              F.concat(F.lit("https://h"), h, F.lit("/a/pub/y")))
+        .when(F.pmod(d, F.lit(6)) == 2,
+              F.concat(F.lit("//h"), h, F.lit("/dup/z")))
+        .when(F.pmod(d, F.lit(6)) == 3,
+              F.concat(F.lit("h"), h, F.lit("/free/w")))
+        .when(F.pmod(d, F.lit(6)) == 4,
+              F.concat(F.lit("https://h"), h, F.lit("/a")))
+        .otherwise(F.concat(F.lit("https://z"), h, F.lit("/a/x")))
+    )
+    frontier = star.documents.select(url.alias("url"))
+    spark = star.documents.sparkSession
+    rules = spark.createDataFrame(
+        [(f"h{i}", p, a) for i in range(_RB_HOSTS)
+         for (p, a) in [("/a", False), ("/a/pub", True),
+                        ("/dup", True), ("/dup", False)]],
+        "host string, path_prefix string, allow boolean",
+    )
+    return robots_disallow_gate(frontier, rules)
+
+
+# ---------------------------------------------------------------------------
+# Per-source embedding centroids + distance-to-centroid outliers
+# (operators.similarity.group_centroids / centroid_outliers): the
+# domain-consistency gate — a doc whose embedding sits far from its
+# source's centroid is mislabeled, spam, or a scrape artifact.  The
+# centroid is a DISTRIBUTED dimension-wise aggregate over exact 1e-9
+# integer micro-units (the crawl_schedule mass precedent), so the mean
+# is engine-exact and the whole profile value-hashes — the one KMeans
+# UPDATE step the rows-only trained-ANN family could never hash.
+# ---------------------------------------------------------------------------
+
+_SCO_GROUPS = 6
+_SCO_THRESH = 0.0
+
+@register(
+    "source_centroid_outliers",
+    f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               vec_id % {_SCO_GROUPS} AS grp
+        FROM embeddings
+    ),
+    -- generate_series takes constants only: 64 = the embeddings
+    -- fixture dim (the Spark operator is dim-agnostic via posexplode);
+    -- the i <= len(v) guard keeps the twin honest if the dim changes
+    dims AS (
+        SELECT grp, i, CAST(round(v[i] * 1000000000) AS BIGINT) AS xq
+        FROM e, generate_series(1, 64) g(i)
+        WHERE i <= len(v)
+    ),
+    per_dim AS (
+        SELECT grp, i, SUM(xq) AS s, COUNT(*) AS n
+        FROM dims GROUP BY 1, 2
+    ),
+    cents AS (
+        SELECT grp,
+               list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0)
+                    ORDER BY i) AS c
+        FROM per_dim GROUP BY grp
+    ),
+    scored AS (
+        SELECT e.vec_id, e.grp,
+               round(list_dot_product(e.v, c.c)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c.c, c.c))), 6) AS cos
+        FROM e JOIN cents c USING (grp)
+    )
+    SELECT vec_id, CAST(grp AS BIGINT) AS source_grp,
+           cos AS cosine_to_centroid,
+           cos < {_SCO_THRESH} AS is_outlier
+    FROM scored
+    """,
+)
+def source_centroid_outliers_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.similarity import centroid_outliers
+
+    emb = star.embeddings.select(
+        "vec_id", "embedding",
+        F.pmod(F.col("vec_id"), F.lit(_SCO_GROUPS)).alias("source_grp"),
+    )
+    return centroid_outliers(
+        emb, "source_grp", threshold=_SCO_THRESH
+    ).select(
+        "vec_id", F.col("source_grp").cast("long").alias("source_grp"),
+        "cosine_to_centroid", "is_outlier",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick linear scorer (functions.text.hashed_linear_score —
+# the fastText/CCNet-style quality-filter SERVING arithmetic, public):
+# tokens + word bigrams hash into a FIXED 64-bucket feature space via
+# the portable seeded md5, then a frozen literal weight vector scores
+# each doc map-side.  Distinct from quality_classifier_score_fixed
+# (engineered features): this value-hashes the HASH-BUCKET feature
+# map itself, the part of a fastText filter that must be reproducible
+# across engines and re-trainings.
+# ---------------------------------------------------------------------------
+
+_HNS_BUCKETS = 64
+_HNS_SEED = 5
+# frozen deterministic pseudo-weights in [-0.5, 0.5), 6dp-exact
+_HNS_WEIGHTS = [
+    round(((b * 37 + 11) % 199) / 199.0 - 0.5, 6) for b in range(_HNS_BUCKETS)
+]
+_HNS_W_SQL = "[" + ", ".join(f"{w!r}" for w in _HNS_WEIGHTS) + "]::DOUBLE[]"
+
+@register(
+    "hashed_ngram_score",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {TOKSEQ_SQL.format(col='text')} AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_concat(toks,
+                   list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS grams
+        FROM t
+    ),
+    b AS (
+        SELECT doc_id,
+               list_transform(grams,
+                   x -> CAST({_hash64_sql('x', _HNS_SEED)} % {_HNS_BUCKETS}
+                             AS INT)) AS bk
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(len(bk) AS BIGINT) AS n_grams,
+           CASE WHEN len(bk) > 0
+                THEN round(list_reduce(
+                         list_transform(bk, x -> ({_HNS_W_SQL})[x + 1]),
+                         (acc, x) -> acc + x)
+                     / CAST(len(bk) AS DOUBLE), 6)
+                ELSE 0.0 END AS score
+    FROM b
+    """,
+)
+def hashed_ngram_score_q(star: Star) -> DataFrame:
+    # two projection tiers: tokenize once, hash the grams once — the
+    # score and the gram count then reference the bucket array for free
+    return (
+        star.documents.select(
+            "doc_id", X.tokens("text").alias("_toks")
+        )
+        .select(
+            "doc_id",
+            X.hashed_gram_buckets(
+                F.col("_toks"), n_buckets=_HNS_BUCKETS, seed=_HNS_SEED
+            ).alias("_bk"),
+        )
+        .select(
+            "doc_id",
+            F.size("_bk").cast("long").alias("n_grams"),
+            X.hashed_linear_score_from(F.col("_bk"), _HNS_WEIGHTS)
+            .alias("score"),
+        )
+    )

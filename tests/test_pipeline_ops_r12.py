@@ -1,0 +1,241 @@
+"""Unit tests for the r12 pipeline operators: within-doc line dedup,
+C4 line-shape filters, robots.txt politeness gate, per-group embedding
+centroids/outliers, and the hashing-trick linear scorer."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# intra_doc_line_dedup
+# ---------------------------------------------------------------------------
+
+def test_intra_doc_line_dedup_hand_computed(spark):
+    from sap_data_pipeline_spark.operators.corpus import intra_doc_line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "alpha\nbeta\nalpha\ngamma\nbeta"),
+         (2, "only\nunique\nlines")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in intra_doc_line_dedup(df).collect()}
+    r1 = got[1]
+    assert r1["n_lines"] == 5 and r1["n_kept"] == 3
+    assert r1["n_dupes_removed"] == 2
+    assert r1["chars_removed"] == len("alpha") + len("beta")
+    assert r1["clean_text"] == "alpha\nbeta\ngamma"  # first occurrences, in order
+    r2 = got[2]
+    assert r2["n_dupes_removed"] == 0
+    assert r2["clean_text"] == "only\nunique\nlines"
+
+
+def test_intra_doc_line_dedup_trims_and_skips_blank_lines(spark):
+    from sap_data_pipeline_spark.operators.corpus import intra_doc_line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "  a  \n\n a\nb\n   \nb ")], "doc_id long, text string"
+    )
+    [r] = intra_doc_line_dedup(df).collect()
+    # blank lines never count; '  a  ' and ' a' are the same trimmed line
+    assert r["n_lines"] == 4 and r["n_kept"] == 2
+    assert r["clean_text"] == "a\nb"
+
+
+def test_intra_doc_line_dedup_is_shuffle_free(spark):
+    from sap_data_pipeline_spark.operators.corpus import intra_doc_line_dedup
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("x\nx\ny").alias("text")
+    )
+    plan = intra_doc_line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# c4_line_filters
+# ---------------------------------------------------------------------------
+
+def test_c4_line_filters_hand_computed(spark):
+    from sap_data_pipeline_spark.operators.corpus import c4_line_filters
+
+    text = "\n".join([
+        "this line has plenty of words and ends well.",   # kept
+        "too short",                                      # dropped: <3 words
+        "many words but no terminal punctuation here",    # dropped: terminal
+        'he said "stop right there!"',                    # kept (quote end)
+        "ok?",                                            # dropped: <3 words (rule order)
+        "is this a well formed question?",                # kept
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    [r] = c4_line_filters(df).collect()
+    assert r["n_lines"] == 6
+    assert r["n_kept"] == 3
+    assert r["n_dropped_short"] == 2        # 'too short' and 'ok?'
+    assert r["n_dropped_terminal"] == 1
+    assert r["clean_text"].splitlines()[0].endswith("well.")
+
+
+def test_c4_line_filters_counts_sum_to_lines(spark):
+    from sap_data_pipeline_spark.operators.corpus import c4_line_filters
+
+    df = spark.createDataFrame(
+        [(i, "good sentence number %d.\nbad line\nanother fine sentence here."
+          % i) for i in range(20)],
+        "doc_id long, text string",
+    )
+    for r in c4_line_filters(df).collect():
+        assert r["n_kept"] + r["n_dropped_short"] + r["n_dropped_terminal"] \
+            == r["n_lines"]
+
+
+# ---------------------------------------------------------------------------
+# robots_disallow_gate
+# ---------------------------------------------------------------------------
+
+def _rules(spark):
+    return spark.createDataFrame(
+        [("h1", "/a", False), ("h1", "/a/pub", True),
+         ("h1", "/dup", True), ("h1", "/dup", False)],
+        "host string, path_prefix string, allow boolean",
+    )
+
+
+def test_robots_gate_precedence(spark):
+    from sap_data_pipeline_spark.operators.corpus import robots_disallow_gate
+
+    frontier = spark.createDataFrame(
+        [("https://h1/a/x",),        # /a disallow
+         ("https://h1/a/pub/ok",),   # /a/pub allow (longer wins)
+         ("https://h1/dup/z",),      # equal-length tie -> allow wins
+         ("https://h1/free",),       # host has rules, none match -> allow
+         ("https://nobody/a/x",),    # rule-less host -> allow
+         ("//h1/a/y",),              # protocol-relative
+         ("h1/a/z",)],               # bare
+        "url string",
+    )
+    got = {r["url"]: r for r in
+           robots_disallow_gate(frontier, _rules(spark)).collect()}
+    assert len(got) == 7
+    assert got["https://h1/a/x"]["allowed"] is False
+    assert got["https://h1/a/x"]["matched_prefix"] == "/a"
+    assert got["https://h1/a/pub/ok"]["allowed"] is True
+    assert got["https://h1/a/pub/ok"]["matched_prefix"] == "/a/pub"
+    assert got["https://h1/dup/z"]["allowed"] is True
+    assert got["https://h1/free"]["allowed"] is True
+    assert got["https://h1/free"]["matched_prefix"] is None
+    assert got["https://nobody/a/x"]["allowed"] is True
+    assert got["//h1/a/y"]["allowed"] is False   # scheme-relative strips
+    assert got["h1/a/z"]["allowed"] is False     # bare host parses too
+
+
+def test_robots_gate_dedups_frontier_and_broadcasts_rules(spark):
+    from sap_data_pipeline_spark.operators.corpus import robots_disallow_gate
+
+    frontier = spark.createDataFrame(
+        [("https://h1/a/x",)] * 5, "url string"
+    )
+    out = robots_disallow_gate(frontier, _rules(spark))
+    assert out.count() == 1  # rank-1 per url dedups replicas
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# group_centroids / centroid_outliers
+# ---------------------------------------------------------------------------
+
+def test_group_centroids_hand_computed(spark):
+    from sap_data_pipeline_spark.operators.similarity import group_centroids
+
+    emb = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, "a", [3.0, 4.0]), (3, "b", [5.0, -1.0])],
+        "vec_id long, src string, embedding array<double>",
+    )
+    got = {r["src"]: r for r in group_centroids(emb, "src").collect()}
+    assert got["a"]["centroid"] == [2.0, 3.0]
+    assert got["a"]["n_members"] == 2
+    assert got["b"]["centroid"] == [5.0, -1.0]
+
+
+def test_centroid_outliers_flags_antipodal_member(spark):
+    from sap_data_pipeline_spark.operators.similarity import centroid_outliers
+
+    emb = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0]), (2, "a", [1.0, 0.1]),
+         (3, "a", [-1.0, 0.0])],  # antipodal -> negative cosine
+        "vec_id long, src string, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in
+           centroid_outliers(emb, "src", threshold=0.0).collect()}
+    assert got[1]["is_outlier"] is False
+    assert got[3]["is_outlier"] is True
+    assert got[3]["cosine_to_centroid"] < 0
+
+
+def test_group_centroids_quantization_grain(spark):
+    """Components quantize at 1e-9: values differing below the grain
+    collapse (documented), values above it do not."""
+    from sap_data_pipeline_spark.operators.similarity import group_centroids
+
+    emb = spark.createDataFrame(
+        [(1, "a", [0.1234567891]), (2, "a", [0.1234567893])],
+        "vec_id long, src string, embedding array<double>",
+    )
+    [r] = group_centroids(emb, "src").collect()
+    assert math.isclose(r["centroid"][0], 0.123456789, rel_tol=0, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# hashed_gram_buckets / hashed_linear_score
+# ---------------------------------------------------------------------------
+
+def _py_bucket(gram: str, seed: int, n: int) -> int:
+    h = hashlib.md5(f"s{seed}:{gram}".encode()).hexdigest()
+    return int(h[:15], 16) % n
+
+
+def test_hashed_buckets_match_python_replica(spark):
+    from sap_data_pipeline_spark.functions import text as X
+
+    df = spark.createDataFrame([("the quick brown fox",)], ["text"])
+    [r] = df.select(
+        X.hashed_gram_buckets(X.tokens("text"), n_buckets=64, seed=5)
+        .alias("b")
+    ).collect()
+    toks = ["the", "quick", "brown", "fox"]
+    grams = toks + ["the quick", "quick brown", "brown fox"]
+    assert r["b"] == [_py_bucket(g, 5, 64) for g in grams]
+
+
+def test_hashed_linear_score_hand_computed(spark):
+    from sap_data_pipeline_spark.functions import text as X
+
+    w = [round(((b * 37 + 11) % 199) / 199.0 - 0.5, 6) for b in range(64)]
+    df = spark.createDataFrame([("alpha beta",), ("",)], ["text"])
+    rows = df.select(
+        X.hashed_linear_score(X.tokens("text"), w, seed=5).alias("s")
+    ).collect()
+    grams = ["alpha", "beta", "alpha beta"]
+    expect = round(sum(w[_py_bucket(g, 5, 64)] for g in grams) / 3, 6)
+    assert rows[0]["s"] == expect
+    assert rows[1]["s"] == 0.0  # empty token array scores 0
+
+
+def test_hashed_score_query_is_shuffle_free(spark):
+    from sap_data_pipeline_spark.plans import catalog_ext  # noqa: F401
+    from sap_data_pipeline_spark.plans.catalog import QUERIES
+
+    df = QUERIES["hashed_ngram_score"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the only Exchange is the reader's deliberate round-robin spread of
+    # the single small parquet file — no KEYED shuffle anywhere
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    # tokenizer and gram-hash each live in their own projection tier:
+    # exactly one expansion of the tokenize regex chain per row
+    assert plan.count("regexp_replace(lower(") == 1, plan
