@@ -1070,55 +1070,28 @@ def seeded_cell_assign(emb: DataFrame, *, id_col: str = "vec_id",
             ).alias("dist"),
         ),
     )
-    if nprobe <= 2:
-        # Single linear best/second fold instead of a full array_sort:
-        # the interpreted struct comparator over n_cells elements was
-        # the dominant assignment cost once the auto default grew cells
-        # to √(N·nprobe) (r12 measure: assignment 6.7 s → see SCALE.md).
-        # Iteration runs in cell-ascending order with strict <, so ties
-        # resolve to the smaller cell id — the same (dist, cell) order
-        # the sort produced.
-        init = F.struct(
-            F.lit(float("inf")).alias("d1"),
-            F.lit(-1).cast("int").alias("c1"),
-            F.lit(float("inf")).alias("d2"),
-            F.lit(-1).cast("int").alias("c2"),
-        )
-
-        def step(acc, s):
-            better = s["dist"] < acc["d1"]
-            second = ~better & (s["dist"] < acc["d2"])
-            return F.struct(
-                F.when(better, s["dist"]).otherwise(acc["d1"]).alias("d1"),
-                F.when(better, s["cell"]).otherwise(acc["c1"]).alias("c1"),
-                F.when(better, acc["d1"])
-                .when(second, s["dist"]).otherwise(acc["d2"]).alias("d2"),
-                F.when(better, acc["c1"])
-                .when(second, s["cell"]).otherwise(acc["c2"]).alias("c2"),
-            )
-
-        top = F.aggregate(scored, init, step)
-        near = F.filter(
-            F.array(top["c1"], *([top["c2"]] if nprobe == 2 else [])),
-            lambda c: c >= 0,
-        )
-    else:
-        by_dist = F.array_sort(
-            scored,
-            lambda a, b: F.when(a["dist"] < b["dist"], -1)
-            .when(a["dist"] > b["dist"], 1)
-            .when(a["cell"] < b["cell"], -1)
-            .when(a["cell"] > b["cell"], 1)
-            .otherwise(0),
-        )
-        near = F.slice(by_dist, 1, nprobe).getField("cell")
+    # A single linear best/second fold (for nprobe ≤ 2) was tried here
+    # in r12 to replace the full array_sort and measured 12% SLOWER in
+    # an interleaved same-session A/B at the auto cell count (medians
+    # 2.99 s vs 2.66 s, n_cells=63, sf0.1): the distance folds dominate
+    # assignment, and the fold's per-step 4-field struct rebuild with
+    # nested CASE chains costs more than the sort's comparator.  Keep
+    # the simpler sort.
+    by_dist = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["dist"] < b["dist"], -1)
+        .when(a["dist"] > b["dist"], 1)
+        .when(a["cell"] < b["cell"], -1)
+        .when(a["cell"] > b["cell"], 1)
+        .otherwise(0),
+    )
     return (
         emb.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_near", near)
+        .withColumn("_near", F.slice(by_dist, 1, nprobe))
         .select(
             F.col(id_col),
             F.col(vec_col),
-            F.explode_outer(F.col("_near")).alias("cell"),
+            F.explode_outer(F.col("_near").getField("cell")).alias("cell"),
         )
     )
 
