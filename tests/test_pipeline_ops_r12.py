@@ -239,3 +239,23 @@ def test_hashed_score_query_is_shuffle_free(spark):
     # tokenizer and gram-hash each live in their own projection tier:
     # exactly one expansion of the tokenize regex chain per row
     assert plan.count("regexp_replace(lower(") == 1, plan
+
+
+def test_c4_and_centroid_plan_shapes(spark):
+    """c4_line_filters: zero keyed exchanges (pure per-row rewrite).
+    source_centroid_outliers: exactly two keyed exchanges — the
+    (group, dim) partial-aggregated sums and the groups-sized array
+    rebuild — plus a broadcast join back onto the scan."""
+    from sap_data_pipeline_spark.plans import catalog_ext  # noqa: F401
+    from sap_data_pipeline_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    p1 = QUERIES["c4_line_filters"](spark, sf)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange hashpartitioning" not in p1, p1
+
+    p2 = QUERIES["source_centroid_outliers"](spark, sf)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert p2.count("Exchange hashpartitioning") == 2, p2
+    assert "BroadcastHashJoin" in p2, p2
+    assert "EvalPython" not in p2, p2

@@ -711,3 +711,137 @@ def test_domain_reweight_simplex_property(spark, w, x):
     assert abs(total - 1.0) < 1e-4
     for r in got.values():
         assert r["new_weight"] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# r12 operators: within-doc line dedup, C4 line filters, robots gate
+# ---------------------------------------------------------------------------
+
+_lines = st.lists(
+    st.text(alphabet="abcx .!?", min_size=0, max_size=8),
+    min_size=1, max_size=8,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lines=_lines)
+def test_intra_doc_line_dedup_matches_dict_keepfirst(spark, lines):
+    """The kept sequence is exactly python's first-occurrence dedup of
+    the trimmed non-blank lines, order preserved; counts reconcile."""
+    from sap_data_pipeline_spark.operators.corpus import intra_doc_line_dedup
+
+    df = spark.createDataFrame([(1, "\n".join(lines))],
+                               "doc_id long, text string")
+    out = intra_doc_line_dedup(df).collect()
+    trimmed = [ln.strip() for ln in lines if ln.strip()]
+    if not trimmed:
+        assert out == []
+        return
+    [r] = out
+    expect = list(dict.fromkeys(trimmed))
+    assert r["clean_text"].split("\n") == expect
+    assert r["n_lines"] == len(trimmed)
+    assert r["n_kept"] == len(expect)
+    assert r["n_dupes_removed"] == len(trimmed) - len(expect)
+    assert r["chars_removed"] == sum(map(len, trimmed)) - sum(map(len, expect))
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lines=st.lists(
+    st.text(alphabet="ab c.!?", min_size=1, max_size=12),
+    min_size=1, max_size=8,
+))
+def test_c4_line_filters_matches_python_rules(spark, lines):
+    import re
+
+    from sap_data_pipeline_spark.operators.corpus import c4_line_filters
+
+    df = spark.createDataFrame([(1, "\n".join(lines))],
+                               "doc_id long, text string")
+    out = c4_line_filters(df).collect()
+    trimmed = [ln.strip() for ln in lines if ln.strip()]
+    if not trimmed:
+        assert out == []
+        return
+    [r] = out
+
+    def words(x):
+        return len(re.split(r"\s+", x))
+
+    short = [x for x in trimmed if words(x) < 3]
+    noterm = [x for x in trimmed
+              if words(x) >= 3 and not re.search(r'[.!?"]$', x)]
+    kept = [x for x in trimmed
+            if words(x) >= 3 and re.search(r'[.!?"]$', x)]
+    assert r["n_dropped_short"] == len(short)
+    assert r["n_dropped_terminal"] == len(noterm)
+    assert r["n_kept"] == len(kept)
+    assert r["clean_text"] == "\n".join(kept)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    paths=st.lists(
+        st.text(alphabet="abc/", min_size=1, max_size=6),
+        min_size=1, max_size=6, unique=True,
+    ),
+    prefixes=st.lists(
+        st.tuples(st.text(alphabet="abc/", min_size=1, max_size=4),
+                  st.booleans()),
+        min_size=0, max_size=5,
+    ),
+)
+def test_robots_gate_matches_python_precedence(spark, paths, prefixes):
+    """RFC 9309 replica: longest matching prefix wins, allow beats
+    disallow on equal length, lexicographic prefix as the final tie,
+    no match ⇒ allowed."""
+    from sap_data_pipeline_spark.operators.corpus import robots_disallow_gate
+
+    frontier = spark.createDataFrame(
+        [(f"https://h/{p}",) for p in paths], "url string"
+    )
+    rules = spark.createDataFrame(
+        [("h", "/" + p, a) for p, a in prefixes],
+        "host string, path_prefix string, allow boolean",
+    ) if prefixes else spark.createDataFrame(
+        [], "host string, path_prefix string, allow boolean"
+    )
+    got = {r["url"]: r for r in
+           robots_disallow_gate(frontier, rules).collect()}
+    assert len(got) == len(paths)
+    for p in paths:
+        path = "/" + p
+        matches = [("/" + pre, allow) for pre, allow in prefixes
+                   if path.startswith("/" + pre)]
+        if matches:
+            # sort: longest first, allow before disallow, lexicographic
+            matches.sort(key=lambda m: (-len(m[0]), not m[1], m[0]))
+            mp, allow = matches[0]
+        else:
+            mp, allow = None, True
+        r = got[f"https://h/{p}"]
+        assert r["matched_prefix"] == mp, (path, matches)
+        assert r["allowed"] == allow
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.floats(min_value=-1.0, max_value=1.0,
+              allow_nan=False, allow_infinity=False),
+    min_size=2, max_size=6,
+))
+def test_group_centroid_matches_quantized_mean(spark, vals):
+    from sap_data_pipeline_spark.operators.similarity import group_centroids
+
+    emb = spark.createDataFrame(
+        [(i, "g", [v]) for i, v in enumerate(vals)],
+        "vec_id long, src string, embedding array<double>",
+    )
+    [r] = group_centroids(emb, "src").collect()
+    expect = sum(round(v * 1e9) for v in vals) / (len(vals) * 1e9)
+    assert r["centroid"][0] == expect
+    assert r["n_members"] == len(vals)
