@@ -675,6 +675,11 @@ def curate_corpus(
     from sap_data_pipeline_spark.sources.sinks import write_parquet_atomic
 
     n_raw = documents.count()
+    # NOTE: the r12 tokenizer hoist (quality_score_from over a projected
+    # token tier) does NOT apply to FILTER gates — Catalyst's predicate
+    # pushdown substitutes the alias back into the pushed predicate,
+    # re-expanding it per reference (measured: 9 expansions either way).
+    # The hoist only helps PROJECT consumers (admission_funnel et al.).
     gated = documents.filter(X.quality_score("text") >= min_quality)
     n_gated = gated.count()
 
@@ -1043,30 +1048,48 @@ def admit_crawl_batch(
     host_min_docs: int = 5,
     host_max_low_pct: int = 50,
     split_weights: dict[str, int] | None = None,
+    robots_rules=None,
+    url_col: str = "url",
+    line_filters: bool = False,
 ) -> dict:
     """Crawl-batch ADMISSION pipeline — the ingest-side complement of
     :func:`build_training_corpus` (which curates a corpus already
     admitted).  Every stage is an independently-oracled catalog
     operator; this function adds plumbing and the per-stage loss audit:
 
-        cross-snapshot exact dedup (reject re-crawls of the reference
+        [optional] robots.txt politeness re-check (rules change between
+        fetch and ingest; requires ``url_col`` + a (host, path_prefix,
+        allow) ``robots_rules`` frame — RFC 9309 precedence)
+        → cross-snapshot exact dedup (reject re-crawls of the reference
         corpus, fold within-batch copies to their keep-first canonical)
+        → [optional, ``line_filters=True``] in-place line cleanup:
+        C4 shape rules + within-doc keep-first dedup as ONE zero-shuffle
+        projection (``corpus.apply_line_filters``) — runs AFTER the
+        content dedup (admission compares pages as fetched) and BEFORE
+        quality scoring (scores judge the text that would train)
         → host-tier quality blocklist (domain-level admission cut)
         → leakage-safe content-keyed train/val/test assignment
         → atomic write
 
-    Returns the audit dict: ``batch_rows``, ``admitted_after_dedup``,
-    ``blocked_hosts``, ``rows_final`` — each stage's loss is visible,
-    silent drops are pipeline bugs.
+    Returns the audit dict: ``batch_rows``, ``robots_rejected`` (when
+    gated), ``admitted_after_dedup``, ``lines_removed`` (when line
+    filtering), ``blocked_hosts``, ``rows_final`` — each stage's loss
+    is visible, silent drops are pipeline bugs.
 
-    Scale notes: the snapshot dedup shuffles 32-hex fingerprints (never
-    reference text); the host verdict is hosts-sized and re-enters
+    Scale notes: the robots verdict joins hosts-sized broadcast rules
+    and one url-keyed rank window; the snapshot dedup shuffles 32-hex
+    fingerprints (never reference text); the line rewrite is a pure
+    projection; the host verdict is hosts-sized and re-enters
     broadcast; the split is a stateless scan.  The admitted-count audit
     is ONE extra aggregate over fingerprint-sized rows, not a pipeline
     re-execution; the blocked-host count collects the hosts-sized
     verdict only.
     """
     from sap_data_pipeline_spark.functions import text as X
+    from sap_data_pipeline_spark.operators.corpus import (
+        apply_line_filters,
+        robots_disallow_gate,
+    )
     from sap_data_pipeline_spark.operators.dedup import snapshot_admission
     from sap_data_pipeline_spark.operators.quality import (
         blocklist_filter,
@@ -1076,15 +1099,37 @@ def admit_crawl_batch(
     from sap_data_pipeline_spark.sources.sinks import write_parquet_atomic
 
     audit: dict = {}
+    audit["batch_rows"] = batch.count()
+
+    if robots_rules is not None:
+        allowed_urls = (
+            robots_disallow_gate(
+                batch.select(F.col(url_col).alias("url")), robots_rules
+            )
+            .filter(F.col("allowed"))
+            .select(F.col("url").alias(url_col))
+        )
+        batch = batch.join(allowed_urls, url_col, "semi")
+        audit["robots_rejected"] = audit["batch_rows"] - batch.count()
 
     admitted_ids = snapshot_admission(reference, batch).select(
         "doc_id", "n_copies"
     )
     admitted = batch.join(admitted_ids, "doc_id", "semi")
 
+    if line_filters:
+        admitted = apply_line_filters(admitted)
+        audit["lines_removed"] = (
+            admitted.agg(F.sum("lines_removed")).collect()[0][0] or 0
+        )
+        admitted = admitted.drop("lines_removed")
+
     scored = admitted.select(
+        F.col(host_col), "text", X.tokens("text").alias("_toks")
+    ).select(
         F.col(host_col),
-        (X.quality_score("text") < min_quality).alias("is_low"),
+        (X.quality_score_from(F.col("text"), F.col("_toks")) < min_quality)
+        .alias("is_low"),
     )
     verdict = host_quality_gate(
         scored,
@@ -1100,7 +1145,7 @@ def admit_crawl_batch(
     # loss accounting: one scalar count per pre-write stage (fingerprint-
     # sized / hosts-sized inputs — never a corpus re-scan), after the
     # write so the cached shuffle files are reused where possible.
-    audit["batch_rows"] = batch.count()
+    # (batch_rows counted up front: the robots gate rebinds ``batch``.)
     audit["admitted_after_dedup"] = admitted_ids.count()
     audit["blocked_hosts"] = verdict.filter(F.col("blocked")).count()
     return audit

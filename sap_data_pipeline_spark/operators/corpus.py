@@ -1083,3 +1083,46 @@ def robots_disallow_gate(frontier: DataFrame, rules: DataFrame, *,
             F.coalesce(F.col("_al"), F.lit(True)).alias("allowed"),
         )
     )
+
+
+def apply_line_filters(df: DataFrame, *, text_col: str = "text",
+                       min_words: int = 3) -> DataFrame:
+    """The ingest-side line-cleanup REWRITE: compose the C4 shape rules
+    (:func:`c4_line_filters`) and within-document keep-first dedup
+    (:func:`intra_doc_line_dedup`) as ONE per-row projection that
+    replaces ``text_col`` in place, preserving every other column —
+    no joins, no shuffles, so it drops into any pipeline between
+    snapshot dedup and quality scoring for free.
+
+    Rule order matches the standalone operators: shape-filter first
+    (a repeated nav line that also fails the shape rules counts as a
+    shape drop), then first-occurrence dedup of the survivors.  Adds
+    ``lines_removed`` (shape + duplicate drops) for the stage audit.
+    Documents whose every line is dropped keep an empty string — the
+    downstream quality gate, not this rewrite, decides their fate.
+    """
+    from sap_data_pipeline_spark.functions import text as X
+
+    lines = X.line_array(F.col(text_col))
+    n_words = lambda x: F.size(F.split(x, r"\s+", -1))  # noqa: E731
+    shaped = F.filter(
+        lines, lambda x: (n_words(x) >= min_words) & x.rlike('[.!?"]$')
+    )
+    base = df.withColumn("_afl_l", shaped).withColumn(
+        "_afl_n", F.size(lines)
+    )
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), F.size("_afl_l")),
+        lambda i: F.array_position(
+            F.col("_afl_l"), F.element_at(F.col("_afl_l"), i)) == i,
+    )
+    kept = F.transform(keep_idx, lambda i: F.element_at(F.col("_afl_l"), i))
+    return (
+        base.withColumn("_afl_k", kept)
+        .withColumn(text_col, F.concat_ws("\n", F.col("_afl_k")))
+        .withColumn(
+            "lines_removed",
+            (F.col("_afl_n") - F.size("_afl_k")).cast("long"),
+        )
+        .drop("_afl_l", "_afl_n", "_afl_k")
+    )

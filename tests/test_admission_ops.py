@@ -359,6 +359,48 @@ def test_admit_crawl_batch_clean_batch_admits_everything(spark, tmp_path):
     assert audit["rows_final"] == 9 and audit["blocked_hosts"] == 0
 
 
+def test_admit_crawl_batch_robots_and_line_filters(spark, tmp_path):
+    """r12 stages: the robots re-check drops disallowed URLs before
+    dedup, and line_filters rewrites documents in place (C4 shape rules
+    + within-doc dedup) with the removed-line audit."""
+    from sap_data_pipeline_spark.etl import admit_crawl_batch
+
+    good = ("this is a perfectly reasonable body sentence with plenty "
+            "of the usual stopword words in it to pass the gate.")
+    # each doc: 2 good lines + 1 repeated nav line (x2) + 1 short line
+    body = "\n".join([good, "nav menu", good, "nav menu",
+                      good.replace("body", "second")])
+    ref = spark.createDataFrame([], "doc_id long, text string, host string, url string")
+    batch = spark.createDataFrame(
+        [(i, body, f"h{i % 2}", f"https://h{i % 2}/keep/p{i}")
+         for i in range(6)]
+        + [(10, body, "h0", "https://h0/private/x"),
+           (11, body, "h1", "https://h1/private/y")],
+        ["doc_id", "text", "host", "url"],
+    )
+    rules = spark.createDataFrame(
+        [("h0", "/private", False), ("h1", "/private", False),
+         ("h0", "/keep", True), ("h1", "/keep", True)],
+        "host string, path_prefix string, allow boolean",
+    )
+    audit = admit_crawl_batch(
+        ref, batch, str(tmp_path / "out2"),
+        robots_rules=rules, line_filters=True, min_quality=0.3,
+    )
+    assert audit["batch_rows"] == 8
+    assert audit["robots_rejected"] == 2
+    # all 6 surviving docs share one body -> folded to keep-first
+    assert audit["admitted_after_dedup"] == 1
+    # the one admitted doc has 5 lines: 'nav menu' (2 words) fails the
+    # shape rule twice, and the repeated good line dedups once = 3
+    assert audit["lines_removed"] == 3
+    assert audit["rows_final"] == 1
+    got = spark.read.parquet(str(tmp_path / "out2"))
+    [r] = got.collect()
+    assert r["text"].count("\n") == 1  # two surviving distinct lines
+    assert "nav menu" not in r["text"]
+
+
 # ---------------------------------------------------------------------------
 # anchor_text_terms
 # ---------------------------------------------------------------------------

@@ -259,3 +259,21 @@ def test_c4_and_centroid_plan_shapes(spark):
     assert p2.count("Exchange hashpartitioning") == 2, p2
     assert "BroadcastHashJoin" in p2, p2
     assert "EvalPython" not in p2, p2
+
+
+def test_apply_line_filters_rewrites_in_place_and_is_shuffle_free(spark):
+    from sap_data_pipeline_spark.operators.corpus import apply_line_filters
+
+    df = spark.createDataFrame(
+        [(1, "h9", "a good long sentence here.\nshort\n"
+                    "a good long sentence here.\nno terminal punct line")],
+        "doc_id long, host string, text string",
+    )
+    [r] = apply_line_filters(df).collect()
+    # all original columns survive, text rewritten in place
+    assert r["host"] == "h9"
+    assert r["text"] == "a good long sentence here."
+    assert r["lines_removed"] == 3  # short + non-terminal + duplicate
+    plan = apply_line_filters(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
