@@ -742,3 +742,90 @@ def stream_frontier_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_centroid_monitor(
+    stream: DataFrame,
+    group_col: str,
+    *,
+    vec_col: str = "embedding",
+    out_dir: str,
+    checkpoint_dir: str,
+    scale: int = 1_000_000_000,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming per-group embedding-centroid maintenance — the
+    incremental arm of :func:`operators.similarity.group_centroids`:
+    every micro-batch of admitted vectors updates each group's running
+    centroid, so domain-profile drift ("source X's embeddings moved")
+    alarms while the corpus is still ingesting instead of at the next
+    full-corpus pass.  This is also exactly the statistics-accumulation
+    half of one distributed KMeans update step, maintained online.
+
+    State is ADDITIVE and integer-exact: each batch persists its own
+    (group, dim, sum-of-micro-units, count) partial under
+    ``{out_dir}/_sums/batch_id={id}/`` with overwrite — a crash-
+    replayed batch rewrites the same directory, and a sum of per-batch
+    partials is insensitive to replay order, so batch N's published
+    centroids equal the batch twin (``group_centroids``) evaluated on
+    the concatenation of batches 0..N exactly (the same
+    streaming-equals-batch contract as the drift/heavy-hitter/CUSUM
+    monitors, test-pinned).  State size is groups×dims rows per batch —
+    never corpus-sized; the prior corpus is never rescanned.
+
+    Each batch publishes the cumulative (group, centroid, n_members)
+    snapshot to ``{out_dir}/batch_id={id}/``.
+    """
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        sums_dir = f"{out_dir}/_sums"
+        v = F.col(vec_col).cast("array<double>")
+        partial = (
+            batch_df.select(
+                F.col(group_col).alias("grp"),
+                F.posexplode(v).alias("dim", "x"),
+            )
+            .select("grp", "dim",
+                    F.round(F.col("x") * scale).cast("long").alias("xq"))
+            .groupBy("grp", "dim")
+            .agg(F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        partial.coalesce(1).write.mode("overwrite").parquet(
+            f"{sums_dir}/batch_id={batch_id}"
+        )
+        try:
+            acc = spark.read.parquet(sums_dir)
+        except AnalysisException as exc:
+            # first batch just wrote it; any read failure is real
+            msg = str(exc)
+            if ("PATH_NOT_FOUND" not in msg
+                    and "Path does not exist" not in msg):
+                raise
+            acc = partial
+        cum = acc.groupBy("grp", "dim").agg(
+            F.sum("s").alias("s"), F.sum("n").alias("n")
+        )
+        snapshot = (
+            cum.groupBy("grp")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "s", "n"))),
+                    lambda t: t["s"].cast("double")
+                    / (t["n"].cast("double") * F.lit(float(scale))),
+                ).alias("centroid"),
+                F.max("n").cast("long").alias("n_members"),
+            )
+            .withColumnRenamed("grp", group_col)
+        )
+        snapshot.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(update).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

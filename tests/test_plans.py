@@ -708,7 +708,11 @@ def test_url_seen_bloom_probe_side_no_join(spark):
 
 def test_admission_funnel_one_scan_one_aggregate(spark):
     """The funnel is one scan through the kernel expressions + one
-    reasons×sources aggregate: exactly one hash exchange, no joins."""
+    reasons×sources aggregate: exactly one hash exchange, no joins —
+    and (r12, the r11 bench flag) the tokenize chain appears EXACTLY
+    once per row: the token array lives in its own projection tier and
+    the kernels take array inputs."""
     plan = _plan(QUERIES["admission_funnel"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+    assert plan.count("regexp_replace(lower(") == 1, plan

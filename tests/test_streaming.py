@@ -1420,3 +1420,71 @@ def test_stream_frontier_gate_corrupt_state_fails_batch(spark, tmp_path):
     # nothing was admitted off the reset-to-empty path
     import os
     assert not any(p.startswith("batch_id=") for p in os.listdir(out))
+
+
+def test_stream_centroid_monitor_equals_batch_twin(spark, tmp_path):
+    """Streaming-equals-batch for the centroid monitor: batch-N
+    published centroids equal group_centroids() on the concatenation of
+    batches 0..N exactly (integer micro-unit state is additive, so the
+    equality is bit-for-bit, not approximate)."""
+    from sap_data_pipeline_spark.operators.similarity import group_centroids
+    from sap_data_pipeline_spark.streaming.ingest import (
+        stream_centroid_monitor,
+    )
+
+    watch = tmp_path / "vec_watch"
+    watch.mkdir()
+    batches = []
+    for b in range(3):
+        rows = [
+            (b * 100 + i, f"s{i % 3}",
+             [float((b + 1) * (i + 1)) / 7.0, float(i - b) / 3.0])
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, src string, embedding array<double>"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(watch / f"b{b}.parquet")
+        )
+        batches.append(df)
+
+    schema = "vec_id long, src string, embedding array<double>"
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(watch) + "/*")
+    )
+    out = str(tmp_path / "centroids")
+    q = stream_centroid_monitor(
+        stream, "src", out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt_cent"),
+    )
+    q.awaitTermination(180)
+
+    import os
+    published = sorted(
+        int(p.split("=")[1]) for p in os.listdir(out)
+        if p.startswith("batch_id=")
+    )
+    assert len(published) == 3
+    # batch order is file order here (one file per trigger), but the
+    # additive state makes the CUMULATIVE result order-insensitive —
+    # compare the FINAL snapshot exactly and every prefix by n_members
+    union = batches[0]
+    for b in batches[1:]:
+        union = union.unionByName(b)
+    twin = {r["src"]: r for r in group_centroids(union, "src").collect()}
+    got = {r["src"]: r for r in
+           spark.read.parquet(f"{out}/batch_id={published[-1]}").collect()}
+    assert set(got) == set(twin)
+    for srcname, tr in twin.items():
+        assert got[srcname]["centroid"] == tr["centroid"], srcname
+        assert got[srcname]["n_members"] == tr["n_members"]
+    # prefix snapshots grow by one batch's membership each trigger
+    sizes = [
+        sum(r["n_members"] for r in
+            spark.read.parquet(f"{out}/batch_id={n}").collect())
+        for n in published
+    ]
+    assert sizes == sorted(sizes) and sizes[-1] == 36
