@@ -177,6 +177,18 @@ _TAIL = (
     # quality_classifier_score_fixed (engineered features): the only
     # query value-hashing the HASH-BUCKET feature map itself:
     "hashed_ngram_score",
+    # the packing-efficiency audit: per (shard, bin) fill ratio +
+    # straddle-overflow flag over the verified doc_pack_offset window.
+    # Distinct evidence from doc_pack_offset (per-DOC assignment): the
+    # only BIN-level packing accounting:
+    "pack_efficiency_report",
+    # the crawl-delay-capped schedule: robots Crawl-delay makes a
+    # host's physical per-cycle ceiling floor(cycle/delay); Hamilton
+    # quotas are capped after apportionment (budget stays a ceiling).
+    # Distinct evidence from crawl_schedule (uncapped): the only query
+    # verifying a PHYSICAL-CONSTRAINT cap over the allocation, with
+    # capped/uncapped/rule-less hosts all hashing:
+    "crawl_schedule_delay_capped",
     # r12 rotation (r11 verdict #1 — promote the nine never-driver-hashed
     # r11 queries: code_prose_router, url_change_rate, domain_reweight_mw,
     # corpus_snapshot_diff, url_seen_bloom, bigram_logprob_scores,

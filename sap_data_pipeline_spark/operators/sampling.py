@@ -902,3 +902,35 @@ def domain_reweight_mw(weights: DataFrame, losses: DataFrame, *,
             F.round(F.col("_raw") / F.col("_tot"), 6).alias("new_weight"),
         )
     )
+
+
+def pack_efficiency_report(packed: DataFrame, *, budget: int,
+                           size_col: str, shard_col: str = "shard",
+                           bin_col: str = "bin") -> DataFrame:
+    """Bin-level audit of a :func:`pack_by_offset` packing — the
+    training-batch efficiency dashboard: per (shard, bin), how many
+    documents landed, how many size units they carry, the fill ratio
+    against the ``budget``, and whether the bin overflows (offset
+    packing assigns by START offset, so a document straddling the
+    boundary carries its tail into the bin — the sequence writer's
+    carry; the report makes that overflow visible instead of implicit).
+
+    Rounding: ``fill`` = round(units/budget, 6) — an IEEE division of
+    exact integer counts, engine-identical.  One (shard, bin)-keyed
+    aggregate over the already-packed frame; the packing window itself
+    is not recomputed.  At 100 TB the report is bins-sized (corpus
+    units / budget rows).
+    """
+    return (
+        packed.groupBy(shard_col, bin_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(size_col).cast("long").alias("units"),
+        )
+        .select(
+            shard_col, bin_col, "n_docs", "units",
+            F.round(F.col("units").cast("double") / F.lit(float(budget)), 6)
+            .alias("fill"),
+            (F.col("units") > F.lit(budget)).alias("overflow"),
+        )
+    )

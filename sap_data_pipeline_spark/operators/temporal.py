@@ -360,7 +360,9 @@ def url_change_rate(history: DataFrame, *, url_col: str = "url",
 def crawl_schedule(history: DataFrame, budget: int, *,
                    url_col: str = "url", host_col: str = "host",
                    ts_col: str = "fetch_ts", hash_col: str = "content_hash",
-                   order_tiebreak: str | None = None) -> DataFrame:
+                   order_tiebreak: str | None = None,
+                   delays: DataFrame | None = None,
+                   cycle_seconds: int | None = None) -> DataFrame:
     """Politeness-aware recrawl scheduling: spend an exact global fetch
     ``budget`` across hosts proportionally to each host's revisit-
     priority mass, then fill each host's quota with its highest-
@@ -389,6 +391,18 @@ def crawl_schedule(history: DataFrame, budget: int, *,
     under host ``h3`` — without the strip every scheme-ful URL would
     collapse into pseudo-host ``http:`` and the politeness budget
     would degenerate to one global pool.
+
+    Crawl-delay capping (``delays`` + ``cycle_seconds``): robots.txt
+    Crawl-delay makes a host's PHYSICAL fetch ceiling per cycle
+    ``floor(cycle_seconds / crawl_delay_sec)`` — a quota above it is
+    unspendable, so each host's Hamilton quota is capped at its
+    ceiling (hosts absent from ``delays`` are uncapped).  ``delays``
+    is (host, crawl_delay_sec), hosts-sized, broadcast.  Capping
+    happens AFTER apportionment: the global budget stays a ceiling and
+    the unspent remainder of a slow host signals "raise the cycle or
+    drop the host", the operational decision a crawler surfaces rather
+    than silently reallocating (re-apportioning freed quota would
+    over-fetch hosts whose priority mass said otherwise).
     """
     from sap_data_pipeline_spark.operators.sampling import (
         proportional_allocation,
@@ -415,6 +429,22 @@ def crawl_schedule(history: DataFrame, budget: int, *,
     quotas = proportional_allocation(
         mass, budget, stratum_col=host_col, n_col="mass"
     ).withColumnRenamed("stratum", host_col)
+    if delays is not None:
+        if cycle_seconds is None:
+            raise ValueError("delays requires cycle_seconds")
+        cap = F.floor(
+            F.lit(int(cycle_seconds)) / F.col("crawl_delay_sec")
+        ).cast("long")
+        quotas = (
+            quotas.join(F.broadcast(delays), host_col, "left")
+            .select(
+                host_col,
+                F.when(
+                    F.col("crawl_delay_sec").isNotNull(),
+                    F.least(F.col("quota"), cap),
+                ).otherwise(F.col("quota")).alias("quota"),
+            )
+        )
     w = Window.partitionBy(host_col).orderBy(
         F.col("priority").desc(), F.col(url_col).asc()
     )

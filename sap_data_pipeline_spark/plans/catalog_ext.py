@@ -7095,10 +7095,10 @@ _CS_URL_SQL = (
     "|| CAST(user_id % 500 AS VARCHAR)"
 )
 
-@register(
-    "crawl_schedule",
-    f"""
-    WITH hist AS (
+# The WITH chain (history -> rates -> Hamilton alloc -> per-host rank)
+# is shared by crawl_schedule and its crawl-delay-capped variant.
+_CS_CORE_CTES = f"""
+    hist AS (
         SELECT event_id,
                {_CS_URL_SQL} AS url,
                ts AS fetch_ts,
@@ -7163,6 +7163,12 @@ _CS_URL_SQL = (
                ) AS INT) AS rank_in_host
         FROM rates
     )
+"""
+
+@register(
+    "crawl_schedule",
+    f"""
+    WITH {_CS_CORE_CTES}
     SELECT r.url, r.host, r.priority, r.rank_in_host
     FROM ranked r JOIN alloc a USING (host)
     WHERE r.rank_in_host <= a.quota
@@ -7617,4 +7623,119 @@ def hashed_ngram_score_q(star: Star) -> DataFrame:
             X.hashed_linear_score_from(F.col("_bk"), _HNS_WEIGHTS)
             .alias("score"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Packing-efficiency audit (operators.sampling.pack_efficiency_report):
+# the training-batch dashboard over the doc_pack_offset packing — per
+# (shard, bin) document count, carried units, fill ratio vs the budget,
+# and the straddle-overflow flag the sequence writer's carry implies.
+# One bins-sized aggregate over the already-verified packing window.
+# ---------------------------------------------------------------------------
+
+@register(
+    "pack_efficiency_report",
+    f"""
+    WITH packed AS (
+        SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard, n_chars,
+               CAST(floor((SUM(n_chars) OVER w - n_chars)
+                    / {_PACK_BUDGET}) AS BIGINT) AS bin
+        FROM documents
+        WINDOW w AS (PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT shard, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS units,
+           round(CAST(SUM(n_chars) AS DOUBLE) / {_PACK_BUDGET}.0, 6) AS fill,
+           SUM(n_chars) > {_PACK_BUDGET} AS overflow
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def pack_efficiency_report_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import (
+        pack_by_offset,
+        pack_efficiency_report,
+    )
+
+    sized = star.documents.select(
+        "doc_id", F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).alias("shard"),
+        "n_chars",
+    )
+    packed = pack_by_offset(
+        sized, "n_chars", budget=_PACK_BUDGET, shard_col="shard",
+        order_by=["doc_id"],
+    )
+    return pack_efficiency_report(
+        packed, budget=_PACK_BUDGET, size_col="n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-delay-capped schedule (operators.temporal.crawl_schedule with
+# delays): robots.txt Crawl-delay makes a host's physical per-cycle
+# ceiling floor(cycle/delay) — quotas above it are unspendable, so the
+# Hamilton quota is capped AFTER apportionment (the budget stays a
+# ceiling; freed quota is surfaced, not silently reallocated).  The
+# fixture assigns delays to EVEN-numbered hosts only, so the capped,
+# uncapped, and rule-less paths all hash.
+# ---------------------------------------------------------------------------
+
+_CSD_CYCLE = 10
+
+@register(
+    "crawl_schedule_delay_capped",
+    f"""
+    WITH {_CS_CORE_CTES},
+    delays AS (
+        SELECT 'h' || CAST(h AS VARCHAR) AS host,
+               1 + (h // 2) % 7 AS crawl_delay_sec
+        FROM generate_series(0, 38, 2) g(h)
+    ),
+    capped AS (
+        SELECT a.host,
+               CASE WHEN d.crawl_delay_sec IS NOT NULL
+                    THEN least(a.quota,
+                               CAST(floor({_CSD_CYCLE} / d.crawl_delay_sec)
+                                    AS BIGINT))
+                    ELSE a.quota END AS quota
+        FROM alloc a LEFT JOIN delays d USING (host)
+    )
+    SELECT r.url, r.host, r.priority, r.rank_in_host
+    FROM ranked r JOIN capped c USING (host)
+    WHERE r.rank_in_host <= c.quota
+    """,
+)
+def crawl_schedule_delay_capped_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.temporal import crawl_schedule
+
+    u = F.pmod(F.col("user_id"), F.lit(500))
+    h = F.pmod(F.col("user_id"), F.lit(40))
+    width = (F.lit(86400) * (F.lit(1) + F.pmod(u, F.lit(5)))).cast("long")
+    prefix = (
+        F.when(F.pmod(F.col("user_id"), F.lit(3)) == 0, F.lit("http://"))
+        .when(F.pmod(F.col("user_id"), F.lit(3)) == 1, F.lit("//"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(prefix, F.lit("h"), h.cast("string"),
+                   F.lit("/p"), u.cast("string"))
+    hist = star.events.select(
+        "event_id",
+        url.alias("url"),
+        F.col("ts").alias("fetch_ts"),
+        F.md5(F.concat(
+            url, F.lit(":"),
+            F.floor(F.unix_timestamp("ts").cast("double") / width)
+            .cast("long").cast("string"),
+        )).alias("content_hash"),
+    )
+    spark = star.events.sparkSession
+    delays = spark.createDataFrame(
+        [(f"h{i}", 1 + (i // 2) % 7) for i in range(0, 39, 2)],
+        "host string, crawl_delay_sec int",
+    )
+    return crawl_schedule(
+        hist, _CS_BUDGET, order_tiebreak="event_id",
+        delays=delays, cycle_seconds=_CSD_CYCLE,
     )

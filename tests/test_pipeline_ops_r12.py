@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from datetime import datetime
 
 from pyspark.sql import functions as F
 
@@ -277,3 +278,79 @@ def test_apply_line_filters_rewrites_in_place_and_is_shuffle_free(spark):
     plan = apply_line_filters(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# pack_efficiency_report / crawl-delay capping
+# ---------------------------------------------------------------------------
+
+def test_pack_efficiency_report_hand_computed(spark):
+    from sap_data_pipeline_spark.operators.sampling import (
+        pack_by_offset,
+        pack_efficiency_report,
+    )
+
+    # one shard, budget 10: sizes 4,4,4 -> offsets 0,4,8 -> bins 0,0,0
+    # (bin 0 carries 12 units: overflow), then 7 -> offset 12 -> bin 1
+    df = spark.createDataFrame(
+        [(1, 0, 4), (2, 0, 4), (3, 0, 4), (4, 0, 7)],
+        "doc_id long, shard long, n long",
+    )
+    packed = pack_by_offset(df, "n", budget=10, shard_col="shard",
+                            order_by=["doc_id"])
+    got = {r["bin"]: r for r in
+           pack_efficiency_report(packed, budget=10, size_col="n").collect()}
+    assert got[0]["n_docs"] == 3 and got[0]["units"] == 12
+    assert got[0]["overflow"] is True and got[0]["fill"] == 1.2
+    assert got[1]["n_docs"] == 1 and got[1]["overflow"] is False
+
+
+def test_crawl_schedule_delay_cap_binds(spark):
+    from sap_data_pipeline_spark.operators.temporal import crawl_schedule
+
+    # one volatile host with 6 urls; budget 6 -> uncapped schedules 6;
+    # crawl_delay 5 over a 10-second cycle caps the host at 2
+    rows = []
+    eid = 0
+    for p in range(6):
+        for f in range(3):
+            eid += 1
+            rows.append((eid, f"hA/p{p}", datetime(2026, 1, 1 + f), f"c{f}"))
+    rows.append((999, "hZ/px", datetime(2026, 1, 9), "z"))
+    hist = spark.createDataFrame(
+        rows,
+        "event_id long, url string, fetch_ts timestamp, content_hash string",
+    )
+    uncapped = crawl_schedule(hist, 6, order_tiebreak="event_id").collect()
+    assert len(uncapped) == 6
+    delays = spark.createDataFrame(
+        [("hA", 5)], "host string, crawl_delay_sec int"
+    )
+    capped = crawl_schedule(
+        hist, 6, order_tiebreak="event_id", delays=delays, cycle_seconds=10,
+    ).collect()
+    assert len(capped) == 2
+    assert sorted(r["rank_in_host"] for r in capped) == [1, 2]
+    # a host NOT in the delays frame stays uncapped
+    other = spark.createDataFrame(
+        [("hQ", 1)], "host string, crawl_delay_sec int"
+    )
+    assert len(crawl_schedule(
+        hist, 6, order_tiebreak="event_id", delays=other, cycle_seconds=10,
+    ).collect()) == 6
+
+
+def test_crawl_schedule_delays_require_cycle(spark):
+    import pytest
+
+    from sap_data_pipeline_spark.operators.temporal import crawl_schedule
+
+    hist = spark.createDataFrame(
+        [(1, "hA/p0", datetime(2026, 1, 1), "c0")],
+        "event_id long, url string, fetch_ts timestamp, content_hash string",
+    )
+    delays = spark.createDataFrame(
+        [("hA", 5)], "host string, crawl_delay_sec int"
+    )
+    with pytest.raises(ValueError):
+        crawl_schedule(hist, 5, delays=delays)
