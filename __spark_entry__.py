@@ -189,6 +189,15 @@ _TAIL = (
     # verifying a PHYSICAL-CONSTRAINT cap over the allocation, with
     # capped/uncapped/rule-less hosts all hashing:
     "crawl_schedule_delay_capped",
+    # the robots.txt PARSER: raw bodies → the rules frame the gate and
+    # the delay-capped scheduler consume, fully relational (UA lines →
+    # block ids via one lag + running-sum window pair; no per-file
+    # fold).  Distinct evidence from robots_disallow_gate (consumes
+    # rules): the only query verifying GRAMMAR parsing — non-star
+    # groups suppressed, consecutive UA lines share a group, comments
+    # and empty Disallow skipped, case-insensitive keys, Crawl-delay
+    # extraction:
+    "robots_rules_parse",
     # r12 rotation (r11 verdict #1 — promote the nine never-driver-hashed
     # r11 queries: code_prose_router, url_change_rate, domain_reweight_mw,
     # corpus_snapshot_diff, url_seen_bloom, bigram_logprob_scores,

@@ -1126,3 +1126,81 @@ def apply_line_filters(df: DataFrame, *, text_col: str = "text",
         )
         .drop("_afl_l", "_afl_n", "_afl_k")
     )
+
+
+def parse_robots_txt(df: DataFrame, *, host_col: str = "host",
+                     txt_col: str = "robots_txt",
+                     agent: str = "*") -> DataFrame:
+    """Parse raw robots.txt bodies into the (host, path_prefix, allow,
+    crawl_delay_sec) rules frame :func:`robots_disallow_gate` and the
+    delay-capped scheduler consume — the missing first stage of the
+    politeness pipeline (fetch robots.txt → THIS → gate/schedule).
+
+    Grammar (the RFC 9309 subset a wildcard-agent crawler needs):
+    ``User-agent`` lines open a group (consecutive UA lines share it),
+    ``Disallow``/``Allow``/``Crawl-delay`` directives bind to the
+    nearest preceding group, matching is case-insensitive, ``#``
+    comments and blank lines are ignored, and only groups naming
+    ``agent`` (default ``*``) emit rules.  An empty ``Disallow:``
+    value means allow-all per the original REP and is skipped.
+
+    Fully relational — no per-file Python fold: lines posexplode with
+    their index, a host-keyed window turns "UA line whose predecessor
+    is not a UA line" into a running block id, a (host, block) aggregate
+    decides star-membership, and directives join back to their block's
+    verdict.  The only shuffles are host-keyed windows/aggregates over
+    LINE rows (robots files are KiB-sized, hosts-sized row counts —
+    never corpus-sized).  Crawl-delay emits one row per (host, block)
+    with a NULL path_prefix; invalid delay values are ignored.
+    """
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(host_col),
+        F.posexplode(F.split(F.col(txt_col), "\n", -1)).alias("idx", "raw"),
+    ).select(
+        host_col, "idx",
+        # strip comments + whitespace
+        F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    key = F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1)))
+    val = F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1))
+    typed = lines.select(
+        host_col, "idx", key.alias("k"), val.alias("v")
+    ).filter(key.isin("user-agent", "disallow", "allow", "crawl-delay"))
+
+    w = Window.partitionBy(host_col).orderBy("idx")
+    is_ua = F.col("k") == "user-agent"
+    block_start = is_ua & ~F.coalesce(
+        F.lag(is_ua).over(w), F.lit(False)
+    )
+    blocked = typed.withColumn(
+        "block", F.sum(block_start.cast("long")).over(w)
+    ).filter(F.col("block") > 0)  # directives before any UA line: ignored
+
+    star_blocks = (
+        blocked.filter(is_ua)
+        .groupBy(host_col, "block")
+        .agg(F.max((F.lower(F.col("v")) == agent.lower()).cast("int"))
+             .alias("_hit"))
+        .filter(F.col("_hit") == 1)
+        .select(host_col, "block")
+    )
+    directives = blocked.filter(~is_ua).join(star_blocks, [host_col, "block"])
+    rules = directives.filter(
+        F.col("k").isin("disallow", "allow") & (F.col("v") != "")
+    ).select(
+        host_col,
+        F.col("v").alias("path_prefix"),
+        (F.col("k") == "allow").alias("allow"),
+        F.lit(None).cast("int").alias("crawl_delay_sec"),
+    )
+    delays = directives.filter(
+        (F.col("k") == "crawl-delay") & F.col("v").rlike(r"^\d+$")
+    ).select(
+        host_col,
+        F.lit(None).cast("string").alias("path_prefix"),
+        F.lit(None).cast("boolean").alias("allow"),
+        F.col("v").cast("int").alias("crawl_delay_sec"),
+    )
+    return rules.unionByName(delays)

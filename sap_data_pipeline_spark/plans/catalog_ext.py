@@ -7739,3 +7739,136 @@ def crawl_schedule_delay_capped_q(star: Star) -> DataFrame:
         hist, _CS_BUDGET, order_tiebreak="event_id",
         delays=delays, cycle_seconds=_CSD_CYCLE,
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parsing (operators.corpus.parse_robots_txt): raw robots
+# bodies → the (host, path_prefix, allow, crawl_delay_sec) rules frame
+# the gate and the delay-capped scheduler consume — the first stage of
+# the politeness pipeline, fully relational (posexplode + one
+# host-keyed lag/running-sum window pair turns UA lines into block
+# ids; no per-file fold).  The fixture exercises the grammar: a
+# non-star group that must NOT emit, consecutive UA lines sharing a
+# group, trailing comments, an empty Disallow (allow-all, skipped),
+# case-insensitive keys, and Crawl-delay on a subset of hosts.
+# ---------------------------------------------------------------------------
+
+_RP_BODY_SQL = """
+           'User-agent: googlebot' || chr(10) ||
+           'Disallow: /google-only' || chr(10) ||
+           'User-agent: *' || chr(10) ||
+           CASE WHEN doc_id % 3 = 0
+                THEN 'User-agent: testbot' || chr(10) ELSE '' END ||
+           'Disallow: /p' || CAST(doc_id % 5 AS VARCHAR)
+               || '   # rule' || chr(10) ||
+           CASE WHEN doc_id % 2 = 0
+                THEN 'Allow: /p' || CAST(doc_id % 5 AS VARCHAR)
+                     || '/pub' || chr(10) ELSE '' END ||
+           CASE WHEN doc_id % 4 = 0
+                THEN 'Crawl-delay: ' || CAST(1 + doc_id % 5 AS VARCHAR)
+                     || chr(10) ELSE '' END ||
+           'Disallow:'
+"""
+
+@register(
+    "robots_rules_parse",
+    f"""
+    WITH files AS (
+        SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+               {_RP_BODY_SQL} AS txt
+        FROM documents WHERE doc_id < 40
+    ),
+    rawlines AS (
+        -- generate_series takes constants only: 16 bounds the fixture's
+        -- line count; the i <= len guard keeps the twin honest
+        SELECT host, i AS idx,
+               trim(regexp_replace(string_split(txt, chr(10))[i],
+                                   '#.*$', '')) AS line
+        FROM files, generate_series(1, 16) g(i)
+        WHERE i <= len(string_split(txt, chr(10)))
+    ),
+    typed AS (
+        SELECT host, idx,
+               lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS k,
+               trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS v
+        FROM rawlines WHERE line <> ''
+    ),
+    t2 AS (
+        SELECT * FROM typed
+        WHERE k IN ('user-agent', 'disallow', 'allow', 'crawl-delay')
+    ),
+    marked AS (
+        SELECT host, idx, k, v,
+               CASE WHEN k = 'user-agent'
+                     AND COALESCE(LAG(k) OVER (
+                         PARTITION BY host ORDER BY idx), '')
+                         <> 'user-agent'
+                    THEN 1 ELSE 0 END AS is_start
+        FROM t2
+    ),
+    blocked AS (
+        SELECT *, SUM(is_start) OVER (
+                   PARTITION BY host ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS block
+        FROM marked
+    ),
+    star_blocks AS (
+        SELECT host, block FROM blocked
+        WHERE k = 'user-agent' AND block > 0
+        GROUP BY host, block
+        HAVING MAX(CASE WHEN lower(v) = '*' THEN 1 ELSE 0 END) = 1
+    ),
+    d AS (
+        SELECT b.host, b.k, b.v
+        FROM blocked b JOIN star_blocks s USING (host, block)
+        WHERE b.k <> 'user-agent'
+    )
+    -- hash-friendly projection: the operator returns NULLs for the
+    -- not-applicable fields, but nullable boolean/int columns stringify
+    -- differently across pandas dtypes ('<NA>' vs 'None'), so the
+    -- hashed query sentinel-encodes: allow_i -1 = delay row, '' = no
+    -- prefix, delay -1 = rule row
+    SELECT host, v AS path_prefix,
+           CAST(CASE WHEN k = 'allow' THEN 1 ELSE 0 END AS INT) AS allow_i,
+           CAST(-1 AS INT) AS crawl_delay_sec
+    FROM d WHERE k IN ('disallow', 'allow') AND v <> ''
+    UNION ALL
+    SELECT host, '', CAST(-1 AS INT), CAST(v AS INT)
+    FROM d WHERE k = 'crawl-delay' AND regexp_matches(v, '^[0-9]+$')
+    """,
+)
+def robots_rules_parse_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import parse_robots_txt
+
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    p = F.pmod(d, F.lit(5)).cast("string")
+    body = F.concat(
+        F.lit("User-agent: googlebot"), nl,
+        F.lit("Disallow: /google-only"), nl,
+        F.lit("User-agent: *"), nl,
+        F.when(F.pmod(d, F.lit(3)) == 0,
+               F.concat(F.lit("User-agent: testbot"), nl)).otherwise(F.lit("")),
+        F.lit("Disallow: /p"), p, F.lit("   # rule"), nl,
+        F.when(F.pmod(d, F.lit(2)) == 0,
+               F.concat(F.lit("Allow: /p"), p, F.lit("/pub"), nl))
+        .otherwise(F.lit("")),
+        F.when(F.pmod(d, F.lit(4)) == 0,
+               F.concat(F.lit("Crawl-delay: "),
+                        (F.lit(1) + F.pmod(d, F.lit(5))).cast("string"), nl))
+        .otherwise(F.lit("")),
+        F.lit("Disallow:"),
+    )
+    files = star.documents.filter(d < 40).select(
+        F.concat(F.lit("h"), d.cast("string")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    # sentinel-encoded hash projection (see the oracle comment): the
+    # operator's NULL-based API is exercised verbatim by the unit tests
+    return parse_robots_txt(files).select(
+        "host",
+        F.coalesce("path_prefix", F.lit("")).alias("path_prefix"),
+        F.coalesce(F.col("allow").cast("int"), F.lit(-1)).alias("allow_i"),
+        F.coalesce("crawl_delay_sec", F.lit(-1)).alias("crawl_delay_sec"),
+    )

@@ -354,3 +354,71 @@ def test_crawl_schedule_delays_require_cycle(spark):
     )
     with pytest.raises(ValueError):
         crawl_schedule(hist, 5, delays=delays)
+
+
+# ---------------------------------------------------------------------------
+# parse_robots_txt
+# ---------------------------------------------------------------------------
+
+def test_parse_robots_txt_grammar(spark):
+    from sap_data_pipeline_spark.operators.corpus import parse_robots_txt
+
+    body = "\n".join([
+        "User-agent: googlebot",      # non-star group
+        "Disallow: /google-only",     # must NOT emit
+        "",
+        "# politeness section",
+        "User-agent: *",
+        "User-agent: testbot",        # consecutive UA: same group
+        "Disallow: /a   # trailing comment",
+        "Allow: /a/pub",
+        "Crawl-delay: 5",
+        "Disallow:",                  # empty value: allow-all, skipped
+        "crawl-delay: oops",          # invalid number: ignored
+        "DISALLOW: /caps",            # case-insensitive key
+    ])
+    df = spark.createDataFrame([("h1", body)], "host string, robots_txt string")
+    rows = parse_robots_txt(df).collect()
+    rules = {(r["path_prefix"], r["allow"]) for r in rows
+             if r["path_prefix"] is not None}
+    assert rules == {("/a", False), ("/a/pub", True), ("/caps", False)}
+    delays = [r["crawl_delay_sec"] for r in rows
+              if r["crawl_delay_sec"] is not None]
+    assert delays == [5]
+    assert not any(r["path_prefix"] == "/google-only" for r in rows)
+
+
+def test_parse_robots_txt_directives_before_any_group_ignored(spark):
+    from sap_data_pipeline_spark.operators.corpus import parse_robots_txt
+
+    df = spark.createDataFrame(
+        [("h1", "Disallow: /early\nUser-agent: *\nDisallow: /ok"),
+         ("h2", "User-agent: other\nDisallow: /x")],
+        "host string, robots_txt string",
+    )
+    rows = parse_robots_txt(df).collect()
+    assert {(r["host"], r["path_prefix"]) for r in rows} == {("h1", "/ok")}
+
+
+def test_parse_robots_feeds_gate_end_to_end(spark):
+    """fetch robots.txt -> parse -> gate: the full politeness pipeline."""
+    from sap_data_pipeline_spark.operators.corpus import (
+        parse_robots_txt,
+        robots_disallow_gate,
+    )
+
+    robots = spark.createDataFrame(
+        [("h1", "User-agent: *\nDisallow: /private\nAllow: /private/pub")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_txt(robots).filter(
+        "path_prefix IS NOT NULL").drop("crawl_delay_sec")
+    frontier = spark.createDataFrame(
+        [("https://h1/private/x",), ("https://h1/private/pub/y",),
+         ("https://h1/open",)], "url string",
+    )
+    got = {r["url"]: r["allowed"] for r in
+           robots_disallow_gate(frontier, rules).collect()}
+    assert got == {"https://h1/private/x": False,
+                   "https://h1/private/pub/y": True,
+                   "https://h1/open": True}
