@@ -845,3 +845,63 @@ def test_group_centroid_matches_quantized_mean(spark, vals):
     expect = sum(round(v * 1e9) for v in vals) / (len(vals) * 1e9)
     assert r["centroid"][0] == expect
     assert r["n_members"] == len(vals)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(directives=st.lists(
+    st.tuples(
+        st.sampled_from(["User-agent", "Disallow", "Allow", "Crawl-delay",
+                         "Sitemap"]),
+        st.sampled_from(["*", "googlebot", "/a", "/a/b", "", "5", "x7"]),
+    ),
+    min_size=1, max_size=12,
+))
+def test_parse_robots_txt_matches_python_replica(spark, directives):
+    """Grammar replica: block grouping (consecutive UA lines share a
+    group), star-group selection, pre-group directives ignored, empty
+    Disallow skipped, numeric-only Crawl-delay, unknown keys dropped."""
+    from sap_data_pipeline_spark.operators.corpus import parse_robots_txt
+
+    body = "\n".join(f"{k}: {v}" for k, v in directives)
+    df = spark.createDataFrame([("h", body)],
+                               "host string, robots_txt string")
+    got_rules = set()
+    got_delays = []
+    for r in parse_robots_txt(df).collect():
+        if r["path_prefix"] is not None:
+            got_rules.add((r["path_prefix"], r["allow"]))
+        if r["crawl_delay_sec"] is not None:
+            got_delays.append(r["crawl_delay_sec"])
+
+    # python replica.  RFC 9309: unrecognized lines are IGNORED — they
+    # neither terminate a UA group nor start one, so drop them before
+    # grouping (two UA lines separated only by ignored lines share a
+    # group, the hypothesis-found case).
+    blocks, cur, prev_ua = [], None, False
+    known = [(k, v) for k, v in directives
+             if k.lower() in ("user-agent", "disallow", "allow",
+                              "crawl-delay")]
+    for k, v in known:
+        k_l, v_t = k.lower(), v.strip()
+        if k_l == "user-agent":
+            if not prev_ua:
+                cur = {"agents": [], "dirs": []}
+                blocks.append(cur)
+            cur["agents"].append(v_t.lower())
+            prev_ua = True
+        else:
+            prev_ua = False
+            if cur is not None and k_l in ("disallow", "allow", "crawl-delay"):
+                cur["dirs"].append((k_l, v_t))
+    want_rules, want_delays = set(), []
+    for b in blocks:
+        if "*" not in b["agents"]:
+            continue
+        for k_l, v_t in b["dirs"]:
+            if k_l in ("disallow", "allow") and v_t != "":
+                want_rules.add((v_t, k_l == "allow"))
+            elif k_l == "crawl-delay" and v_t.isdigit():
+                want_delays.append(int(v_t))
+    assert got_rules == want_rules
+    assert sorted(got_delays) == sorted(want_delays)
