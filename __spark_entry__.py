@@ -198,6 +198,12 @@ _TAIL = (
     # and empty Disallow skipped, case-insensitive keys, Crawl-delay
     # extraction:
     "robots_rules_parse",
+    # the sitemap extractor: sitemap XML → frontier candidates with the
+    # lastmod/changefreq/priority recrawl signals — the crawl-seeding
+    # companion of robots_rules_parse.  Distinct evidence from
+    # html_link_graph (HTML anchors): the only XML-container
+    # extraction, with malformed-priority NULL degrade hashed:
+    "sitemap_url_extract",
     # r12 rotation (r11 verdict #1 — promote the nine never-driver-hashed
     # r11 queries: code_prose_router, url_change_rate, domain_reweight_mw,
     # corpus_snapshot_diff, url_seen_bloom, bigram_logprob_scores,

@@ -1204,3 +1204,66 @@ def parse_robots_txt(df: DataFrame, *, host_col: str = "host",
         F.col("v").cast("int").alias("crawl_delay_sec"),
     )
     return rules.unionByName(delays)
+
+
+# sitemap <url> entry blocks; (?is) = case-insensitive + DOTALL so
+# multi-line entries and tag-case variation both parse (RE2-compatible,
+# so the DuckDB twin replays the identical patterns)
+SITEMAP_URL_BLOCK_RE = r"(?is)<url\b[^>]*>(.*?)</url>"
+SITEMAP_LOC_RE = r"(?is)<loc\s*>\s*([^<]*?)\s*</loc>"
+SITEMAP_LASTMOD_RE = r"(?is)<lastmod\s*>\s*([^<]*?)\s*</lastmod>"
+SITEMAP_CHANGEFREQ_RE = r"(?is)<changefreq\s*>\s*([^<]*?)\s*</changefreq>"
+SITEMAP_PRIORITY_RE = r"(?is)<priority\s*>\s*([^<]*?)\s*</priority>"
+
+
+def sitemap_url_extract(df: DataFrame, *, xml_col: str = "sitemap_xml",
+                        host_col: str = "host") -> DataFrame:
+    """Extract frontier candidates from sitemap XML — the crawl-seeding
+    companion of :func:`parse_robots_txt` (a crawler bootstraps a host
+    from robots.txt + the sitemaps it names; the lastmod signal feeds
+    the recrawl scheduler alongside ``url_change_rate``).
+
+    One ``regexp_extract_all`` pass pulls the ``<url>`` entry blocks
+    (case-insensitive, multi-line), then per-entry regexes read
+    ``loc`` (required — entries without one are skipped), and the
+    optional ``lastmod`` (first 10 chars kept as the ISO date string —
+    the string form hashes identically across engines), ``changefreq``
+    (lowercased), and ``priority`` (double; non-numeric → NULL).
+    Pure per-row projection + explode — sitemap files are hosts-sized
+    inputs, so at 100 TB this never touches the document corpus.
+
+    Returns (host, url, lastmod, changefreq, priority).
+    """
+    entry = F.col("_entry")
+    loc = F.regexp_extract(entry, SITEMAP_LOC_RE, 1)
+    lastmod = F.nullif(
+        F.substring(F.regexp_extract(entry, SITEMAP_LASTMOD_RE, 1), 1, 10),
+        F.lit(""),
+    )
+    changefreq = F.nullif(
+        F.lower(F.regexp_extract(entry, SITEMAP_CHANGEFREQ_RE, 1)), F.lit("")
+    )
+    # try_cast: ANSI mode makes a plain cast THROW on junk like
+    # <priority>abc</priority> — malformed sitemap fields must degrade
+    # to NULL, never kill the seeding job
+    priority = F.nullif(
+        F.regexp_extract(entry, SITEMAP_PRIORITY_RE, 1), F.lit("")
+    ).try_cast("double")
+    return (
+        df.select(
+            F.col(host_col),
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(xml_col), F.lit(SITEMAP_URL_BLOCK_RE), F.lit(1)
+                )
+            ).alias("_entry"),
+        )
+        .select(
+            host_col,
+            loc.alias("url"),
+            lastmod.alias("lastmod"),
+            changefreq.alias("changefreq"),
+            priority.alias("priority"),
+        )
+        .filter(F.col("url") != "")
+    )

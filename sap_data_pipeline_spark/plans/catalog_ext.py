@@ -7872,3 +7872,99 @@ def robots_rules_parse_q(star: Star) -> DataFrame:
         F.coalesce(F.col("allow").cast("int"), F.lit(-1)).alias("allow_i"),
         F.coalesce("crawl_delay_sec", F.lit(-1)).alias("crawl_delay_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sitemap extraction (operators.corpus.sitemap_url_extract): sitemap
+# XML → frontier candidates with the lastmod/changefreq/priority
+# signals the recrawl scheduler consumes — the crawl-seeding companion
+# of robots_rules_parse.  Fixture exercises multi-line entries, tag
+# case variation, all-optional-field combinations, a loc-less entry
+# (skipped), and a non-numeric priority (NULL).  priority is the only
+# nullable non-string output (float: both engines stringify NaN
+# identically in the hash).
+# ---------------------------------------------------------------------------
+
+_SM_XML_SQL = """
+           '<urlset>' ||
+           '<url>' || chr(10) || '  <loc> https://h' || CAST(doc_id AS VARCHAR)
+               || '/p' || CAST(doc_id % 7 AS VARCHAR) || ' </loc>' || chr(10)
+               || '<lastmod>2024-0' || CAST(1 + doc_id % 9 AS VARCHAR)
+               || '-15T10:00:00Z</lastmod>'
+               || '<priority>0.' || CAST(doc_id % 10 AS VARCHAR)
+               || '</priority></url>' ||
+           '<URL><loc>https://h' || CAST(doc_id AS VARCHAR) || '/q</loc>'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '<changefreq>DAILY</changefreq>' ELSE '' END
+               || '</URL>' ||
+           '<url><priority>0.5</priority></url>' ||
+           CASE WHEN doc_id % 3 = 0
+                THEN '<url><loc>https://h' || CAST(doc_id AS VARCHAR)
+                     || '/r</loc><priority>abc</priority></url>'
+                ELSE '' END ||
+           '</urlset>'
+"""
+
+@register(
+    "sitemap_url_extract",
+    f"""
+    WITH files AS (
+        SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+               {_SM_XML_SQL} AS xml
+        FROM documents WHERE doc_id < 40
+    ),
+    entries AS (
+        SELECT host,
+               unnest(regexp_extract_all(xml,
+                   '(?is)<url\\b[^>]*>(.*?)</url>', 1)) AS e
+        FROM files
+    ),
+    parsed AS (
+        SELECT host,
+               trim(regexp_extract(e, '(?is)<loc\\s*>\\s*([^<]*?)\\s*</loc>', 1))
+                   AS url,
+               NULLIF(substr(regexp_extract(e,
+                   '(?is)<lastmod\\s*>\\s*([^<]*?)\\s*</lastmod>', 1), 1, 10),
+                   '') AS lastmod,
+               NULLIF(lower(regexp_extract(e,
+                   '(?is)<changefreq\\s*>\\s*([^<]*?)\\s*</changefreq>', 1)),
+                   '') AS changefreq,
+               TRY_CAST(NULLIF(regexp_extract(e,
+                   '(?is)<priority\\s*>\\s*([^<]*?)\\s*</priority>', 1), '')
+                   AS DOUBLE) AS priority
+        FROM entries
+    )
+    SELECT host, url, lastmod, changefreq, priority
+    FROM parsed WHERE url <> ''
+    """,
+)
+def sitemap_url_extract_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import sitemap_url_extract
+
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    h = d.cast("string")
+    xml = F.concat(
+        F.lit("<urlset>"),
+        F.lit("<url>"), nl, F.lit("  <loc> https://h"), h, F.lit("/p"),
+        F.pmod(d, F.lit(7)).cast("string"), F.lit(" </loc>"), nl,
+        F.lit("<lastmod>2024-0"),
+        (F.lit(1) + F.pmod(d, F.lit(9))).cast("string"),
+        F.lit("-15T10:00:00Z</lastmod>"),
+        F.lit("<priority>0."), F.pmod(d, F.lit(10)).cast("string"),
+        F.lit("</priority></url>"),
+        F.lit("<URL><loc>https://h"), h, F.lit("/q</loc>"),
+        F.when(F.pmod(d, F.lit(2)) == 0,
+               F.lit("<changefreq>DAILY</changefreq>")).otherwise(F.lit("")),
+        F.lit("</URL>"),
+        F.lit("<url><priority>0.5</priority></url>"),
+        F.when(F.pmod(d, F.lit(3)) == 0,
+               F.concat(F.lit("<url><loc>https://h"), h,
+                        F.lit("/r</loc><priority>abc</priority></url>")))
+        .otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    files = star.documents.filter(d < 40).select(
+        F.concat(F.lit("h"), h).alias("host"), xml.alias("sitemap_xml")
+    )
+    return sitemap_url_extract(files)

@@ -422,3 +422,41 @@ def test_parse_robots_feeds_gate_end_to_end(spark):
     assert got == {"https://h1/private/x": False,
                    "https://h1/private/pub/y": True,
                    "https://h1/open": True}
+
+
+# ---------------------------------------------------------------------------
+# sitemap_url_extract
+# ---------------------------------------------------------------------------
+
+def test_sitemap_extract_grammar(spark):
+    from sap_data_pipeline_spark.operators.corpus import sitemap_url_extract
+
+    xml = (
+        "<urlset>"
+        "<url>\n  <loc> https://h1/a </loc>\n"
+        "<lastmod>2024-03-05T10:00:00+00:00</lastmod>"
+        "<priority>0.8</priority></url>"
+        "<URL><LOC>https://h1/b</LOC><changefreq>DAILY</changefreq></URL>"
+        "<url><priority>0.5</priority></url>"          # loc-less: skipped
+        "<url><loc>https://h1/c</loc><priority>junk</priority></url>"
+    )
+    df = spark.createDataFrame([("h1", xml)], "host string, sitemap_xml string")
+    got = {r["url"]: r for r in sitemap_url_extract(df).collect()}
+    assert set(got) == {"https://h1/a", "https://h1/b", "https://h1/c"}
+    a = got["https://h1/a"]
+    assert a["lastmod"] == "2024-03-05" and a["priority"] == 0.8
+    b = got["https://h1/b"]
+    assert b["changefreq"] == "daily" and b["lastmod"] is None
+    assert got["https://h1/c"]["priority"] is None  # junk degrades to NULL
+
+
+def test_sitemap_extract_is_projection_only(spark):
+    from sap_data_pipeline_spark.operators.corpus import sitemap_url_extract
+
+    df = spark.createDataFrame(
+        [("h1", "<url><loc>https://h1/x</loc></url>")],
+        "host string, sitemap_xml string",
+    )
+    plan = sitemap_url_extract(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan, plan
