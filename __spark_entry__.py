@@ -204,6 +204,13 @@ _TAIL = (
     # html_link_graph (HTML anchors): the only XML-container
     # extraction, with malformed-priority NULL degrade hashed:
     "sitemap_url_extract",
+    # the audio energy fingerprint: REAL WAV decode → int64 window
+    # energies → sign-of-delta bits, the audio arm of the perceptual-
+    # dedup family (gain-invariant by construction, test-pinned).
+    # Distinct evidence from audio_meta_wav (header/RMS stats) and
+    # image_ahash_pairs (the image arm): the only query value-hashing
+    # an AUDIO perceptual fingerprint over the real decode:
+    "audio_energy_fingerprint",
     # r12 rotation (r11 verdict #1 — promote the nine never-driver-hashed
     # r11 queries: code_prose_router, url_change_rate, domain_reweight_mw,
     # corpus_snapshot_diff, url_seen_bloom, bigram_logprob_scores,

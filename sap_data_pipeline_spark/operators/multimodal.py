@@ -1702,3 +1702,120 @@ def synth_tiff_media(documents: DataFrame) -> DataFrame:
         T.StructField("payload", T.BinaryType(), True),
     ])
     return documents.select("doc_id").mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Audio energy fingerprint — the audio arm of the perceptual-dedup
+# family (image twin: image_ahash).  Chromaprint-style pipelines hash a
+# spectral contour; the engine-portable core is the ENERGY contour:
+# integer sum-of-squares per fixed window, then sign-of-delta bits.
+# All arithmetic is int64 (no float RMS), so the fingerprint is
+# bit-identical across engines and replicas.
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_WINDOW = 64       # samples per energy window
+AUDIO_FP_MAX_BITS = 32     # delta bits kept (windows 0..32 contribute)
+
+AUDIO_FP_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_windows", T.LongType(), True),
+    T.StructField("total_energy", T.LongType(), True),
+    T.StructField("fingerprint", T.LongType(), True),
+])
+
+
+def audio_energy_fingerprint(media: DataFrame) -> DataFrame:
+    """REAL WAV decode → integer energy-contour fingerprint: 16-bit PCM
+    samples are windowed (``AUDIO_FP_WINDOW``, complete windows only),
+    each window's energy is the exact int64 sum of squares, and bit j
+    of the fingerprint is set when window j+1 carries more energy than
+    window j (first ``AUDIO_FP_MAX_BITS`` deltas).  Near-identical
+    recordings (re-encodes, small gain changes... gain changes scale
+    energies uniformly, preserving every delta sign) collide; different
+    audio doesn't — the dedup key for an audio corpus, 8 bytes per
+    clip like the image aHash.
+
+    Per-row degrade contract (the image_ahash precedent): non-WAV or
+    corrupt payloads yield an all-NULL row instead of killing the job.
+    Arrow-batched ``mapInPandas``; the energy math is numpy int64 —
+    exact integer arithmetic, no float summation order anywhere.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in AUDIO_FP_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                nw = te = fp = None
+                try:
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        if w.getsampwidth() == 2 and w.getnchannels() == 1:
+                            raw = w.readframes(w.getnframes())
+                            s = np.asarray(
+                                struct.unpack(f"<{len(raw) // 2}h", raw),
+                                dtype=np.int64,
+                            )
+                            k = len(s) // AUDIO_FP_WINDOW
+                            if k > 0:
+                                e = (
+                                    (s[: k * AUDIO_FP_WINDOW] ** 2)
+                                    .reshape(k, AUDIO_FP_WINDOW)
+                                    .sum(axis=1)
+                                )
+                                bits = 0
+                                for j in range(min(k - 1, AUDIO_FP_MAX_BITS)):
+                                    if e[j + 1] > e[j]:
+                                        bits |= 1 << j
+                                nw, te, fp = k, int(e.sum()), bits
+                except Exception:
+                    nw = te = fp = None
+                out["media_id"].append(mid)
+                out["n_windows"].append(nw)
+                out["total_energy"].append(te)
+                out["fingerprint"].append(fp)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+def synth_wav_media_varied(documents: DataFrame) -> DataFrame:
+    """Deterministic VARIED-energy WAV fixture (the alternating ±amp
+    fixture of :func:`synth_wav_media` has a flat energy contour, which
+    degenerates the fingerprint): sample ``i`` of doc ``d`` is
+    ``((d·7 + i²) mod 2001) − 1000`` over ``256 + d mod 257`` frames —
+    closed-form in (d, i), so the DuckDB twin recomputes every window
+    energy arithmetically while the catalog query decodes the REAL
+    bytes (the image_ahash oracle precedent, audio edition)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 256 + did % 257
+                samples = [((did * 7 + i * i) % 2001) - 1000
+                           for i in range(n)]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(struct.pack(f"<{n}h", *samples))
+                ids.append(did)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    return documents.select("doc_id").mapInPandas(run, schema=schema)

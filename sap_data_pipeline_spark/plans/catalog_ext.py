@@ -7968,3 +7968,54 @@ def sitemap_url_extract_q(star: Star) -> DataFrame:
         F.concat(F.lit("h"), h).alias("host"), xml.alias("sitemap_xml")
     )
     return sitemap_url_extract(files)
+
+
+# ---------------------------------------------------------------------------
+# Audio energy fingerprint (operators.multimodal.audio_energy_
+# fingerprint): REAL WAV decode → int64 window energies → sign-of-delta
+# bits — the audio arm of the perceptual-dedup family (image twin:
+# image_ahash).  The varied-energy fixture is closed-form in (doc_id,
+# i), so the oracle recomputes every window energy arithmetically while
+# Spark decodes the real bytes: any header/frame misparse or windowing
+# drift breaks the hash.
+# ---------------------------------------------------------------------------
+
+@register(
+    "audio_energy_fingerprint",
+    f"""
+    WITH params AS (
+        SELECT doc_id, 256 + doc_id % 257 AS n FROM documents
+    ),
+    samples AS (
+        -- generate_series takes constants: 512 bounds the fixture
+        SELECT doc_id, i, ((doc_id * 7 + i * i) % 2001) - 1000 AS s,
+               i // {MM.AUDIO_FP_WINDOW} AS w
+        FROM params, generate_series(0, 511) g(i)
+        WHERE i < n
+    ),
+    energies AS (
+        SELECT s.doc_id, s.w, SUM(s.s * s.s) AS e
+        FROM samples s JOIN params p USING (doc_id)
+        WHERE s.w < p.n // {MM.AUDIO_FP_WINDOW}
+        GROUP BY 1, 2
+    ),
+    deltas AS (
+        SELECT doc_id, w, e,
+               LEAD(e) OVER (PARTITION BY doc_id ORDER BY w) AS nxt
+        FROM energies
+    )
+    SELECT doc_id AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(e) AS BIGINT) AS total_energy,
+           CAST(COALESCE(SUM(CASE WHEN nxt IS NOT NULL
+                                   AND w < {MM.AUDIO_FP_MAX_BITS}
+                                   AND nxt > e
+                              THEN (CAST(1 AS BIGINT) << w)
+                              ELSE 0 END), 0) AS BIGINT) AS fingerprint
+    FROM deltas GROUP BY doc_id
+    """,
+)
+def audio_energy_fingerprint_q(star: Star) -> DataFrame:
+    return MM.audio_energy_fingerprint(
+        MM.synth_wav_media_varied(star.documents)
+    )

@@ -646,3 +646,54 @@ def test_tiff_meta_degrades_corrupt_rows_to_null(spark):
         assert all(r[c] is None for c in
                    ("width", "height", "channels", "big_endian",
                     "mean_luma", "max_luma"))
+
+
+# ---------------------------------------------------------------------------
+# audio energy fingerprint (r12)
+# ---------------------------------------------------------------------------
+
+def _wav_bytes(samples):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_hand_computed_and_gain_invariant(spark):
+    from sap_data_pipeline_spark.operators.multimodal import (
+        AUDIO_FP_WINDOW,
+        audio_energy_fingerprint,
+    )
+
+    w = AUDIO_FP_WINDOW
+    # three complete windows with energies low < high > mid
+    # -> delta bits: e1>e0 set (bit 0), e2>e1 unset -> fingerprint 1
+    quiet, loud, mid = [10] * w, [100] * w, [50] * w
+    samples = quiet + loud + mid + [7] * 10  # +partial tail, dropped
+    media = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(samples))),
+         (2, bytearray(_wav_bytes([s * 3 for s in samples]))),  # gain x3
+         (3, bytearray(b"not a wav at all")),
+         (4, bytearray(_wav_bytes([5] * 10)))],  # < one window
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in
+           audio_energy_fingerprint(media).collect()}
+    r1 = got[1]
+    assert r1["n_windows"] == 3
+    assert r1["fingerprint"] == 1
+    assert r1["total_energy"] == (10 * 10 + 100 * 100 + 50 * 50) * w
+    # uniform gain scales every window energy by 9 -> same delta signs
+    assert got[2]["fingerprint"] == r1["fingerprint"]
+    assert got[2]["total_energy"] == 9 * r1["total_energy"]
+    # corrupt payload and sub-window clip degrade to NULLs, job survives
+    for bad in (3, 4):
+        assert got[bad]["fingerprint"] is None
+        assert got[bad]["n_windows"] is None
