@@ -471,6 +471,59 @@ def extract_text_html(c: ColumnOrName) -> Column:
     return F.trim(F.regexp_replace(s, r"\s+", " "))
 
 
+# XML entity decoding (sitemaps protocol: URLs in <loc> MUST be
+# entity-escaped, so '?a=1&b=2' arrives as '?a=1&amp;b=2'; a seeded
+# frontier URL that keeps '&amp;' verbatim never joins against the
+# same URL from href extraction or fetch logs).  Single-pass by
+# construction: a sentinel is inserted before every '&', the string is
+# split on it, and each part decodes AT MOST its leading reference —
+# so '&amp;#38;' decodes to '&#38;' and stops, never cascading the
+# way chained global replaces would.
+_XML_SENT = "\x01"  # never legal in a URL or XML text node
+
+
+def xml_unescape(c: ColumnOrName) -> Column:
+    """Decode the five XML named entities (&amp; &lt; &gt; &quot;
+    &apos;) plus decimal (&#47;) and hex (&#x2F;) numeric character
+    references in the printable-ASCII range 32-126 — the only range
+    where Spark's ``char`` and DuckDB's ``chr`` agree, and the only
+    range a sitemaps-protocol URL legally needs (non-ASCII must be
+    percent-encoded before entity-escaping).  Out-of-range or
+    malformed references pass through verbatim — degrade, never
+    throw.  The DuckDB twin is the catalog's ``_xml_unescape_sql``;
+    both emit identical strings by construction."""
+    def _decode(p: Column) -> Column:
+        dec = F.regexp_extract(p, r"^&#([0-9]{1,7});", 1)
+        hx = F.regexp_extract(p, r"^&#[xX]([0-9a-fA-F]{1,6});", 1)
+        code = F.coalesce(
+            F.when(dec != "", dec.try_cast("int")),
+            F.when(hx != "", F.conv(hx, 16, 10).try_cast("int")),
+        )
+        num_rest = F.regexp_replace(
+            p, r"^&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});", ""
+        )
+        return (
+            F.when(p.startswith("&amp;"),
+                   F.concat(F.lit("&"), p.substr(F.lit(6), F.length(p))))
+            .when(p.startswith("&lt;"),
+                  F.concat(F.lit("<"), p.substr(F.lit(5), F.length(p))))
+            .when(p.startswith("&gt;"),
+                  F.concat(F.lit(">"), p.substr(F.lit(5), F.length(p))))
+            .when(p.startswith("&quot;"),
+                  F.concat(F.lit('"'), p.substr(F.lit(7), F.length(p))))
+            .when(p.startswith("&apos;"),
+                  F.concat(F.lit("'"), p.substr(F.lit(7), F.length(p))))
+            .when((code >= 32) & (code <= 126),
+                  F.concat(F.char(code), num_rest))
+            .otherwise(p)
+        )
+
+    parts = F.split(
+        F.replace(_c(c), F.lit("&"), F.lit(_XML_SENT + "&")), _XML_SENT
+    )
+    return F.array_join(F.transform(parts, _decode), "")
+
+
 # URL component extraction — one regex per component, identical on both
 # engines (Spark's parse_url has engine-specific NULL semantics; these
 # are plain regexp_extract on both sides).

@@ -9,7 +9,7 @@ lightweight retrieval).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sap_data_pipeline_spark.functions import text as X
@@ -1023,22 +1023,56 @@ def c4_line_filters(df: DataFrame, *, text_col: str = "text",
 # robots.txt politeness gate (REP, RFC 9309 — public spec)
 # ---------------------------------------------------------------------------
 
+def robots_rule_regex(rule: Column) -> Column:
+    """Translate an RFC 9309 path rule to an anchored regex (§2.2.3:
+    crawlers MUST support ``*`` = any character sequence and a trailing
+    ``$`` = end-of-path anchor; both are literal anywhere else, as is
+    every regex metacharacter a rule may contain).  The output uses
+    only ``^``, escaped literals, ``.*``, and an optional trailing
+    ``$`` — a fragment Java regex and RE2 interpret identically, so
+    the DuckDB oracle replays the same translation character for
+    character (the catalog's ``_RB_RULE_RE_SQL``).
+    """
+    anchored = rule.endswith("$")
+    body = F.when(
+        anchored, F.substring(rule, F.lit(1), F.length(rule) - 1)
+    ).otherwise(rule)
+    esc = F.regexp_replace(body, r'([.+?(){}\[\]|^$\\])', r'\\$1')
+    starred = F.regexp_replace(esc, r'\*', '.*')
+    return F.concat(
+        F.lit("^"), starred,
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+
+
 def robots_disallow_gate(frontier: DataFrame, rules: DataFrame, *,
                          url_col: str = "url") -> DataFrame:
     """Gate a crawl frontier against per-host robots rules with the
-    RFC 9309 / Googlebot precedence: the LONGEST matching path prefix
-    wins; on equal length, allow beats disallow; no matching rule ⇒
-    allowed.  The politeness pass every crawler runs between frontier
-    scheduling and fetch.
+    RFC 9309 / Googlebot precedence: the LONGEST matching rule wins
+    (§2.2.2 "most octets", measured on the rule text); on equal
+    length, allow beats disallow; no matching rule ⇒ allowed.  Rules
+    carry the full §2.2.3 special characters — ``*`` matches any
+    character sequence and a trailing ``$`` anchors the rule to the
+    path end (``Disallow: /*.php`` and ``Disallow: /private*`` match
+    as a crawler must, not as literal prefixes) — via
+    :func:`robots_rule_regex`; rules without specials keep the
+    JVM-native ``startswith`` fast path, so the regex engine only
+    runs for wildcard-bearing rules.  The politeness pass every
+    crawler runs between frontier scheduling and fetch.
 
     ``rules`` is (host, path_prefix, allow: boolean) — the parsed
     robots.txt corpus, hosts-sized (bounded by the crawl's host count,
-    NOT the frontier), so it broadcasts.  The frontier pays one
-    broadcast join + one per-URL best-rule window; at 100 TB frontier
-    scale the only data-sized cost is the scan itself.
+    NOT the frontier), so it broadcasts; the per-rule regex is
+    precomputed on that hosts-sized frame, never per candidate row.
+    The frontier pays one broadcast join + one per-URL best-rule
+    window; at 100 TB frontier scale the only data-sized cost is the
+    scan itself.
 
     Returns (url, host, path, matched_prefix, allowed) with
-    matched_prefix NULL for rule-less URLs.
+    matched_prefix NULL for rule-less URLs.  Output is one row per
+    DISTINCT url: duplicate frontier rows collapse through the rank-1
+    window (the semi-join contract ``etl.admit_crawl_batch`` relies
+    on) — re-join on url when per-row multiplicity must survive.
     """
     from pyspark.sql.window import Window
 
@@ -1055,13 +1089,22 @@ def robots_disallow_gate(frontier: DataFrame, rules: DataFrame, *,
     parsed = frontier.select(
         F.col(url_col), host.alias("host"), path.alias("path")
     )
+    # Regexes are derived once on the hosts-sized rules frame; rules
+    # without specials skip the regex engine entirely (plain prefix).
+    plain = (
+        ~F.col("path_prefix").contains("*")
+        & ~F.col("path_prefix").endswith("$")
+    )
+    rules = rules.select(
+        "host", "path_prefix", "allow", plain.alias("_plain"),
+        robots_rule_regex(F.col("path_prefix")).alias("_re"),
+    )
     # Non-matching rules are MASKED to null candidates, not filtered
     # out — a host whose rules all miss must still emit its URL with
     # the default-allow verdict.
-    m = (
-        F.col("path_prefix").isNotNull()
-        & F.col("path").startswith(F.col("path_prefix"))
-    )
+    m = F.col("path_prefix").isNotNull() & F.when(
+        F.col("_plain"), F.col("path").startswith(F.col("path_prefix"))
+    ).otherwise(F.regexp_like(F.col("path"), F.col("_re")))
     cand = parsed.join(F.broadcast(rules), "host", "left").select(
         url_col, "host", "path",
         F.when(m, F.col("path_prefix")).alias("_mp"),
@@ -1142,7 +1185,10 @@ def parse_robots_txt(df: DataFrame, *, host_col: str = "host",
     nearest preceding group, matching is case-insensitive, ``#``
     comments and blank lines are ignored, and only groups naming
     ``agent`` (default ``*``) emit rules.  An empty ``Disallow:``
-    value means allow-all per the original REP and is skipped.
+    value means allow-all per the original REP and is skipped.  Rule
+    VALUES pass through verbatim — the §2.2.3 specials (``*``,
+    trailing ``$``) are preserved in ``path_prefix`` and interpreted
+    by :func:`robots_disallow_gate` via :func:`robots_rule_regex`.
 
     Fully relational — no per-file Python fold: lines posexplode with
     their index, a host-keyed window turns "UA line whose predecessor
@@ -1210,7 +1256,9 @@ def parse_robots_txt(df: DataFrame, *, host_col: str = "host",
 # multi-line entries and tag-case variation both parse (RE2-compatible,
 # so the DuckDB twin replays the identical patterns)
 SITEMAP_URL_BLOCK_RE = r"(?is)<url\b[^>]*>(.*?)</url>"
-SITEMAP_LOC_RE = r"(?is)<loc\s*>\s*([^<]*?)\s*</loc>"
+# loc inner is (.*?) not [^<]* — a CDATA section legally contains '<'
+SITEMAP_LOC_RE = r"(?is)<loc\s*>\s*(.*?)\s*</loc>"
+SITEMAP_CDATA_RE = r"(?s)^<!\[CDATA\[(.*)\]\]>$"
 SITEMAP_LASTMOD_RE = r"(?is)<lastmod\s*>\s*([^<]*?)\s*</lastmod>"
 SITEMAP_CHANGEFREQ_RE = r"(?is)<changefreq\s*>\s*([^<]*?)\s*</changefreq>"
 SITEMAP_PRIORITY_RE = r"(?is)<priority\s*>\s*([^<]*?)\s*</priority>"
@@ -1232,16 +1280,35 @@ def sitemap_url_extract(df: DataFrame, *, xml_col: str = "sitemap_xml",
     Pure per-row projection + explode — sitemap files are hosts-sized
     inputs, so at 100 TB this never touches the document corpus.
 
+    Per the sitemaps protocol, URLs in ``<loc>`` MUST be XML
+    entity-escaped, so text fields are decoded with
+    :func:`functions.text.xml_unescape` (named entities + ASCII
+    numeric references; without it a seeded ``?a=1&amp;b=2`` URL never
+    joins against the same URL from href extraction or fetch logs).
+    ``<loc><![CDATA[...]]></loc>`` (common generator output) unwraps
+    to the CDATA content VERBATIM — XML performs no entity decoding
+    inside CDATA, so neither do we.
+
     Returns (host, url, lastmod, changefreq, priority).
     """
+    from sap_data_pipeline_spark.functions.text import xml_unescape
+
     entry = F.col("_entry")
-    loc = F.regexp_extract(entry, SITEMAP_LOC_RE, 1)
+    raw_loc = F.regexp_extract(entry, SITEMAP_LOC_RE, 1)
+    loc = F.when(
+        raw_loc.rlike(SITEMAP_CDATA_RE),
+        F.regexp_extract(raw_loc, SITEMAP_CDATA_RE, 1),
+    ).otherwise(xml_unescape(raw_loc))
     lastmod = F.nullif(
-        F.substring(F.regexp_extract(entry, SITEMAP_LASTMOD_RE, 1), 1, 10),
+        F.substring(
+            xml_unescape(F.regexp_extract(entry, SITEMAP_LASTMOD_RE, 1)),
+            1, 10,
+        ),
         F.lit(""),
     )
     changefreq = F.nullif(
-        F.lower(F.regexp_extract(entry, SITEMAP_CHANGEFREQ_RE, 1)), F.lit("")
+        F.lower(xml_unescape(F.regexp_extract(entry, SITEMAP_CHANGEFREQ_RE, 1))),
+        F.lit(""),
     )
     # try_cast: ANSI mode makes a plain cast THROW on junk like
     # <priority>abc</priority> — malformed sitemap fields must degrade

@@ -7386,16 +7386,35 @@ def c4_line_filters_q(star: Star) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # robots.txt politeness gate (operators.corpus.robots_disallow_gate —
-# RFC 9309 precedence: longest matching prefix wins, allow beats
-# disallow on ties, no match ⇒ allowed).  Rules are hosts-sized and
-# broadcast; the fixture exercises every precedence branch (longer
-# allow under a disallow, an exact-length allow/disallow tie, a
-# rule-less host, scheme-ful / protocol-relative / bare URL spellings)
-# and the frontier dedups identical URLs through the same rank-1
-# window on both engines.
+# RFC 9309 precedence: longest matching rule wins, allow beats
+# disallow on ties, no match ⇒ allowed; §2.2.3 wildcards: '*' matches
+# any character sequence, trailing '$' anchors to the path end).
+# Rules are hosts-sized and broadcast; the fixture exercises every
+# precedence branch (longer allow under a disallow, an exact-length
+# allow/disallow tie, a rule-less host, scheme-ful / protocol-relative
+# / bare URL spellings) PLUS the wildcard battery (r12 verdict #2,
+# permanent rows per the ef87cfd precedent): a mid-rule '*' ('/*/w'
+# flips the previously rule-less /free/w to disallowed), a wildcard
+# beating a shorter literal ('/a/x*' allow over '/a' disallow), a '$'
+# anchor that matches exactly one path and nothing under it ('/a$'),
+# and an equal-length wildcard allow/disallow tie ('/d*p/z' vs
+# '/dup/*' on /dup/z — allow wins).  The frontier dedups identical
+# URLs through the same rank-1 window on both engines.
 # ---------------------------------------------------------------------------
 
 _RB_HOSTS = 20
+
+def _rb_rule_re_sql(rule: str) -> str:
+    """DuckDB twin of operators.corpus.robots_rule_regex — the same
+    escape → '*'→'.*' → anchor translation, character for character
+    (both emit only ^, escaped literals, .*, and an optional trailing
+    $, which Java regex and RE2 interpret identically)."""
+    strip = (f"CASE WHEN {rule} LIKE '%$' THEN "
+             f"substr({rule}, 1, length({rule})-1) ELSE {rule} END")
+    esc = (f"regexp_replace({strip}, "
+           r"'([.+?(){}\[\]|^$\\])', '\\\1', 'g')")
+    return (f"'^' || replace({esc}, '*', '.*') || "
+            f"CASE WHEN {rule} LIKE '%$' THEN '$' ELSE '' END")
 
 _RB_URL_SQL = f"""
     CASE doc_id % 6
@@ -7414,7 +7433,10 @@ _RB_RULES_SQL = f"""
     SELECT 'h' || CAST(h AS VARCHAR) AS host, r.path_prefix, r.allow
     FROM generate_series(0, {_RB_HOSTS - 1}) g(h),
          (VALUES ('/a', false), ('/a/pub', true),
-                 ('/dup', true), ('/dup', false)) r(path_prefix, allow)
+                 ('/dup', true), ('/dup', false),
+                 ('/*/w', false), ('/a/x*', true), ('/a$', true),
+                 ('/d*p/z', false), ('/dup/*', true))
+         r(path_prefix, allow)
 """
 
 @register(
@@ -7431,15 +7453,26 @@ _RB_RULES_SQL = f"""
                    '^[^/]*/(.*)$', 1), '') AS path
         FROM frontier
     ),
+    rules_re AS (
+        SELECT host, path_prefix, allow,
+               NOT (path_prefix LIKE '%*%' OR path_prefix LIKE '%$')
+                   AS plain,
+               {_rb_rule_re_sql('path_prefix')} AS re
+        FROM rules
+    ),
     cand AS (
         SELECT p.url, p.host, p.path,
                CASE WHEN r.path_prefix IS NOT NULL
-                         AND starts_with(p.path, r.path_prefix)
+                         AND (CASE WHEN r.plain
+                              THEN starts_with(p.path, r.path_prefix)
+                              ELSE regexp_matches(p.path, r.re) END)
                     THEN r.path_prefix END AS mp,
                CASE WHEN r.path_prefix IS NOT NULL
-                         AND starts_with(p.path, r.path_prefix)
+                         AND (CASE WHEN r.plain
+                              THEN starts_with(p.path, r.path_prefix)
+                              ELSE regexp_matches(p.path, r.re) END)
                     THEN r.allow END AS al
-        FROM parsed p LEFT JOIN rules r USING (host)
+        FROM parsed p LEFT JOIN rules_re r USING (host)
     ),
     ranked AS (
         SELECT *, ROW_NUMBER() OVER (
@@ -7478,7 +7511,9 @@ def robots_disallow_gate_q(star: Star) -> DataFrame:
     rules = spark.createDataFrame(
         [(f"h{i}", p, a) for i in range(_RB_HOSTS)
          for (p, a) in [("/a", False), ("/a/pub", True),
-                        ("/dup", True), ("/dup", False)]],
+                        ("/dup", True), ("/dup", False),
+                        ("/*/w", False), ("/a/x*", True), ("/a$", True),
+                        ("/d*p/z", False), ("/dup/*", True)]],
         "host string, path_prefix string, allow boolean",
     )
     return robots_disallow_gate(frontier, rules)
@@ -7882,8 +7917,39 @@ def robots_rules_parse_q(star: Star) -> DataFrame:
 # case variation, all-optional-field combinations, a loc-less entry
 # (skipped), and a non-numeric priority (NULL).  priority is the only
 # nullable non-string output (float: both engines stringify NaN
-# identically in the hash).
+# identically in the hash).  r13 (r12 verdict #3) adds the permanent
+# adversarial rows (ef87cfd precedent): an entity-escaped query-string
+# loc (?a=1&amp;b=2 + decimal/hex numeric refs + &apos; + an
+# out-of-range &#955; that must pass through VERBATIM), a lastmod
+# whose '-' arrives as &#45; (decode must run before the 10-char
+# substr), a CDATA loc whose content — raw '&' AND a literal '&amp;'
+# — must survive UNdecoded (XML decodes nothing inside CDATA), and a
+# changefreq arriving as &#87;EEKLY (decode before lowercase).
 # ---------------------------------------------------------------------------
+
+def _xml_unescape_sql(x: str) -> str:
+    """DuckDB twin of functions.text.xml_unescape — the same
+    sentinel-split single-pass decode (five named entities + ASCII
+    32-126 numeric references, malformed/out-of-range verbatim)."""
+    num_dec = "TRY_CAST(regexp_extract(p, '^&#([0-9]{1,7});', 1) AS INT)"
+    num_hex = ("TRY_CAST('0x' || regexp_extract(p, "
+               "'^&#[xX]([0-9a-fA-F]{1,6});', 1) AS INT)")
+    code = (f"CASE WHEN regexp_matches(p, '^&#[0-9]{{1,7}};') THEN {num_dec} "
+            f"WHEN regexp_matches(p, '^&#[xX][0-9a-fA-F]{{1,6}};') "
+            f"THEN {num_hex} END")
+    return f"""array_to_string(list_transform(
+      string_split(replace({x}, '&', chr(1) || '&'), chr(1)),
+      p -> CASE
+        WHEN p LIKE '&amp;%'  THEN '&'  || substr(p, 6)
+        WHEN p LIKE '&lt;%'   THEN '<'  || substr(p, 5)
+        WHEN p LIKE '&gt;%'   THEN '>'  || substr(p, 5)
+        WHEN p LIKE '&quot;%' THEN '"'  || substr(p, 7)
+        WHEN p LIKE '&apos;%' THEN chr(39) || substr(p, 7)
+        WHEN COALESCE(({code}) BETWEEN 32 AND 126, false)
+             THEN chr(COALESCE({num_dec}, {num_hex}))
+                  || regexp_replace(p,
+                     '^&#(?:[0-9]{{1,7}}|[xX][0-9a-fA-F]{{1,6}});', '')
+        ELSE p END), '')"""
 
 _SM_XML_SQL = """
            '<urlset>' ||
@@ -7902,6 +7968,12 @@ _SM_XML_SQL = """
                 THEN '<url><loc>https://h' || CAST(doc_id AS VARCHAR)
                      || '/r</loc><priority>abc</priority></url>'
                 ELSE '' END ||
+           '<url><loc>https://h' || CAST(doc_id AS VARCHAR)
+               || '/s?a=1&amp;b=2&#47;c&#x2F;d&apos;e&#955;</loc>'
+               || '<lastmod>2024&#45;02-20T08:00:00Z</lastmod></url>' ||
+           '<url><loc><![CDATA[https://h' || CAST(doc_id AS VARCHAR)
+               || '/cd?x=1&y=2&amp;z]]></loc>'
+               || '<changefreq>&#87;EEKLY</changefreq></url>' ||
            '</urlset>'
 """
 
@@ -7919,20 +7991,30 @@ _SM_XML_SQL = """
                    '(?is)<url\\b[^>]*>(.*?)</url>', 1)) AS e
         FROM files
     ),
+    raws AS (
+        SELECT host,
+               trim(regexp_extract(e, '(?is)<loc\\s*>\\s*(.*?)\\s*</loc>', 1))
+                   AS rloc,
+               regexp_extract(e,
+                   '(?is)<lastmod\\s*>\\s*([^<]*?)\\s*</lastmod>', 1) AS rlast,
+               regexp_extract(e,
+                   '(?is)<changefreq\\s*>\\s*([^<]*?)\\s*</changefreq>', 1)
+                   AS rfreq,
+               regexp_extract(e,
+                   '(?is)<priority\\s*>\\s*([^<]*?)\\s*</priority>', 1) AS rprio
+        FROM entries
+    ),
     parsed AS (
         SELECT host,
-               trim(regexp_extract(e, '(?is)<loc\\s*>\\s*([^<]*?)\\s*</loc>', 1))
-                   AS url,
-               NULLIF(substr(regexp_extract(e,
-                   '(?is)<lastmod\\s*>\\s*([^<]*?)\\s*</lastmod>', 1), 1, 10),
-                   '') AS lastmod,
-               NULLIF(lower(regexp_extract(e,
-                   '(?is)<changefreq\\s*>\\s*([^<]*?)\\s*</changefreq>', 1)),
-                   '') AS changefreq,
-               TRY_CAST(NULLIF(regexp_extract(e,
-                   '(?is)<priority\\s*>\\s*([^<]*?)\\s*</priority>', 1), '')
-                   AS DOUBLE) AS priority
-        FROM entries
+               CASE WHEN regexp_matches(rloc, '(?s)^<!\\[CDATA\\[.*\\]\\]>$')
+                    THEN regexp_extract(rloc,
+                         '(?s)^<!\\[CDATA\\[(.*)\\]\\]>$', 1)
+                    ELSE {_xml_unescape_sql('rloc')} END AS url,
+               NULLIF(substr({_xml_unescape_sql('rlast')}, 1, 10), '')
+                   AS lastmod,
+               NULLIF(lower({_xml_unescape_sql('rfreq')}), '') AS changefreq,
+               TRY_CAST(NULLIF(rprio, '') AS DOUBLE) AS priority
+        FROM raws
     )
     SELECT host, url, lastmod, changefreq, priority
     FROM parsed WHERE url <> ''
@@ -7962,6 +8044,16 @@ def sitemap_url_extract_q(star: Star) -> DataFrame:
                F.concat(F.lit("<url><loc>https://h"), h,
                         F.lit("/r</loc><priority>abc</priority></url>")))
         .otherwise(F.lit("")),
+        # r13 adversarial rows: entity-escaped query-string loc (decimal
+        # + hex refs, &apos;, out-of-range &#955; stays verbatim),
+        # entity-bearing lastmod, CDATA loc (content verbatim — raw '&'
+        # AND a literal '&amp;' survive undecoded), entity changefreq.
+        F.lit("<url><loc>https://h"), h,
+        F.lit("/s?a=1&amp;b=2&#47;c&#x2F;d&apos;e&#955;</loc>"
+              "<lastmod>2024&#45;02-20T08:00:00Z</lastmod></url>"),
+        F.lit("<url><loc><![CDATA[https://h"), h,
+        F.lit("/cd?x=1&y=2&amp;z]]></loc>"
+              "<changefreq>&#87;EEKLY</changefreq></url>"),
         F.lit("</urlset>"),
     )
     files = star.documents.filter(d < 40).select(

@@ -133,6 +133,44 @@ def test_robots_gate_precedence(spark):
     assert got["h1/a/z"]["allowed"] is False     # bare host parses too
 
 
+def test_robots_gate_rfc9309_wildcards(spark):
+    """RFC 9309 §2.2.3: '*' matches any character sequence, trailing
+    '$' anchors to the path end; precedence ranks by rule length."""
+    from sap_data_pipeline_spark.operators.corpus import robots_disallow_gate
+
+    rules = spark.createDataFrame(
+        [("h1", "/*.php", False),        # the RFC's own example
+         ("h1", "/*.php$", True),        # anchored: exact .php end only
+         ("h1", "/p*", False),
+         ("h1", "/private/ok", True),    # longer literal beats wildcard
+         ("h1", "/q$", False)],          # anchored exact path
+        "host string, path_prefix string, allow boolean",
+    )
+    frontier = spark.createDataFrame(
+        [("https://h1/index.php",),      # both .php rules match, equal
+                                         # length -> allow ($-anchored) wins
+         ("https://h1/index.php?x=1",),  # only the unanchored rule -> deny
+         ("https://h1/sub/a.php",),      # '*' crosses '/' -> deny... but
+                                         # anchored also matches -> allow
+         ("https://h1/zphp",),           # no dot, not under /p -> no match
+         ("https://h1/private/ok",),     # literal allow beats /p*
+         ("https://h1/private/no",),     # /p* -> deny
+         ("https://h1/q",),              # /q$ exact -> deny
+         ("https://h1/q/sub",)],         # /q$ does NOT match below -> allow
+        "url string",
+    )
+    got = {r["url"]: (r["allowed"], r["matched_prefix"]) for r in
+           robots_disallow_gate(frontier, rules).collect()}
+    assert got["https://h1/index.php"] == (True, "/*.php$")
+    assert got["https://h1/index.php?x=1"] == (False, "/*.php")
+    assert got["https://h1/sub/a.php"] == (True, "/*.php$")
+    assert got["https://h1/zphp"] == (True, None)
+    assert got["https://h1/private/ok"] == (True, "/private/ok")
+    assert got["https://h1/private/no"] == (False, "/p*")
+    assert got["https://h1/q"] == (False, "/q$")
+    assert got["https://h1/q/sub"] == (True, None)
+
+
 def test_robots_gate_dedups_frontier_and_broadcasts_rules(spark):
     from sap_data_pipeline_spark.operators.corpus import robots_disallow_gate
 
@@ -448,6 +486,42 @@ def test_sitemap_extract_grammar(spark):
     b = got["https://h1/b"]
     assert b["changefreq"] == "daily" and b["lastmod"] is None
     assert got["https://h1/c"]["priority"] is None  # junk degrades to NULL
+
+
+def test_sitemap_extract_entities_and_cdata(spark):
+    """Sitemaps protocol: <loc> URLs arrive entity-escaped — decode
+    named + ASCII numeric refs; CDATA content is verbatim (XML decodes
+    nothing inside CDATA); out-of-range refs pass through."""
+    from sap_data_pipeline_spark.operators.corpus import sitemap_url_extract
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://h1/s?a=1&amp;b=2&#47;c&#x2F;d&apos;e&#955;</loc>"
+        "<lastmod>2024&#45;02-20T08:00:00Z</lastmod></url>"
+        "<url><loc><![CDATA[https://h1/cd?x=1&y=2&amp;z]]></loc>"
+        "<changefreq>&#87;EEKLY</changefreq></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("h1", xml)], "host string, sitemap_xml string")
+    got = {r["url"]: r for r in sitemap_url_extract(df).collect()}
+    esc = "https://h1/s?a=1&b=2/c/d'e&#955;"
+    cd = "https://h1/cd?x=1&y=2&amp;z"
+    assert set(got) == {esc, cd}
+    assert got[esc]["lastmod"] == "2024-02-20"  # decode BEFORE substr
+    assert got[cd]["changefreq"] == "weekly"    # decode BEFORE lower
+
+
+def test_xml_unescape_single_pass(spark):
+    """'&amp;#38;' must decode to '&#38;' and STOP — the sentinel-split
+    single pass never cascades the way chained global replaces would."""
+    from sap_data_pipeline_spark.functions.text import xml_unescape
+
+    rows = [("&amp;#38;", "&#38;"), ("&#38;amp;", "&amp;"),
+            ("&bogus;", "&bogus;"), ("tail&", "tail&"),
+            ("&#999999999999;", "&#999999999999;")]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "s string")
+    got = [r[0] for r in df.select(xml_unescape("s")).collect()]
+    assert got == [e for _, e in rows]
 
 
 def test_sitemap_extract_is_projection_only(spark):

@@ -789,16 +789,27 @@ def test_c4_line_filters_matches_python_rules(spark, lines):
         min_size=1, max_size=6, unique=True,
     ),
     prefixes=st.lists(
-        st.tuples(st.text(alphabet="abc/", min_size=1, max_size=4),
+        st.tuples(st.text(alphabet="abc/*$", min_size=1, max_size=4),
                   st.booleans()),
         min_size=0, max_size=5,
     ),
 )
 def test_robots_gate_matches_python_precedence(spark, paths, prefixes):
-    """RFC 9309 replica: longest matching prefix wins, allow beats
-    disallow on equal length, lexicographic prefix as the final tie,
-    no match ⇒ allowed."""
+    """RFC 9309 replica: longest matching RULE wins, allow beats
+    disallow on equal length, lexicographic rule as the final tie,
+    no match ⇒ allowed — with the §2.2.3 specials: '*' matches any
+    character sequence, a trailing '$' anchors to the path end, both
+    literal anywhere else (the rule alphabet includes them, so
+    hypothesis explores mid-rule '$', bare '*', '**', and '*$')."""
+    import re as _re
+
     from sap_data_pipeline_spark.operators.corpus import robots_disallow_gate
+
+    def rule_re(rule):
+        anchored = rule.endswith("$")
+        body = rule[:-1] if anchored else rule
+        esc = _re.sub(r'([.+?(){}\[\]|^$\\])', r'\\\1', body)
+        return "^" + esc.replace("*", ".*") + ("$" if anchored else "")
 
     frontier = spark.createDataFrame(
         [(f"https://h/{p}",) for p in paths], "url string"
@@ -815,7 +826,7 @@ def test_robots_gate_matches_python_precedence(spark, paths, prefixes):
     for p in paths:
         path = "/" + p
         matches = [("/" + pre, allow) for pre, allow in prefixes
-                   if path.startswith("/" + pre)]
+                   if _re.search(rule_re("/" + pre), path)]
         if matches:
             # sort: longest first, allow before disallow, lexicographic
             matches.sort(key=lambda m: (-len(m[0]), not m[1], m[0]))
