@@ -943,19 +943,29 @@ def intra_doc_line_dedup(df: DataFrame, *, text_col: str = "text",
     Returns (id, n_lines, n_kept, n_dupes_removed, chars_removed,
     clean_text) — chars_removed counts the trimmed characters of the
     dropped duplicate lines (newline bookkeeping excluded, same
-    convention both engines).
+    convention both engines).  One row per INPUT document: an all-blank
+    doc emits (n_lines=0, n_kept=0, clean_text='') rather than
+    vanishing — silent drops are pipeline bugs, and the downstream
+    quality gate, not this rewrite, decides a blank doc's fate.
     """
     from sap_data_pipeline_spark.functions import text as X
 
     lines = X.line_array(F.col(text_col))
     base = df.select(F.col(id_col), lines.alias("_l"))
+    # slice(seq(1, max(n,1)), 1, n) = [1..n], and [] when n = 0 —
+    # sequence(1, 0) alone would count DOWN to [1, 0] and the lambda's
+    # element_at(_l, 0) would throw under ANSI.
+    idx = F.slice(
+        F.sequence(F.lit(1), F.greatest(F.size("_l"), F.lit(1))),
+        F.lit(1), F.size("_l"),
+    )
     keep_idx = F.filter(
-        F.sequence(F.lit(1), F.size("_l")),
+        idx,
         lambda i: F.array_position(F.col("_l"), F.element_at(F.col("_l"), i)) == i,
     )
     kept = F.transform(keep_idx, lambda i: F.element_at(F.col("_l"), i))
     return (
-        base.filter(F.size("_l") > 0)
+        base
         .withColumn("_kept", kept)
         .select(
             id_col,
@@ -994,7 +1004,9 @@ def c4_line_filters(df: DataFrame, *, text_col: str = "text",
 
     Returns (id, n_lines, n_kept, n_dropped_short, n_dropped_terminal,
     clean_text).  A line failing both rules counts toward the
-    ``min_words`` bucket (rule order is part of the contract).
+    ``min_words`` bucket (rule order is part of the contract).  One
+    row per INPUT document: an all-blank doc emits the all-zero row
+    with clean_text='' rather than vanishing from the audit.
     """
     from sap_data_pipeline_spark.functions import text as X
 
@@ -1005,7 +1017,7 @@ def c4_line_filters(df: DataFrame, *, text_col: str = "text",
     is_term = lambda x: x.rlike('[.!?"]$')  # noqa: E731
     kept = F.filter(F.col("_l"), lambda x: ~is_short(x) & is_term(x))
     return (
-        base.filter(F.size("_l") > 0)
+        base
         .select(
             id_col,
             F.size("_l").cast("long").alias("n_lines"),

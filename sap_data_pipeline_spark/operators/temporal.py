@@ -432,6 +432,14 @@ def crawl_schedule(history: DataFrame, budget: int, *,
     if delays is not None:
         if cycle_seconds is None:
             raise ValueError("delays requires cycle_seconds")
+        # parse_robots_txt emits one Crawl-delay row per (host, BLOCK),
+        # so a multi-group robots.txt yields duplicate host rows here;
+        # joining them raw would duplicate quota rows and therefore
+        # every scheduled URL for that host.  Collapse to the SLOWEST
+        # delay per host (the polite reading of conflicting groups).
+        delays = delays.groupBy(host_col).agg(
+            F.max("crawl_delay_sec").alias("crawl_delay_sec")
+        )
         cap = F.floor(
             F.lit(int(cycle_seconds)) / F.col("crawl_delay_sec")
         ).cast("long")

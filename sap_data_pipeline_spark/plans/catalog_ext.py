@@ -7264,8 +7264,9 @@ _IDL_LINE_SQL = (
     f"""
     WITH built AS (
         SELECT doc_id,
-               list_transform(generate_series(0, 3 + doc_id % 5),
-                              i -> {_IDL_LINE_SQL}) AS l
+               CASE WHEN doc_id % 11 = 3 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(generate_series(0, 3 + doc_id % 5),
+                                        i -> {_IDL_LINE_SQL}) END AS l
         FROM documents
     ),
     kept AS (
@@ -7280,10 +7281,11 @@ _IDL_LINE_SQL = (
            CAST(len(l) AS BIGINT) AS n_lines,
            CAST(len(k) AS BIGINT) AS n_kept,
            CAST(len(l) - len(k) AS BIGINT) AS n_dupes_removed,
-           CAST(list_sum(list_transform(l, x -> length(x)))
+           CAST(COALESCE(list_sum(list_transform(l, x -> length(x))), 0)
                 - COALESCE(list_sum(list_transform(k, x -> length(x))), 0)
                 AS BIGINT) AS chars_removed,
-           list_aggregate(k, 'string_agg', chr(10)) AS clean_text
+           COALESCE(list_aggregate(k, 'string_agg', chr(10)), '')
+               AS clean_text
     FROM kept
     """,
 )
@@ -7295,11 +7297,15 @@ def intra_doc_line_dedup_q(star: Star) -> DataFrame:
         i % 3 == 0, F.lit("nav menu item")
     ).otherwise(F.concat(F.lit("body line "),
                          F.pmod(d + i * i, F.lit(9)).cast("string")))
-    text = F.concat_ws(
+    text = F.when(
+        # all-blank doc (whitespace-only): must emit the zero row, not
+        # vanish from the audit (r12 ADVICE; one variant per 11 docs)
+        F.pmod(d, F.lit(11)) == 3, F.lit("  \n \n"),
+    ).otherwise(F.concat_ws(
         "\n",
         F.transform(F.sequence(F.lit(0), (F.lit(3) + F.pmod(d, F.lit(5))).cast("int")),
                     line),
-    )
+    ))
     return intra_doc_line_dedup(
         star.documents.select("doc_id", text.alias("text"))
     )
@@ -7330,8 +7336,9 @@ _C4L_LINE_SQL = (
     f"""
     WITH built AS (
         SELECT doc_id,
-               list_transform(generate_series(0, 4 + doc_id % 4),
-                              i -> {_C4L_LINE_SQL}) AS l
+               CASE WHEN doc_id % 11 = 3 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(generate_series(0, 4 + doc_id % 4),
+                                        i -> {_C4L_LINE_SQL}) END AS l
         FROM documents
     ),
     shaped AS (
@@ -7374,11 +7381,14 @@ def c4_line_filters_q(star: Star) -> DataFrame:
                 i.cast("string"), F.lit("?")))
         )
 
-    text = F.concat_ws(
+    text = F.when(
+        # all-blank doc: must emit the all-zero row (r12 ADVICE)
+        F.pmod(d, F.lit(11)) == 3, F.lit(" \n  \n"),
+    ).otherwise(F.concat_ws(
         "\n",
         F.transform(F.sequence(F.lit(0), (F.lit(4) + F.pmod(d, F.lit(4))).cast("int")),
                     line),
-    )
+    ))
     return c4_line_filters(
         star.documents.select("doc_id", text.alias("text"))
     )

@@ -27,6 +27,30 @@ from pyspark.sql.streaming import StreamingQuery
 from sap_data_pipeline_spark.operators.merge import ParquetMergeTable
 
 
+def _is_missing_path(spark: SparkSession, exc: AnalysisException,
+                     path: str) -> bool:
+    """True iff ``exc`` means ``path`` does not exist — the cold-start
+    condition the stateful sinks may treat as "first batch".  Checks
+    the STABLE error condition (``PATH_NOT_FOUND``) rather than the
+    Spark-version-brittle message text; if the exception carries no
+    condition at all, asks the Hadoop FileSystem directly (the state
+    path is gone ⇒ cold start; present ⇒ a real read failure that must
+    propagate)."""
+    for name in ("getCondition", "getErrorClass"):
+        get = getattr(exc, name, None)
+        if callable(get):
+            try:
+                cond = get()
+            except Exception:
+                continue
+            if cond is not None:
+                return cond == "PATH_NOT_FOUND"
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return not fs.exists(jpath)
+
+
 def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
     """Normalize an event-time column to TIMESTAMP (with local time zone).
 
@@ -703,8 +727,7 @@ def stream_frontier_gate(
             # retries; swallowing it would silently reset the seen-set
             # and re-admit every previously admitted URL, breaking the
             # "never admitted twice" guarantee.
-            msg = str(exc)
-            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            if not _is_missing_path(spark, exc, state):
                 raise
             words = []
         bitmap = [0] * n_words
@@ -799,9 +822,7 @@ def stream_centroid_monitor(
             acc = spark.read.parquet(sums_dir)
         except AnalysisException as exc:
             # first batch just wrote it; any read failure is real
-            msg = str(exc)
-            if ("PATH_NOT_FOUND" not in msg
-                    and "Path does not exist" not in msg):
+            if not _is_missing_path(spark, exc, sums_dir):
                 raise
             acc = partial
         cum = acc.groupBy("grp", "dim").agg(

@@ -93,6 +93,29 @@ def test_c4_line_filters_counts_sum_to_lines(spark):
             == r["n_lines"]
 
 
+def test_line_ops_emit_blank_docs(spark):
+    """An all-blank doc must emit the zero row, not vanish — silent
+    drops are pipeline bugs (r12 ADVICE)."""
+    from sap_data_pipeline_spark.operators.corpus import (
+        c4_line_filters,
+        intra_doc_line_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "  \n \n"), (2, "a line that ends well.\na line that ends well.")],
+        "doc_id long, text string",
+    )
+    idl = {r["doc_id"]: r for r in intra_doc_line_dedup(df).collect()}
+    assert set(idl) == {1, 2}
+    assert (idl[1]["n_lines"], idl[1]["n_kept"], idl[1]["n_dupes_removed"],
+            idl[1]["chars_removed"], idl[1]["clean_text"]) == (0, 0, 0, 0, "")
+    assert idl[2]["n_kept"] == 1
+    c4 = {r["doc_id"]: r for r in c4_line_filters(df).collect()}
+    assert set(c4) == {1, 2}
+    assert (c4[1]["n_lines"], c4[1]["n_kept"], c4[1]["n_dropped_short"],
+            c4[1]["n_dropped_terminal"], c4[1]["clean_text"]) == (0, 0, 0, 0, "")
+
+
 # ---------------------------------------------------------------------------
 # robots_disallow_gate
 # ---------------------------------------------------------------------------
@@ -376,6 +399,35 @@ def test_crawl_schedule_delay_cap_binds(spark):
     assert len(crawl_schedule(
         hist, 6, order_tiebreak="event_id", delays=other, cycle_seconds=10,
     ).collect()) == 6
+
+
+def test_crawl_schedule_duplicate_host_delays_collapse(spark):
+    """parse_robots_txt emits one Crawl-delay row per (host, block);
+    duplicate host rows must not duplicate scheduled URLs, and the
+    SLOWEST delay wins (the polite reading of conflicting groups)."""
+    from sap_data_pipeline_spark.operators.temporal import crawl_schedule
+
+    rows = []
+    eid = 0
+    for p in range(6):
+        for f in range(3):
+            eid += 1
+            rows.append((eid, f"hA/p{p}", datetime(2026, 1, 1 + f), f"c{f}"))
+    rows.append((999, "hZ/px", datetime(2026, 1, 9), "z"))  # staleness anchor
+    hist = spark.createDataFrame(
+        rows,
+        "event_id long, url string, fetch_ts timestamp, content_hash string",
+    )
+    delays = spark.createDataFrame(
+        [("hA", 2), ("hA", 5), ("hA", 2)],  # two blocks + a replay
+        "host string, crawl_delay_sec int",
+    )
+    capped = crawl_schedule(
+        hist, 6, order_tiebreak="event_id", delays=delays, cycle_seconds=10,
+    ).collect()
+    # max(delay)=5 -> floor(10/5)=2 fetches; no row multiplication
+    assert len(capped) == 2
+    assert sorted(r["rank_in_host"] for r in capped) == [1, 2]
 
 
 def test_crawl_schedule_delays_require_cycle(spark):

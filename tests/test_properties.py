@@ -736,7 +736,9 @@ def test_intra_doc_line_dedup_matches_dict_keepfirst(spark, lines):
     out = intra_doc_line_dedup(df).collect()
     trimmed = [ln.strip() for ln in lines if ln.strip()]
     if not trimmed:
-        assert out == []
+        [r] = out  # blank doc: the zero row, never a silent drop
+        assert (r["n_lines"], r["n_kept"], r["n_dupes_removed"],
+                r["chars_removed"], r["clean_text"]) == (0, 0, 0, 0, "")
         return
     [r] = out
     expect = list(dict.fromkeys(trimmed))
@@ -763,7 +765,9 @@ def test_c4_line_filters_matches_python_rules(spark, lines):
     out = c4_line_filters(df).collect()
     trimmed = [ln.strip() for ln in lines if ln.strip()]
     if not trimmed:
-        assert out == []
+        [r] = out  # blank doc: the zero row, never a silent drop
+        assert (r["n_lines"], r["n_kept"], r["n_dropped_short"],
+                r["n_dropped_terminal"], r["clean_text"]) == (0, 0, 0, 0, "")
         return
     [r] = out
 
