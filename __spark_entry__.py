@@ -143,6 +143,66 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     revenue window) and its multi-dim star by the in-window
 #     tpch_q8_market_share (7-table star).
 _TAIL = (
+    # r13 new work (never driver-hashed; oracle-green at sf0.01) — r14
+    # rotation candidates, rationales pre-written:
+    # audio near-dup pairs: banded Hamming over the REAL-WAV-decode
+    # energy fingerprint (4×8-bit bands, pigeonhole-complete at radius
+    # 3) — completes the audio arm of the perceptual-dedup family to
+    # parity with the image arm (r12 verdict #4).  Distinct evidence
+    # from audio_energy_fingerprint (the per-clip fingerprint) and
+    # image_ahash_pairs (the image arm): the only AUDIO pairing, with
+    # gain-invariant exact dups AND spike near-dups both hashing:
+    "audio_fp_pairs",
+    # its transitive closure: connected components over the audio pair
+    # graph (the shared pointer-jumping operator; oracle closes the
+    # SAME pair CTEs with a recursive CTE).  Distinct evidence from
+    # audio_fp_pairs (pairs) and image_ahash_clusters (image CC): the
+    # only audio keep-one-per-cluster verdict:
+    "audio_fp_clusters",
+    # robots.txt Sitemap discovery: the crawl-seeding handshake's first
+    # hop (robots.txt NAMES the sitemaps; sitemap_url_extract reads
+    # them) — the directive is group-independent, so the fixture plants
+    # one inside a FOREIGN UA group that robots_rules_parse must skip
+    # and this query must read; same body fixture, two verified
+    # readings.  Distinct evidence from robots_rules_parse (group
+    # grammar): the only GROUP-INDEPENDENT directive extraction:
+    "robots_sitemap_urls",
+    # RFC 3986 §6.2.2 percent-encoding normalization: uppercase triplet
+    # hex + decode unreserved-only, malformed '%' verbatim — without it
+    # %2f/%2F/%7Euser/~user never join across frontier/fetch-log/href
+    # spellings.  Distinct evidence from url_canonical_dedup (scheme/
+    # host/tracking-param canonicalization, which deliberately leaves
+    # percent-encoding alone): the only OCTET-level URL equivalence:
+    "url_percent_normalize",
+    # crawler-trap detection: the Mercator-era frontier-hygiene battery
+    # (segment loops via array arithmetic, depth, length, hex session
+    # ids, calendar walks), one column per signal, is_trap = any —
+    # pure per-row projection, plan-pinned zero-exchange.  Distinct
+    # evidence from url_seen_bloom (membership) and robots gate
+    # (politeness): the only UNBOUNDED-FAMILY verdict:
+    "url_trap_detector",
+    # corpus-global keep-first line dedup (C4's actual "all but one
+    # occurrence" rule): completes the line-dedup coverage matrix —
+    # threshold-drop (line_dedup_c4 drops ALL copies), per-host
+    # (host_boilerplate_lines), within-doc (intra_doc_line_dedup), and
+    # now corpus-global keep-ONE, with the blank-line exemption hashed.
+    # The only operator keeping exactly one copy corpus-wide:
+    "global_line_keep_first",
+    # MinHash estimator-quality audit: signature-agreement estimate vs
+    # the EXACT shingle-set Jaccard it estimates (Broder 1997), per
+    # candidate pair, |error| — whether NUM_PERM is adequate is a
+    # question none of the dedup queries answer (ngram_jaccard_pairs
+    # verifies TOKEN Jaccard, deliberately finer).  The only query
+    # value-hashing the ESTIMATOR against its ground truth:
+    "minhash_jaccard_estimate",
+    # video scene-change detection over the REAL Y4M decode: exact
+    # int64 pixelwise luma diffs, integer cross-multiply cut verdict,
+    # scene-structured fixture with closed-form transition diffs.
+    # Distinct evidence from video_meta_y4m (header/mean stats) and
+    # video_frame_sample (index selection): the only INTER-FRAME
+    # analysis, completing the modality parity (audio fingerprint ↔
+    # image ahash ↔ video scene cuts):
+    "video_scene_cuts",
     # r13 rotation (r12 verdict #1 — promote the ten never-driver-hashed
     # r12 queries: intra_doc_line_dedup, c4_line_filters,
     # robots_disallow_gate, source_centroid_outliers, hashed_ngram_score,

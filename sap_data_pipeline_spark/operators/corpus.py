@@ -1183,6 +1183,53 @@ def apply_line_filters(df: DataFrame, *, text_col: str = "text",
     )
 
 
+def _robots_kv_lines(df: DataFrame, host_col: str,
+                     txt_col: str) -> DataFrame:
+    """robots.txt bodies → (host, idx, k, v) directive lines: lines
+    posexplode with their index, ``#`` comments and blank lines drop,
+    keys lowercase, keys and values trim.  Shared by
+    :func:`parse_robots_txt` (group-scoped directives) and
+    :func:`robots_sitemap_urls` (the group-independent Sitemap
+    directive)."""
+    lines = df.select(
+        F.col(host_col),
+        F.posexplode(F.split(F.col(txt_col), "\n", -1)).alias("idx", "raw"),
+    ).select(
+        host_col, "idx",
+        # strip comments + whitespace
+        F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    key = F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1)))
+    val = F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1))
+    return lines.select(host_col, "idx", key.alias("k"), val.alias("v"))
+
+
+def robots_sitemap_urls(df: DataFrame, *, host_col: str = "host",
+                        txt_col: str = "robots_txt") -> DataFrame:
+    """Extract ``Sitemap:`` directives from robots.txt bodies — the
+    crawl-seeding handshake's first hop (robots.txt NAMES the host's
+    sitemaps; :func:`sitemap_url_extract` then turns their XML into
+    frontier candidates).  Per the sitemaps protocol the directive is
+    GROUP-INDEPENDENT — valid anywhere in the file, any number of
+    times, regardless of which User-agent block surrounds it — so
+    extraction skips the UA-block machinery entirely:
+    :func:`parse_robots_txt` deliberately drops these lines and this
+    operator is the one that reads them.
+
+    Values are kept verbatim (absolute URLs per the protocol; a
+    malformed relative value passes through for the fetcher to
+    reject — degrade, never guess).  One row per DISTINCT (host, url):
+    a file listing the same sitemap twice seeds it once.  Hosts-sized
+    input, hosts-sized output — never corpus-sized.
+    """
+    kv = _robots_kv_lines(df, host_col, txt_col)
+    return (
+        kv.filter((F.col("k") == "sitemap") & (F.col("v") != ""))
+        .select(F.col(host_col), F.col("v").alias("sitemap_url"))
+        .distinct()
+    )
+
+
 def parse_robots_txt(df: DataFrame, *, host_col: str = "host",
                      txt_col: str = "robots_txt",
                      agent: str = "*") -> DataFrame:
@@ -1201,6 +1248,9 @@ def parse_robots_txt(df: DataFrame, *, host_col: str = "host",
     VALUES pass through verbatim — the §2.2.3 specials (``*``,
     trailing ``$``) are preserved in ``path_prefix`` and interpreted
     by :func:`robots_disallow_gate` via :func:`robots_rule_regex`.
+    ``Sitemap:`` lines are group-independent per the sitemaps protocol
+    and deliberately NOT parsed here — :func:`robots_sitemap_urls`
+    reads them.
 
     Fully relational — no per-file Python fold: lines posexplode with
     their index, a host-keyed window turns "UA line whose predecessor
@@ -1213,19 +1263,9 @@ def parse_robots_txt(df: DataFrame, *, host_col: str = "host",
     """
     from pyspark.sql.window import Window
 
-    lines = df.select(
-        F.col(host_col),
-        F.posexplode(F.split(F.col(txt_col), "\n", -1)).alias("idx", "raw"),
-    ).select(
-        host_col, "idx",
-        # strip comments + whitespace
-        F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line"),
-    ).filter(F.col("line") != "")
-    key = F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1)))
-    val = F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1))
-    typed = lines.select(
-        host_col, "idx", key.alias("k"), val.alias("v")
-    ).filter(key.isin("user-agent", "disallow", "allow", "crawl-delay"))
+    typed = _robots_kv_lines(df, host_col, txt_col).filter(
+        F.col("k").isin("user-agent", "disallow", "allow", "crawl-delay")
+    )
 
     w = Window.partitionBy(host_col).orderBy("idx")
     is_ua = F.col("k") == "user-agent"
@@ -1345,4 +1385,206 @@ def sitemap_url_extract(df: DataFrame, *, xml_col: str = "sitemap_xml",
             priority.alias("priority"),
         )
         .filter(F.col("url") != "")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawler-trap detection (frontier hygiene — public heuristics: Heydon
+# & Najork, "Mercator: A scalable, extensible Web crawler", WWW 1999
+# §4.2 describes the trap problem; the signals below are the standard
+# battery every production frontier applies before scheduling)
+# ---------------------------------------------------------------------------
+
+def url_trap_signals(frontier: DataFrame, *, url_col: str = "url",
+                     max_depth: int = 12,
+                     max_len: int = 512) -> DataFrame:
+    """Flag probable crawler traps in a frontier — URL families that
+    grow without bound (calendars that paginate forever, session ids
+    that make one page look like infinitely many, symlink loops that
+    repeat path segments) and would eat a host's politeness budget on
+    junk.  Signals, each its own output column so the dashboard can
+    attribute drops:
+
+    * ``seg_repeats`` / ``repeat_trap`` — path segments minus distinct
+      path segments; ≥ 2 (a segment occurring 3+ times, or two
+      segments twice each) is the loop signature (``/a/b/a/b/a``);
+    * ``too_deep`` — more than ``max_depth`` path segments;
+    * ``too_long`` — URL longer than ``max_len`` characters;
+    * ``session_id`` — a query value of 16+ hex chars (jsessionid /
+      PHPSESSID and friends, matched by VALUE not name — names vary);
+    * ``calendar`` — a ``/yyyy/mm`` (optionally ``/dd``) path walk,
+      the endless-archive signature.
+
+    ``is_trap`` = any signal.  Pure per-row projection (split +
+    array ops + RE2-safe regexes — no shuffle, no UDF): at 100 TB
+    frontier scale this is a scan-speed gate, and every expression has
+    an exact DuckDB twin.  Scheme-ful, protocol-relative, and bare
+    URLs all parse (the robots-gate host convention).
+    """
+    u = F.col(url_col)
+    stripped = F.regexp_replace(u, r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//", "")
+    path = F.regexp_replace(
+        F.concat(F.lit("/"), F.coalesce(
+            F.regexp_extract(stripped, r"^[^/]*/(.*)$", 1), F.lit("")
+        )),
+        r"[?#].*$", "",
+    )
+    segs = F.filter(F.split(path, "/", -1), lambda x: x != "")
+    seg_repeats = (F.size(segs) - F.size(F.array_distinct(segs)))
+    depth = F.size(segs)
+    too_deep = depth > max_depth
+    too_long = F.length(u) > max_len
+    session_id = u.rlike(r"[?&][A-Za-z0-9_.-]*=[0-9a-fA-F]{16,}")
+    calendar = path.rlike(r"/(19|20)[0-9]{2}/[0-9]{1,2}(/[0-9]{1,2})?(/|$)")
+    out = frontier.select(
+        u.alias("url"),
+        depth.cast("long").alias("depth"),
+        seg_repeats.cast("long").alias("seg_repeats"),
+        (seg_repeats >= 2).alias("repeat_trap"),
+        too_deep.alias("too_deep"),
+        too_long.alias("too_long"),
+        session_id.alias("session_id"),
+        calendar.alias("calendar"),
+    )
+    return out.withColumn(
+        "is_trap",
+        F.col("repeat_trap") | F.col("too_deep") | F.col("too_long")
+        | F.col("session_id") | F.col("calendar"),
+    )
+
+
+def global_line_keep_first(df: DataFrame, *, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           line_sep: str = "\n") -> DataFrame:
+    """Corpus-GLOBAL keep-first line dedup: every repeated line keeps
+    exactly its first occurrence (ordered by (doc, line index)) and
+    drops the rest — C4's actual dedup rule ("we discarded all but one
+    of any three-sentence span occurring more than once", Raffel et
+    al. 2020 §2.2, applied at line grain).  Completes the line-dedup
+    family's coverage matrix: :func:`dedup_lines` drops ALL
+    occurrences past a frequency threshold (loses the content
+    entirely), ``host_boilerplate_removal`` conditions on the host,
+    ``intra_doc_line_dedup`` never crosses a document — this is the
+    only operator that keeps exactly ONE copy corpus-wide.
+
+    Blank/whitespace lines are exempt (always kept): deduping them
+    would collapse every paragraph break in the corpus onto the first
+    document.
+
+    Returns one row per input document: (id, n_lines, n_kept,
+    n_dropped_dupes, cleaned_text), survivors re-joined in original
+    order.
+
+    Scale shape: posexplode lines → ONE line-keyed ``row_number``
+    window (the canonical corpus-frequency exchange; per-key state is
+    the rank counter only) → one doc-keyed groupBy reassembling via
+    ``sort_array(collect_list(struct(idx, line)))``.  Two exchanges,
+    both narrow; nothing driver-sized.
+    """
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep, -1))
+        .alias("idx", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(F.col(id_col), F.col("idx"))
+    ranked = lines.withColumn("_rk", F.row_number().over(w))
+    keep = (F.col("_rk") == 1) | (F.trim(F.col("line")) == "")
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.sum((~keep).cast("long")).alias("n_dropped_dupes"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("idx"), F.col("line")))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                line_sep,
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+def robots_disallow_gate_fold(frontier: DataFrame, rules: DataFrame, *,
+                              url_col: str = "url") -> DataFrame:
+    """Map-side variant of :func:`robots_disallow_gate` (the r12
+    verdict #5 A/B): rules aggregate into a per-host ARRAY, the
+    hosts-sized host→rules map broadcasts, and the best rule is picked
+    by a higher-order fold over the array — no per-URL candidate rows,
+    no rank window.  The one remaining exchange is the
+    ``dropDuplicates`` that preserves the gate's distinct-URL output
+    contract (the driver-hashed fixture contains duplicate frontier
+    URLs); on an already-deduplicated frontier (the usual case, after
+    ``url_seen_bloom``) that exchange carries verdict-sized rows, not
+    candidate-sized ones.
+
+    Semantics are identical to the window variant bit for bit: longest
+    rule wins, allow beats disallow, lexicographically smallest rule
+    breaks the remaining tie, no match ⇒ allowed, RFC 9309 wildcards
+    via the same :func:`robots_rule_regex` translation.
+    """
+    host = F.regexp_extract(
+        F.regexp_replace(F.col(url_col),
+                         r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//", ""),
+        r"^([^/]*)", 1,
+    )
+    path = F.concat(F.lit("/"), F.coalesce(F.regexp_extract(
+        F.regexp_replace(F.col(url_col),
+                         r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//", ""),
+        r"^[^/]*/(.*)$", 1,
+    ), F.lit("")))
+    parsed = frontier.select(
+        F.col(url_col), host.alias("host"), path.alias("path")
+    )
+    plain = (
+        ~F.col("path_prefix").contains("*")
+        & ~F.col("path_prefix").endswith("$")
+    )
+    per_host = (
+        rules.select(
+            "host",
+            F.struct(
+                F.col("path_prefix").alias("rule"),
+                F.col("allow").alias("allow"),
+                plain.alias("plain"),
+                robots_rule_regex(F.col("path_prefix")).alias("re"),
+            ).alias("_r"),
+        )
+        .groupBy("host")
+        .agg(F.collect_list("_r").alias("_rules"))
+    )
+    joined = parsed.join(F.broadcast(per_host), "host", "left")
+    p = F.col("path")
+    matched = F.filter(
+        F.coalesce(F.col("_rules"), F.array()),
+        lambda r: F.when(r["plain"], p.startswith(r["rule"]))
+                   .otherwise(F.regexp_like(p, r["re"])),
+    )
+    # best (len, allow): struct max — longest first, allow beats
+    # disallow (true > false); then the lexicographically smallest rule
+    # among the (len, allow) winners, matching the window's tie order.
+    mx = F.array_max(F.transform(
+        matched, lambda r: F.struct(F.length(r["rule"]).alias("len"),
+                                    r["allow"].alias("al"))
+    ))
+    best_rule = F.array_min(F.transform(
+        F.filter(matched,
+                 lambda r: (F.length(r["rule"]) == mx["len"])
+                 & (r["allow"] == mx["al"])),
+        lambda r: r["rule"],
+    ))
+    return (
+        joined.select(
+            url_col, "host", "path",
+            best_rule.alias("matched_prefix"),
+            F.coalesce(mx["al"], F.lit(True)).alias("allowed"),
+        )
+        .dropDuplicates([url_col])
     )

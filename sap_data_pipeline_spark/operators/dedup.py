@@ -1177,3 +1177,64 @@ def snapshot_admission(ref: DataFrame, cur: DataFrame, *,
         )
     )
     return grp.join(ref_fp, "fingerprint", "left_anti")
+
+
+def minhash_estimate_audit(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           num_perm: int = NUM_PERM,
+                           shingle_n: int = SHINGLE_N) -> DataFrame:
+    """MinHash estimator-quality audit: for every LSH candidate pair,
+    the signature-agreement ESTIMATE (matching permutations /
+    ``num_perm`` — the unbiased MinHash estimator of shingle-set
+    Jaccard, Broder 1997) next to the EXACT shingle-set Jaccard it
+    estimates, plus the absolute error.  This is the dashboard that
+    says whether ``num_perm`` is adequate for the corpus at hand —
+    dedup thresholds tuned on the estimate silently drift when the
+    permutation count is too small for the similarity band in play.
+
+    The estimate must compare against SHINGLE Jaccard (what MinHash
+    actually estimates), not token Jaccard — ``ngram_jaccard_pairs``'s
+    verify stage deliberately uses the finer token sets, which is
+    exactly why it cannot audit the estimator.
+
+    Scale shape: signatures and shingle sets are computed ONCE into a
+    doc-keyed feature frame; candidate pairs (already bucket-capped by
+    ``lsh_candidate_pairs``) join it twice on the id keys.  Returns
+    (id_a, id_b, est_jaccard, exact_jaccard, abs_err), all rounded to
+    6dp with the same op order as the DuckDB twin.
+    """
+    sig = minhash_signature(df, text_col, id_col, num_perm)
+    shing = df.select(
+        F.col(id_col),
+        F.array_distinct(X.word_ngrams(text_col, shingle_n)).alias("sh"),
+    )
+    feat = sig.join(shing, id_col)
+    cands = lsh_candidate_pairs(sig, id_col, num_perm)
+    a = feat.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(num_perm)],
+    )
+    b = feat.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(num_perm)],
+    )
+    matches = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int")
+        for s in range(num_perm)
+    )
+    est = F.round(matches.cast("double") / F.lit(float(num_perm)), 6)
+    exact = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        6,
+    )
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("est_jaccard", est)
+        .withColumn("exact_jaccard", exact)
+        .withColumn(
+            "abs_err",
+            F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6),
+        )
+        .select("id_a", "id_b", "est_jaccard", "exact_jaccard", "abs_err")
+    )

@@ -1819,3 +1819,221 @@ def synth_wav_media_varied(documents: DataFrame) -> DataFrame:
         T.StructField("payload", T.BinaryType(), True),
     ])
     return documents.select("doc_id").mapInPandas(run, schema=schema)
+
+
+def audio_fp_pairs(fps: DataFrame, *, max_hamming: int = 3,
+                   id_col: str = "media_id") -> DataFrame:
+    """Banded Hamming pairing over audio energy fingerprints — the
+    audio arm of the perceptual-dedup family, mirroring
+    :func:`ahash_near_dup_pairs` (the image arm): the 32 fingerprint
+    bits split into four 8-bit bands, candidates join on (band index,
+    band value), exact Hamming distance (``bit_count(xor)``) verifies.
+    Pigeonhole: distance ≤ 3 leaves at least one of 4 bands intact, so
+    recall is complete for the default radius.
+
+    Scale: the self-join shuffles narrow (id, band) rows keyed by band
+    value — never audio samples; candidate volume is Σ|bucket|²,
+    bounded by how many clips truly share an 8-bit band.  Output is
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``, each pair once;
+    NULL fingerprints (corrupt/non-WAV payloads) are excluded.
+    """
+    fp = F.col("fingerprint")
+    b = [
+        ((F.shiftright(fp, 24)) % 256).alias("b0"),
+        ((F.shiftright(fp, 16)) % 256).alias("b1"),
+        ((F.shiftright(fp, 8)) % 256).alias("b2"),
+        (fp % 256).alias("b3"),
+    ]
+    banded = (
+        fps.filter(fp.isNotNull())
+        .select(F.col(id_col), "fingerprint", *b)
+        .select(
+            F.col(id_col), "fingerprint",
+            F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+                "band_idx", "band_val"
+            ),
+        )
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("fingerprint").alias("fp_a"),
+        "band_idx", "band_val",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("fingerprint").alias("fp_b"),
+        "band_idx", "band_val",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias(
+        "hamming"
+    )
+    return (
+        cand.select("id_a", "id_b", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def synth_wav_media_templated(documents: DataFrame, *,
+                              n_templates: int = 40) -> DataFrame:
+    """Templated WAV fixture for the audio near-dup path (the
+    :func:`synth_bmp_media_templated` recipe, audio edition): clip
+    CONTENT is parameterized by template ``t = doc_id % n_templates``
+    — template peers are the SAME recording — plus a per-document
+    integer gain ``1 + doc_id % 3`` (energies scale by gain², so every
+    delta sign and therefore the whole fingerprint is provably
+    gain-invariant) and, for every fifth template copy
+    (``(doc_id // n_templates) % 5 == 0``), a +400 amplitude
+    spike in window 2 (perturbing at most the two delta bits touching
+    that window — a near-dup within the radius-3 pairing, not an exact
+    dup).  Sample ``i`` alternates ±gain·amp(i//64) where
+    ``amp(w) = 100 + ((t+1)·48271·(w+1)·(w+2)) % 900`` (the 48271
+    multiplier scrambles the contour so all 40 template fingerprints
+    are distinct and no cross-template pair sits within the radius —
+    chosen by measurement, see the fixture-design test) over
+    ``64·(24 + t%9)`` frames — window energies are exactly
+    ``64·gain²·amp²``, closed-form in (doc_id, w), so the DuckDB twin
+    recomputes every energy arithmetically while Spark decodes the
+    real bytes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                t = did % n_templates
+                gain = 1 + did % 3
+                # keyed on the template COPY index: n_templates and 5
+                # share a factor, so `did % 5` would make spike status
+                # a function of t alone and no within-template pair
+                # could ever be a near-(not exact-)dup
+                spike = 400 if (did // n_templates) % 5 == 0 else 0
+                n_w = 24 + t % 9
+                samples = []
+                for w_i in range(n_w):
+                    amp = 100 + ((t + 1) * 48271 * (w_i + 1) * (w_i + 2)) % 900
+                    if w_i == 2:
+                        amp += spike
+                    a = gain * amp
+                    samples.extend([a, -a] * (AUDIO_FP_WINDOW // 2))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+                ids.append(did)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    return documents.select("doc_id").mapInPandas(run, schema=schema)
+
+
+SCENE_CUT_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), True),
+    T.StructField("diff", T.LongType(), True),
+    T.StructField("is_cut", T.BooleanType(), True),
+])
+
+
+def video_scene_cuts(media: DataFrame, *,
+                     threshold_pct: int = 10) -> DataFrame:
+    """Scene-change detection over the REAL Y4M decode path — the
+    shot-boundary pass a video curation pipeline runs before frame
+    sampling (sampling within one static shot wastes the clip's
+    diversity; cuts delimit the shots).  The metric is the classic sum
+    of absolute pixelwise luma differences between consecutive frames,
+    in exact int64 arithmetic; a transition is a cut when
+    ``100·diff > threshold_pct · (w·h·255)`` — integer cross-multiply
+    against the maximum possible difference, no floats, so verdicts
+    are engine- and platform-exact.
+
+    One output row per frame TRANSITION: (media_id, frame_idx = f for
+    the f→f+1 transition, diff, is_cut).  Corrupt / non-Y4M payloads
+    degrade to a single all-NULL transition row (the per-row degrade
+    contract of the decoder family — the clip stays visible to the
+    audit instead of vanishing); single-frame clips emit none.
+    Arrow-batched ``mapInPandas``, one decode per payload.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in SCENE_CUT_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, _, _, frames = decode_y4m(payload)
+                except (NotImplementedError, ValueError):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(None)
+                    out["diff"].append(None)
+                    out["is_cut"].append(None)
+                    continue
+                denom = w * h * 255
+                for f in range(len(frames) - 1):
+                    a = frames[f].astype(np.int64)
+                    b = frames[f + 1].astype(np.int64)
+                    d = int(np.abs(b - a).sum())
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["diff"].append(d)
+                    out["is_cut"].append(100 * d > threshold_pct * denom)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=SCENE_CUT_SCHEMA)
+
+
+def synth_y4m_media_scenes(documents: DataFrame) -> DataFrame:
+    """Scene-structured Y4M fixture (the :func:`synth_y4m_media` recipe
+    with SHOT structure): ``2 + doc_id % 4`` scenes of ``2 + doc_id %
+    3`` frames each; scene ``s`` renders at luma level
+    ``L(s) = 20 + (doc_id·31 + s·97) % 160`` with the per-pixel texture
+    ``L + 3·row + col`` — texture offset ≤ 42 and L ≤ 179, so no pixel
+    ever wraps mod 256 and the pixelwise inter-frame difference is
+    EXACTLY ``w·h·|L(s+1) − L(s)|`` at scene boundaries and 0 inside a
+    scene — closed-form in doc_id, so the DuckDB twin recomputes every
+    transition arithmetically while Spark decodes the real bytes.
+    Consecutive-scene level deltas are 97 or 63 (mod-160 step), both
+    far above any sane threshold, so cut/no-cut both hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + 2 * (did % 5), 6 + 2 * (did % 3)
+                scene_len = 2 + did % 3
+                n_scenes = 2 + did % 4
+                parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()]
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                for f in range(scene_len * n_scenes):
+                    lvl = 20 + (did * 31 + (f // scene_len) * 97) % 160
+                    luma = (lvl + 3 * r + c).astype(np.uint8)
+                    chroma = np.full(w * h // 2, 128, dtype=np.uint8)
+                    parts.append(b"FRAME\n" + luma.tobytes() + chroma.tobytes())
+                ids.append(did)
+                payloads.append(b"".join(parts))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    return documents.select("doc_id").mapInPandas(run, schema=schema)

@@ -6542,6 +6542,342 @@ def url_canonical_dedup_q(star: Star) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Percent-encoding normalization (functions.text.percent_normalize_url
+# — RFC 3986 §6.2.2, public spec): %2f and %2F are the SAME octet and
+# %7Euser the same path as ~user, but string equality sees different
+# URLs — so crawl dedup, frontier joins, and the recrawl ledger all
+# silently miss without this step.  Uppercase every triplet's hex
+# (§6.2.2.1), decode triplets encoding UNRESERVED chars (ALPHA/DIGIT/
+# -._~ — decoding anything else would CHANGE the URL, §6.2.2.2),
+# malformed '%' runs verbatim.  Sentinel-split single pass (the
+# xml_unescape construction); the fixture cycles lowercase-hex,
+# unreserved-decode, already-normal, truncated-%, and reserved-stays
+# variants.
+# ---------------------------------------------------------------------------
+
+def _pct_norm_sql(x: str) -> str:
+    """DuckDB twin of functions.text.percent_normalize_url — the same
+    sentinel-split single-pass normalization."""
+    hx = f"regexp_extract(p, '^%([0-9a-fA-F]{{2}})', 1)"
+    code = f"TRY_CAST('0x' || {hx} AS INT)"
+    rest = "regexp_replace(p, '^%[0-9a-fA-F]{2}', '')"
+    return f"""array_to_string(list_transform(
+      string_split(replace({x}, '%', chr(1) || '%'), chr(1)),
+      p -> CASE
+        WHEN NOT regexp_matches(p, '^%[0-9a-fA-F]{{2}}') THEN p
+        WHEN ({code} BETWEEN 48 AND 57) OR ({code} BETWEEN 65 AND 90)
+             OR ({code} BETWEEN 97 AND 122) OR {code} IN (45, 46, 95, 126)
+             THEN chr({code}) || {rest}
+        ELSE '%' || upper({hx}) || {rest} END), '')"""
+
+_PCT_URL_SQL = """
+    CASE doc_id % 5
+      WHEN 0 THEN 'https://h' || CAST(doc_id % 30 AS VARCHAR)
+                  || '/a%2fb/c?q=%41%7e'
+      WHEN 1 THEN 'https://h' || CAST(doc_id % 30 AS VARCHAR) || '/plain/p'
+      WHEN 2 THEN 'https://h' || CAST(doc_id % 30 AS VARCHAR)
+                  || '/%7euser/%2E%2e/x'
+      WHEN 3 THEN 'https://h' || CAST(doc_id % 30 AS VARCHAR)
+                  || '/bad%4%zzq'
+      ELSE 'https://h' || CAST(doc_id % 30 AS VARCHAR) || '/mix%2F%2f%20z'
+    END
+"""
+
+@register(
+    "url_percent_normalize",
+    f"""
+    WITH raw AS (SELECT {_PCT_URL_SQL} AS url FROM documents),
+    n AS (
+        SELECT url, {_pct_norm_sql('url')} AS norm_url,
+               CAST(len(regexp_extract_all(url, '%[0-9a-fA-F][0-9a-fA-F]'))
+                    AS BIGINT) AS n_triplets
+        FROM raw
+    )
+    SELECT url, norm_url, norm_url <> url AS changed, n_triplets
+    FROM n
+    """,
+)
+def url_percent_normalize_q(star: Star) -> DataFrame:
+    d = F.col("doc_id")
+    h = F.pmod(d, F.lit(30)).cast("string")
+    url = (
+        F.when(F.pmod(d, F.lit(5)) == 0,
+               F.concat(F.lit("https://h"), h, F.lit("/a%2fb/c?q=%41%7e")))
+        .when(F.pmod(d, F.lit(5)) == 1,
+              F.concat(F.lit("https://h"), h, F.lit("/plain/p")))
+        .when(F.pmod(d, F.lit(5)) == 2,
+              F.concat(F.lit("https://h"), h, F.lit("/%7euser/%2E%2e/x")))
+        .when(F.pmod(d, F.lit(5)) == 3,
+              F.concat(F.lit("https://h"), h, F.lit("/bad%4%zzq")))
+        .otherwise(F.concat(F.lit("https://h"), h, F.lit("/mix%2F%2f%20z")))
+    )
+    u = star.documents.select(url.alias("url"))
+    norm = X.percent_normalize_url(F.col("url"))
+    return u.select(
+        "url", norm.alias("norm_url"),
+        (norm != F.col("url")).alias("changed"),
+        F.size(F.regexp_extract_all(
+            F.col("url"), F.lit("%[0-9a-fA-F][0-9a-fA-F]"), F.lit(0)
+        )).cast("long").alias("n_triplets"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-quality audit (operators.dedup.
+# minhash_estimate_audit — Broder 1997): signature-agreement estimate
+# vs the EXACT shingle-set Jaccard it estimates, per candidate pair,
+# with |error|.  The dashboard that says whether NUM_PERM is adequate:
+# dedup thresholds tuned on the estimate drift silently when the
+# permutation count is too small for the similarity band in play.
+# Distinct from ngram_jaccard_pairs, whose verify stage deliberately
+# scores the finer TOKEN sets and therefore cannot audit the
+# estimator.  Reuses _CAND_CTE verbatim (sig + cands).
+# ---------------------------------------------------------------------------
+
+_MJE_MATCHES = " + ".join(
+    f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END"
+    for s in range(D.NUM_PERM)
+)
+
+@register(
+    "minhash_jaccard_estimate",
+    f"""
+    WITH {_CAND_CTE},
+    shingsets AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - {D.SHINGLE_N - 1}, 0)),
+                   i -> {_SHINGLE_CONCAT})) AS sh
+        FROM doctoklists
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               round(({_MJE_MATCHES}) / {D.NUM_PERM}.0, 6) AS est_jaccard,
+               round(CAST(len(list_intersect(ha.sh, hb.sh)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(ha.sh, hb.sh)))
+                            AS DOUBLE), 6) AS exact_jaccard
+        FROM cands c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+        JOIN shingsets ha ON ha.doc_id = c.id_a
+        JOIN shingsets hb ON hb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, est_jaccard, exact_jaccard,
+           round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+    FROM scored
+    """,
+)
+def minhash_jaccard_estimate_q(star: Star) -> DataFrame:
+    return D.minhash_estimate_audit(star.documents)
+
+
+# ---------------------------------------------------------------------------
+# Video scene-change detection (operators.multimodal.video_scene_cuts):
+# shot boundaries via the classic sum-of-absolute-pixelwise-luma-diff
+# between consecutive frames, exact int64, integer cross-multiply
+# verdict — the pass a video pipeline runs before frame sampling so
+# samples spread across SHOTS, not within one static shot.  The
+# scene-structured fixture keeps every pixel below the mod-256 wrap,
+# so each transition's diff is exactly w·h·|ΔL| — closed-form in
+# (doc_id, f) — and the oracle recomputes every transition
+# arithmetically while Spark decodes the REAL Y4M bytes.
+# ---------------------------------------------------------------------------
+
+@register(
+    "video_scene_cuts",
+    f"""
+    WITH vparams AS (
+        SELECT doc_id,
+               8 + 2 * (doc_id % 5) AS w, 6 + 2 * (doc_id % 3) AS h,
+               2 + doc_id % 3 AS slen, 2 + doc_id % 4 AS nsc
+        FROM documents
+    ),
+    vtrans AS (
+        SELECT doc_id, w, h, f,
+               20 + (doc_id * 31 + (f // slen) * 97) % 160 AS l1,
+               20 + (doc_id * 31 + ((f + 1) // slen) * 97) % 160 AS l2
+        FROM vparams, generate_series(0, 30) g(f)
+        WHERE f < slen * nsc - 1
+    )
+    SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+           CAST(w * h * abs(l2 - l1) AS BIGINT) AS diff,
+           100 * w * h * abs(l2 - l1) > 10 * w * h * 255 AS is_cut
+    FROM vtrans
+    """,
+)
+def video_scene_cuts_q(star: Star) -> DataFrame:
+    return MM.video_scene_cuts(
+        MM.synth_y4m_media_scenes(star.documents), threshold_pct=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-global keep-first line dedup (operators.corpus.
+# global_line_keep_first — C4's actual rule: all but ONE occurrence of
+# a repeated line drop; Raffel et al. 2020 §2.2 at line grain).
+# Completes the line-dedup coverage matrix: threshold-drop
+# (line_dedup_c4 drops ALL occurrences), per-host conditioning
+# (host_boilerplate_lines), within-doc (intra_doc_line_dedup), and now
+# corpus-global keep-ONE.  The fixture interleaves cross-doc shared
+# lines (content keyed (doc_id + i·17) % 23, so each shared line's
+# first occurrence is a specific (doc, idx) both engines must agree
+# on) with per-doc unique lines; blank-line exemption exercised.
+# ---------------------------------------------------------------------------
+
+_GLKF_LINE_SQL = (
+    "CASE WHEN i % 4 = 3 THEN '' "
+    "     WHEN i % 2 = 0 THEN 'shared line ' "
+    "          || CAST((doc_id + i * 17) % 23 AS VARCHAR) "
+    "     ELSE 'unique ' || CAST(doc_id AS VARCHAR) || '-' "
+    "          || CAST(i AS VARCHAR) END"
+)
+
+@register(
+    "global_line_keep_first",
+    f"""
+    WITH built AS (
+        SELECT doc_id, i AS idx, {_GLKF_LINE_SQL} AS line
+        FROM documents, generate_series(0, 8) g(i)
+        WHERE i <= 3 + doc_id % 5
+    ),
+    ranked AS (
+        SELECT doc_id, idx, line,
+               ROW_NUMBER() OVER (PARTITION BY line
+                                  ORDER BY doc_id, idx) AS rk
+        FROM built
+    ),
+    flagged AS (
+        SELECT doc_id, idx, line,
+               rk = 1 OR trim(line) = '' AS keep
+        FROM ranked
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped_dupes,
+           COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY idx), '') AS cleaned_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def global_line_keep_first_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import global_line_keep_first
+
+    d = F.col("doc_id")
+    line = lambda i: (  # noqa: E731
+        F.when(i % 4 == 3, F.lit(""))
+        .when(i % 2 == 0,
+              F.concat(F.lit("shared line "),
+                       F.pmod(d + i * 17, F.lit(23)).cast("string")))
+        .otherwise(F.concat(F.lit("unique "), d.cast("string"),
+                            F.lit("-"), i.cast("string")))
+    )
+    text = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(F.lit(0), (F.lit(3) + F.pmod(d, F.lit(5))).cast("int")),
+            line,
+        ),
+    )
+    return global_line_keep_first(
+        star.documents.select("doc_id", text.alias("text"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawler-trap detection (operators.corpus.url_trap_signals — the
+# Mercator-era frontier-hygiene battery): calendars that paginate
+# forever, session ids that make one page look like many, symlink
+# loops that repeat path segments — each signal its own column so the
+# dashboard can attribute drops, is_trap = any.  Pure per-row split +
+# array ops + RE2-safe regexes; the fixture cycles one URL shape per
+# signal plus a clean control.
+# ---------------------------------------------------------------------------
+
+_TRAP_URL_SQL = """
+    CASE doc_id % 6
+      WHEN 0 THEN 'https://h' || CAST(doc_id % 30 AS VARCHAR) || '/a/b/a/b/a'
+      WHEN 1 THEN 'https://h' || CAST(doc_id % 30 AS VARCHAR) || '/p/q'
+      WHEN 2 THEN 'https://h' || CAST(doc_id % 30 AS VARCHAR)
+                  || '/d0/d1/d2/d3/d4/d5/d6/d7/d8/d9/d10/d11/d12'
+      WHEN 3 THEN 'https://h' || CAST(doc_id % 30 AS VARCHAR)
+                  || '/page?sid=0123456789abcde' || CAST(doc_id % 10 AS VARCHAR)
+      WHEN 4 THEN 'https://h' || CAST(doc_id % 30 AS VARCHAR)
+                  || '/blog/2024/' || CAST(1 + doc_id % 12 AS VARCHAR)
+                  || '/15/post'
+      ELSE 'https://h' || CAST(doc_id % 30 AS VARCHAR) || '/'
+           || repeat('x', 520)
+    END
+"""
+
+@register(
+    "url_trap_detector",
+    f"""
+    WITH raw AS (SELECT {_TRAP_URL_SQL} AS url FROM documents),
+    parsed AS (
+        SELECT url,
+               regexp_replace(
+                   '/' || COALESCE(regexp_extract(
+                       regexp_replace(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*:)?//', ''),
+                       '^[^/]*/(.*)$', 1), ''),
+                   '[?#].*$', '') AS path
+        FROM raw
+    ),
+    segged AS (
+        SELECT url, path,
+               list_filter(string_split(path, '/'), x -> x <> '') AS segs
+        FROM parsed
+    ),
+    sig AS (
+        SELECT url,
+               CAST(len(segs) AS BIGINT) AS depth,
+               CAST(len(segs) - len(list_distinct(segs)) AS BIGINT)
+                   AS seg_repeats,
+               len(segs) - len(list_distinct(segs)) >= 2 AS repeat_trap,
+               len(segs) > 12 AS too_deep,
+               length(url) > 512 AS too_long,
+               regexp_matches(url,
+                   '[?&][A-Za-z0-9_.-]*=[0-9a-fA-F]{{16,}}') AS session_id,
+               regexp_matches(path,
+                   '/(19|20)[0-9]{{2}}/[0-9]{{1,2}}(/[0-9]{{1,2}})?(/|$)')
+                   AS calendar
+        FROM segged
+    )
+    SELECT url, depth, seg_repeats, repeat_trap, too_deep, too_long,
+           session_id, calendar,
+           repeat_trap OR too_deep OR too_long OR session_id OR calendar
+               AS is_trap
+    FROM sig
+    """,
+)
+def url_trap_detector_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import url_trap_signals
+
+    d = F.col("doc_id")
+    h = F.pmod(d, F.lit(30)).cast("string")
+    url = (
+        F.when(F.pmod(d, F.lit(6)) == 0,
+               F.concat(F.lit("https://h"), h, F.lit("/a/b/a/b/a")))
+        .when(F.pmod(d, F.lit(6)) == 1,
+              F.concat(F.lit("https://h"), h, F.lit("/p/q")))
+        .when(F.pmod(d, F.lit(6)) == 2,
+              F.concat(F.lit("https://h"), h,
+                       F.lit("/d0/d1/d2/d3/d4/d5/d6/d7/d8/d9/d10/d11/d12")))
+        .when(F.pmod(d, F.lit(6)) == 3,
+              F.concat(F.lit("https://h"), h, F.lit("/page?sid=0123456789abcde"),
+                       F.pmod(d, F.lit(10)).cast("string")))
+        .when(F.pmod(d, F.lit(6)) == 4,
+              F.concat(F.lit("https://h"), h, F.lit("/blog/2024/"),
+                       (F.lit(1) + F.pmod(d, F.lit(12))).cast("string"),
+                       F.lit("/15/post")))
+        .otherwise(F.concat(F.lit("https://h"), h, F.lit("/"),
+                            F.repeat(F.lit("x"), 520)))
+    )
+    return url_trap_signals(star.documents.select(url.alias("url")))
+
+
+# ---------------------------------------------------------------------------
 # Image near-dup CLUSTERS: the aHash pair graph closed transitively —
 # perceptual dups chain exactly like text near-dups (A~B~C with A≁C),
 # so keep-one-per-cluster needs components, not pairs.  Reuses the
@@ -7798,9 +8134,51 @@ def crawl_schedule_delay_capped_q(star: Star) -> DataFrame:
 # case-insensitive keys, and Crawl-delay on a subset of hosts.
 # ---------------------------------------------------------------------------
 
+def _rp_files(star: Star) -> DataFrame:
+    """The shared robots.txt body fixture (Spark side of _RP_BODY_SQL):
+    one robots.txt corpus, two verified readings — robots_rules_parse
+    (group-scoped directives) and robots_sitemap_urls (the
+    group-independent Sitemap lines the parser must skip)."""
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    p = F.pmod(d, F.lit(5)).cast("string")
+    body = F.concat(
+        F.lit("User-agent: googlebot"), nl,
+        F.lit("Disallow: /google-only"), nl,
+        # group-independent Sitemap line INSIDE a foreign group: the
+        # rules parser must skip it; robots_sitemap_urls must read it
+        F.lit("Sitemap: https://h"), d.cast("string"),
+        F.lit("/sitemap.xml"), nl,
+        F.lit("User-agent: *"), nl,
+        F.when(F.pmod(d, F.lit(3)) == 0,
+               F.concat(F.lit("User-agent: testbot"), nl)).otherwise(F.lit("")),
+        F.lit("Disallow: /p"), p, F.lit("   # rule"), nl,
+        F.when(F.pmod(d, F.lit(2)) == 0,
+               F.concat(F.lit("Allow: /p"), p, F.lit("/pub"), nl))
+        .otherwise(F.lit("")),
+        F.when(F.pmod(d, F.lit(4)) == 0,
+               F.concat(F.lit("Crawl-delay: "),
+                        (F.lit(1) + F.pmod(d, F.lit(5))).cast("string"), nl))
+        .otherwise(F.lit("")),
+        F.lit("Disallow:"),
+        F.when(F.pmod(d, F.lit(2)) == 0,  # duplicate listing: dedups
+               F.concat(nl, F.lit("Sitemap: https://h"), d.cast("string"),
+                        F.lit("/sitemap.xml"))).otherwise(F.lit("")),
+        F.when(F.pmod(d, F.lit(3)) == 0,  # case-insensitive key
+               F.concat(nl, F.lit("SITEMAP: https://h"), d.cast("string"),
+                        F.lit("/s2.xml"))).otherwise(F.lit("")),
+    )
+    return star.documents.filter(d < 40).select(
+        F.concat(F.lit("h"), d.cast("string")).alias("host"),
+        body.alias("robots_txt"),
+    )
+
+
 _RP_BODY_SQL = """
            'User-agent: googlebot' || chr(10) ||
            'Disallow: /google-only' || chr(10) ||
+           'Sitemap: https://h' || CAST(doc_id AS VARCHAR)
+               || '/sitemap.xml' || chr(10) ||
            'User-agent: *' || chr(10) ||
            CASE WHEN doc_id % 3 = 0
                 THEN 'User-agent: testbot' || chr(10) ELSE '' END ||
@@ -7812,7 +8190,13 @@ _RP_BODY_SQL = """
            CASE WHEN doc_id % 4 = 0
                 THEN 'Crawl-delay: ' || CAST(1 + doc_id % 5 AS VARCHAR)
                      || chr(10) ELSE '' END ||
-           'Disallow:'
+           'Disallow:' ||
+           CASE WHEN doc_id % 2 = 0
+                THEN chr(10) || 'Sitemap: https://h' || CAST(doc_id AS VARCHAR)
+                     || '/sitemap.xml' ELSE '' END ||
+           CASE WHEN doc_id % 3 = 0
+                THEN chr(10) || 'SITEMAP: https://h' || CAST(doc_id AS VARCHAR)
+                     || '/s2.xml' ELSE '' END
 """
 
 @register(
@@ -7886,29 +8270,7 @@ _RP_BODY_SQL = """
 def robots_rules_parse_q(star: Star) -> DataFrame:
     from sap_data_pipeline_spark.operators.corpus import parse_robots_txt
 
-    d = F.col("doc_id")
-    nl = F.lit("\n")
-    p = F.pmod(d, F.lit(5)).cast("string")
-    body = F.concat(
-        F.lit("User-agent: googlebot"), nl,
-        F.lit("Disallow: /google-only"), nl,
-        F.lit("User-agent: *"), nl,
-        F.when(F.pmod(d, F.lit(3)) == 0,
-               F.concat(F.lit("User-agent: testbot"), nl)).otherwise(F.lit("")),
-        F.lit("Disallow: /p"), p, F.lit("   # rule"), nl,
-        F.when(F.pmod(d, F.lit(2)) == 0,
-               F.concat(F.lit("Allow: /p"), p, F.lit("/pub"), nl))
-        .otherwise(F.lit("")),
-        F.when(F.pmod(d, F.lit(4)) == 0,
-               F.concat(F.lit("Crawl-delay: "),
-                        (F.lit(1) + F.pmod(d, F.lit(5))).cast("string"), nl))
-        .otherwise(F.lit("")),
-        F.lit("Disallow:"),
-    )
-    files = star.documents.filter(d < 40).select(
-        F.concat(F.lit("h"), d.cast("string")).alias("host"),
-        body.alias("robots_txt"),
-    )
+    files = _rp_files(star)
     # sentinel-encoded hash projection (see the oracle comment): the
     # operator's NULL-based API is exercised verbatim by the unit tests
     return parse_robots_txt(files).select(
@@ -7917,6 +8279,49 @@ def robots_rules_parse_q(star: Star) -> DataFrame:
         F.coalesce(F.col("allow").cast("int"), F.lit(-1)).alias("allow_i"),
         F.coalesce("crawl_delay_sec", F.lit(-1)).alias("crawl_delay_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt Sitemap discovery (operators.corpus.robots_sitemap_urls):
+# the crawl-seeding handshake's FIRST hop — robots.txt names the
+# host's sitemaps, sitemap_url_extract then reads them.  The directive
+# is group-independent per the sitemaps protocol, so the fixture
+# plants one INSIDE the googlebot group (the rules parser must skip
+# it; this operator must read it), a duplicate listing (dedups), and
+# an upper-case SITEMAP: key (case-insensitive).  Same body fixture as
+# robots_rules_parse: one robots.txt corpus, two verified readings.
+# ---------------------------------------------------------------------------
+
+@register(
+    "robots_sitemap_urls",
+    f"""
+    WITH files AS (
+        SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+               {_RP_BODY_SQL} AS txt
+        FROM documents WHERE doc_id < 40
+    ),
+    rawlines AS (
+        SELECT host,
+               trim(regexp_replace(string_split(txt, chr(10))[i],
+                                   '#.*$', '')) AS line
+        FROM files, generate_series(1, 16) g(i)
+        WHERE i <= len(string_split(txt, chr(10)))
+    ),
+    kv AS (
+        SELECT host,
+               lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS k,
+               trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS v
+        FROM rawlines WHERE line <> ''
+    )
+    SELECT DISTINCT host, v AS sitemap_url
+    FROM kv WHERE k = 'sitemap' AND v <> ''
+    """,
+)
+def robots_sitemap_urls_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import robots_sitemap_urls
+
+    files = _rp_files(star)
+    return robots_sitemap_urls(files)
 
 
 # ---------------------------------------------------------------------------
@@ -8120,4 +8525,134 @@ def sitemap_url_extract_q(star: Star) -> DataFrame:
 def audio_energy_fingerprint_q(star: Star) -> DataFrame:
     return MM.audio_energy_fingerprint(
         MM.synth_wav_media_varied(star.documents)
+    )
+
+
+# ===========================================================================
+# r13 additions
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Audio near-dup PAIRS + CLUSTERS (operators.multimodal.audio_fp_pairs
+# + the shared connected-components closure): the audio arm of the
+# perceptual-dedup family completed to parity with the image arm
+# (image_ahash_pairs / image_ahash_clusters) — r12 verdict #4.  The
+# templated fixture makes template peers the SAME recording under
+# different integer gains (fingerprint provably gain-invariant) and
+# every fifth template COPY a near-dup (a +400 spike in window 2 perturbs
+# at most the two delta bits touching it); window energies are exactly
+# 64·gain²·amp², closed-form in (doc_id, w), so the oracle recomputes
+# every energy arithmetically while Spark decodes the REAL WAV bytes.
+# ---------------------------------------------------------------------------
+
+_AFP_TEMPLATES, _AFP_RADIUS = 40, 3
+
+# Used by both audio_fp_pairs (the pair list) and audio_fp_clusters
+# (its transitive closure) — the _AH_CTES convention, audio edition.
+_AFP_CTES = f"""
+    aparams AS (
+        SELECT doc_id, doc_id % {_AFP_TEMPLATES} AS t,
+               1 + doc_id % 3 AS g,
+               CASE WHEN (doc_id // {_AFP_TEMPLATES}) % 5 = 0
+                    THEN 400 ELSE 0 END AS spike,
+               24 + (doc_id % {_AFP_TEMPLATES}) % 9 AS n_w
+        FROM documents
+    ),
+    awin AS (
+        SELECT doc_id, w,
+               64 * g * g
+                  * (100 + ((t + 1) * 48271 * (w + 1) * (w + 2)) % 900
+                     + CASE WHEN w = 2 THEN spike ELSE 0 END)
+                  * (100 + ((t + 1) * 48271 * (w + 1) * (w + 2)) % 900
+                     + CASE WHEN w = 2 THEN spike ELSE 0 END) AS e
+        FROM aparams, generate_series(0, 32) gs(w)
+        WHERE w < n_w
+    ),
+    adeltas AS (
+        SELECT doc_id, w, e,
+               LEAD(e) OVER (PARTITION BY doc_id ORDER BY w) AS nxt
+        FROM awin
+    ),
+    afp AS (
+        SELECT doc_id,
+               CAST(COALESCE(SUM(CASE WHEN nxt IS NOT NULL
+                                       AND w < {MM.AUDIO_FP_MAX_BITS}
+                                       AND nxt > e
+                                  THEN (CAST(1 AS BIGINT) << w)
+                                  ELSE 0 END), 0) AS BIGINT) AS fp
+        FROM adeltas GROUP BY doc_id
+    ),
+    afbands AS (
+        SELECT doc_id, fp, 0 AS band_idx, (fp // 16777216) % 256 AS band_val
+        FROM afp
+        UNION ALL SELECT doc_id, fp, 1, (fp // 65536) % 256 FROM afp
+        UNION ALL SELECT doc_id, fp, 2, (fp // 256) % 256 FROM afp
+        UNION ALL SELECT doc_id, fp, 3, fp % 256 FROM afp
+    ),
+    afcand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+               l.fp AS fp_a, r.fp AS fp_b
+        FROM afbands l JOIN afbands r
+          ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         AND l.doc_id < r.doc_id
+    ),
+    afpairs AS (
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+        FROM afcand
+        WHERE bit_count(xor(fp_a, fp_b)) <= {_AFP_RADIUS}
+    )
+"""
+
+@register(
+    "audio_fp_pairs",
+    f"""
+    WITH {_AFP_CTES}
+    SELECT id_a, id_b, hamming FROM afpairs
+    """,
+)
+def audio_fp_pairs_q(star: Star) -> DataFrame:
+    fps = MM.audio_energy_fingerprint(
+        MM.synth_wav_media_templated(star.documents,
+                                     n_templates=_AFP_TEMPLATES)
+    )
+    return MM.audio_fp_pairs(fps, max_hamming=_AFP_RADIUS).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@register(
+    "audio_fp_clusters",
+    f"""
+    WITH RECURSIVE {_AFP_CTES},
+    aedges AS (
+        SELECT id_a AS src, id_b AS dst FROM afpairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM afpairs
+    ),
+    areach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.dst FROM aedges e JOIN areach r ON r.src = e.dst
+    ),
+    acomp AS (
+        SELECT src AS media_id, MIN(dst) AS cluster_id FROM areach GROUP BY src
+    ),
+    acsizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM acomp GROUP BY cluster_id
+    )
+    SELECT c.media_id, c.cluster_id, s.cluster_size,
+           c.media_id = c.cluster_id AS is_canonical
+    FROM acomp c JOIN acsizes s USING (cluster_id)
+    """,
+)
+def audio_fp_clusters_q(star: Star) -> DataFrame:
+    fps = MM.audio_energy_fingerprint(
+        MM.synth_wav_media_templated(star.documents,
+                                     n_templates=_AFP_TEMPLATES)
+    )
+    pairs = MM.audio_fp_pairs(fps, max_hamming=_AFP_RADIUS)
+    return D.near_dup_clusters(
+        fps.select("media_id"), id_col="media_id", pairs=pairs
     )
