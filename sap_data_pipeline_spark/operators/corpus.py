@@ -940,6 +940,17 @@ def intra_doc_line_dedup(df: DataFrame, *, text_col: str = "text",
     expressed as an index-sequence filter so the DuckDB oracle replays
     it verbatim with ``generate_series``/``list_position``.
 
+    The ``array_position`` scan is O(L²) comparisons per document, and
+    that is the MEASURED-fastest shape (r13 A/B, SCALE.md): the O(L)
+    map-accumulator fold (``aggregate`` with a seen-lines map,
+    ``map_concat`` per insert) ran **4–10× slower at every L tested
+    and the gap grows with L** (L=2000: 7.8 s vs 0.74 s for 500 docs)
+    — map_concat rebuilds the accumulator map per insert, so the
+    "O(L)" fold is itself quadratic in copies with far larger
+    constants than this codegen'd tight scan.  Per-doc cost here at
+    L=2000 is ~1.5 ms; a pathological 50k-line doc extrapolates to
+    ~1 s, acceptable for a per-row tail case.
+
     Returns (id, n_lines, n_kept, n_dupes_removed, chars_removed,
     clean_text) — chars_removed counts the trimmed characters of the
     dropped duplicate lines (newline bookkeeping excluded, same
@@ -1529,6 +1540,16 @@ def robots_disallow_gate_fold(frontier: DataFrame, rules: DataFrame, *,
     rule wins, allow beats disallow, lexicographically smallest rule
     breaks the remaining tie, no match ⇒ allowed, RFC 9309 wildcards
     via the same :func:`robots_rule_regex` translation.
+
+    A/B VERDICT (r13, kept as the losing variant): at 20× frontier
+    (2M URLs, 500 hosts × 9 rules incl. wildcards) this fold measured
+    **9.3–9.6 s vs the window plan's 4.8–5.0 s** — ~1.9× SLOWER, three
+    interleaved same-session runs each (SCALE.md r13).  The fold
+    re-runs every host rule's regex per URL map-side, while the window
+    plan's WindowGroupLimit already bounds the rank exchange to ~1 row
+    per URL per map partition — the exchange this variant removes was
+    never the bottleneck.  :func:`robots_disallow_gate` stays
+    production.
     """
     host = F.regexp_extract(
         F.regexp_replace(F.col(url_col),
