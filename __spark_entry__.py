@@ -203,6 +203,56 @@ _TAIL = (
     # analysis, completing the modality parity (audio fingerprint ↔
     # image ahash ↔ video scene cuts):
     "video_scene_cuts",
+    # video luma-contour fingerprint over the REAL Y4M decode: exact
+    # int64 per-frame luma sums → sign-of-delta bits, provably
+    # brightness-invariant (uniform +b shifts every frame sum by w·h·b).
+    # Distinct evidence from video_scene_cuts (inter-frame DIFFS with a
+    # threshold verdict) and audio_energy_fingerprint (the audio
+    # contour): the only per-CLIP video dedup key:
+    "video_luma_fingerprint",
+    # banded Hamming pairing over the video fingerprint (4×8-bit bands,
+    # pigeonhole-complete at radius 3) — the video arm of the
+    # perceptual-dedup family, completing the image/audio/video triad.
+    # Distinct evidence from audio_fp_pairs (same plan, AUDIO bits):
+    # brightness-invariant exact dups AND frame-2 spike near-dups both
+    # hashing over REAL decoded Y4M bytes:
+    "video_fp_pairs",
+    # its transitive closure: connected components over the video pair
+    # graph (shared pointer-jumping operator; oracle closes the SAME
+    # pair CTEs with a recursive CTE) — the only video
+    # keep-one-per-cluster verdict:
+    "video_fp_clusters",
+    # sitemap INDEX extraction: <sitemapindex> → child-sitemap refs —
+    # the missing hop in the seeding handshake (robots Sitemap: lines
+    # name INDEX files on large sites; sitemap_url_extract reads the
+    # children).  Distinct evidence from sitemap_url_extract (<urlset>
+    # entries): the only INDEX-level reader, with a <url> block the
+    # <sitemap>-block regex must skip and CDATA/entity locs hashed:
+    "sitemap_index_extract",
+    # RFC 9111 freshness ladder + RFC 9110 validator precedence: parse
+    # REAL IMF-fixdate headers, compute lifetime (no-store/no-cache →
+    # max-age → Expires−Date clamped → 10% heuristic capped) and plan
+    # fresh / if-none-match / if-modified-since / unconditional.
+    # Distinct evidence from url_change_rate (content-hash cadence) and
+    # crawl_schedule (politeness quota): the only CACHING-header
+    # operator — turns recrawl full fetches into 304s:
+    "http_revalidation_plan",
+    # WHATWG charset sniff over REAL bytes: BOM (utf-32le beats the
+    # utf-16le BOM it contains) → meta prescan (1024-byte window,
+    # charset= outside a meta never matches) → ascii/windows-1252
+    # default.  Distinct evidence from media_sniff_dispatch (media
+    # magic numbers): the only TEXT-encoding dispatch — the decode
+    # decision every text operator depends on:
+    "charset_sniff",
+    # source-interleaved curriculum ORDER: round-robin across sources
+    # by per-source quality rank, global position computed
+    # ARITHMETICALLY from the sources-sized count table (no
+    # single-partition sort; the oracle's window twin proves the
+    # arithmetic is a bijection, with sources dropping out mid-
+    # curriculum).  Distinct evidence from curriculum_deciles (labels,
+    # no order) and epoch_shuffle (hash order, quality-blind): the
+    # only quality-ORDER constructor:
+    "curriculum_interleave",
     # r13 rotation (r12 verdict #1 — promote the ten never-driver-hashed
     # r12 queries: intra_doc_line_dedup, c4_line_filters,
     # robots_disallow_gate, source_centroid_outliers, hashed_ngram_score,

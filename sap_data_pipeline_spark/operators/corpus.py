@@ -1399,6 +1399,64 @@ def sitemap_url_extract(df: DataFrame, *, xml_col: str = "sitemap_xml",
     )
 
 
+SITEMAP_INDEX_BLOCK_RE = r"(?is)<sitemap\b[^>]*>(.*?)</sitemap>"
+
+
+def sitemap_index_extract(df: DataFrame, *, xml_col: str = "sitemap_xml",
+                          host_col: str = "host") -> DataFrame:
+    """Extract child-sitemap references from a sitemap INDEX file — the
+    missing hop in the crawl-seeding handshake.  Large sites exceed the
+    sitemaps protocol's 50k-URL/50MB per-file limits and MUST publish a
+    ``<sitemapindex>`` of ``<sitemap><loc>…</loc><lastmod>…</lastmod>``
+    blocks naming the child sitemaps; a seeder that only reads
+    ``<urlset>`` files (:func:`sitemap_url_extract`) never discovers
+    most of a big host's URLs.  Chain: robots.txt ``Sitemap:`` lines
+    (:func:`robots_sitemap_urls`) → THIS (index → children, possibly
+    repeated) → :func:`sitemap_url_extract` (children → frontier).
+
+    Same relational shape as the urlset reader: one
+    ``regexp_extract_all`` pass over the ``<sitemap>`` entry blocks,
+    per-entry ``loc`` (required; XML-entity-decoded, CDATA unwrapped
+    verbatim) and optional ``lastmod`` (first 10 chars, ISO date
+    string) — the lastmod lets an incremental seeder skip child
+    sitemaps unchanged since the last crawl.  Pure projection +
+    explode over hosts-sized inputs; loc-less blocks are skipped.
+
+    Returns (host, sitemap_url, lastmod).
+    """
+    from sap_data_pipeline_spark.functions.text import xml_unescape
+
+    entry = F.col("_entry")
+    raw_loc = F.regexp_extract(entry, SITEMAP_LOC_RE, 1)
+    loc = F.when(
+        raw_loc.rlike(SITEMAP_CDATA_RE),
+        F.regexp_extract(raw_loc, SITEMAP_CDATA_RE, 1),
+    ).otherwise(xml_unescape(raw_loc))
+    lastmod = F.nullif(
+        F.substring(
+            xml_unescape(F.regexp_extract(entry, SITEMAP_LASTMOD_RE, 1)),
+            1, 10,
+        ),
+        F.lit(""),
+    )
+    return (
+        df.select(
+            F.col(host_col),
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(xml_col), F.lit(SITEMAP_INDEX_BLOCK_RE), F.lit(1)
+                )
+            ).alias("_entry"),
+        )
+        .select(
+            host_col,
+            loc.alias("sitemap_url"),
+            lastmod.alias("lastmod"),
+        )
+        .filter(F.col("sitemap_url") != "")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Crawler-trap detection (frontier hygiene — public heuristics: Heydon
 # & Najork, "Mercator: A scalable, extensible Web crawler", WWW 1999

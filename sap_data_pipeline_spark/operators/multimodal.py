@@ -2037,3 +2037,271 @@ def synth_y4m_media_scenes(documents: DataFrame) -> DataFrame:
         T.StructField("payload", T.BinaryType(), True),
     ])
     return documents.select("doc_id").mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Video perceptual fingerprint: luma-contour delta-sign bits — the video
+# arm of the perceptual-dedup family, completing the image (aHash,
+# image_ahash:1326) / audio (energy contour, audio_energy_fingerprint:
+# 1727) / video triad.  Production video fingerprints (TMK, ISCC video
+# codes) hash a temporal activity contour; the engine-portable core is
+# the per-frame LUMA contour: exact int64 sum of the Y plane per frame,
+# then sign-of-delta bits across consecutive frames.  All arithmetic is
+# int64, so the fingerprint is bit-identical across engines.  A uniform
+# brightness shift (+b per pixel, no clipping) adds w·h·b to every frame
+# sum, preserving every delta sign — the fingerprint is provably
+# brightness-invariant, the video analogue of the audio arm's gain
+# invariance.
+# ---------------------------------------------------------------------------
+
+VIDEO_FP_MAX_BITS = 32     # frame-transition delta bits kept
+
+VIDEO_FP_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_frames", T.LongType(), True),
+    T.StructField("total_luma", T.LongType(), True),
+    T.StructField("fingerprint", T.LongType(), True),
+])
+
+
+def video_luma_fingerprint(media: DataFrame) -> DataFrame:
+    """REAL Y4M decode → luma-contour fingerprint: each frame's Y plane
+    is summed in exact int64, and bit j of the fingerprint is set when
+    frame j+1 carries more total luma than frame j (first
+    ``VIDEO_FP_MAX_BITS`` transitions).  Re-encodes and uniform
+    brightness shifts preserve every delta sign and collide; different
+    footage doesn't — the dedup key for a video corpus, 8 bytes per
+    clip like the image aHash and the audio energy fingerprint.
+
+    Per-row degrade contract (the decoder-family precedent): non-Y4M or
+    corrupt payloads yield an all-NULL row instead of killing the job.
+    Arrow-batched ``mapInPandas``; one decode per payload.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in VIDEO_FP_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                nf = tl = fp = None
+                try:
+                    _, _, _, _, frames = decode_y4m(payload)
+                    if frames:
+                        sums = [int(f.astype(np.int64).sum()) for f in frames]
+                        bits = 0
+                        for j in range(min(len(sums) - 1, VIDEO_FP_MAX_BITS)):
+                            if sums[j + 1] > sums[j]:
+                                bits |= 1 << j
+                        nf, tl, fp = len(sums), sum(sums), bits
+                except Exception:
+                    nf = tl = fp = None
+                out["media_id"].append(mid)
+                out["n_frames"].append(nf)
+                out["total_luma"].append(tl)
+                out["fingerprint"].append(fp)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=VIDEO_FP_SCHEMA)
+
+
+def video_fp_pairs(fps: DataFrame, *, max_hamming: int = 3,
+                   id_col: str = "media_id") -> DataFrame:
+    """Banded Hamming pairing over video luma-contour fingerprints —
+    the video arm of the perceptual-dedup family.  Video and audio
+    fingerprints share the 32-bit delta-sign representation, so the
+    banding/verify plan is IDENTICAL to :func:`audio_fp_pairs` (four
+    8-bit bands, pigeonhole-complete at radius 3, fingerprint-sized
+    shuffle) and this delegates to it."""
+    return audio_fp_pairs(fps, max_hamming=max_hamming, id_col=id_col)
+
+
+def synth_y4m_media_templated(documents: DataFrame, *,
+                              n_templates: int = 40) -> DataFrame:
+    """Templated Y4M fixture for the video near-dup path (the
+    :func:`synth_wav_media_templated` recipe, video edition): clip
+    CONTENT is parameterized by template ``t = doc_id % n_templates``
+    — template peers are the SAME footage — plus a per-document uniform
+    brightness offset ``b = 10·(doc_id % 3)`` (every pixel shifts
+    equally and nothing clips, so every frame-sum delta sign and
+    therefore the whole fingerprint is provably brightness-invariant)
+    and, for every fifth template copy
+    (``(doc_id // n_templates) % 5 == 0``), a +80 perturbation INSIDE
+    frame 2's mod-160 level congruence (perturbing at most the two
+    delta bits touching that frame — a near-dup within the radius-3
+    pairing, not an exact dup).  Frame ``f`` renders at luma level
+    ``L(f) = 20 + ((t+1)·48271·(f+1)·(f+2) + spike·[f=2]) % 160`` with
+    the per-pixel texture ``L + b + 3·row + col`` — level ≤ 179, offset
+    ≤ 20, texture ≤ 42, so no pixel ever wraps mod 256 and frame f's
+    luma sum is EXACTLY ``w·h·(L(f)+b) + T`` with the closed-form
+    texture total ``T = 3w·h(h−1)/2 + h·w(w−1)/2`` — so the DuckDB twin
+    recomputes every frame sum arithmetically while Spark decodes the
+    real bytes.  ``24 + t % 9`` frames of ``(8+2·(t%5)) × (6+2·(t%3))``
+    C420; the 48271 multiplier gives cross-template min Hamming 5 and
+    within-template spike Hamming ≤ 2 over all 40 templates — chosen by
+    measurement, pinned in the fixture-design test.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                t = did % n_templates
+                b = 10 * (did % 3)
+                spike = 80 if (did // n_templates) % 5 == 0 else 0
+                w, h = 8 + 2 * (t % 5), 6 + 2 * (t % 3)
+                nf = 24 + t % 9
+                parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()]
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                chroma = np.full(w * h // 2, 128, dtype=np.uint8)
+                for f in range(nf):
+                    lvl = 20 + ((t + 1) * 48271 * (f + 1) * (f + 2)
+                                + (spike if f == 2 else 0)) % 160
+                    luma = (lvl + b + 3 * r + c).astype(np.uint8)
+                    parts.append(b"FRAME\n" + luma.tobytes()
+                                 + chroma.tobytes())
+                ids.append(did)
+                payloads.append(b"".join(parts))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    return documents.select("doc_id").mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Charset sniffing (WHATWG Encoding Standard §4.2 "BOM sniff" + the
+# HTML meta-prescan): every ingest pipeline must decide how to decode
+# fetched bytes BEFORE any text operator runs — a wrong charset guess
+# mojibakes the document and poisons dedup/quality/tokenization
+# downstream.  The binary-column twin of media_sniff_dispatch: magic
+# numbers for text encodings.
+# ---------------------------------------------------------------------------
+
+META_CHARSET_RE = r"(?i)<meta[^>]*charset\s*=\s*[\"']?\s*([A-Za-z0-9._:-]+)"
+
+
+def charset_sniff(media: DataFrame, *, payload_col: str = "payload",
+                  prefix_bytes: int = 1024) -> DataFrame:
+    """Sniff the character encoding of raw fetched bytes, WHATWG-style:
+
+    1. **BOM** (always wins, per the Encoding Standard): ``EF BB BF``
+       → utf-8; ``FF FE 00 00`` → utf-32le (checked BEFORE utf-16le,
+       whose BOM it contains); ``00 00 FE FF`` → utf-32be; ``FF FE`` →
+       utf-16le; ``FE FF`` → utf-16be.
+    2. **meta prescan** over the first ``prefix_bytes`` bytes (the
+       standard prescan window is 1024): the first
+       ``<meta … charset=…>`` declaration, covering both the HTML5
+       ``<meta charset=…>`` and the legacy
+       ``http-equiv="Content-Type"`` forms — a ``charset=`` outside a
+       meta tag never matches.  Reported lowercased.
+    3. else **us-ascii** when every prefix byte is printable ASCII /
+       tab / CR / LF, else **windows-1252** (the WHATWG default).
+
+    All native Column expressions: BOM tests compare ``hex()`` of
+    binary prefixes, the prescan regexes a lossless ISO-8859-1 decode
+    of the prefix (every byte maps 1:1, so no decode can throw).  NULL
+    payloads degrade to an all-NULL verdict row.  ``bom_charset`` and
+    ``meta_charset`` are reported separately so a BOM/meta conflict is
+    visible to the audit even though the BOM wins the verdict.
+
+    Returns (media_id, bom_charset, meta_charset, charset).
+    """
+    p = F.col(payload_col)
+    h2 = F.hex(F.expr(f"substring({payload_col}, 1, 2)"))
+    h3 = F.hex(F.expr(f"substring({payload_col}, 1, 3)"))
+    h4 = F.hex(F.expr(f"substring({payload_col}, 1, 4)"))
+    bom = (
+        F.when(h3 == "EFBBBF", F.lit("utf-8"))
+        .when(h4 == "FFFE0000", F.lit("utf-32le"))
+        .when(h4 == "0000FEFF", F.lit("utf-32be"))
+        .when(h2 == "FFFE", F.lit("utf-16le"))
+        .when(h2 == "FEFF", F.lit("utf-16be"))
+    )
+    head = F.decode(
+        F.expr(f"substring({payload_col}, 1, {prefix_bytes})"), "ISO-8859-1"
+    )
+    meta = F.lower(
+        F.nullif(F.regexp_extract(head, META_CHARSET_RE, 1), F.lit(""))
+    )
+    ascii_ok = head.rlike(r"^[\x09\x0A\x0D\x20-\x7E]*$")
+    verdict = F.coalesce(
+        bom, meta,
+        F.when(ascii_ok, F.lit("us-ascii")).otherwise(F.lit("windows-1252")),
+    )
+    return media.select(
+        "media_id",
+        F.when(p.isNotNull(), bom).alias("bom_charset"),
+        F.when(p.isNotNull(), meta).alias("meta_charset"),
+        F.when(p.isNotNull(), verdict).alias("charset"),
+    )
+
+
+def synth_charset_media(documents: DataFrame) -> DataFrame:
+    """Deterministic charset fixture: nine byte-level variants keyed on
+    ``doc_id % 9``, each exercising one sniff rule or trap —
+
+    0. UTF-8 BOM + a CONFLICTING ``<meta charset="iso-8859-1">`` (BOM
+       must win the verdict; the meta still reports);
+    1. ``FF FE`` + ASCII body → utf-16le (next bytes nonzero, so the
+       utf-32le test must not fire);
+    2. ``FE FF`` → utf-16be;
+    3. ``FF FE 00 00`` → utf-32le (the contained utf-16le BOM must
+       lose to the longer match);
+    4. ``00 00 FE FF`` → utf-32be;
+    5. ``<META Charset='Shift_JIS'>`` (mixed case, single quotes) →
+       shift_jis;
+    6. legacy ``http-equiv="Content-Type" content="text/html;
+       charset=ISO-8859-7"`` → iso-8859-7;
+    7. pure-ASCII page whose body contains a bare ``charset=evil``
+       OUTSIDE any meta tag AND a real meta declaration placed past
+       the 1024-byte prescan window (both must be ignored) →
+       us-ascii;
+    8. a 0xE9 high byte, no BOM, no meta → the windows-1252 default.
+
+    Closed-form in doc_id, so the DuckDB twin recomputes the expected
+    verdicts arithmetically while Spark sniffs the REAL bytes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v = did % 9
+                if v == 0:
+                    b = (b"\xef\xbb\xbf<html><head>"
+                         b'<meta charset="iso-8859-1"></head></html>')
+                elif v == 1:
+                    b = b"\xff\xfe<html>ok</html>"
+                elif v == 2:
+                    b = b"\xfe\xff<html>ok</html>"
+                elif v == 3:
+                    b = b"\xff\xfe\x00\x00rest"
+                elif v == 4:
+                    b = b"\x00\x00\xfe\xffrest"
+                elif v == 5:
+                    b = b"<html><META Charset='Shift_JIS'>body</html>"
+                elif v == 6:
+                    b = (b'<html><meta http-equiv="Content-Type" '
+                         b'content="text/html; charset=ISO-8859-7">x</html>')
+                elif v == 7:
+                    b = (b"<html><p>charset=evil</p>" + b" " * 1024
+                         + b'<meta charset="utf-8"></html>')
+                else:
+                    b = b"<html>caf\xe9</html>"
+                ids.append(did)
+                payloads.append(b)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    return documents.select("doc_id").mapInPandas(run, schema=schema)

@@ -503,6 +503,76 @@ def curriculum_bins(
     return df.withColumn(bin_col, label.cast("int"))
 
 
+def curriculum_interleave(
+    df: DataFrame,
+    score_col: str,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Source-interleaved curriculum ORDER: the actual read order a
+    curriculum loader consumes, complementing :func:`curriculum_bins`
+    (which labels difficulty but orders nothing).  Within each source,
+    rows rank by score descending (ties by id); the global order then
+    round-robins across sources by rank — every source's best doc
+    before any source's second-best — so quality decays smoothly over
+    training WITHOUT the domain runs a plain ``ORDER BY score``
+    produces (thousands of consecutive same-source docs, which is
+    exactly what interleaving exists to break).
+
+    The 100 TB-honest formulation: the naive ``row_number() OVER
+    (ORDER BY rank, source)`` funnels the corpus through one
+    partition.  Instead the per-source counts (a sources-sized table,
+    like the mixture planners' weight tables) are collected once and
+    the global position is computed ARITHMETICALLY map-side:
+    ``pos = Σ_s min(cnt_s, r−1)  +  |{s' < source : cnt_s' ≥ r}| + 1``
+    — rows finished before round ``r`` plus this source's slot within
+    its round (sources that ran out of docs drop out of later rounds).
+    Two tiny HOF folds over the counts literal per row; the only
+    exchange is the per-source rank window's.  The position is a
+    bijection onto 1..N by construction, verified by the oracle's
+    window twin.
+
+    Returns (id, source, rank_in_source, global_pos).
+    """
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    srcs = sorted(counts)
+    cnts = [int(counts[s]) for s in srcs]
+    if not srcs:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, {source_col} string, "
+            "rank_in_source long, global_pos long"
+        )
+    idx_map = F.map_from_arrays(
+        F.lit(srcs), F.lit(list(range(len(srcs))))
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        id_col, source_col,
+        F.row_number().over(w).cast("long").alias("rank_in_source"),
+    )
+    r = F.col("rank_in_source")
+    prior = F.aggregate(
+        F.lit(cnts), F.lit(0).cast("long"),
+        lambda acc, c: acc + F.least(c.cast("long"), r - 1),
+    )
+    idx = F.element_at(idx_map, F.col(source_col))
+    within = F.aggregate(
+        F.slice(F.lit(cnts), F.lit(1), idx), F.lit(0).cast("long"),
+        lambda acc, c: acc
+        + F.when(c.cast("long") >= r, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return ranked.select(
+        id_col, source_col, "rank_in_source",
+        (prior + within + F.lit(1)).alias("global_pos"),
+    )
+
+
 def weighted_sample_n(
     df: DataFrame,
     strata_cols: Sequence[str],

@@ -8656,3 +8656,406 @@ def audio_fp_clusters_q(star: Star) -> DataFrame:
     return D.near_dup_clusters(
         fps.select("media_id"), id_col="media_id", pairs=pairs
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup FINGERPRINT + PAIRS + CLUSTERS (operators.multimodal.
+# video_luma_fingerprint / video_fp_pairs + the shared connected-
+# components closure): the video arm of the perceptual-dedup family,
+# completing the image/audio/video triad (r12 verdict #4 finished the
+# audio arm; this is its video twin).  The templated fixture makes
+# template peers the SAME footage under different uniform brightness
+# offsets (fingerprint provably brightness-invariant) and every fifth
+# template COPY a near-dup (a +80 perturbation inside frame 2's mod-160
+# level congruence perturbs at most the two delta bits touching it);
+# frame f's luma sum is exactly w·h·(L(f)+b) + T with closed-form
+# texture total T, so the oracle recomputes every frame sum
+# arithmetically while Spark decodes the REAL Y4M bytes.
+# ---------------------------------------------------------------------------
+
+_VFP_TEMPLATES, _VFP_RADIUS = 40, 3
+
+# Used by all three video queries — the _AFP_CTES convention, video
+# edition.  vfp carries n_frames/total_luma too so the fingerprint
+# query is a plain projection of it.
+_VFP_CTES = f"""
+    vparams AS (
+        SELECT doc_id, doc_id % {_VFP_TEMPLATES} AS t,
+               10 * (doc_id % 3) AS b,
+               CASE WHEN (doc_id // {_VFP_TEMPLATES}) % 5 = 0
+                    THEN 80 ELSE 0 END AS spike,
+               8 + 2 * ((doc_id % {_VFP_TEMPLATES}) % 5) AS w,
+               6 + 2 * ((doc_id % {_VFP_TEMPLATES}) % 3) AS h,
+               24 + (doc_id % {_VFP_TEMPLATES}) % 9 AS nf
+        FROM documents
+    ),
+    vframes AS (
+        SELECT doc_id, f,
+               (20 + ((t + 1) * 48271 * (f + 1) * (f + 2)
+                      + CASE WHEN f = 2 THEN spike ELSE 0 END) % 160
+                + b) * w * h
+               + 3 * w * ((h - 1) * h // 2)
+               + h * ((w - 1) * w // 2) AS s
+        FROM vparams, generate_series(0, 32) gs(f)
+        WHERE f < nf
+    ),
+    vdeltas AS (
+        SELECT doc_id, f, s,
+               LEAD(s) OVER (PARTITION BY doc_id ORDER BY f) AS nxt
+        FROM vframes
+    ),
+    vfp AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(s) AS BIGINT) AS total_luma,
+               CAST(COALESCE(SUM(CASE WHEN nxt IS NOT NULL
+                                       AND f < {MM.VIDEO_FP_MAX_BITS}
+                                       AND nxt > s
+                                  THEN (CAST(1 AS BIGINT) << f)
+                                  ELSE 0 END), 0) AS BIGINT) AS fp
+        FROM vdeltas GROUP BY doc_id
+    ),
+    vfbands AS (
+        SELECT doc_id, fp, 0 AS band_idx, (fp // 16777216) % 256 AS band_val
+        FROM vfp
+        UNION ALL SELECT doc_id, fp, 1, (fp // 65536) % 256 FROM vfp
+        UNION ALL SELECT doc_id, fp, 2, (fp // 256) % 256 FROM vfp
+        UNION ALL SELECT doc_id, fp, 3, fp % 256 FROM vfp
+    ),
+    vfcand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+               l.fp AS fp_a, r.fp AS fp_b
+        FROM vfbands l JOIN vfbands r
+          ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         AND l.doc_id < r.doc_id
+    ),
+    vfpairs AS (
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+        FROM vfcand
+        WHERE bit_count(xor(fp_a, fp_b)) <= {_VFP_RADIUS}
+    )
+"""
+
+@register(
+    "video_luma_fingerprint",
+    f"""
+    WITH {_VFP_CTES}
+    SELECT doc_id AS media_id, n_frames, total_luma, fp AS fingerprint
+    FROM vfp
+    """,
+)
+def video_luma_fingerprint_q(star: Star) -> DataFrame:
+    return MM.video_luma_fingerprint(
+        MM.synth_y4m_media_templated(star.documents,
+                                     n_templates=_VFP_TEMPLATES)
+    )
+
+
+@register(
+    "video_fp_pairs",
+    f"""
+    WITH {_VFP_CTES}
+    SELECT id_a, id_b, hamming FROM vfpairs
+    """,
+)
+def video_fp_pairs_q(star: Star) -> DataFrame:
+    fps = MM.video_luma_fingerprint(
+        MM.synth_y4m_media_templated(star.documents,
+                                     n_templates=_VFP_TEMPLATES)
+    )
+    return MM.video_fp_pairs(fps, max_hamming=_VFP_RADIUS).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@register(
+    "video_fp_clusters",
+    f"""
+    WITH RECURSIVE {_VFP_CTES},
+    vedges AS (
+        SELECT id_a AS src, id_b AS dst FROM vfpairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM vfpairs
+    ),
+    vreach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.dst FROM vedges e JOIN vreach r ON r.src = e.dst
+    ),
+    vcomp AS (
+        SELECT src AS media_id, MIN(dst) AS cluster_id FROM vreach GROUP BY src
+    ),
+    vcsizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM vcomp GROUP BY cluster_id
+    )
+    SELECT c.media_id, c.cluster_id, s.cluster_size,
+           c.media_id = c.cluster_id AS is_canonical
+    FROM vcomp c JOIN vcsizes s USING (cluster_id)
+    """,
+)
+def video_fp_clusters_q(star: Star) -> DataFrame:
+    fps = MM.video_luma_fingerprint(
+        MM.synth_y4m_media_templated(star.documents,
+                                     n_templates=_VFP_TEMPLATES)
+    )
+    pairs = MM.video_fp_pairs(fps, max_hamming=_VFP_RADIUS)
+    return D.near_dup_clusters(
+        fps.select("media_id"), id_col="media_id", pairs=pairs
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sitemap INDEX extraction (operators.corpus.sitemap_index_extract):
+# the missing hop in the crawl-seeding handshake — robots Sitemap:
+# lines name index files on large sites, the index names the child
+# sitemaps, sitemap_url_extract reads those.  Fixture plants CDATA and
+# entity-escaped locs, a loc-less block, and a <url> urlset block that
+# the <sitemap>-block regex must NOT pick up.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sitemap_index_extract",
+    """
+    WITH hosts AS (
+        SELECT DISTINCT doc_id % 40 AS hid FROM documents WHERE doc_id < 40
+    )
+    SELECT 'h' || hid AS host,
+           'https://h' || hid || path AS sitemap_url,
+           lastmod
+    FROM hosts, (
+        VALUES
+            ('/sitemap-a.xml.gz', '2024-03-01'),
+            ('/sitemap-b.xml?page=1&cursor=2', '2024-03-02'),
+            ('/cd?x=1&y=2&amp;z', NULL)
+    ) AS v(path, lastmod)
+    """,
+)
+def sitemap_index_extract_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import sitemap_index_extract
+
+    d = F.col("doc_id")
+    h = d.cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex>'),
+        # plain child sitemap with lastmod (full timestamp → date cut)
+        F.lit("<sitemap><loc>https://h"), h,
+        F.lit("/sitemap-a.xml.gz</loc>"
+              "<lastmod>2024-03-01T00:00:00Z</lastmod></sitemap>"),
+        # entity-escaped loc + lastmod present
+        F.lit("<SITEMAP ><loc> https://h"), h,
+        F.lit("/sitemap-b.xml?page=1&amp;cursor=2 </loc>"
+              "<lastmod>2024-03-02</lastmod></sitemap>"),
+        # CDATA loc kept VERBATIM (raw & and literal &amp; both
+        # survive), no lastmod
+        F.lit("<sitemap><loc><![CDATA[https://h"), h,
+        F.lit("/cd?x=1&y=2&amp;z]]></loc></sitemap>"),
+        # loc-less block: skipped
+        F.lit("<sitemap><lastmod>2024-01-01</lastmod></sitemap>"),
+        # a urlset-style <url> block: NOT a <sitemap> block, ignored
+        F.lit("<url><loc>https://h"), h,
+        F.lit("/not-an-index</loc></url>"),
+        F.lit("</sitemapindex>"),
+    )
+    files = star.documents.filter(d < 40).select(
+        F.concat(F.lit("h"), h).alias("host"), xml.alias("sitemap_xml")
+    )
+    return sitemap_index_extract(files)
+
+
+# ---------------------------------------------------------------------------
+# HTTP revalidation planning (operators.temporal.http_revalidation_
+# plan): the RFC 9111 freshness ladder (no-store/no-cache → max-age →
+# Expires−Date → the §4.2.2 10% heuristic capped at 24h) + RFC 9110
+# §13.1 validator precedence (ETag over Last-Modified).  The fixture
+# formats REAL IMF-fixdate header strings from closed-form epochs (the
+# operator parses them back with try_to_timestamp); the oracle
+# recomputes every lifetime arithmetically from doc_id, so a parse,
+# clamp, cap, or precedence drift breaks the hash.  Variants: quoted
+# max-age, no-cache beating a co-present max-age, no-store forcing
+# unconditional past a stored ETag, past-Expires clamped to 0, the
+# heuristic cap binding, a malformed Last-Modified degrading to NULL,
+# and an x-max-age=5 extension that the token regex must NOT match.
+# ---------------------------------------------------------------------------
+
+_REVAL_NOW = 1_700_050_000
+
+@register(
+    "http_revalidation_plan",
+    f"""
+    WITH p AS (
+        SELECT doc_id, doc_id % 8 AS v,
+               1700000000 + (doc_id * 37) % 100000 AS fetched
+        FROM documents
+    ),
+    lif AS (
+        SELECT doc_id, v, fetched,
+               CASE v
+                   WHEN 0 THEN 3600
+                   WHEN 4 THEN greatest(0, (doc_id % 1000) - 500)
+                   WHEN 5 THEN least(doc_id % 200000, 86400)
+                   WHEN 7 THEN 10
+                   ELSE 0
+               END AS lifetime
+        FROM p
+    )
+    SELECT 'https://h' || (doc_id % 50) || '/p' || doc_id AS url,
+           CAST(lifetime AS BIGINT) AS freshness_lifetime_sec,
+           CAST(fetched + lifetime AS BIGINT) AS fresh_until,
+           {_REVAL_NOW} < fetched + lifetime AS is_fresh,
+           CASE WHEN {_REVAL_NOW} < fetched + lifetime THEN 'fresh'
+                WHEN v IN (0, 1, 7) THEN 'if-none-match'
+                WHEN v IN (2, 5) THEN 'if-modified-since'
+                ELSE 'unconditional'
+           END AS mode
+    FROM lif
+    """,
+)
+def http_revalidation_plan_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.temporal import (
+        IMF_FIXDATE_FMT,
+        http_revalidation_plan,
+    )
+
+    d = F.col("doc_id")
+    v = F.pmod(d, F.lit(8))
+    fetched = (F.lit(1_700_000_000) + F.pmod(d * 37, F.lit(100_000))).cast(
+        "long"
+    )
+
+    def imf(epoch_col):
+        return F.date_format(
+            F.timestamp_seconds(epoch_col), IMF_FIXDATE_FMT
+        )
+
+    cc = (
+        F.when(v == 0, F.lit("public, max-age=3600"))
+        .when(v == 1, F.lit('max-age="0"'))
+        .when(v == 2, F.lit("no-cache, max-age=9999"))
+        .when(v == 3, F.lit("no-store"))
+        .when(v == 7, F.lit("x-max-age=5, stale-while-revalidate=30"))
+    )
+    etag = F.when(
+        v.isin(0, 1, 3, 7), F.concat(F.lit('"e'), d.cast("string"), F.lit('"'))
+    )
+    lm = (
+        F.when(v == 2, imf(fetched - F.lit(5000)))
+        .when(v == 5, imf(fetched - F.pmod(d, F.lit(200_000)) * 10))
+        .when(v == 6, F.lit("not-a-date"))
+        .when(v == 7, imf(fetched - F.lit(100)))
+    )
+    expires = F.when(
+        v == 4, imf(fetched + F.pmod(d, F.lit(1000)) - F.lit(500))
+    )
+    date = F.when(v.isin(2, 4, 5, 7), imf(fetched))
+    log = star.documents.select(
+        F.concat(
+            F.lit("https://h"), F.pmod(d, F.lit(50)).cast("string"),
+            F.lit("/p"), d.cast("string"),
+        ).alias("url"),
+        fetched.alias("fetched_at"),
+        etag.alias("etag"),
+        lm.alias("last_modified"),
+        cc.alias("cache_control"),
+        expires.alias("expires"),
+        date.alias("date"),
+    )
+    out = http_revalidation_plan(log, now=_REVAL_NOW)
+    return out.select(
+        "url",
+        F.col("freshness_lifetime_sec").cast("long"),
+        F.col("fresh_until").cast("long"),
+        "is_fresh", "mode",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Charset sniffing (operators.multimodal.charset_sniff): WHATWG BOM
+# sniff + HTML meta prescan over REAL bytes — BOM beats a conflicting
+# meta, utf-32le beats the utf-16le BOM it contains, charset= outside
+# a meta tag and a meta past the 1024-byte prescan window are both
+# ignored, high-byte no-declaration pages default to windows-1252.
+# The fixture is closed-form in doc_id % 9, so the oracle recomputes
+# the expected verdicts while Spark sniffs the bytes.
+# ---------------------------------------------------------------------------
+
+@register(
+    "charset_sniff",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 9
+               WHEN 0 THEN 'utf-8'    WHEN 1 THEN 'utf-16le'
+               WHEN 2 THEN 'utf-16be' WHEN 3 THEN 'utf-32le'
+               WHEN 4 THEN 'utf-32be'
+           END AS bom_charset,
+           CASE doc_id % 9
+               WHEN 0 THEN 'iso-8859-1' WHEN 5 THEN 'shift_jis'
+               WHEN 6 THEN 'iso-8859-7'
+           END AS meta_charset,
+           CASE doc_id % 9
+               WHEN 0 THEN 'utf-8'    WHEN 1 THEN 'utf-16le'
+               WHEN 2 THEN 'utf-16be' WHEN 3 THEN 'utf-32le'
+               WHEN 4 THEN 'utf-32be' WHEN 5 THEN 'shift_jis'
+               WHEN 6 THEN 'iso-8859-7'
+               WHEN 7 THEN 'us-ascii'
+               WHEN 8 THEN 'windows-1252'
+           END AS charset
+    FROM documents
+    """,
+)
+def charset_sniff_q(star: Star) -> DataFrame:
+    return MM.charset_sniff(MM.synth_charset_media(star.documents))
+
+
+# ---------------------------------------------------------------------------
+# Curriculum interleave (operators.sampling.curriculum_interleave):
+# the source-interleaved quality ORDER a curriculum loader actually
+# reads — round-robin across sources by per-source quality rank, with
+# the global position computed ARITHMETICALLY from the sources-sized
+# count table (no single-partition global sort; the oracle's window
+# twin proves the arithmetic IS the bijection).  The fixture trims
+# per-source counts unequally (keep every m-th copy, m = 1 + s%4) so
+# sources genuinely run dry mid-curriculum and the drop-out term is
+# exercised.
+# ---------------------------------------------------------------------------
+
+@register(
+    "curriculum_interleave",
+    """
+    WITH kept AS (
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE (doc_id // 20) % (1 + (doc_id % 20) % 4) = 0
+    ),
+    cnts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY source
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS BIGINT) AS rank_in_source
+        FROM kept
+    )
+    SELECT k.doc_id, k.source, k.rank_in_source,
+           CAST((SELECT SUM(LEAST(n, k.rank_in_source - 1)) FROM cnts)
+                + (SELECT COUNT(*) FROM cnts c
+                   WHERE c.n >= k.rank_in_source AND c.source < k.source)
+                + 1 AS BIGINT) AS global_pos
+    FROM ranked k
+    """,
+)
+def curriculum_interleave_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.sampling import (
+        curriculum_interleave,
+    )
+
+    d = F.col("doc_id")
+    kept = star.documents.filter(
+        F.pmod(
+            F.expr("doc_id div 20"),
+            F.lit(1) + F.pmod(F.pmod(d, F.lit(20)), F.lit(4)),
+        )
+        == 0
+    ).select("doc_id", "source", "n_chars")
+    return curriculum_interleave(kept, "n_chars")

@@ -313,3 +313,139 @@ def test_robots_gate_fold_matches_window_variant(spark):
          for r in robots_disallow_gate_fold(frontier, rules).collect()}
     assert w == f
     assert len(f) == 7  # duplicate URL collapsed by both
+
+
+# ---------------------------------------------------------------------------
+# sitemap_index_extract
+# ---------------------------------------------------------------------------
+
+def test_sitemap_index_extract_grammar(spark):
+    """<sitemap> blocks only (a <url> urlset block is ignored),
+    loc-less blocks skipped, entity locs decoded, CDATA verbatim,
+    lastmod cut to the ISO date."""
+    from sap_data_pipeline_spark.operators.corpus import (
+        sitemap_index_extract,
+    )
+
+    xml = (
+        '<sitemapindex>'
+        '<sitemap><loc>https://h/a.xml</loc>'
+        '<lastmod>2024-03-01T12:00:00+00:00</lastmod></sitemap>'
+        '<SITEMAP><loc> https://h/b.xml?p=1&amp;q=2 </loc></SITEMAP>'
+        '<sitemap><loc><![CDATA[https://h/c?x=1&y=2&amp;z]]></loc></sitemap>'
+        '<sitemap><lastmod>2024-01-01</lastmod></sitemap>'
+        '<url><loc>https://h/not-index</loc></url>'
+        '</sitemapindex>'
+    )
+    df = spark.createDataFrame([("h", xml)], "host string, sitemap_xml string")
+    got = {
+        r["sitemap_url"]: r["lastmod"]
+        for r in sitemap_index_extract(df).collect()
+    }
+    assert got == {
+        "https://h/a.xml": "2024-03-01",
+        "https://h/b.xml?p=1&q=2": None,
+        "https://h/c?x=1&y=2&amp;z": None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# http_revalidation_plan
+# ---------------------------------------------------------------------------
+
+def _reval(spark, rows, now):
+    from sap_data_pipeline_spark.operators.temporal import (
+        http_revalidation_plan,
+    )
+
+    df = spark.createDataFrame(
+        rows,
+        "url string, fetched_at long, etag string, last_modified string, "
+        "cache_control string, expires string, date string",
+    )
+    return {
+        r["url"]: r for r in http_revalidation_plan(df, now=now).collect()
+    }
+
+
+def test_revalidation_freshness_ladder(spark):
+    """Each rung of the RFC 9111 ladder: no-cache beats a co-present
+    max-age, quoted max-age parses, Expires−Date clamps at 0, the 10%
+    heuristic caps at 24h, x-max-age never matches the token."""
+    D0 = "Tue, 14 Nov 2023 22:13:20 GMT"       # 1700000000
+    LM = "Tue, 14 Nov 2023 19:26:40 GMT"       # 1699990000 (10k earlier)
+    EXP_PAST = "Tue, 14 Nov 2023 22:00:00 GMT"  # before D0
+    rows = [
+        ("u1", 1700000000, None, None, 'private, max-age="500"', None, None),
+        ("u2", 1700000000, '"e"', LM, "no-cache, max-age=500", None, None),
+        ("u3", 1700000000, None, None, None, EXP_PAST, D0),
+        ("u4", 1700000000, None, LM, None, None, D0),       # 10k/10 = 1000
+        ("u5", 1700000000, None, "Thu, 01 Jan 1970 00:00:00 GMT",
+         None, None, D0),                                    # heuristic cap
+        ("u6", 1700000000, None, LM, "x-max-age=5", None, D0),  # trap token
+    ]
+    got = _reval(spark, rows, now=1700000100)
+    assert got["u1"]["freshness_lifetime_sec"] == 500
+    assert got["u1"]["is_fresh"] and got["u1"]["mode"] == "fresh"
+    assert got["u2"]["freshness_lifetime_sec"] == 0
+    assert got["u2"]["mode"] == "if-none-match"
+    assert got["u3"]["freshness_lifetime_sec"] == 0
+    assert got["u3"]["mode"] == "unconditional"
+    assert got["u4"]["freshness_lifetime_sec"] == 1000
+    assert got["u4"]["fresh_until"] == 1700001000
+    assert got["u5"]["freshness_lifetime_sec"] == 86400
+    assert got["u6"]["freshness_lifetime_sec"] == 1000  # ladder fell through
+
+
+def test_revalidation_precedence_and_degrade(spark):
+    """no-store forces unconditional past a stored ETag; ETag beats
+    Last-Modified; malformed dates degrade to the next rung."""
+    LM = "Tue, 14 Nov 2023 19:26:40 GMT"
+    rows = [
+        ("u1", 1700000000, '"e"', LM, "no-store", None, None),
+        ("u2", 1700000000, '"e"', LM, "max-age=0", None, None),
+        ("u3", 1700000000, None, "garbage", "max-age=0", None, None),
+        ("u4", 1700000000, None, "garbage", None, None,
+         "Tue, 14 Nov 2023 22:13:20 GMT"),  # lm unparseable -> lifetime 0
+    ]
+    got = _reval(spark, rows, now=1700000100)
+    assert got["u1"]["mode"] == "unconditional"
+    assert got["u2"]["mode"] == "if-none-match"
+    assert got["u3"]["mode"] == "unconditional"
+    assert got["u4"]["freshness_lifetime_sec"] == 0
+    assert got["u4"]["mode"] == "unconditional"
+
+
+# ---------------------------------------------------------------------------
+# charset_sniff
+# ---------------------------------------------------------------------------
+
+def test_charset_sniff_battery(spark):
+    """BOM beats meta, utf-32le beats the utf-16le BOM it contains,
+    meta past the 1024-byte prescan window and charset= outside a meta
+    are both ignored, NULL payload degrades to all-NULL."""
+    from sap_data_pipeline_spark.operators.multimodal import charset_sniff
+
+    rows = [
+        (0, b"\xef\xbb\xbf<meta charset='koi8-r'>"),
+        (1, b"\xff\xfeab"),
+        (2, b"\xff\xfe\x00\x00ab"),
+        (3, b"<META Charset = 'Shift_JIS' >x"),
+        (4, b'<meta http-equiv="Content-Type" '
+            b'content="text/html;charset=ISO-8859-7">'),
+        (5, b"<p>charset=evil</p>" + b" " * 1100 + b'<meta charset="utf-8">'),
+        (6, b"caf\xe9"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in charset_sniff(df).collect()}
+    assert got[0]["charset"] == "utf-8"
+    assert got[0]["meta_charset"] == "koi8-r"   # conflict stays visible
+    assert got[1]["charset"] == "utf-16le"
+    assert got[2]["charset"] == "utf-32le"
+    assert got[3]["charset"] == "shift_jis"
+    assert got[4]["charset"] == "iso-8859-7"
+    assert got[5]["charset"] == "us-ascii"
+    assert got[5]["meta_charset"] is None
+    assert got[6]["charset"] == "windows-1252"
+    assert got[7]["charset"] is None and got[7]["bom_charset"] is None

@@ -716,3 +716,38 @@ def test_admission_funnel_one_scan_one_aggregate(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
     assert plan.count("regexp_replace(lower(") == 1, plan
+
+
+def test_http_revalidation_plan_zero_exchange(spark):
+    """The revalidation plan is a pure map stage: header regexes +
+    IMF-fixdate parses + the freshness CASE ladder in one projection —
+    at 100 TB this is fetch-log scan CPU, never a shuffle.  (load_star's
+    round-robin rebalance allowed; no data-keyed exchange, no join, no
+    Python.)"""
+    plan = _plan(QUERIES["http_revalidation_plan"](spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_charset_sniff_single_arrow_stage(spark):
+    """Charset sniffing is the synth fixture's one mapInPandas plus a
+    native hex/decode/regex projection — no data-keyed exchange, no
+    join; the sniff itself adds zero Python (only the FIXTURE is
+    Arrow-batched)."""
+    plan = _plan(QUERIES["charset_sniff"](spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    # exactly the fixture's Arrow stage, none from the sniff
+    assert plan.count("ArrowEvalPython") <= 1, plan
+
+
+def test_sitemap_index_extract_projection_only(spark):
+    """Index extraction is regexp_extract_all + explode + per-entry
+    regex projection over hosts-sized inputs: no data-keyed exchange,
+    no join."""
+    plan = _plan(QUERIES["sitemap_index_extract"](spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1002,3 +1002,51 @@ def test_proportional_holdout_oversized_total_degrades_to_all(spark):
     )
     got = proportional_holdout(df, "lang", 10, key="doc_id").collect()
     assert len(got) == 10
+
+
+def test_curriculum_interleave_bijection_and_order(spark):
+    """The arithmetic global position is a bijection onto 1..N; rank-1
+    docs of every source precede any rank-2 doc; sources that run dry
+    drop out of later rounds (no gaps)."""
+    from sap_data_pipeline_spark.operators.sampling import (
+        curriculum_interleave,
+    )
+
+    rows = [
+        # source a: 3 docs, b: 2, c: 1 — unequal so rounds shrink
+        (1, "a", 90), (2, "a", 80), (3, "a", 70),
+        (4, "b", 95), (5, "b", 60),
+        (6, "c", 85),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q long")
+    got = {r["doc_id"]: r for r in curriculum_interleave(df, "q").collect()}
+    pos = sorted(r["global_pos"] for r in got.values())
+    assert pos == [1, 2, 3, 4, 5, 6]          # bijection, no gaps
+    # round 1 = best of a, b, c in source order; round 2 = a, b;
+    # round 3 = a alone
+    assert got[1]["global_pos"] == 1   # a rank1
+    assert got[4]["global_pos"] == 2   # b rank1
+    assert got[6]["global_pos"] == 3   # c rank1
+    assert got[2]["global_pos"] == 4   # a rank2
+    assert got[5]["global_pos"] == 5   # b rank2
+    assert got[3]["global_pos"] == 6   # a rank3 (b, c dropped out)
+
+
+def test_curriculum_interleave_tie_break_and_plan(spark):
+    """Score ties break by id ascending; the only exchange is the
+    per-source rank window's — no global range sort."""
+    from sap_data_pipeline_spark.operators.sampling import (
+        curriculum_interleave,
+    )
+
+    df = spark.createDataFrame(
+        [(10, "a", 50), (11, "a", 50), (12, "b", 50)],
+        "doc_id long, source string, q long",
+    )
+    out = curriculum_interleave(df, "q")
+    got = {r["doc_id"]: r["rank_in_source"] for r in out.collect()}
+    assert got == {10: 1, 11: 2, 12: 1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
