@@ -253,6 +253,14 @@ _TAIL = (
     # no order) and epoch_shuffle (hash order, quality-blind): the
     # only quality-ORDER constructor:
     "curriculum_interleave",
+    # RFC 9112 response-head parsing: status line + obs-fold unfold +
+    # first-wins singles + comma-joined list-valued Cache-Control +
+    # content-type/charset split — the producer side of
+    # http_revalidation_plan and the HTTP-layer input to charset_sniff.
+    # Oracle recomputes the expected parse CLOSED-FORM from doc_id (an
+    # independent derivation, not the same regexes replayed).  The only
+    # WIRE-GRAMMAR parser over fetcher output:
+    "http_headers_parse",
     # r13 rotation (r12 verdict #1 — promote the ten never-driver-hashed
     # r12 queries: intra_doc_line_dedup, c4_line_filters,
     # robots_disallow_gate, source_centroid_outliers, hashed_ngram_score,

@@ -563,3 +563,104 @@ def http_revalidation_plan(fetch_log: DataFrame, *, now: int,
         .select(url_col, "freshness_lifetime_sec", "fresh_until",
                 "is_fresh", "mode")
     )
+
+
+def parse_http_response_head(df: DataFrame, *, head_col: str = "raw_head",
+                             url_col: str = "url") -> DataFrame:
+    """Parse a raw HTTP/1.x response head (status line + CRLF header
+    lines, as a WARC ``response`` record or fetcher log stores it)
+    into the typed columns the curation pipeline consumes — the
+    producer side of :func:`http_revalidation_plan`.
+
+    RFC 9112 grammar, relationally:
+
+    - obs-fold continuation lines (``CRLF 1*( SP / HTAB )``) are
+      unfolded to a single space FIRST (§5.2 says treat as SP), so
+      every later regex sees one logical line per field;
+    - the status line parses to (status_code, reason); a malformed
+      status line degrades both to NULL rather than killing the job;
+    - field names match case-insensitively at line starts only — a
+      ``Date:`` appearing inside another header's VALUE never matches;
+    - single-valued fields (Date, Expires, Last-Modified, ETag,
+      Content-Length, Content-Type) take the FIRST occurrence (the
+      RFC 9110 §5.3 stance for non-list fields: a sender MUST NOT
+      generate duplicates, receivers commonly keep the first);
+    - ``Cache-Control`` is LIST-VALUED, so duplicate lines are
+      recombined comma-joined per §5.3 — dropping the second line
+      would drop directives, the exact bug the recombination rule
+      exists to prevent;
+    - ``content_type`` is the lowercased media type with parameters
+      stripped; ``charset`` is the (quoted or bare) charset parameter
+      — the HTTP-layer input to the WHATWG sniff, which BOMs still
+      override;
+    - ``content_length`` try_casts (junk → NULL under ANSI).
+
+    Zero-shuffle projection; every expression is a native regex over
+    the head string.  CRs are deleted after unfolding (CR is illegal
+    inside a field value, and RE2 — the oracle engine's regex — does
+    not treat a lone ``\\r`` as a line boundary for multiline ``$``,
+    so anchoring against CRLF directly would diverge between engines).
+    Returns (url, status_code, reason, content_type, charset,
+    content_length, etag, last_modified, cache_control, expires,
+    date).
+    """
+    unfolded = F.regexp_replace(
+        F.regexp_replace(F.col(head_col), r"\r?\n[ \t]+", " "), r"\r", ""
+    )
+
+    def first(name):
+        return F.nullif(
+            F.regexp_extract(
+                unfolded, rf"(?im)^{name}[ \t]*:[ \t]*([^\r\n]*?)[ \t]*$", 1
+            ),
+            F.lit(""),
+        )
+
+    status = F.nullif(
+        F.regexp_extract(unfolded, r"(?i)\AHTTP/\d(?:\.\d)? (\d{3})", 1),
+        F.lit(""),
+    ).cast("int")
+    reason = F.nullif(
+        F.regexp_extract(
+            unfolded,
+            r"(?im)\AHTTP/\d(?:\.\d)? \d{3}[ \t]+([^\r\n]*?)[ \t]*$",
+            1,
+        ),
+        F.lit(""),
+    )
+    ct_raw = first("content-type")
+    content_type = F.lower(
+        F.nullif(F.regexp_extract(ct_raw, r"^[ \t]*([^;,\s]+)", 1), F.lit(""))
+    )
+    charset = F.lower(
+        F.nullif(
+            F.regexp_extract(
+                ct_raw, r"""(?i)charset[ \t]*=[ \t]*"?([A-Za-z0-9._:-]+)""", 1
+            ),
+            F.lit(""),
+        )
+    )
+    cache_control = F.nullif(
+        F.array_join(
+            F.regexp_extract_all(
+                unfolded,
+                F.lit(r"(?im)^cache-control[ \t]*:[ \t]*([^\r\n]*?)[ \t]*$"),
+                F.lit(1),
+            ),
+            ", ",
+        ),
+        F.lit(""),
+    )
+    return df.select(
+        url_col,
+        status.alias("status_code"),
+        reason.alias("reason"),
+        content_type.alias("content_type"),
+        charset.alias("charset"),
+        first("content-length").try_cast("long").alias("content_length"),
+        first("etag").alias("etag"),
+        first("last-modified").alias("last_modified"),
+        cache_control.alias("cache_control"),
+        first("expires").alias("expires"),
+        first("date").alias("date"),
+    )

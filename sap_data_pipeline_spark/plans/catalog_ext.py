@@ -9059,3 +9059,118 @@ def curriculum_interleave_q(star: Star) -> DataFrame:
         == 0
     ).select("doc_id", "source", "n_chars")
     return curriculum_interleave(kept, "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# HTTP response-head parsing (operators.temporal.parse_http_response_
+# head): RFC 9112 status line + header fields → the typed columns
+# http_revalidation_plan and charset_sniff consume.  The fixture
+# builds REAL CRLF wire heads (obs-fold continuation, duplicate
+# Cache-Control lines that must comma-join, duplicate Date lines where
+# the first wins, a header-shaped string inside another header's
+# VALUE that line-anchoring must ignore, junk Content-Length, a
+# malformed status line) and the oracle recomputes the expected parse
+# closed-form from doc_id — an independent derivation, not the same
+# regexes replayed.  Nullable INT outputs sentinel-encode to -1 (the
+# robots_rules_parse hashing precedent).
+# ---------------------------------------------------------------------------
+
+@register(
+    "http_headers_parse",
+    """
+    SELECT 'u' || doc_id AS url,
+           CAST(CASE doc_id % 6
+               WHEN 0 THEN 200 WHEN 1 THEN 304 WHEN 2 THEN -1
+               WHEN 3 THEN 404 WHEN 4 THEN 200 WHEN 5 THEN 200
+           END AS INTEGER) AS status_code,
+           CASE doc_id % 6
+               WHEN 0 THEN 'OK' WHEN 1 THEN 'Not Modified'
+               WHEN 3 THEN 'Not Found' WHEN 5 THEN 'OK'
+           END AS reason,
+           CASE doc_id % 6
+               WHEN 0 THEN 'text/html' WHEN 3 THEN 'application/json'
+               WHEN 4 THEN 'text/plain'
+           END AS content_type,
+           CASE doc_id % 6
+               WHEN 0 THEN 'utf-8' WHEN 4 THEN 'iso-8859-1'
+           END AS charset,
+           CAST(CASE doc_id % 6
+               WHEN 0 THEN doc_id % 5000 ELSE -1
+           END AS BIGINT) AS content_length,
+           CASE doc_id % 6
+               WHEN 0 THEN '"e' || doc_id || '"'
+               WHEN 1 THEN 'W/"x' || doc_id || '"'
+           END AS etag,
+           CASE doc_id % 6
+               WHEN 1 THEN 'Tue, 14 Nov 2023 22:13:20 GMT'
+           END AS last_modified,
+           CASE doc_id % 6
+               WHEN 0 THEN 'public, max-age=3600'
+               WHEN 5 THEN 'no-store'
+           END AS cache_control,
+           CASE doc_id % 6
+               WHEN 4 THEN 'Thu, 16 Nov 2023 10:00:00 GMT'
+           END AS expires,
+           CASE doc_id % 6
+               WHEN 0 THEN 'Tue, 14 Nov 2023 22:13:20 GMT'
+               WHEN 2 THEN 'Wed, 15 Nov 2023 00:00:00 GMT'
+               WHEN 5 THEN 'Mon, 01 Jan 2024 00:00:00 GMT'
+           END AS date
+    FROM documents
+    """,
+)
+def http_headers_parse_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.temporal import (
+        parse_http_response_head,
+    )
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    v = F.pmod(d, F.lit(6))
+    head = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTP/1.1 200 OK\r\n"
+                  "Date: Tue, 14 Nov 2023 22:13:20 GMT\r\n"
+                  "Content-Type: text/html; charset=UTF-8\r\n"
+                  "Cache-Control: public\r\n"
+                  "Cache-Control: max-age=3600\r\n"
+                  'ETag: "e'), s,
+            F.lit('"\r\nContent-Length: '),
+            F.pmod(d, F.lit(5000)).cast("string"), F.lit("\r\n"),
+        ))
+        .when(v == 1, F.concat(
+            F.lit('HTTP/1.1 304 Not Modified\r\netag: W/"x'), s,
+            F.lit('"\r\nlast-modified: Tue, 14\r\n'
+                  " Nov 2023 22:13:20 GMT\r\n"),
+        ))
+        .when(v == 2, F.lit(
+            "ICY 200 OK\r\n"
+            "Date: Wed, 15 Nov 2023 00:00:00 GMT\r\n"
+            "X-Note: see Date: trap value\r\n"))
+        .when(v == 3, F.lit(
+            "HTTP/1.0 404 Not Found\r\n"
+            "Content-Type: APPLICATION/JSON\r\n"
+            "Content-Length: junk\r\n"))
+        .when(v == 4, F.lit(
+            "HTTP/1.1 200\r\n"
+            'Content-Type: text/plain;charset="iso-8859-1"\r\n'
+            "Expires: Thu, 16 Nov 2023 10:00:00 GMT\r\n"))
+        .otherwise(F.lit(
+            "HTTP/1.1 200 OK\r\n"
+            "Date: Mon, 01 Jan 2024 00:00:00 GMT\r\n"
+            "Date: Tue, 02 Jan 2024 00:00:00 GMT\r\n"
+            "Cache-Control: no-store\r\n"))
+    )
+    raw = star.documents.select(
+        F.concat(F.lit("u"), s).alias("url"), head.alias("raw_head")
+    )
+    out = parse_http_response_head(raw)
+    return out.select(
+        "url",
+        F.coalesce(F.col("status_code"), F.lit(-1)).cast("int")
+        .alias("status_code"),
+        "reason", "content_type", "charset",
+        F.coalesce(F.col("content_length"), F.lit(-1)).cast("long")
+        .alias("content_length"),
+        "etag", "last_modified", "cache_control", "expires", "date",
+    )

@@ -449,3 +449,71 @@ def test_charset_sniff_battery(spark):
     assert got[5]["meta_charset"] is None
     assert got[6]["charset"] == "windows-1252"
     assert got[7]["charset"] is None and got[7]["bom_charset"] is None
+
+
+# ---------------------------------------------------------------------------
+# parse_http_response_head
+# ---------------------------------------------------------------------------
+
+def test_http_head_parse_grammar(spark):
+    """Status line, obs-fold unfolding, first-wins singles, comma-join
+    Cache-Control, line-anchored names, malformed degrade."""
+    from sap_data_pipeline_spark.operators.temporal import (
+        parse_http_response_head,
+    )
+
+    head = (
+        "HTTP/1.1 200 OK\r\n"
+        "Date: Tue, 14 Nov 2023 22:13:20 GMT\r\n"
+        "Date: Wed, 15 Nov 2023 00:00:00 GMT\r\n"      # dup: first wins
+        "Cache-Control: public\r\n"
+        "Cache-Control: max-age=60\r\n"                 # dup: comma-join
+        "Last-Modified: Tue, 14\r\n"
+        " Nov 2023 20:00:00 GMT\r\n"                    # obs-fold
+        'Content-Type: Text/HTML; charset="UTF-8"\r\n'
+        "X-Note: Date: not a date header\r\n"           # value, not field
+        "Content-Length: 123\r\n"
+    )
+    df = spark.createDataFrame([("u", head)], "url string, raw_head string")
+    r = parse_http_response_head(df).first()
+    assert r["status_code"] == 200 and r["reason"] == "OK"
+    assert r["date"] == "Tue, 14 Nov 2023 22:13:20 GMT"
+    assert r["cache_control"] == "public, max-age=60"
+    assert r["last_modified"] == "Tue, 14 Nov 2023 20:00:00 GMT"
+    assert r["content_type"] == "text/html" and r["charset"] == "utf-8"
+    assert r["content_length"] == 123
+
+    bad = spark.createDataFrame(
+        [("u", "ICY 200 OK\r\nContent-Length: junk\r\n")],
+        "url string, raw_head string",
+    )
+    b = parse_http_response_head(bad).first()
+    assert b["status_code"] is None and b["reason"] is None
+    assert b["content_length"] is None
+
+
+def test_http_head_parse_feeds_revalidation_plan(spark):
+    """End-to-end: raw wire head → parse → revalidation plan (the
+    producer/consumer handshake the two operators exist for)."""
+    from sap_data_pipeline_spark.operators.temporal import (
+        http_revalidation_plan,
+        parse_http_response_head,
+    )
+    from pyspark.sql import functions as F
+
+    head = (
+        "HTTP/1.1 200 OK\r\n"
+        'ETag: "abc"\r\n'
+        "Cache-Control: max-age=100\r\n"
+    )
+    raw = spark.createDataFrame(
+        [("u", head)], "url string, raw_head string"
+    )
+    parsed = parse_http_response_head(raw).withColumn(
+        "fetched_at", F.lit(1_700_000_000).cast("long")
+    )
+    plan = http_revalidation_plan(parsed, now=1_700_000_050).first()
+    assert plan["freshness_lifetime_sec"] == 100
+    assert plan["is_fresh"] and plan["mode"] == "fresh"
+    stale = http_revalidation_plan(parsed, now=1_700_000_200).first()
+    assert stale["mode"] == "if-none-match"

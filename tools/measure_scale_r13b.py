@@ -97,7 +97,10 @@ from sap_data_pipeline_spark.operators import multimodal as MM
 from sap_data_pipeline_spark.operators.corpus import sitemap_index_extract
 from sap_data_pipeline_spark.operators.dedup import near_dup_clusters
 from sap_data_pipeline_spark.operators.sampling import curriculum_interleave
-from sap_data_pipeline_spark.operators.temporal import http_revalidation_plan
+from sap_data_pipeline_spark.operators.temporal import (
+    http_revalidation_plan,
+    parse_http_response_head,
+)
 
 
 def video_fps(n):
@@ -148,6 +151,22 @@ KERNELS = {
         100_000,
     ),
 }
+
+KERNELS["http_headers_parse"] = (
+    lambda n: (lambda df=spark.range(n).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.concat(
+            F.lit("HTTP/1.1 200 OK\r\nDate: Tue, 14 Nov 2023 22:13:20 "
+                  "GMT\r\nCache-Control: public\r\nCache-Control: "
+                  "max-age="),
+            F.pmod(F.col("id"), F.lit(9000)).cast("string"),
+            F.lit('\r\nETag: "e'), F.col("id").cast("string"),
+            F.lit('"\r\nContent-Type: text/html; charset=UTF-8\r\n'
+                  "Content-Length: 123\r\n"),
+        ).alias("raw_head"),
+    ): (lambda: parse_http_response_head(df)))(),
+    100_000,
+)
 
 name_filter = sys.argv[1:] or list(KERNELS)
 for name in name_filter:
