@@ -261,6 +261,15 @@ _TAIL = (
     # independent derivation, not the same regexes replayed).  The only
     # WIRE-GRAMMAR parser over fetcher output:
     "http_headers_parse",
+    # Matryoshka truncation audit: top-1 cosine agreement between
+    # prefix-k (8/16/32) and full-dim retrieval on a bounded sample —
+    # the serve-at-dim-k decision audit; one max_by-struct aggregate
+    # for all ks, verified against the oracle's per-k window argmax.
+    # Distinct evidence from ann_brute_force_topk (one metric space)
+    # and pca variance (global spectrum): the only NESTED-PREFIX
+    # geometry audit, and it correctly reports that the synthetic
+    # embeddings are NOT matryoshka-trained (9/200 agree at k=8):
+    "matryoshka_dim_agreement",
     # r13 rotation (r12 verdict #1 — promote the ten never-driver-hashed
     # r12 queries: intra_doc_line_dedup, c4_line_filters,
     # robots_disallow_gate, source_centroid_outliers, hashed_ngram_score,

@@ -986,3 +986,101 @@ def centroid_outliers(emb: DataFrame, group_col: str, *,
         cos.alias("cosine_to_centroid"),
         (cos < F.lit(threshold)).alias("is_outlier"),
     )
+
+
+def matryoshka_agreement(corpus: DataFrame, *, ks=(8, 16, 32),
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Matryoshka (nested-prefix) truncation audit: for each prefix
+    dimension k, how often does the top-1 cosine neighbor computed on
+    the FIRST k dimensions agree with the top-1 on the full vector?
+    Matryoshka-trained embeddings (Kusupati et al. 2022) front-load
+    information so aggressive truncation keeps retrieval quality — but
+    whether a GIVEN embedding column tolerates serving at dim 8/16/32
+    is an empirical question, and this is the audit that answers it
+    before anyone flips the cheap-serving switch.
+
+    Audit-cadence op on a CALLER-BOUNDED sample (the
+    ``minhash_jaccard_estimate`` stance): the pairwise scan is
+    exact-quadratic by design — run it on hundreds of vectors, not the
+    corpus; the serving path being audited stays IVF/PQ.  Per-side
+    prefix slices and norms are hoisted into the side projections
+    (dot-only per pair, the r11 brute-force lesson); per-(query, k)
+    argmax is ONE ``max_by`` aggregate — no per-k window, one
+    exchange for all ks.  Cosines round to 6dp before comparison and
+    ties break toward the smaller neighbor id, making the verdict
+    engine-exact.
+
+    Vectors whose smallest-prefix norm is zero are EXCLUDED from both
+    sides (cosine is undefined without a direction, and under ANSI the
+    division would abort the job): prefix norms are monotone
+    nondecreasing in k — every longer prefix contains the shorter one
+    — so guarding the smallest k guards them all.
+
+    Returns one row per k: (k, n_docs, n_agree); full-dim reference
+    implicit (its agreement row would be trivially n_docs).
+    """
+    ks = sorted(set(int(k) for k in ks))
+    nonzero = V.norm(F.slice(F.col(vec_col), 1, ks[0])) > 0
+    corpus = corpus.filter(nonzero)
+    q = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    for k in ks:
+        q = q.withColumn(f"qv_{k}", F.slice("qv", 1, k))
+        c = c.withColumn(f"cv_{k}", F.slice("cv", 1, k))
+    q = q.select(
+        "query_id", "qv", V.norm("qv").alias("_nq"),
+        *[F.col(f"qv_{k}") for k in ks],
+        *[V.norm(f"qv_{k}").alias(f"_nq_{k}") for k in ks],
+    )
+    c = c.select(
+        "neighbor_id", "cv", V.norm("cv").alias("_nc"),
+        *[F.col(f"cv_{k}") for k in ks],
+        *[V.norm(f"cv_{k}").alias(f"_nc_{k}") for k in ks],
+    )
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                V.dot("qv", "cv") / (F.col("_nq") * F.col("_nc")), 6
+            ).alias("cos_full"),
+            *[
+                F.round(
+                    V.dot(f"qv_{k}", f"cv_{k}")
+                    / (F.col(f"_nq_{k}") * F.col(f"_nc_{k}")), 6
+                ).alias(f"cos_{k}")
+                for k in ks
+            ],
+        )
+    )
+    nid = F.col("neighbor_id")
+    top = scored.groupBy("query_id").agg(
+        F.max_by(nid, F.struct(F.col("cos_full"), (-nid).alias("_t")))
+        .alias("top_full"),
+        *[
+            F.max_by(nid, F.struct(F.col(f"cos_{k}"), (-nid).alias("_t")))
+            .alias(f"top_{k}")
+            for k in ks
+        ],
+    )
+    agg = top.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        *[
+            F.sum(
+                (F.col(f"top_{k}") == F.col("top_full")).cast("long")
+            ).alias(f"agree_{k}")
+            for k in ks
+        ],
+    )
+    stack = ", ".join(f"{k}, agree_{k}" for k in ks)
+    return agg.selectExpr(
+        f"stack({len(ks)}, {stack}) as (k, n_agree)", "n_docs"
+    ).select(
+        F.col("k").cast("int"), "n_docs", F.col("n_agree").cast("long")
+    )

@@ -9174,3 +9174,95 @@ def http_headers_parse_q(star: Star) -> DataFrame:
         .alias("content_length"),
         "etag", "last_modified", "cache_control", "expires", "date",
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit (operators.similarity.matryoshka_
+# agreement): top-1 agreement between prefix-k and full-dim cosine
+# retrieval on a bounded sample — the audit behind the "serve at dim
+# k" decision for nested-prefix embeddings.  Oracle re-derives every
+# per-k top-1 with window ranking over the same rounded cosines
+# (list slicing + DOUBLE[] casts per the float32 gotcha); Spark's
+# max_by-struct argmax must agree with the oracle's
+# ROW_NUMBER(ORDER BY cos DESC, nid ASC) on every query or the hash
+# breaks.
+# ---------------------------------------------------------------------------
+
+_MATRYOSHKA_SAMPLE = 200
+
+@register(
+    "matryoshka_dim_agreement",
+    f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        WHERE vec_id < {_MATRYOSHKA_SAMPLE}
+          -- zero-norm smallest-prefix guard, mirroring the operator
+          -- (prefix norms are monotone in k, so one guard covers all)
+          AND list_dot_product(CAST(embedding AS DOUBLE[])[1:8],
+                               CAST(embedding AS DOUBLE[])[1:8]) > 0
+    ),
+    pairs AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid, a.v AS av, b.v AS bv
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    scored AS (
+        SELECT qid, nid,
+               round(list_dot_product(av, bv)
+                     / (sqrt(list_dot_product(av, av))
+                        * sqrt(list_dot_product(bv, bv))), 6) AS cf,
+               round(list_dot_product(av[1:8], bv[1:8])
+                     / (sqrt(list_dot_product(av[1:8], av[1:8]))
+                        * sqrt(list_dot_product(bv[1:8], bv[1:8]))), 6) AS c8,
+               round(list_dot_product(av[1:16], bv[1:16])
+                     / (sqrt(list_dot_product(av[1:16], av[1:16]))
+                        * sqrt(list_dot_product(bv[1:16], bv[1:16]))), 6)
+                   AS c16,
+               round(list_dot_product(av[1:32], bv[1:32])
+                     / (sqrt(list_dot_product(av[1:32], av[1:32]))
+                        * sqrt(list_dot_product(bv[1:32], bv[1:32]))), 6)
+                   AS c32
+        FROM pairs
+    ),
+    tf AS (SELECT qid, nid FROM (
+        SELECT qid, nid, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cf DESC, nid ASC) AS rn FROM scored
+    ) WHERE rn = 1),
+    t8 AS (SELECT qid, nid FROM (
+        SELECT qid, nid, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY c8 DESC, nid ASC) AS rn FROM scored
+    ) WHERE rn = 1),
+    t16 AS (SELECT qid, nid FROM (
+        SELECT qid, nid, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY c16 DESC, nid ASC) AS rn FROM scored
+    ) WHERE rn = 1),
+    t32 AS (SELECT qid, nid FROM (
+        SELECT qid, nid, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY c32 DESC, nid ASC) AS rn FROM scored
+    ) WHERE rn = 1),
+    joined AS (
+        SELECT tf.qid, tf.nid AS nf, t8.nid AS n8, t16.nid AS n16,
+               t32.nid AS n32
+        FROM tf JOIN t8 USING (qid) JOIN t16 USING (qid)
+               JOIN t32 USING (qid)
+    )
+    SELECT CAST(8 AS INTEGER) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n8 = nf THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree
+    FROM joined
+    UNION ALL
+    SELECT CAST(16 AS INTEGER), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n16 = nf THEN 1 ELSE 0 END) AS BIGINT)
+    FROM joined
+    UNION ALL
+    SELECT CAST(32 AS INTEGER), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n32 = nf THEN 1 ELSE 0 END) AS BIGINT)
+    FROM joined
+    """,
+)
+def matryoshka_dim_agreement_q(star: Star) -> DataFrame:
+    return S.matryoshka_agreement(
+        star.embeddings.filter(F.col("vec_id") < _MATRYOSHKA_SAMPLE),
+        ks=(8, 16, 32),
+    )

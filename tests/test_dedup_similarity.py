@@ -1105,3 +1105,44 @@ def test_exact_substring_excise_rejects_bad_width(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         exact_substring_excise(df, width=0)
+
+
+def test_matryoshka_agreement_handcrafted(spark):
+    """Vectors built so prefix-8 retrieval DISAGREES with full-dim for
+    one query and agrees for the rest; counts are exact."""
+    from sap_data_pipeline_spark.operators.similarity import (
+        matryoshka_agreement,
+    )
+
+    # 16-dim vectors: a is near b on the first 8 dims but near c on
+    # the full vector (the tail flips the verdict)
+    rows = [
+        (0, [1.0] * 8 + [0.0] * 8),
+        (1, [1.0] * 8 + [-1.0] * 8),          # prefix-8 twin of 0
+        (2, [1.0] * 8 + [0.1] * 8),           # full-dim winner for 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["k"]: r for r in matryoshka_agreement(df, ks=(8,)).collect()}
+    assert got[8]["n_docs"] == 3
+    # query 0: prefix-8 ties (1,2,...) -> smallest id 1; full -> 2: disagree.
+    # query 1: prefix-8 tie -> 0; full: 0 closer than 2 -> agree.
+    # query 2: prefix-8 tie -> 0; full: cos(2,0) vs cos(2,1): 0 wins -> agree.
+    assert got[8]["n_agree"] == 2
+
+
+def test_matryoshka_agreement_single_aggregate_plan(spark):
+    """All ks share ONE aggregate over the pair scan — no per-k window
+    or join tree."""
+    from sap_data_pipeline_spark.operators.similarity import (
+        matryoshka_agreement,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(16)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    out = matryoshka_agreement(df, ks=(4, 8))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan

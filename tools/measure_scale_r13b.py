@@ -97,6 +97,7 @@ from sap_data_pipeline_spark.operators import multimodal as MM
 from sap_data_pipeline_spark.operators.corpus import sitemap_index_extract
 from sap_data_pipeline_spark.operators.dedup import near_dup_clusters
 from sap_data_pipeline_spark.operators.sampling import curriculum_interleave
+from sap_data_pipeline_spark.operators.similarity import matryoshka_agreement
 from sap_data_pipeline_spark.operators.temporal import (
     http_revalidation_plan,
     parse_http_response_head,
@@ -166,6 +167,19 @@ KERNELS["http_headers_parse"] = (
         ).alias("raw_head"),
     ): (lambda: parse_http_response_head(df)))(),
     100_000,
+)
+
+KERNELS["matryoshka_dim_agreement"] = (
+    # audit-cadence op: quadratic in the SAMPLE by design (documented
+    # like minhash_jaccard_estimate) -- the row pins the curve
+    lambda n: (lambda df=spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: F.sin((F.col("id") + 1) * (j + 1) * 0.37),
+        ).alias("embedding"),
+    ): (lambda: matryoshka_agreement(df, ks=(8, 16, 32))))(),
+    150,
 )
 
 name_filter = sys.argv[1:] or list(KERNELS)
