@@ -539,6 +539,13 @@ def curriculum_interleave(
         r[source_col]: r["n"]
         for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
     }
+    if None in counts:
+        # a NULL source has no round-robin slot and would otherwise die
+        # in an unrelated sort/map-key error — fail with the contract
+        raise ValueError(
+            f"curriculum_interleave: {source_col!r} must be non-null "
+            "(coalesce a sentinel source before ordering)"
+        )
     srcs = sorted(counts)
     cnts = [int(counts[s]) for s in srcs]
     if not srcs:

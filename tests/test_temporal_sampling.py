@@ -1050,3 +1050,20 @@ def test_curriculum_interleave_tie_break_and_plan(spark):
     plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
     assert "Exchange rangepartitioning" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_curriculum_interleave_null_source_contract(spark):
+    """A NULL source has no round-robin slot: the operator fails with
+    its contract error, not an unrelated sort/map-key error."""
+    import pytest
+
+    from sap_data_pipeline_spark.operators.sampling import (
+        curriculum_interleave,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, None, 7)],
+        "doc_id long, source string, q long",
+    )
+    with pytest.raises(ValueError, match="must be non-null"):
+        curriculum_interleave(df, "q")
