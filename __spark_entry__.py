@@ -270,6 +270,14 @@ _TAIL = (
     # geometry audit, and it correctly reports that the synthetic
     # embeddings are NOT matryoshka-trained (9/200 agree at k=8):
     "matryoshka_dim_agreement",
+    # parse→plan composition: raw CRLF wire heads through BOTH http
+    # operators into per-mode fetch counts, value-hashed end-to-end
+    # against a closed-form twin — a parser misread (comma-join losing
+    # max-age, duplicate-Date first-wins flipping) changes downstream
+    # verdicts and breaks the hash.  The only multi-operator chained
+    # ORACLE in the HTTP family (robots has the parse→gate precedent
+    # as a unit test; this one is hashed):
+    "http_revalidation_funnel",
     # r13 rotation (r12 verdict #1 — promote the ten never-driver-hashed
     # r12 queries: intra_doc_line_dedup, c4_line_filters,
     # robots_disallow_gate, source_centroid_outliers, hashed_ngram_score,

@@ -8886,15 +8886,15 @@ _REVAL_NOW = 1_700_050_000
     f"""
     WITH p AS (
         SELECT doc_id, doc_id % 8 AS v,
-               1700000000 + (doc_id * 37) % 100000 AS fetched
+               1700000000 + (doc_id * 197) % 100000 AS fetched
         FROM documents
     ),
     lif AS (
         SELECT doc_id, v, fetched,
                CASE v
                    WHEN 0 THEN 3600
-                   WHEN 4 THEN greatest(0, (doc_id % 1000) - 500)
-                   WHEN 5 THEN least(doc_id % 200000, 86400)
+                   WHEN 4 THEN greatest(0, (doc_id % 1000) - 250)
+                   WHEN 5 THEN least((doc_id * 431) % 200000, 86400)
                    WHEN 7 THEN 10
                    ELSE 0
                END AS lifetime
@@ -8920,7 +8920,7 @@ def http_revalidation_plan_q(star: Star) -> DataFrame:
 
     d = F.col("doc_id")
     v = F.pmod(d, F.lit(8))
-    fetched = (F.lit(1_700_000_000) + F.pmod(d * 37, F.lit(100_000))).cast(
+    fetched = (F.lit(1_700_000_000) + F.pmod(d * 197, F.lit(100_000))).cast(
         "long"
     )
 
@@ -8941,12 +8941,12 @@ def http_revalidation_plan_q(star: Star) -> DataFrame:
     )
     lm = (
         F.when(v == 2, imf(fetched - F.lit(5000)))
-        .when(v == 5, imf(fetched - F.pmod(d, F.lit(200_000)) * 10))
+        .when(v == 5, imf(fetched - F.pmod(d * 431, F.lit(200_000)) * 10))
         .when(v == 6, F.lit("not-a-date"))
         .when(v == 7, imf(fetched - F.lit(100)))
     )
     expires = F.when(
-        v == 4, imf(fetched + F.pmod(d, F.lit(1000)) - F.lit(500))
+        v == 4, imf(fetched + F.pmod(d, F.lit(1000)) - F.lit(250))
     )
     date = F.when(v.isin(2, 4, 5, 7), imf(fetched))
     log = star.documents.select(
@@ -9075,9 +9075,7 @@ def curriculum_interleave_q(star: Star) -> DataFrame:
 # robots_rules_parse hashing precedent).
 # ---------------------------------------------------------------------------
 
-@register(
-    "http_headers_parse",
-    """
+_HTTP_HEADERS_PARSE_SQL = """
     SELECT 'u' || doc_id AS url,
            CAST(CASE doc_id % 6
                WHEN 0 THEN 200 WHEN 1 THEN 304 WHEN 2 THEN -1
@@ -9117,13 +9115,13 @@ def curriculum_interleave_q(star: Star) -> DataFrame:
                WHEN 5 THEN 'Mon, 01 Jan 2024 00:00:00 GMT'
            END AS date
     FROM documents
-    """,
-)
-def http_headers_parse_q(star: Star) -> DataFrame:
-    from sap_data_pipeline_spark.operators.temporal import (
-        parse_http_response_head,
-    )
+    """
 
+
+def _http_wire_heads(star: Star) -> DataFrame:
+    """(url, raw_head) wire-head fixture shared by http_headers_parse
+    and http_revalidation_funnel — six closed-form CRLF variants, see
+    the http_headers_parse comment block for the per-variant traps."""
     d = F.col("doc_id")
     s = d.cast("string")
     v = F.pmod(d, F.lit(6))
@@ -9161,10 +9159,18 @@ def http_headers_parse_q(star: Star) -> DataFrame:
             "Date: Tue, 02 Jan 2024 00:00:00 GMT\r\n"
             "Cache-Control: no-store\r\n"))
     )
-    raw = star.documents.select(
-        F.concat(F.lit("u"), s).alias("url"), head.alias("raw_head")
+    return star.documents.select(
+        F.concat(F.lit("u"), s).alias("url"), head.alias("raw_head"),
     )
-    out = parse_http_response_head(raw)
+
+
+@register("http_headers_parse", _HTTP_HEADERS_PARSE_SQL)
+def http_headers_parse_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.temporal import (
+        parse_http_response_head,
+    )
+
+    out = parse_http_response_head(_http_wire_heads(star))
     return out.select(
         "url",
         F.coalesce(F.col("status_code"), F.lit(-1)).cast("int")
@@ -9173,6 +9179,72 @@ def http_headers_parse_q(star: Star) -> DataFrame:
         F.coalesce(F.col("content_length"), F.lit(-1)).cast("long")
         .alias("content_length"),
         "etag", "last_modified", "cache_control", "expires", "date",
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTTP revalidation FUNNEL (parse_http_response_head →
+# http_revalidation_plan, chained end-to-end): raw CRLF wire heads in,
+# per-mode fetch-plan counts out — the producer/consumer handshake the
+# two operators exist for, value-hashed THROUGH both stages against a
+# closed-form twin.  A field the parser misreads (say, the comma-joined
+# Cache-Control losing its max-age directive, or the duplicate-Date
+# first-wins rule flipping) changes the downstream freshness verdicts
+# and breaks the hash — composition evidence neither single-stage
+# query provides.  Head variant v=0 carries max-age=3600, so its docs
+# split fresh / if-none-match on their per-doc fetch offset; v=1 (304
+# + validators, no lifetime source) revalidates by ETag; v=2-5
+# (validator-less, Expires-without-Date, no-store) are unconditional.
+# The fetch offset is bounded mod 49 000 (< the 50 000 now-gap) so
+# every fetch precedes `now` and freshness comes from LIFETIME, never
+# from a future-clock fetched_at — without the bound, clock-skew rows
+# make any variant read fresh and the closed-form mode model is wrong.
+# ---------------------------------------------------------------------------
+
+@register(
+    "http_revalidation_funnel",
+    """
+    WITH m AS (
+        SELECT doc_id, doc_id % 6 AS v,
+               (doc_id * 197) % 49000 AS off
+        FROM documents
+    ),
+    planned AS (
+        SELECT CASE
+                   WHEN v = 0 AND off + 3600 > 50000 THEN 'fresh'
+                   WHEN v IN (0, 1) THEN 'if-none-match'
+                   ELSE 'unconditional'
+               END AS mode,
+               CASE WHEN v = 0 THEN 3600 ELSE 0 END AS lifetime
+        FROM m
+    )
+    SELECT mode, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(lifetime) AS BIGINT) AS sum_lifetime_sec
+    FROM planned GROUP BY mode
+    """,
+)
+def http_revalidation_funnel_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.temporal import (
+        http_revalidation_plan,
+        parse_http_response_head,
+    )
+
+    d = F.col("doc_id")
+    fetched = (F.lit(1_700_000_000) + F.pmod(d * 197, F.lit(49_000))).cast(
+        "long"
+    )
+    fetch_log = star.documents.select(
+        F.concat(F.lit("u"), d.cast("string")).alias("url"),
+        fetched.alias("fetched_at"),
+    )
+    parsed = parse_http_response_head(_http_wire_heads(star)).join(
+        fetch_log, "url"
+    )
+    plan = http_revalidation_plan(parsed, now=_REVAL_NOW)
+    return plan.groupBy("mode").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum("freshness_lifetime_sec").cast("long")
+        .alias("sum_lifetime_sec"),
     )
 
 
