@@ -850,3 +850,79 @@ def stream_centroid_monitor(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_recrawl_gate(
+    stream: DataFrame,
+    *,
+    now: int,
+    out_dir: str,
+    checkpoint_dir: str,
+    url_col: str = "url",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming recrawl planning — the incremental arm of
+    :func:`operators.temporal.http_revalidation_plan`: every
+    micro-batch of fetch results (URL + caching headers) updates a
+    per-URL latest-response state, and the batch publishes the
+    CUMULATIVE revalidation plan — so the frontier scheduler always
+    reads current conditional-GET decisions instead of waiting for the
+    next full fetch-log pass.
+
+    State is keep-latest and replay-safe: each batch persists its own
+    per-URL latest records under ``{out_dir}/_latest/batch_id={id}/``
+    with overwrite (a crash-replayed batch rewrites the same
+    directory), and the cumulative reduce is ``max_by`` over the
+    deterministic (fetched_at, full-record) struct — insensitive to
+    replay order and to which batch a record arrived in, so batch N's
+    published plan equals the batch twin (``http_revalidation_plan``
+    over keep-latest of batches 0..N) EXACTLY — the
+    streaming-equals-batch contract of the centroid/drift monitors,
+    test-pinned.  State size is distinct-URLs rows, never
+    fetch-log-sized; ``now`` is pinned by the caller so planning is
+    deterministic (a wall-clock ``now`` would tear replay parity).
+
+    Each batch publishes (url, freshness_lifetime_sec, fresh_until,
+    is_fresh, mode) to ``{out_dir}/batch_id={id}/``.
+    """
+    from sap_data_pipeline_spark.operators.temporal import (
+        http_revalidation_plan,
+    )
+
+    HEADERS = ["fetched_at", "etag", "last_modified", "cache_control",
+               "expires", "date"]
+
+    def latest_per_url(df: DataFrame) -> DataFrame:
+        rec = F.struct(F.col("fetched_at"), *[F.col(c) for c in HEADERS[1:]])
+        return df.groupBy(url_col).agg(
+            F.max_by(rec, rec).alias("_r")
+        ).select(url_col, *[F.col(f"_r.{c}").alias(c) for c in HEADERS])
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        latest_dir = f"{out_dir}/_latest"
+        partial = latest_per_url(batch_df.select(url_col, *HEADERS))
+        partial.coalesce(1).write.mode("overwrite").parquet(
+            f"{latest_dir}/batch_id={batch_id}"
+        )
+        try:
+            acc = spark.read.parquet(latest_dir)
+        except AnalysisException as exc:
+            # first batch just wrote it; any other read failure is real
+            if not _is_missing_path(spark, exc, latest_dir):
+                raise
+            acc = partial
+        cum = latest_per_url(acc)
+        plan = http_revalidation_plan(cum, now=now, url_col=url_col)
+        plan.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(update).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

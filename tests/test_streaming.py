@@ -1488,3 +1488,84 @@ def test_stream_centroid_monitor_equals_batch_twin(spark, tmp_path):
         for n in published
     ]
     assert sizes == sorted(sizes) and sizes[-1] == 36
+
+
+def test_stream_recrawl_gate_equals_batch_twin(spark, tmp_path):
+    """Streaming-equals-batch for the recrawl gate: batch-N's
+    published plan equals http_revalidation_plan over keep-latest of
+    batches 0..N exactly — URLs re-fetched in a later batch flip from
+    stale to fresh (new max-age observation wins), never-refetched
+    URLs keep their old verdict."""
+    from pyspark.sql import functions as F
+
+    from sap_data_pipeline_spark.operators.temporal import (
+        http_revalidation_plan,
+    )
+    from sap_data_pipeline_spark.streaming.ingest import stream_recrawl_gate
+
+    NOW = 1_700_050_000
+    cols = ("url string, fetched_at long, etag string, "
+            "last_modified string, cache_control string, "
+            "expires string, date string")
+    watch = tmp_path / "fetch_watch"
+    watch.mkdir()
+    batches = []
+    rowsets = [
+        # batch 0: u1 stale (max-age 10), u2 no headers
+        [("u1", NOW - 5_000, '"a"', None, "max-age=10", None, None),
+         ("u2", NOW - 9_000, None, None, None, None, None)],
+        # batch 1: u1 REFETCHED fresh (max-age 99999), u3 appears
+        [("u1", NOW - 100, '"b"', None, "max-age=99999", None, None),
+         ("u3", NOW - 50, None, None, "no-store", None, None)],
+        # batch 2: u1 duplicate of an OLDER fetch (must lose to the
+        # batch-1 record), u2 refetched with an ETag
+        [("u1", NOW - 4_000, '"c"', None, "max-age=1", None, None),
+         ("u2", NOW - 200, '"d"', None, "max-age=50", None, None)],
+    ]
+    for b, rows in enumerate(rowsets):
+        df = spark.createDataFrame(rows, cols)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(watch / f"b{b}.parquet")
+        )
+        batches.append(df)
+
+    stream = (
+        spark.readStream.format("parquet").schema(cols)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(watch) + "/*")
+    )
+    out = str(tmp_path / "plans")
+    q = stream_recrawl_gate(
+        stream, now=NOW, out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt_gate"),
+    )
+    q.awaitTermination(180)
+
+    import os
+    published = sorted(
+        int(p.split("=")[1]) for p in os.listdir(out)
+        if p.startswith("batch_id=")
+    )
+    assert len(published) == 3
+    union = batches[0]
+    for b in batches[1:]:
+        union = union.unionByName(b)
+    rec = F.struct("fetched_at", "etag", "last_modified",
+                   "cache_control", "expires", "date")
+    latest = union.groupBy("url").agg(F.max_by(rec, rec).alias("_r")).select(
+        "url", "_r.*"
+    )
+    twin = {r["url"]: r for r in
+            http_revalidation_plan(latest, now=NOW).collect()}
+    got = {r["url"]: r for r in
+           spark.read.parquet(f"{out}/batch_id={published[-1]}").collect()}
+    assert set(got) == {"u1", "u2", "u3"} == set(twin)
+    for u in twin:
+        for c in ("freshness_lifetime_sec", "fresh_until",
+                  "is_fresh", "mode"):
+            assert got[u][c] == twin[u][c], (u, c)
+    # semantics spot checks: the batch-1 refetch wins over batch-2's
+    # stale duplicate; no-store is unconditional
+    assert got["u1"]["is_fresh"] and got["u1"]["mode"] == "fresh"
+    assert got["u3"]["mode"] == "unconditional"
+    assert got["u2"]["mode"] == "if-none-match"
