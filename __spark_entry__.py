@@ -278,6 +278,14 @@ _TAIL = (
     # ORACLE in the HTTP family (robots has the parse→gate precedent
     # as a unit test; this one is hashed):
     "http_revalidation_funnel",
+    # the full crawl-seeding handshake hashed through THREE parsers:
+    # robots Sitemap discovery → index extraction → urlset extraction,
+    # with each stage's EXTRACTED url keying the next stage's
+    # fetch-join — an entity-decode drift makes the join miss, rows
+    # vanish, hash breaks.  Distinct evidence from the three
+    # single-stage queries: the only composition where the decode is
+    # LOAD-BEARING for a join, not just a hashed column:
+    "crawl_seed_funnel",
     # r13 rotation (r12 verdict #1 — promote the ten never-driver-hashed
     # r12 queries: intra_doc_line_dedup, c4_line_filters,
     # robots_disallow_gate, source_centroid_outliers, hashed_ngram_score,

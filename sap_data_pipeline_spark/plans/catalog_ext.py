@@ -9338,3 +9338,117 @@ def matryoshka_dim_agreement_q(star: Star) -> DataFrame:
         star.embeddings.filter(F.col("vec_id") < _MATRYOSHKA_SAMPLE),
         ks=(8, 16, 32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-seeding FUNNEL (robots_sitemap_urls → sitemap_index_extract →
+# sitemap_url_extract, chained end-to-end): robots bodies in, frontier
+# candidates out, value-hashed THROUGH all three parsers and the two
+# fetch-joins between them.  The joins are the teeth: each stage's
+# extracted URL keys the next stage's fetched body, so an
+# entity-decode drift (&amp; kept verbatim in an index loc) makes the
+# child fetch-join MISS, rows vanish, and the hash breaks — the exact
+# real-world failure the sitemap XML decoding exists to prevent, now
+# load-bearing inside one oracled query.  Per host: robots names the
+# index (twice, case-varied — dedup to one), the index names two
+# entity-escaped children, each child carries one escaped-loc URL and
+# one CDATA-verbatim URL.
+# ---------------------------------------------------------------------------
+
+@register(
+    "crawl_seed_funnel",
+    """
+    WITH hosts AS (
+        SELECT DISTINCT doc_id AS hid FROM documents WHERE doc_id < 40
+    )
+    SELECT 'h' || hid AS host,
+           'https://h' || hid || '/' || c || path AS url,
+           lastmod,
+           CAST(priority AS DOUBLE) AS priority
+    FROM hosts, (VALUES
+        ('a', '/p1?x=1&y=2', '2024-04-01', 0.8),
+        ('b', '/p1?x=1&y=2', '2024-04-02', 0.8),
+        ('a', '/cd?q=1&z=2&amp;w', NULL, NULL),
+        ('b', '/cd?q=1&z=2&amp;w', NULL, NULL)
+    ) v(c, path, lastmod, priority)
+    """,
+)
+def crawl_seed_funnel_q(star: Star) -> DataFrame:
+    from sap_data_pipeline_spark.operators.corpus import (
+        robots_sitemap_urls,
+        sitemap_index_extract,
+        sitemap_url_extract,
+    )
+
+    d = F.col("doc_id")
+    h = d.cast("string")
+    hosts = star.documents.filter(d < 40).select(
+        F.concat(F.lit("h"), h).alias("host"), h.alias("_h")
+    )
+    hh = F.col("_h")
+
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\n"
+                  "Sitemap: https://h"), hh, F.lit("/idx.xml\n"
+                  "SITEMAP: https://h"), hh, F.lit("/idx.xml\n"),
+        ).alias("robots_txt"),
+    )
+    # stage 1: robots -> index refs (dup directive dedups to one)
+    discovered = robots_sitemap_urls(robots)
+
+    # "fetch" the index bodies, keyed by the URL robots named
+    index_docs = hosts.select(
+        "host",
+        F.concat(F.lit("https://h"), hh, F.lit("/idx.xml"))
+        .alias("sitemap_url"),
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://h"), hh,
+            F.lit("/a.xml?p=1&amp;q=2</loc>"
+                  "<lastmod>2024-03-05</lastmod></sitemap>"
+                  "<sitemap><loc> https://h"), hh,
+            F.lit("/b.xml?p=1&amp;q=2 </loc></sitemap></sitemapindex>"),
+        ).alias("sitemap_xml"),
+    )
+    fetched_idx = discovered.join(index_docs, ["host", "sitemap_url"])
+
+    # stage 2: index -> child refs (entity-decoded locs)
+    children = sitemap_index_extract(fetched_idx).select(
+        "host", F.col("sitemap_url")
+    )
+
+    # "fetch" the child bodies, keyed by the DECODED child URL
+    def child_xml(c, lastmod):
+        return F.concat(
+            F.lit(f"<urlset><url><loc>https://h"), hh,
+            F.lit(f"/{c}/p1?x=1&amp;y=2</loc>"
+                  f"<lastmod>{lastmod}T09:00:00Z</lastmod>"
+                  "<priority>0.8</priority></url>"
+                  "<url><loc><![CDATA[https://h"), hh,
+            F.lit(f"/{c}/cd?q=1&z=2&amp;w]]></loc></url></urlset>"),
+        )
+
+    child_docs = hosts.select(
+        "host",
+        F.explode(F.array(
+            F.struct(
+                F.concat(F.lit("https://h"), hh, F.lit("/a.xml?p=1&q=2"))
+                .alias("sitemap_url"),
+                child_xml("a", "2024-04-01").alias("sitemap_xml"),
+            ),
+            F.struct(
+                F.concat(F.lit("https://h"), hh, F.lit("/b.xml?p=1&q=2"))
+                .alias("sitemap_url"),
+                child_xml("b", "2024-04-02").alias("sitemap_xml"),
+            ),
+        )).alias("_c"),
+    ).select("host", "_c.sitemap_url", "_c.sitemap_xml")
+    fetched_children = children.join(
+        child_docs, ["host", "sitemap_url"]
+    )
+
+    # stage 3: children -> frontier candidates
+    return sitemap_url_extract(fetched_children).select(
+        "host", "url", "lastmod", "priority"
+    )
