@@ -1018,9 +1018,14 @@ def matryoshka_agreement(corpus: DataFrame, *, ks=(8, 16, 32),
     — so guarding the smallest k guards them all.
 
     Returns one row per k: (k, n_docs, n_agree); full-dim reference
-    implicit (its agreement row would be trivially n_docs).
+    implicit (its agreement row would be trivially n_docs).  A k at or
+    beyond the vector dimension degenerates to the full vector
+    (``slice`` clamps) and trivially agrees — callers pass ks below
+    the embedding dim; ks must be non-empty and positive.
     """
     ks = sorted(set(int(k) for k in ks))
+    if not ks or ks[0] < 1:
+        raise ValueError(f"ks must be non-empty positive prefix dims: {ks}")
     nonzero = V.norm(F.slice(F.col(vec_col), 1, ks[0])) > 0
     corpus = corpus.filter(nonzero)
     q = corpus.select(
