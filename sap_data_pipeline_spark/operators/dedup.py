@@ -163,6 +163,76 @@ def bucketed_pairs(exploded: DataFrame, id_col: str,
     return pairs
 
 
+def banded_payload_pairs(exploded: DataFrame, id_col: str,
+                         payload_cols: list[str], *,
+                         band_cols: tuple[str, str] = ("band", "bkey"),
+                         max_bucket_size: int | None = None,
+                         distinct: bool = True) -> DataFrame:
+    """(id, payload…, band, bkey) rows → distinct candidate pairs
+    (id_a < id_b) with BOTH sides' payload columns attached — the
+    single-evaluation pair generator for banded sketches whose verify
+    data is a few narrow columns (a simhash word, an aHash word pair, an
+    audio fingerprint).
+
+    Why this exists (r13 optimization, guide §2.3/§2.4): the self-join
+    shape (``banded.join(banded, band_key)``) evaluates the upstream
+    sketch/decode sub-plan once per join side, and a downstream verify
+    join re-evaluates it again per side — ``explain`` shows three full
+    scan chains and no ReusedExchange (the sides' projections differ).
+    Grouping each bucket once and emitting pairs map-side from the
+    collected array evaluates the upstream plan exactly once and needs
+    no verify join at all, at the cost of shuffling the payload bytes
+    (8–16 bytes/row) alongside the id — the guide's "shuffle keys and
+    metadata instead of payloads" trade in the favorable direction.
+
+    ``max_bucket_size`` replays :func:`bucketed_pairs`' enforced cap
+    bit-for-bit (window row-count over the band key, rows in buckets
+    above the cap dropped BEFORE any list is collected); ``None`` keeps
+    the caller's uncapped contract (the perceptual-media pair operators,
+    whose oracles have no cap).
+
+    ``distinct=False`` skips the cross-band pair dedup so the caller can
+    apply its (map-side) distance verify FIRST and dedup the far smaller
+    verified set — at radius-3 Hamming most candidates fail the verify,
+    so the dedup exchange then carries only true pairs (guide §2.3:
+    filter before the shuffle).  Callers taking this path MUST dedup
+    afterwards: a pair sharing k bands is emitted k times (identical
+    rows, payloads included).
+    """
+    member = F.struct(
+        F.col(id_col).alias("_i"),
+        *[F.col(c).alias(f"_p{k}") for k, c in enumerate(payload_cols)],
+    )
+    kept = exploded
+    if max_bucket_size is not None:
+        wb = Window.partitionBy(*band_cols)
+        kept = (
+            exploded.withColumn("_n", F.count(F.lit(1)).over(wb))
+            .filter((F.col("_n") >= 2) & (F.col("_n") <= F.lit(max_bucket_size)))
+        )
+    buckets = kept.groupBy(*band_cols).agg(
+        F.array_sort(F.collect_set(member)).alias("_ms")
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ms, (a, i) -> "
+                    "transform(slice(_ms, i + 2, size(_ms) - i - 1), "
+                    "b -> struct(a AS a, b AS b))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a._i").alias("id_a"),
+            F.col("p.b._i").alias("id_b"),
+            *[F.col(f"p.a._p{k}").alias(f"{c}_a") for k, c in enumerate(payload_cols)],
+            *[F.col(f"p.b._p{k}").alias(f"{c}_b") for k, c in enumerate(payload_cols)],
+        )
+    )
+    return pairs.distinct() if distinct else pairs
+
+
 def lsh_oversized_buckets(sig: DataFrame, id_col: str = "doc_id",
                           num_perm: int = NUM_PERM, band_size: int = BAND_SIZE,
                           max_bucket_size: int = LSH_MAX_BUCKET) -> DataFrame:
@@ -945,10 +1015,15 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     oracle continuity.
 
     Scale shape mirrors minhash-LSH: one sketch group-by, one band-keyed
-    shuffle with the enforced bucket cap, then a verify join back to the
-    (narrow: id, int64) sketch table.  Everything is integer bit math —
-    ``shiftright``/mask for bands, ``bit_count(xor)`` for the verify —
-    inside codegen.
+    shuffle with the enforced bucket cap.  The 8-byte sketch rides the
+    banded rows, so candidate pairs emerge with both sides' sketches
+    attached and the Hamming verify is a map-side expression — no verify
+    join, and the expensive sketch aggregate (tokenize + md5 + 64
+    bit-sums) is evaluated exactly ONCE (the former
+    ``bucketed_pairs`` + two-sided verify-join shape re-evaluated it
+    three times; r13 optimization, plans/r13/simhash_near_dup_pairs64_*).
+    Everything is integer bit math — ``shiftright``/mask for bands,
+    ``bit_count(xor)`` for the verify — inside codegen.
     """
     assert bits % n_bands == 0, "bits must split evenly into bands"
     width = bits // n_bands
@@ -962,17 +1037,26 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
         )
         for b in range(n_bands)
     ])
-    exploded = sk.select(F.col(id_col), F.explode(entries).alias("e")).select(
-        F.col(id_col), F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
+    exploded = sk.select(
+        F.col(id_col), F.col("simhash"), F.explode(entries).alias("e")
+    ).select(
+        F.col(id_col), F.col("simhash"),
+        F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey"),
     )
-    cands = bucketed_pairs(exploded, id_col, max_bucket_size)
-    a = sk.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"))
-    b = sk.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"))
+    cands = banded_payload_pairs(
+        exploded, id_col, ["simhash"], max_bucket_size=max_bucket_size,
+        distinct=False,
+    )
+    # verify map-side BEFORE the cross-band dedup: most candidates fail
+    # the radius, so the distinct exchange carries only true pairs
     return (
-        cands.join(a, "id_a").join(b, "id_b")
-        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        cands.withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

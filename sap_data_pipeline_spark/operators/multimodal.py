@@ -1394,11 +1394,18 @@ def ahash_near_dup_pairs(hashes: DataFrame, *, max_hamming: int = 3,
     distance ≤ 3 leaves at least one of 4 bands intact, so recall is
     complete for the default radius.
 
-    Scale: the self-join shuffles narrow (id, band) rows keyed by band
-    value — never pixels; candidate volume is Σ|bucket|², bounded by
-    how many images truly share a 16-bit band.  Output is
+    Scale: the band-keyed shuffle carries narrow (id, hash word pair,
+    band) rows — never pixels; candidate volume is Σ|bucket|², bounded
+    by how many images truly share a 16-bit band.  Pairs are emitted
+    from each bucket's collected member list with both hash words
+    attached (``dedup.banded_payload_pairs``), so the Arrow decode
+    sub-plan upstream is evaluated exactly once — the former banded
+    self-join ran the whole decode chain once per join side (r13
+    optimization, plans/r13/image_ahash_pairs_*).  Output is
     ``(id_a, id_b, hamming)`` with ``id_a < id_b``, each pair once.
     """
+    from sap_data_pipeline_spark.operators.dedup import banded_payload_pairs
+
     b = [
         (F.shiftright(F.col("hash_hi"), 16) % 65536).alias("b0"),
         (F.col("hash_hi") % 65536).alias("b1"),
@@ -1415,31 +1422,20 @@ def ahash_near_dup_pairs(hashes: DataFrame, *, max_hamming: int = 3,
             ),
         )
     )
-    left = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("hash_hi").alias("hi_a"),
-        F.col("hash_lo").alias("lo_a"),
-        "band_idx", "band_val",
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col("hash_hi").alias("hi_b"),
-        F.col("hash_lo").alias("lo_b"),
-        "band_idx", "band_val",
-    )
-    cand = (
-        left.join(right, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
-        .distinct()
+    cand = banded_payload_pairs(
+        banded, id_col, ["hash_hi", "hash_lo"],
+        band_cols=("band_idx", "band_val"), distinct=False,
     )
     hamming = (
-        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        F.bit_count(F.col("hash_hi_a").bitwiseXOR(F.col("hash_hi_b")))
+        + F.bit_count(F.col("hash_lo_a").bitwiseXOR(F.col("hash_lo_b")))
     ).alias("hamming")
+    # verify map-side BEFORE the cross-band dedup: the distinct exchange
+    # then carries only the (far fewer) within-radius pairs
     return (
         cand.select("id_a", "id_b", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -1831,12 +1827,18 @@ def audio_fp_pairs(fps: DataFrame, *, max_hamming: int = 3,
     Pigeonhole: distance ≤ 3 leaves at least one of 4 bands intact, so
     recall is complete for the default radius.
 
-    Scale: the self-join shuffles narrow (id, band) rows keyed by band
-    value — never audio samples; candidate volume is Σ|bucket|²,
-    bounded by how many clips truly share an 8-bit band.  Output is
-    ``(id_a, id_b, hamming)`` with ``id_a < id_b``, each pair once;
-    NULL fingerprints (corrupt/non-WAV payloads) are excluded.
+    Scale: the band-keyed shuffle carries narrow (id, fingerprint,
+    band) rows — never audio samples; candidate volume is Σ|bucket|²,
+    bounded by how many clips truly share an 8-bit band.  Pairs are
+    emitted from each bucket's collected member list with both
+    fingerprints attached (``dedup.banded_payload_pairs``), so the
+    WAV-decode sub-plan upstream is evaluated exactly once — the former
+    banded self-join ran it once per join side (r13 optimization).
+    Output is ``(id_a, id_b, hamming)`` with ``id_a < id_b``, each pair
+    once; NULL fingerprints (corrupt/non-WAV payloads) are excluded.
     """
+    from sap_data_pipeline_spark.operators.dedup import banded_payload_pairs
+
     fp = F.col("fingerprint")
     b = [
         ((F.shiftright(fp, 24)) % 256).alias("b0"),
@@ -1854,26 +1856,18 @@ def audio_fp_pairs(fps: DataFrame, *, max_hamming: int = 3,
             ),
         )
     )
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("fingerprint").alias("fp_a"),
-        "band_idx", "band_val",
+    cand = banded_payload_pairs(
+        banded, id_col, ["fingerprint"],
+        band_cols=("band_idx", "band_val"), distinct=False,
     )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("fingerprint").alias("fp_b"),
-        "band_idx", "band_val",
-    )
-    cand = (
-        left.join(right, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias(
-        "hamming"
-    )
+    hamming = F.bit_count(
+        F.col("fingerprint_a").bitwiseXOR(F.col("fingerprint_b"))
+    ).alias("hamming")
+    # verify map-side BEFORE the cross-band dedup (see ahash twin)
     return (
         cand.select("id_a", "id_b", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -418,6 +418,17 @@ def crawl_schedule(history: DataFrame, budget: int, *,
         history, url_col=url_col, ts_col=ts_col, hash_col=hash_col,
         order_tiebreak=order_tiebreak,
     ).withColumn(host_col, host_expr)
+    # The quota branch (host-mass aggregate) and the fill branch
+    # (per-host rank) both consume `rates`; without a cut the whole
+    # url_change_rate chain — the one history-sized window+aggregate in
+    # this operator — executes once per branch (plan audit r13: two
+    # full scan→window→agg chains, no ReusedExchange because the
+    # branches project differently).  `rates` is frontier-sized (one
+    # narrow row per URL), orders of magnitude below the fetch ledger,
+    # so materializing it once is the guide's decide-on-the-small-table
+    # shape; on a cluster the blocks sit on executors exactly like the
+    # graph operators' per-round checkpoints.
+    rates = rates.localCheckpoint(eager=True)
     mass = (
         rates.groupBy(host_col)
         .agg(

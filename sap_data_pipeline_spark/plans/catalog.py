@@ -2274,10 +2274,19 @@ def tpch_q21_suppliers_who_kept_waiting(star: Star) -> DataFrame:
     self-join pair (which the oracle states verbatim) collapses into
     ONE (orderkey, suppkey)-grain aggregate + one order-grain rollup:
     an order qualifies iff it has ≥2 suppliers and exactly one of them
-    is late — l1's count is that supplier's late lines.  One exchange
-    on the order key instead of three fact-fact self-joins; the
-    differential between the two strategies is the correctness
-    evidence."""
+    is late — l1's count is that supplier's late lines.  Because the
+    qualifying order has EXACTLY ONE late supplier, that supplier's
+    (suppkey, late-line count) rides the order-grain aggregate as two
+    scalar ``max(when(late, …))`` columns (both come from the same row;
+    scalar max keeps the aggregate in HashAggregate — a struct-valued
+    max falls back to SortAggregate and re-sorts the fact) — so the
+    whole query is one
+    aggregation chain over a single lineitem scan, no self-join at all
+    (r13 optimization: the former per_os ⋈ qual shape re-evaluated the
+    per-supplier aggregate once per side and sort-merge-joined them —
+    plans/r13/tpch_q21_*: 2 lineitem scans + SMJ → 1 scan, SMJ gone);
+    the differential between this and the oracle's verbatim
+    EXISTS/NOT-EXISTS strategy is the correctness evidence."""
     ld = sm.lineitem_dated(star).select(
         "l_orderkey", "l_suppkey",
         (F.col("l_receiptdate") > F.col("l_commitdate")).cast("int").alias("late"),
@@ -2293,10 +2302,19 @@ def tpch_q21_suppliers_who_kept_waiting(star: Star) -> DataFrame:
     per_o = per_os.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_sups"),
         F.sum("sup_late").alias("n_late_sups"),
+        F.max(
+            F.when(F.col("sup_late") == 1, F.col("l_suppkey"))
+        ).alias("late_suppkey"),
+        F.max(
+            F.when(F.col("sup_late") == 1, F.col("n_late_lines"))
+        ).alias("late_lines"),
     )
     qual = per_o.filter(
         (F.col("n_sups") >= 2) & (F.col("n_late_sups") == 1)
-    ).select("l_orderkey")
+    ).select(
+        F.col("late_suppkey").alias("l_suppkey"),
+        F.col("late_lines").alias("n_late_lines"),
+    )
     asia_sup = star.supplier.join(
         F.broadcast(
             star.nation.join(
@@ -2307,9 +2325,7 @@ def tpch_q21_suppliers_who_kept_waiting(star: Star) -> DataFrame:
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey", "s_name")
     return (
-        per_os.filter(F.col("sup_late") == 1)
-        .join(qual, "l_orderkey")
-        .join(F.broadcast(asia_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        qual.join(F.broadcast(asia_sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())

@@ -6918,9 +6918,15 @@ def image_ahash_clusters_q(star: Star) -> DataFrame:
         MM.synth_bmp_media_templated(star.documents, n_templates=_AH_TEMPLATES)
     )
     pairs = MM.ahash_near_dup_pairs(hashes, max_hamming=_AH_RADIUS)
-    return D.near_dup_clusters(
-        hashes.select("media_id"), id_col="media_id", pairs=pairs
-    )
+    # node set = hashes.select(media_id) VALUE-wise, but synth + ahash
+    # emit exactly one row per document with media_id = doc_id, so the
+    # documents scan IS that id set — the CC operator's singleton
+    # anti-join and label init then read 584 KB of parquet instead of
+    # re-running the Arrow BMP synth+decode chain (r13 optimization;
+    # the oracle's reach base is literally `SELECT doc_id, doc_id FROM
+    # documents`, the same identity)
+    ids = star.documents.select(F.col("doc_id").alias("media_id"))
+    return D.near_dup_clusters(ids, id_col="media_id", pairs=pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -8653,9 +8659,11 @@ def audio_fp_clusters_q(star: Star) -> DataFrame:
                                      n_templates=_AFP_TEMPLATES)
     )
     pairs = MM.audio_fp_pairs(fps, max_hamming=_AFP_RADIUS)
-    return D.near_dup_clusters(
-        fps.select("media_id"), id_col="media_id", pairs=pairs
-    )
+    # node set from the documents scan, not the WAV-decode chain — same
+    # identity argument as image_ahash_clusters (one fingerprint row per
+    # doc, media_id = doc_id; oracle reach base reads documents)
+    ids = star.documents.select(F.col("doc_id").alias("media_id"))
+    return D.near_dup_clusters(ids, id_col="media_id", pairs=pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -8801,9 +8809,11 @@ def video_fp_clusters_q(star: Star) -> DataFrame:
                                      n_templates=_VFP_TEMPLATES)
     )
     pairs = MM.video_fp_pairs(fps, max_hamming=_VFP_RADIUS)
-    return D.near_dup_clusters(
-        fps.select("media_id"), id_col="media_id", pairs=pairs
-    )
+    # node set from the documents scan, not the Y4M-decode chain — same
+    # identity argument as image_ahash_clusters (one fingerprint row per
+    # doc, media_id = doc_id; oracle reach base reads documents)
+    ids = star.documents.select(F.col("doc_id").alias("media_id"))
+    return D.near_dup_clusters(ids, id_col="media_id", pairs=pairs)
 
 
 # ---------------------------------------------------------------------------
