@@ -18,6 +18,27 @@ def _c(c: ColumnOrName) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def double_array_lit(values) -> Column:
+    """Arbitrarily nested float-list literal as ONE ``F.expr`` call.
+
+    ``F.lit`` on a nested Python list builds one py4j round-trip per
+    element — measured 1.0-1.8 s of pure driver time for a 63×32
+    centroid matrix, which dominated the CONSTRUCTION cost of every
+    fixed-model/seeded-quantizer query (r13 optimization).  Rendering
+    the whole matrix as a single SQL ``array(array(1.0D, …))`` string is
+    one round-trip parsed JVM-side (~5 ms) and bit-exact: ``repr`` emits
+    the shortest digits that round-trip to the same double, and the SQL
+    ``D``-suffixed literal parses those digits straight to DOUBLE
+    (verified including exponent forms and -0.0).
+    """
+    def render(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(render(x) for x in v) + ")"
+        return repr(float(v)) + "D"
+
+    return F.expr(render(values))
+
+
 def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
     return F.aggregate(
         F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),

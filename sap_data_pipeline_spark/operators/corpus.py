@@ -898,7 +898,15 @@ def bigram_logprob(df: DataFrame, *, text_col: str = "text",
     c12 = F.sum("cnt").over(Window.partitionBy("w1", "w2"))
     c1 = F.sum("cnt").over(Window.partitionBy("w1"))
     c2 = F.sum("cnt").over(Window.partitionBy("w2"))
-    total = pairs.agg(F.sum("cnt").cast("double").alias("_n_total"))
+    # N = Σ bigram counts = Σ_docs max(n_tokens − 1, 0) — the arithmetic
+    # identity lets the broadcast one-row total come from a map-side
+    # tokenize+size scan instead of re-running the whole bigram explode
+    # + (doc, w1, w2) aggregate a second time (plan audit r13: the
+    # `pairs.agg(sum(cnt))` branch duplicated the expensive chain;
+    # Generate + 2-phase HashAggregate dropped from the total branch)
+    total = df.select(
+        F.greatest(F.size(X.tokens(text_col)) - 1, F.lit(0)).alias("_nb")
+    ).agg(F.sum("_nb").cast("double").alias("_n_total"))
     scored = (
         pairs.withColumn("_c12", c12)
         .withColumn("_c1", c1)

@@ -1142,7 +1142,9 @@ def seeded_cell_assign(emb: DataFrame, *, id_col: str = "vec_id",
             .limit(0)
         )
     rows.sort(key=lambda r: (r["_r"], r["_cid"]))  # cell i = i-th by (_r, id)
-    cents_lit = F.lit([[float(x) for x in r["cent_vec"]] for r in rows])
+    # one F.expr round-trip, not one py4j call per float (1.5 s → 5 ms
+    # of driver time at 63×32; bit-exact — see double_array_lit)
+    cents_lit = V.double_array_lit([[float(x) for x in r["cent_vec"]] for r in rows])
     scored = F.transform(
         cents_lit,
         lambda cv, i: F.struct(

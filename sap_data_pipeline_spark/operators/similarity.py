@@ -145,7 +145,7 @@ def lsh_buckets(df: DataFrame, *, vec_col: str = "embedding", dim: int,
     for t in range(n_tables):
         bits = []
         for p in range(n_planes):
-            plane = F.array(*[F.lit(v) for v in _hyperplane(dim, t * n_planes + p)])
+            plane = V.double_array_lit(_hyperplane(dim, t * n_planes + p))
             proj = F.aggregate(
                 F.zip_with(F.col(vec_col), plane, lambda x, h: x.cast("double") * h),
                 F.lit(0.0),
@@ -243,7 +243,7 @@ def _assign_cells(df: DataFrame, centroids: list[list[float]], *,
     """
     v = F.col(vec_col).cast("array<double>")
     cells = F.transform(
-        F.lit([list(map(float, c)) for c in centroids]),
+        V.double_array_lit([list(map(float, c)) for c in centroids]),
         lambda cent, i: F.struct(
             i.cast("int").alias("cell"),
             F.aggregate(
@@ -465,15 +465,16 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]], *,
     """
     sub = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
-    # One nested-array literal for the whole codebook set (a single py4j
-    # call) + transform-with-index, instead of 2^nbits per-centroid
-    # expression trees per subspace — per-literal Column construction was
-    # the dominant cost (seconds of driver time at m=8/nbits=8).
+    # One nested-array literal for the whole codebook set (a single
+    # F.expr round-trip — F.lit on a nested list still pays one py4j
+    # call per float) + transform-with-index, instead of 2^nbits
+    # per-centroid expression trees per subspace — per-literal Column
+    # construction was the dominant cost (seconds of driver time).
     # argmin = array_position(dists, array_min(dists)): both sides see
     # the identical computed double, and array_position returns the
     # FIRST match, preserving the lowest-code tie-break of a stable sort.
     dtab = F.transform(
-        F.lit([[list(map(float, c)) for c in book] for book in codebooks]),
+        V.double_array_lit([[list(map(float, c)) for c in book] for book in codebooks]),
         lambda book, j: F.transform(
             book, lambda cent: _sqdist_cols(F.slice(v, j * sub + 1, sub), cent)
         ),
@@ -492,7 +493,7 @@ def _pq_dtab(codebooks, vec_col: str):
     sub = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
     return F.transform(
-        F.lit([[list(map(float, c)) for c in book] for book in codebooks]),
+        V.double_array_lit([[list(map(float, c)) for c in book] for book in codebooks]),
         lambda book, j: F.transform(
             book, lambda cent: _sqdist_cols(F.slice(v, j * sub + 1, sub), cent)
         ),
@@ -773,11 +774,11 @@ def _project_cols(vec, mean: list[float], components: list[list[float]]):
     rows — zip_with/aggregate folds inside codegen, no Python per row,
     one centered array shared by all k dots."""
     centered = F.zip_with(
-        vec, F.lit(mean), lambda x, m: x.cast("double") - m
+        vec, V.double_array_lit(mean), lambda x, m: x.cast("double") - m
     )
     return [
         F.aggregate(
-            F.zip_with(centered, F.lit(c), lambda x, w: x * w),
+            F.zip_with(centered, V.double_array_lit(c), lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

@@ -103,12 +103,32 @@ def _rebalance_if_underparallel(df: DataFrame, spark: SparkSession,
     return df.repartition(cores) if needed else df
 
 
+# Star plans per (session, sf_dir).  spark.read.parquet reads footers for
+# schema discovery — ~0.6 s of driver time across the 10 tables — and every
+# catalog query invocation called load_star afresh, so the footer reads
+# were ~40% of many sub-2 s benched queries (r13 optimization).  Reusing
+# the (immutable, lazy) DataFrame plans is ordinary Spark session behavior
+# — the session already caches the file listing (filesourcePartitionFile-
+# CacheSize); nothing here caches DATA or results.  Keyed weakly by the
+# session object so stopped sessions don't pin plans.
+import weakref
+
+_STAR_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, Star]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_star(spark: SparkSession, sf_dir: str) -> Star:
     """Load the star schema from ``{sf_dir}/{table}.parquet``.
 
     Self-configures the nanos-timestamp read path so it works on any
     caller-provided session (the driver builds its own).
     """
+    per_session = _STAR_CACHE.setdefault(spark, {})
+    star = per_session.get(sf_dir)
+    if star is not None:
+        return star
+
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -120,7 +140,9 @@ def load_star(spark: SparkSession, sf_dir: str) -> Star:
             df = _rebalance_if_underparallel(df, spark, (sf_dir, t))
         return df
 
-    return Star(**{t: _load(t) for t in TABLES}, sf_dir=sf_dir)
+    star = Star(**{t: _load(t) for t in TABLES}, sf_dir=sf_dir)
+    per_session[sf_dir] = star
+    return star
 
 
 def read_dim_table(
