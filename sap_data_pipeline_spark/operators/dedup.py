@@ -188,8 +188,13 @@ def banded_payload_pairs(exploded: DataFrame, id_col: str,
     ``max_bucket_size`` replays :func:`bucketed_pairs`' enforced cap
     bit-for-bit (window row-count over the band key, rows in buckets
     above the cap dropped BEFORE any list is collected); ``None`` keeps
-    the caller's uncapped contract (the perceptual-media pair operators,
-    whose oracles have no cap).
+    an uncapped contract for callers whose oracles have no cap.  (The
+    perceptual-media pair operators A/B'd this generator against a
+    banded self-join over a MATERIALIZED fingerprint frame and kept the
+    join — at equal candidate volume the codegen'd join beats the
+    interpreted per-candidate struct transform by ~30%; simhash keeps
+    this form because its sketch aggregate dominates and the two shapes
+    measure equal there, with one less materialization barrier here.)
 
     ``distinct=False`` skips the cross-band pair dedup so the caller can
     apply its (map-side) distance verify FIRST and dedup the far smaller
@@ -728,7 +733,11 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
         .join(touched, "id", "left_anti")
         .select(F.col("id"), F.col("id").alias("lbl"))
     )
-    labels = (
+    # materialize the loop entry: round 0 consumes `labels` twice (own +
+    # propagated), and without a cut each consumption re-runs the ids
+    # scan + semi-join + the edge distinct (r13 round profile: round 0
+    # cost 3× the steady rounds purely from this double evaluation)
+    labels = ckpt(
         ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
         .join(touched, "id", "left_semi")
     )
@@ -775,8 +784,14 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
         ).collect()[0]["n"]
         labels = labels.select("id", "lbl")
         if not n_changed:  # labels only decrease: a zero-change round is the fixpoint
-            return labels.unionAll(singletons).select(
-                F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
+            # materialize the result: every downstream consumer of the
+            # labeling (cluster sizes + the size join, the audit
+            # aggregates) reads it at least twice, and the singleton
+            # anti-join would otherwise re-run per consumer
+            return ckpt(
+                labels.unionAll(singletons).select(
+                    F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
+                )
             )
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "

@@ -1394,18 +1394,22 @@ def ahash_near_dup_pairs(hashes: DataFrame, *, max_hamming: int = 3,
     distance ≤ 3 leaves at least one of 4 bands intact, so recall is
     complete for the default radius.
 
-    Scale: the band-keyed shuffle carries narrow (id, hash word pair,
-    band) rows — never pixels; candidate volume is Σ|bucket|², bounded
-    by how many images truly share a 16-bit band.  Pairs are emitted
-    from each bucket's collected member list with both hash words
-    attached (``dedup.banded_payload_pairs``), so the Arrow decode
-    sub-plan upstream is evaluated exactly once — the former banded
-    self-join ran the whole decode chain once per join side (r13
-    optimization, plans/r13/image_ahash_pairs_*).  Output is
-    ``(id_a, id_b, hamming)`` with ``id_a < id_b``, each pair once.
+    Scale: the fingerprint frame (one narrow row per image — id + two
+    32-bit hash words, never pixels) is materialized once before the
+    banding, the guide §8.4 "fingerprints only" step: the banded
+    self-join otherwise evaluates the whole Arrow decode chain once per
+    join side (r13 plan audit: two full MapInPandas chains, no
+    ReusedExchange).  The self-join then shuffles narrow banded rows;
+    candidate volume is Σ|bucket|², bounded by how many images truly
+    share a 16-bit band.  (A bucket-collect_set pair generator was
+    A/B'd here and measured 30% slower: the per-candidate interpreted
+    struct transform loses to the codegen'd join at equal candidate
+    volume.)  The Hamming verify is map-side and filters BEFORE the
+    cross-band distinct, so the dedup exchange carries only
+    within-radius pairs.  Output is ``(id_a, id_b, hamming)`` with
+    ``id_a < id_b``, each pair once.
     """
-    from sap_data_pipeline_spark.operators.dedup import banded_payload_pairs
-
+    hashes = hashes.localCheckpoint(eager=True)
     b = [
         (F.shiftright(F.col("hash_hi"), 16) % 65536).alias("b0"),
         (F.col("hash_hi") % 65536).alias("b1"),
@@ -1422,18 +1426,26 @@ def ahash_near_dup_pairs(hashes: DataFrame, *, max_hamming: int = 3,
             ),
         )
     )
-    cand = banded_payload_pairs(
-        banded, id_col, ["hash_hi", "hash_lo"],
-        band_cols=("band_idx", "band_val"), distinct=False,
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("hash_hi").alias("hi_a"),
+        F.col("hash_lo").alias("lo_a"),
+        "band_idx", "band_val",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("hash_hi").alias("hi_b"),
+        F.col("hash_lo").alias("lo_b"),
+        "band_idx", "band_val",
     )
     hamming = (
-        F.bit_count(F.col("hash_hi_a").bitwiseXOR(F.col("hash_hi_b")))
-        + F.bit_count(F.col("hash_lo_a").bitwiseXOR(F.col("hash_lo_b")))
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
     ).alias("hamming")
-    # verify map-side BEFORE the cross-band dedup: the distinct exchange
-    # then carries only the (far fewer) within-radius pairs
     return (
-        cand.select("id_a", "id_b", hamming)
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
@@ -1827,18 +1839,18 @@ def audio_fp_pairs(fps: DataFrame, *, max_hamming: int = 3,
     Pigeonhole: distance ≤ 3 leaves at least one of 4 bands intact, so
     recall is complete for the default radius.
 
-    Scale: the band-keyed shuffle carries narrow (id, fingerprint,
-    band) rows — never audio samples; candidate volume is Σ|bucket|²,
-    bounded by how many clips truly share an 8-bit band.  Pairs are
-    emitted from each bucket's collected member list with both
-    fingerprints attached (``dedup.banded_payload_pairs``), so the
-    WAV-decode sub-plan upstream is evaluated exactly once — the former
-    banded self-join ran it once per join side (r13 optimization).
-    Output is ``(id_a, id_b, hamming)`` with ``id_a < id_b``, each pair
-    once; NULL fingerprints (corrupt/non-WAV payloads) are excluded.
+    Scale: the fingerprint frame (one narrow row per clip — never audio
+    samples) is materialized once before the banding (the guide §8.4
+    "fingerprints only" step; the banded self-join otherwise evaluates
+    the WAV-decode chain once per join side — r13 plan audit, same
+    finding as the image twin).  The self-join then shuffles narrow
+    banded rows; candidate volume is Σ|bucket|², bounded by how many
+    clips truly share an 8-bit band.  The Hamming verify is map-side
+    and filters before the cross-band distinct.  Output is
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``, each pair once;
+    NULL fingerprints (corrupt/non-WAV payloads) are excluded.
     """
-    from sap_data_pipeline_spark.operators.dedup import banded_payload_pairs
-
+    fps = fps.localCheckpoint(eager=True)
     fp = F.col("fingerprint")
     b = [
         ((F.shiftright(fp, 24)) % 256).alias("b0"),
@@ -1856,16 +1868,21 @@ def audio_fp_pairs(fps: DataFrame, *, max_hamming: int = 3,
             ),
         )
     )
-    cand = banded_payload_pairs(
-        banded, id_col, ["fingerprint"],
-        band_cols=("band_idx", "band_val"), distinct=False,
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("fingerprint").alias("fp_a"),
+        "band_idx", "band_val",
     )
-    hamming = F.bit_count(
-        F.col("fingerprint_a").bitwiseXOR(F.col("fingerprint_b"))
-    ).alias("hamming")
-    # verify map-side BEFORE the cross-band dedup (see ahash twin)
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("fingerprint").alias("fp_b"),
+        "band_idx", "band_val",
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias(
+        "hamming"
+    )
     return (
-        cand.select("id_a", "id_b", hamming)
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
