@@ -733,24 +733,34 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
         .join(touched, "id", "left_anti")
         .select(F.col("id"), F.col("id").alias("lbl"))
     )
-    # materialize the loop entry: round 0 consumes `labels` twice (own +
-    # propagated), and without a cut each consumption re-runs the ids
-    # scan + semi-join + the edge distinct (r13 round profile: round 0
-    # cost 3× the steady rounds purely from this double evaluation)
-    labels = ckpt(
-        ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
-        .join(touched, "id", "left_semi")
-    )
+    labels: DataFrame | None = None  # round 0 needs no label frame (see below)
     for _ in range(max_iter):
-        # each id contributes exactly ONE "own" row (its current label);
-        # propagated rows carry NULL own — so max(own) in the aggregate
-        # recovers the previous label without a frame-diff join
-        own = labels.select("id", "lbl", F.col("lbl").alias("own"))
-        propagated = edges.join(labels, "id").select(
-            F.col("dst").alias("id"),
-            F.col("lbl"),
-            F.lit(None).cast(lbl_type).alias("own"),
-        )
+        # "own" rows carry the node's current label; propagated rows
+        # carry NULL own — so max(own) in the aggregate recovers the
+        # previous label without a frame-diff join.  Round 0's labels
+        # are the identities, so BOTH inputs are pure projections of the
+        # (checkpointed) edges: own = (id, id, id) — duplicated per edge
+        # row, collapsed by the map-side partial aggregate, max(own)
+        # still the identity — and propagated = (dst, source-id, NULL).
+        # This removes round 0's |E|⋈|V| label join AND the separate
+        # label-frame initialization job entirely (r13 round profile:
+        # round 0 cost 3× the steady rounds).
+        if labels is None:
+            own = edges.select(
+                "id", F.col("id").alias("lbl"), F.col("id").alias("own")
+            )
+            propagated = edges.select(
+                F.col("dst").alias("id"),
+                F.col("id").alias("lbl"),
+                F.lit(None).cast(lbl_type).alias("own"),
+            )
+        else:
+            own = labels.select("id", "lbl", F.col("lbl").alias("own"))
+            propagated = edges.join(labels, "id").select(
+                F.col("dst").alias("id"),
+                F.col("lbl"),
+                F.lit(None).cast(lbl_type).alias("own"),
+            )
         # checkpoint BEFORE the self-join: both join sides then reference
         # one materialized plan — a lazy self-join over deep iterative
         # lineage trips Spark's self-join attribute disambiguation
