@@ -830,8 +830,12 @@ def bloom_probe(candidates: DataFrame, bitmap: list[int], col: str, *,
     "skip — at worst we skip a never-fetched URL at the documented
     false-positive rate".
     """
+    from sap_data_pipeline_spark.functions.vectors import long_array_lit
+
     e = F.col(col)
-    out = candidates.withColumn("_bm", F.lit(bitmap))
+    # one F.expr round-trip for the 4096-word bitmap literal — F.lit
+    # pays one py4j call per word (~0.5 s of driver time; r13)
+    out = candidates.withColumn("_bm", long_array_lit(bitmap))
     hits = None
     for i in range(k):
         out = out.withColumn(f"_p{i}", _bloom_hash(e, i, m_bits, seed))
