@@ -70,8 +70,16 @@ def corpus_big(spark, tmp_path_factory):
     return _make_corpus(spark, tmp_path_factory, N_SMALL * SCALE, "big")
 
 
-def _timed_count(df) -> tuple[float, int]:
+def _timed_count(df_or_thunk) -> tuple[float, int]:
+    """Time construction + count.  Accepts a DataFrame or a zero-arg
+    thunk returning one: the iterative operators (pagerank, CC) do their
+    round work EAGERLY during construction (per-round localCheckpoint),
+    so timing only ``.count()`` over an already-materialized result
+    measures scheduler noise, not the operator — a warm suite once
+    produced t(1×)=57 ms and a spurious 17× ratio.  Passing a thunk puts
+    construction inside the timed region."""
     t0 = time.time()
+    df = df_or_thunk() if callable(df_or_thunk) else df_or_thunk
     n = df.count()
     return time.time() - t0, n
 
@@ -83,8 +91,8 @@ def test_near_dup_clusters_wall_and_pair_volume(spark, corpus_small, corpus_big)
     small = spark.read.parquet(corpus_small)
     big = spark.read.parquet(corpus_big)
 
-    t1, n1 = _timed_count(D.near_dup_clusters(small))
-    t2, n2 = _timed_count(D.near_dup_clusters(big))
+    t1, n1 = _timed_count(lambda: D.near_dup_clusters(small))
+    t2, n2 = _timed_count(lambda: D.near_dup_clusters(big))
     assert n1 == N_SMALL and n2 == N_SMALL * SCALE  # one row per doc
     assert t2 / t1 < WALL_RATIO_MAX, (t1, t2)
 
@@ -130,8 +138,10 @@ def test_pagerank_wall_time_linearish(spark):
     per-iteration cost is one rank shuffle + one dst aggregate, so the
     4× graph must run well under the quadratic 16×."""
     n1 = 30_000
-    t1, r1 = _timed_count(G.pagerank(_edges(spark, n1), iterations=3))
-    t2, r2 = _timed_count(G.pagerank(_edges(spark, n1 * SCALE), iterations=3))
+    t1, r1 = _timed_count(lambda: G.pagerank(_edges(spark, n1), iterations=3))
+    t2, r2 = _timed_count(
+        lambda: G.pagerank(_edges(spark, n1 * SCALE), iterations=3)
+    )
     assert r1 == n1 and r2 == n1 * SCALE
     assert t2 / t1 < WALL_RATIO_MAX, (t1, t2)
 
@@ -183,7 +193,7 @@ def test_ivfpq_cells_stay_bounded_and_wall_subquadratic(spark):
     def run(n, n_cells):
         corpus = _embeddings(spark, n, dim)
         return _timed_count(
-            S.ivfpq_topk(
+            lambda: S.ivfpq_topk(
                 corpus, queries, k=5, dim=dim, n_cells=n_cells,
                 sample_fraction=min(1.0, 4000 / n),
             )
