@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from sap_data_pipeline_spark.functions import text as X
 from sap_data_pipeline_spark.functions import vectors as V
+from sap_data_pipeline_spark.functions.sizing import right_size, shuffle_partitions
 
 NUM_PERM = 8  # minhash permutations
 BAND_SIZE = 2  # rows per LSH band → 4 bands
@@ -722,6 +723,12 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
         pairs.select(F.col("id_a").alias("dst"), F.col("id_b").alias("id"))
         .unionAll(pairs.select(F.col("id_b").alias("dst"), F.col("id_a").alias("id")))
     )  # computed once, re-joined every round
+    # Every loop frame is bounded by the (now measured) edge list, and
+    # the per-round work is light (hash/compare over narrow rows), so
+    # size the rounds' tasks from the data, not the core count
+    # (functions.sizing docstring; guide §2.2).  The loop below runs
+    # under a shuffle-partition pin derived from the same measurement.
+    edges, eparts = right_size(edges)
     # ONLY nodes that appear in an edge enter the iterative loop: on a
     # real corpus near-dup components cover a small fraction of
     # documents, and singletons riding O(log d) shuffle rounds would
@@ -734,75 +741,76 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
         .select(F.col("id"), F.col("id").alias("lbl"))
     )
     labels: DataFrame | None = None  # round 0 needs no label frame (see below)
-    for _ in range(max_iter):
-        # "own" rows carry the node's current label; propagated rows
-        # carry NULL own — so max(own) in the aggregate recovers the
-        # previous label without a frame-diff join.  Round 0's labels
-        # are the identities, so BOTH inputs are pure projections of the
-        # (checkpointed) edges: own = (id, id, id) — duplicated per edge
-        # row, collapsed by the map-side partial aggregate, max(own)
-        # still the identity — and propagated = (dst, source-id, NULL).
-        # This removes round 0's |E|⋈|V| label join AND the separate
-        # label-frame initialization job entirely (r13 round profile:
-        # round 0 cost 3× the steady rounds).
-        if labels is None:
-            own = edges.select(
-                "id", F.col("id").alias("lbl"), F.col("id").alias("own")
+    with shuffle_partitions(ids.sparkSession, eparts):
+        for _ in range(max_iter):
+            # "own" rows carry the node's current label; propagated rows
+            # carry NULL own — so max(own) in the aggregate recovers the
+            # previous label without a frame-diff join.  Round 0's labels
+            # are the identities, so BOTH inputs are pure projections of the
+            # (checkpointed) edges: own = (id, id, id) — duplicated per edge
+            # row, collapsed by the map-side partial aggregate, max(own)
+            # still the identity — and propagated = (dst, source-id, NULL).
+            # This removes round 0's |E|⋈|V| label join AND the separate
+            # label-frame initialization job entirely (r13 round profile:
+            # round 0 cost 3× the steady rounds).
+            if labels is None:
+                own = edges.select(
+                    "id", F.col("id").alias("lbl"), F.col("id").alias("own")
+                )
+                propagated = edges.select(
+                    F.col("dst").alias("id"),
+                    F.col("id").alias("lbl"),
+                    F.lit(None).cast(lbl_type).alias("own"),
+                )
+            else:
+                own = labels.select("id", "lbl", F.col("lbl").alias("own"))
+                propagated = edges.join(labels, "id").select(
+                    F.col("dst").alias("id"),
+                    F.col("lbl"),
+                    F.lit(None).cast(lbl_type).alias("own"),
+                )
+            # checkpoint BEFORE the self-join: both join sides then reference
+            # one materialized plan — a lazy self-join over deep iterative
+            # lineage trips Spark's self-join attribute disambiguation
+            # ("key not found" at optimization time)
+            stepped = ckpt(
+                own.unionAll(propagated)
+                .groupBy("id")
+                .agg(F.min("lbl").alias("lbl"), F.max("own").alias("prev"))
             )
-            propagated = edges.select(
-                F.col("dst").alias("id"),
-                F.col("id").alias("lbl"),
-                F.lit(None).cast(lbl_type).alias("own"),
+            # pointer jump: follow lbl -> lbl's OWN label (labels are node
+            # ids, so every lbl resolves; coalesce guards the contract)
+            lookup = stepped.select(
+                F.col("id").alias("_jid"), F.col("lbl").alias("_jlbl")
             )
-        else:
-            own = labels.select("id", "lbl", F.col("lbl").alias("own"))
-            propagated = edges.join(labels, "id").select(
-                F.col("dst").alias("id"),
-                F.col("lbl"),
-                F.lit(None).cast(lbl_type).alias("own"),
-            )
-        # checkpoint BEFORE the self-join: both join sides then reference
-        # one materialized plan — a lazy self-join over deep iterative
-        # lineage trips Spark's self-join attribute disambiguation
-        # ("key not found" at optimization time)
-        stepped = ckpt(
-            own.unionAll(propagated)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"), F.max("own").alias("prev"))
-        )
-        # pointer jump: follow lbl -> lbl's OWN label (labels are node
-        # ids, so every lbl resolves; coalesce guards the contract)
-        lookup = stepped.select(
-            F.col("id").alias("_jid"), F.col("lbl").alias("_jlbl")
-        )
-        labels = ckpt(
-            stepped.join(lookup, F.col("lbl") == F.col("_jid"), "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("_jlbl"), F.col("lbl"))
-                ).alias("lbl"),
-                F.col("prev"),
-            )
-        )
-        n_changed = labels.agg(
-            F.sum(
-                F.when(
-                    F.col("prev").isNull() | (F.col("lbl") != F.col("prev")), 1
-                ).otherwise(0)
-            ).alias("n")
-        ).collect()[0]["n"]
-        labels = labels.select("id", "lbl")
-        if not n_changed:  # labels only decrease: a zero-change round is the fixpoint
-            # materialize the result: every downstream consumer of the
-            # labeling (cluster sizes + the size join, the audit
-            # aggregates) reads it at least twice, and the singleton
-            # anti-join would otherwise re-run per consumer
-            return ckpt(
-                labels.unionAll(singletons).select(
-                    F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
+            labels = ckpt(
+                stepped.join(lookup, F.col("lbl") == F.col("_jid"), "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("_jlbl"), F.col("lbl"))
+                    ).alias("lbl"),
+                    F.col("prev"),
                 )
             )
+            n_changed = labels.agg(
+                F.sum(
+                    F.when(
+                        F.col("prev").isNull() | (F.col("lbl") != F.col("prev")), 1
+                    ).otherwise(0)
+                ).alias("n")
+            ).collect()[0]["n"]
+            labels = labels.select("id", "lbl")
+            if not n_changed:  # labels only decrease: a zero-change round is the fixpoint
+                # materialize the result: every downstream consumer of the
+                # labeling (cluster sizes + the size join, the audit
+                # aggregates) reads it at least twice, and the singleton
+                # anti-join would otherwise re-run per consumer
+                return ckpt(
+                    labels.unionAll(singletons).select(
+                        F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
+                    )
+                )
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "pathological graph; raise max_iter or pre-collapse with exact dedup"

@@ -26,6 +26,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sap_data_pipeline_spark.functions.sizing import (
+    adaptive_partitions,
+    right_size,
+    shuffle_partitions,
+)
+
 
 def pagerank(
     edges: DataFrame,
@@ -75,10 +81,24 @@ def pagerank(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    # Measure the (deduplicated) edge list once, then run the whole
+    # iteration at a data-derived task width: per-round joins/aggregates
+    # are light per row, so their cost driver is task count — size it
+    # from bytes, not cores (functions.sizing docstring; guide §2.2).
+    e0 = ckpt(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
+    m = e0.count()
+    eparts = adaptive_partitions(m, e0.schema)
+    with shuffle_partitions(e0.sparkSession, eparts):
+        return _pagerank_rounds(e0, eparts, damping, iterations,
+                                checkpoint_every, ckpt)
+
+
+def _pagerank_rounds(e0: DataFrame, eparts: int, damping: float,
+                     iterations: int, checkpoint_every: int, ckpt) -> DataFrame:
     e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .repartition("src")  # the ONE shuffle of the big frame; reused per round
+        e0.repartition(eparts, "src")  # the ONE shuffle of the big frame; reused per round
         .persist()
     )
     base = None
@@ -101,7 +121,7 @@ def pagerank(
         base = (
             nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
             .select("node", "deg")
-            .repartition("node")
+            .repartition(eparts, "node")
             .persist()
         )
         ranks = base.select("node", "deg", F.lit(1.0 / n).alias("pr"))
@@ -211,27 +231,32 @@ def tree_root_depth(
             )
         )
     )
-    for _ in range(max_iter):
-        # a pointer is settled when its ancestor's pointer is a self-loop
-        nxt = ptr.select(
-            F.col("node").alias("_n2"), F.col("anc").alias("_a2"),
-            F.col("d").alias("_d2"),
-        )
-        stepped = ckpt(
-            ptr.join(nxt, ptr["anc"] == F.col("_n2"))
-            .select(
-                "node",
-                F.col("_a2").alias("anc"),
-                (F.col("d") + F.col("_d2")).alias("d"),
-                (F.col("anc") == F.col("_a2")).alias("_settled"),
+    # every round's frames are pointer-frame-sized and the per-row work
+    # is a key compare + add — task-count-bound, so size the rounds from
+    # the measured frame (functions.sizing docstring; guide §2.2)
+    ptr, pparts = right_size(ptr)
+    with shuffle_partitions(ptr.sparkSession, pparts):
+        for _ in range(max_iter):
+            # a pointer is settled when its ancestor's pointer is a self-loop
+            nxt = ptr.select(
+                F.col("node").alias("_n2"), F.col("anc").alias("_a2"),
+                F.col("d").alias("_d2"),
             )
-        )
-        n_open = stepped.filter(~F.col("_settled")).limit(1).count()
-        ptr = stepped.select("node", "anc", "d")
-        if n_open == 0:
-            return ptr.select(
-                "node", F.col("anc").alias("root"), F.col("d").alias("depth")
+            stepped = ckpt(
+                ptr.join(nxt, ptr["anc"] == F.col("_n2"))
+                .select(
+                    "node",
+                    F.col("_a2").alias("anc"),
+                    (F.col("d") + F.col("_d2")).alias("d"),
+                    (F.col("anc") == F.col("_a2")).alias("_settled"),
+                )
             )
+            n_open = stepped.filter(~F.col("_settled")).limit(1).count()
+            ptr = stepped.select("node", "anc", "d")
+            if n_open == 0:
+                return ptr.select(
+                    "node", F.col("anc").alias("root"), F.col("d").alias("depth")
+                )
     raise RuntimeError(
         f"tree_root_depth did not converge in {max_iter} rounds — "
         "the edge set likely contains a cycle"
@@ -294,13 +319,21 @@ def label_propagation(
 
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    e = (
+    # measure the symmetrized edge list once, then run every round at a
+    # data-derived task width (functions.sizing docstring; guide §2.2)
+    e0 = ckpt(
         fwd.unionAll(rev)
         .filter(F.col("src") != F.col("dst"))  # self-loops carry no info
         .distinct()
-        .repartition("src")
-        .persist()
     )
+    eparts = adaptive_partitions(e0.count(), e0.schema)
+    with shuffle_partitions(e0.sparkSession, eparts):
+        return _lpa_rounds(e0, eparts, iterations, numeric_ids, ckpt)
+
+
+def _lpa_rounds(e0: DataFrame, eparts: int, iterations: int,
+                numeric_ids: bool, ckpt) -> DataFrame:
+    e = e0.repartition(eparts, "src").persist()
     try:
         nodes = (
             e.select(F.col("src").alias("node"))
@@ -418,6 +451,9 @@ def triangle_counts(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # both materialized frames feed light per-row join work — read them
+    # back at a data-derived width (functions.sizing; guide §2.2)
+    und, _ = right_size(und)
 
     deg = und.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
@@ -425,7 +461,7 @@ def triangle_counts(
     # the oriented list feeds three join arms — checkpoint it too so
     # the orientation (and its deg join under orient="degree") computes
     # once, edge-sized either way
-    ori = _orient(und, deg, orient).localCheckpoint(eager=True)
+    ori, _ = right_size(_orient(und, deg, orient).localCheckpoint(eager=True))
 
     wedge = ori.alias("e1").join(
         ori.alias("e2"), F.col("e1.b") == F.col("e2.a")
