@@ -2606,7 +2606,10 @@ _DECON_CTX = 2
     SELECT doc_id,
            CAST(len(t) AS BIGINT) AS n_tokens,
            CAST(len(t) - len(k) AS BIGINT) AS n_removed,
-           array_to_string(k, ' ') AS clean_text
+           -- DuckDB's array_to_string([]) is NULL, Spark's array_join is ''
+           -- (same edge as exact_substring_excise's oracle): a fully
+           -- decontaminated document keeps clean_text = '' on both sides
+           COALESCE(array_to_string(k, ' '), '') AS clean_text
     FROM kept
     """,
 )
