@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sap_data_pipeline_spark.functions.sizing import right_size
+
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("payload", T.BinaryType(), True),
@@ -1409,7 +1411,9 @@ def ahash_near_dup_pairs(hashes: DataFrame, *, max_hamming: int = 3,
     within-radius pairs.  Output is ``(id_a, id_b, hamming)`` with
     ``id_a < id_b``, each pair once.
     """
-    hashes = hashes.localCheckpoint(eager=True)
+    # materialized fingerprints feed light banding/join work — read them
+    # back data-sized, not scan-sized (functions.sizing; guide §2.2)
+    hashes, _ = right_size(hashes.localCheckpoint(eager=True))
     b = [
         (F.shiftright(F.col("hash_hi"), 16) % 65536).alias("b0"),
         (F.col("hash_hi") % 65536).alias("b1"),
@@ -1850,7 +1854,9 @@ def audio_fp_pairs(fps: DataFrame, *, max_hamming: int = 3,
     ``(id_a, id_b, hamming)`` with ``id_a < id_b``, each pair once;
     NULL fingerprints (corrupt/non-WAV payloads) are excluded.
     """
-    fps = fps.localCheckpoint(eager=True)
+    # data-sized read-back of the materialized fingerprint frame
+    # (functions.sizing; guide §2.2)
+    fps, _ = right_size(fps.localCheckpoint(eager=True))
     fp = F.col("fingerprint")
     b = [
         ((F.shiftright(fp, 24)) % 256).alias("b0"),

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sap_data_pipeline_spark.functions.sizing import right_size
+
 
 def asof_join(
     probe: DataFrame,
@@ -428,7 +430,7 @@ def crawl_schedule(history: DataFrame, budget: int, *,
     # so materializing it once is the guide's decide-on-the-small-table
     # shape; on a cluster the blocks sit on executors exactly like the
     # graph operators' per-round checkpoints.
-    rates = rates.localCheckpoint(eager=True)
+    rates, _ = right_size(rates.localCheckpoint(eager=True))
     mass = (
         rates.groupBy(host_col)
         .agg(

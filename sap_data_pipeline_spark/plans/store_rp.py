@@ -48,9 +48,13 @@ def store_rp_report(
     )
     # Step 3: LatestRP — the parameter snapshot
     rp = sm.store_rp_params(star)
-    # Step 4: Main — join + CEILING ladder (etl_StoreRP.py:163-170)
+    # Step 4: Main — join + CEILING ladder (etl_StoreRP.py:163-170).
+    # Build side is the PARAMETER table (dims-derived: |part|×|site|),
+    # not the fact-derived sales aggregate — without the explicit
+    # broadcast the planner picked the sales side (bigger at every SF)
+    # as the build relation (guide §3.1: broadcast the small side).
     main = (
-        rp.join(sales, ["Article", "Site"], "inner")
+        sales.join(F.broadcast(rp), ["Article", "Site"], "inner")
         .withColumnRenamed("Site", "Store")
         .withColumn(
             "Sales_x125",

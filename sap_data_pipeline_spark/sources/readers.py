@@ -74,8 +74,21 @@ def _restore_timestamps(df: DataFrame, table: str) -> DataFrame:
 
 # Fact-sized tables whose downstream operators are CPU-bound (regex
 # cleaning, per-token md5, vector folds).  Dimension tables are excluded:
-# they broadcast, and a pre-broadcast shuffle is pure waste.
-_REBALANCE_TABLES = {"orders", "lineitem", "events", "documents", "embeddings"}
+# they broadcast, and a pre-broadcast shuffle is pure waste.  The spread
+# key: keyless round-robin repartition first SORTS its input partitions
+# (spark.sql.execution.sortBeforeRepartition, required for retry
+# determinism) — a measurable tax on every fact scan.  Hashing a
+# deterministic unique key needs no sort and reproduces the same
+# row-to-partition map under retry (guide §2.5); ``pmod(xxhash64(key),
+# 100·cores)`` gives 100× more distinct values than partitions so the
+# second hash spreads evenly.
+_REBALANCE_TABLES = {
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey",),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
 
 # (sf_dir, table, cores) -> needs rebalance.  The partition-count probe
 # converts the plan to an RDD (driver-side, no job, but ~100 ms); static
@@ -84,8 +97,9 @@ _REBALANCE_CACHE: dict[tuple[str, str, int], bool] = {}
 
 
 def _rebalance_if_underparallel(df: DataFrame, spark: SparkSession,
-                                cache_key: tuple[str, str]) -> DataFrame:
-    """Round-robin repartition when the scan yields fewer splits than cores.
+                                cache_key: tuple[str, str],
+                                spread_key: tuple[str, ...]) -> DataFrame:
+    """Hash-spread repartition when the scan yields fewer splits than cores.
 
     Parquet splits at row-group boundaries, so a small file scans as 1-3
     partitions no matter how many cores exist — every downstream
@@ -100,7 +114,12 @@ def _rebalance_if_underparallel(df: DataFrame, spark: SparkSession,
     if needed is None:
         needed = df.rdd.getNumPartitions() < cores  # plan inspection, no job
         _REBALANCE_CACHE[key] = needed
-    return df.repartition(cores) if needed else df
+    if not needed:
+        return df
+    return df.repartition(
+        cores, F.pmod(F.xxhash64(*[F.col(c) for c in spread_key]),
+                      F.lit(100 * cores)),
+    )
 
 
 # Star plans per (session, sf_dir).  spark.read.parquet reads footers for
@@ -137,7 +156,8 @@ def load_star(spark: SparkSession, sf_dir: str) -> Star:
     def _load(t: str) -> DataFrame:
         df = _restore_timestamps(spark.read.parquet(f"{sf_dir}/{t}.parquet"), t)
         if t in _REBALANCE_TABLES:
-            df = _rebalance_if_underparallel(df, spark, (sf_dir, t))
+            df = _rebalance_if_underparallel(df, spark, (sf_dir, t),
+                                             _REBALANCE_TABLES[t])
         return df
 
     star = Star(**{t: _load(t) for t in TABLES}, sf_dir=sf_dir)

@@ -25,3 +25,15 @@ def star(spark):
     from sap_data_pipeline_spark.sources.readers import load_star
 
     return load_star(spark, SF_SMOKE)
+
+
+def count_hash_exchanges(plan: str) -> int:
+    """``Exchange hashpartitioning`` nodes excluding the fact-scan
+    spread-key rebalance (``hashpartitioning(pmod(xxhash64(...)``, r13 —
+    previously RoundRobinPartitioning, which these plan-shape counts
+    never included either)."""
+    return sum(
+        1 for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and "hashpartitioning(pmod(xxhash64(" not in ln.replace(" ", "")
+    )

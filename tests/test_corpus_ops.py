@@ -1,3 +1,4 @@
+from conftest import count_hash_exchanges
 """Chunking and TF-IDF operator semantics + plan shape."""
 
 import math
@@ -29,7 +30,7 @@ def test_chunk_documents_windows_and_overlap(spark):
 def test_chunk_documents_zero_shuffles(spark, star):
     plan = (chunk_documents(star.documents)
             ._jdf.queryExecution().executedPlan().toString())
-    assert plan.count("Exchange hashpartitioning") == 0
+    assert count_hash_exchanges(plan) == 0
 
 
 def test_tf_idf_hand_computed(spark):
@@ -111,10 +112,10 @@ def test_corpus_ops_plan_shapes(spark, star):
         return (QUERIES[name](spark, star.sf_dir)
                 ._jdf.queryExecution().executedPlan().toString())
 
-    assert plan("line_dedup_c4").count("Exchange hashpartitioning") == 2
-    assert plan("tfidf_top_terms").count("Exchange hashpartitioning") == 3
+    assert count_hash_exchanges(plan("line_dedup_c4")) == 2
+    assert count_hash_exchanges(plan("tfidf_top_terms")) == 3
     p = plan("top_bigrams")
-    assert p.count("Exchange hashpartitioning") == 1
+    assert count_hash_exchanges(p) == 1
     assert "TakeOrderedAndProject" in p
 
 

@@ -4,6 +4,8 @@ centroids/outliers, and the hashing-trick linear scorer."""
 
 from __future__ import annotations
 
+from conftest import count_hash_exchanges
+
 import hashlib
 import math
 from datetime import datetime
@@ -295,7 +297,7 @@ def test_hashed_score_query_is_shuffle_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the only Exchange is the reader's deliberate round-robin spread of
     # the single small parquet file — no KEYED shuffle anywhere
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert count_hash_exchanges(plan) == 0, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "EvalPython" not in plan, plan
     # tokenizer and gram-hash each live in their own projection tier:
@@ -314,11 +316,11 @@ def test_c4_and_centroid_plan_shapes(spark):
     sf = "/root/testdata/sf0.001"
     p1 = QUERIES["c4_line_filters"](spark, sf)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "Exchange hashpartitioning" not in p1, p1
+    assert count_hash_exchanges(p1) == 0, p1
 
     p2 = QUERIES["source_centroid_outliers"](spark, sf)._jdf \
         .queryExecution().executedPlan().toString()
-    assert p2.count("Exchange hashpartitioning") == 2, p2
+    assert count_hash_exchanges(p2) == 2, p2
     assert "BroadcastHashJoin" in p2, p2
     assert "EvalPython" not in p2, p2
 
@@ -338,7 +340,7 @@ def test_apply_line_filters_rewrites_in_place_and_is_shuffle_free(spark):
     assert r["lines_removed"] == 3  # short + non-terminal + duplicate
     plan = apply_line_filters(df)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert count_hash_exchanges(plan) == 0, plan
 
 
 # ---------------------------------------------------------------------------

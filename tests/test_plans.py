@@ -8,6 +8,8 @@ catastrophic at cluster scale.
 
 from __future__ import annotations
 
+from conftest import count_hash_exchanges
+
 from pyspark.sql import DataFrame
 
 import sap_data_pipeline_spark.plans.catalog_ext  # noqa: F401  (registers extension queries)
@@ -56,9 +58,12 @@ def test_weekly_sales_single_shuffle(spark):
     df = QUERIES["weekly_sales"](spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan  # calendar dim
-    # hashpartitioning exchanges: the groupBy only (the rebalance
-    # round-robin exchange is RoundRobinPartitioning, not hash).
-    hash_exchanges = plan.count("Exchange hashpartitioning")
+    # hashpartitioning exchanges: the groupBy only.  The fact-scan
+    # rebalance is excluded whichever form it takes — it was keyless
+    # round-robin (RoundRobinPartitioning) and is now a deterministic
+    # xxhash64 spread key (r13 optimization: no sortBeforeRepartition
+    # tax), which prints as hashpartitioning over pmod(xxhash64(...)).
+    hash_exchanges = count_hash_exchanges(plan)
     assert hash_exchanges == 1, f"expected 1 hash exchange, plan:\n{plan}"
     opt = _optimized(df)
     assert opt.count("Relation") == 1, "lineitem must be scanned exactly once"
@@ -174,7 +179,7 @@ def test_asof_join_single_keyed_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert count_hash_exchanges(plan) == 1
 
 
 def test_repetition_stats_tokenizes_once_no_shuffle(spark):
@@ -185,7 +190,7 @@ def test_repetition_stats_tokenizes_once_no_shuffle(spark):
     df = QUERIES["repetition_stats"](spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("regexp_replace(lower") == 1, "tokenizer re-expanded"
-    assert plan.count("Exchange hashpartitioning") == 0
+    assert count_hash_exchanges(plan) == 0
 
 
 def test_benchmark_contamination_broadcasts_and_single_agg(spark):
@@ -211,7 +216,7 @@ def test_unigram_logprob_three_exchanges(spark):
     aggregate = exactly THREE hash exchanges (the join formulation costs
     more — every aggregate branch reshuffles on its way back)."""
     plan = _plan(QUERIES["unigram_logprob_scores"](spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert count_hash_exchanges(plan) == 3, plan
 
 
 def test_unigram_logprob_pruned_vocab_broadcasts(spark):
@@ -282,7 +287,7 @@ def test_funnel_two_bounded_exchanges_no_join(spark):
     (a per-step self-join funnel is O(steps) fact shuffles)."""
     plan = _plan(QUERIES["events_funnel"](spark, SF_DIR))
     assert "Join" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert count_hash_exchanges(plan) <= 2
 
 
 def test_transition_matrix_two_exchanges_no_join(spark):
@@ -290,7 +295,7 @@ def test_transition_matrix_two_exchanges_no_join(spark):
     bounded exchanges, no join."""
     plan = _plan(QUERIES["events_transition_matrix"](spark, SF_DIR))
     assert "Join" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert count_hash_exchanges(plan) <= 2
 
 
 def test_gapfill_spine_join_is_broadcast_never_cartesian(spark):
@@ -308,7 +313,7 @@ def test_pivot_two_phase_agg_dims_broadcast(spark):
     plan = _plan(QUERIES["pivot_revenue_by_nation_year"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert count_hash_exchanges(plan) <= 2
 
 
 def test_cube_is_expand_plus_single_aggregate(spark):
@@ -316,7 +321,7 @@ def test_cube_is_expand_plus_single_aggregate(spark):
     grouping-sets plan; a per-grain union would rescan the fact 4×."""
     plan = _plan(QUERIES["cube_revenue_nation_year"](spark, SF_DIR))
     assert plan.count("Expand") == 1
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert count_hash_exchanges(plan) == 1
 
 
 def test_tpch_q10_pushdown_and_take_ordered(spark):
@@ -336,7 +341,7 @@ def test_zscore_broadcast_moments_single_exchange(spark):
     (a lang-partitioned window would put the dominant language in one
     partition)."""
     plan = _plan(QUERIES["quality_zscore_by_lang"](spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert count_hash_exchanges(plan) == 1
     assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
 
@@ -350,7 +355,7 @@ def test_prefix_match_three_broadcast_probes_no_explode(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate" not in plan  # no explode in the fact path
-    assert plan.count("Exchange hashpartitioning") == 0
+    assert count_hash_exchanges(plan) == 0
 
 
 def test_tpch_q6_all_predicates_pushed_no_join(spark):
@@ -369,7 +374,14 @@ def test_tpch_q6_all_predicates_pushed_no_join(spark):
     assert "LessThan(l_quantity,24.0)" in plan
     assert "Join" not in plan
     # projection pruned at the scan: price+discount+the filter columns
-    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double," in plan
+    # (plus the rebalance spread key l_orderkey — an int64, read so the
+    # under-parallel fact scan can hash-spread without a pre-shuffle
+    # sort); the wide payload columns must stay pruned
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in rs, rs
+    for col in ("l_comment", "l_shipinstruct", "l_partkey", "l_suppkey"):
+        assert col not in rs, rs
 
 
 def test_tpch_q14_month_gate_pushed_part_broadcast(spark):
@@ -379,7 +391,7 @@ def test_tpch_q14_month_gate_pushed_part_broadcast(spark):
     assert "GreaterThanOrEqual(l_shipdate" in plan
     assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
-    assert plan.count("Exchange hashpartitioning") == 0
+    assert count_hash_exchanges(plan) == 0
 
 
 def test_tpch_q18_having_aggregate_feeds_join_take_ordered(spark):
@@ -521,7 +533,7 @@ def test_knn_graph_single_data_exchange_and_group_limit(spark):
     clustering) — at corpus scale the second exchange WAS the cost."""
     df = QUERIES["knn_graph_cells"](spark, SF_DIR)
     plan = _plan(df)
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert count_hash_exchanges(plan) == 1, plan
     assert plan.count("WindowGroupLimit") == 2, plan
     # the dedup aggregate exists but only as partial+final back-to-back
     assert "HashAggregate(keys=[vec_id" in plan
@@ -534,7 +546,9 @@ def test_ann_lsh_topk_narrow_shuffle_single_exchange(spark):
     df = QUERIES["ann_lsh_topk"](spark, SF_DIR)
     plan = _plan(df)
     hash_ex = [
-        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and "hashpartitioning(pmod(xxhash64(" not in ln.replace(" ", "")
     ]
     assert len(hash_ex) == 1, plan
     # keyed on the query, and the exchanged row carries no vector
@@ -550,7 +564,7 @@ def test_fixed_basis_projection_is_pure_map(spark):
     job."""
     df = QUERIES["embedding_fixed_basis_project"](spark, SF_DIR)
     plan = _plan(df)
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert count_hash_exchanges(plan) == 0, plan
     assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
@@ -569,7 +583,7 @@ def test_triangle_counts_checkpointed_edges_no_source_rescan(spark):
     df = QUERIES["host_triangle_stats"](spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("Scan parquet") == 0, plan
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert count_hash_exchanges(plan) == 2, plan
     # the edge-sized joins stay broadcast-or-checkpoint-fed; no extra
     # data-sized shuffle may creep into the wedge/closure arms
     assert "CartesianProduct" not in plan, plan
@@ -583,7 +597,7 @@ def test_ivf_fixed_centroids_single_exchange_no_python(spark):
     ONE data-sized hash exchange — no Python stage anywhere."""
     df = QUERIES["ann_ivf_fixed_centroids_topk"](spark, SF_DIR)
     plan = _plan(df)
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert count_hash_exchanges(plan) <= 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan, plan
 
@@ -596,7 +610,7 @@ def test_pq_fixed_codebook_single_exchange_no_python(spark):
     exchange — zero Python, zero cartesian product."""
     df = QUERIES["ann_pq_fixed_codebook_topk"](spark, SF_DIR)
     plan = _plan(df)
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert count_hash_exchanges(plan) <= 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan, plan
 
@@ -609,7 +623,7 @@ def test_ivfpq_fixed_models_single_exchange_no_python(spark):
     exchange — zero Python, zero cartesian product."""
     df = QUERIES["ann_ivfpq_fixed_models_topk"](spark, SF_DIR)
     plan = _plan(df)
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert count_hash_exchanges(plan) <= 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan, plan
 
@@ -628,7 +642,7 @@ def test_iterative_graph_queries_no_source_rescan(spark):
     ]:
         plan = _plan(QUERIES[name](spark, SF_DIR))
         assert plan.count("Scan parquet") == 0, (name, plan)
-        assert plan.count("Exchange hashpartitioning") <= max_ex, (name, plan)
+        assert count_hash_exchanges(plan) <= max_ex, (name, plan)
 
 
 def test_exact_substring_excise_partial_agg_no_window_no_cartesian(spark):
@@ -644,7 +658,7 @@ def test_exact_substring_excise_partial_agg_no_window_no_cartesian(spark):
     # partial ("partial_min"/"partial_count") phases must precede the
     # fp exchange so hot fingerprints collapse map-side
     assert "partial_min" in plan or "partial min" in plan.lower(), plan
-    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert count_hash_exchanges(plan) <= 3, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -682,7 +696,7 @@ def test_code_prose_router_zero_exchange_map_battery(spark):
     for CPU-bound scans is allowed; no DATA-keyed exchange may
     appear.)"""
     plan = _plan(QUERIES["code_prose_router"](spark, SF_DIR))
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert count_hash_exchanges(plan) == 0, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
@@ -713,7 +727,7 @@ def test_admission_funnel_one_scan_one_aggregate(spark):
     once per row: the token array lives in its own projection tier and
     the kernels take array inputs."""
     plan = _plan(QUERIES["admission_funnel"](spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert count_hash_exchanges(plan) == 1, plan
     assert "Join" not in plan, plan
     assert plan.count("regexp_replace(lower(") == 1, plan
 
@@ -725,7 +739,7 @@ def test_http_revalidation_plan_zero_exchange(spark):
     round-robin rebalance allowed; no data-keyed exchange, no join, no
     Python.)"""
     plan = _plan(QUERIES["http_revalidation_plan"](spark, SF_DIR))
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert count_hash_exchanges(plan) == 0, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -737,7 +751,7 @@ def test_charset_sniff_single_arrow_stage(spark):
     join; the sniff itself adds zero Python (only the FIXTURE is
     Arrow-batched)."""
     plan = _plan(QUERIES["charset_sniff"](spark, SF_DIR))
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert count_hash_exchanges(plan) == 0, plan
     assert "Join" not in plan, plan
     # exactly the fixture's Arrow stage, none from the sniff
     assert plan.count("ArrowEvalPython") <= 1, plan
@@ -748,6 +762,6 @@ def test_sitemap_index_extract_projection_only(spark):
     regex projection over hosts-sized inputs: no data-keyed exchange,
     no join."""
     plan = _plan(QUERIES["sitemap_index_extract"](spark, SF_DIR))
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert count_hash_exchanges(plan) == 0, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from conftest import count_hash_exchanges
+
 import re
 
 from pyspark.sql import functions as F
@@ -787,7 +789,7 @@ def test_epoch_shuffle_single_exchange_no_global_sort(spark):
 
     out = epoch_shuffle(_shuffle_fixture(spark), "doc_id", n_shards=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert count_hash_exchanges(plan) == 1, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
@@ -942,7 +944,7 @@ def test_upsampling_mixture_plan_is_broadcast_explode_no_shuffle(spark):
     out = apply_mixture_plan_with_repetition(df, plan, "src", key="doc_id")
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p, p
-    assert "Exchange hashpartitioning" not in p, p
+    assert count_hash_exchanges(p) == 0, p
     assert "Generate explode" in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
@@ -1049,7 +1051,7 @@ def test_curriculum_interleave_tie_break_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
     assert "Exchange rangepartitioning" not in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert count_hash_exchanges(plan) == 1, plan
 
 
 def test_curriculum_interleave_null_source_contract(spark):
