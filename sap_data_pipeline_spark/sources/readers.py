@@ -75,17 +75,27 @@ def _restore_timestamps(df: DataFrame, table: str) -> DataFrame:
 # Fact-sized tables whose downstream operators are CPU-bound (regex
 # cleaning, per-token md5, vector folds).  Dimension tables are excluded:
 # they broadcast, and a pre-broadcast shuffle is pure waste.  The spread
-# key: keyless round-robin repartition first SORTS its input partitions
-# (spark.sql.execution.sortBeforeRepartition, required for retry
-# determinism) — a measurable tax on every fact scan.  Hashing a
-# deterministic unique key needs no sort and reproduces the same
-# row-to-partition map under retry (guide §2.5); ``pmod(xxhash64(key),
-# 100·cores)`` gives 100× more distinct values than partitions so the
-# second hash spreads evenly.
+# key, and why it is a RAW column: keyless round-robin repartition first
+# SORTS its input partitions (spark.sql.execution.sortBeforeRepartition,
+# required for retry determinism) — a measurable tax on every fact scan.
+# Hash-partitioning a deterministic key needs no sort, reproduces the
+# same row-to-partition map under retry (guide §2.5), and spreads
+# uniformly (hashpartitioning already murmur3-hashes the column; these
+# keys have 10^4-10^6 distinct values vs tens of partitions).  Keeping
+# the column RAW — not wrapped in pmod(xxhash64(...)) — lets the
+# optimizer RECOGNIZE the partitioning: any downstream groupBy / window
+# / shuffle join whose keys include the spread key reuses this exchange
+# instead of adding its own (guide §2.4 "two operations keyed the same
+# way share one exchange"), e.g. tpch_q21's order-grain aggregate chain
+# runs with zero additional exchanges.  Keys are chosen as the column
+# the table's queries most often key on raw: order grain for the TPC-H
+# facts, document id for the corpus, user id for the event stream
+# (sessionize/as-of windows partition by it; synthetic user activity is
+# uniform, and at real scale AQE skew handling owns hot users).
 _REBALANCE_TABLES = {
     "orders": ("o_orderkey",),
     "lineitem": ("l_orderkey",),
-    "events": ("event_id",),
+    "events": ("user_id",),
     "documents": ("doc_id",),
     "embeddings": ("vec_id",),
 }
@@ -116,10 +126,7 @@ def _rebalance_if_underparallel(df: DataFrame, spark: SparkSession,
         _REBALANCE_CACHE[key] = needed
     if not needed:
         return df
-    return df.repartition(
-        cores, F.pmod(F.xxhash64(*[F.col(c) for c in spread_key]),
-                      F.lit(100 * cores)),
-    )
+    return df.repartition(cores, *[F.col(c) for c in spread_key])
 
 
 # Star plans per (session, sf_dir).  spark.read.parquet reads footers for

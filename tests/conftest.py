@@ -29,11 +29,13 @@ def star(spark):
 
 def count_hash_exchanges(plan: str) -> int:
     """``Exchange hashpartitioning`` nodes excluding the fact-scan
-    spread-key rebalance (``hashpartitioning(pmod(xxhash64(...)``, r13 —
-    previously RoundRobinPartitioning, which these plan-shape counts
-    never included either)."""
+    spread-key rebalance.  The rebalance is an explicit repartition
+    (shuffle origin ``REPARTITION_BY_NUM``) keyed on the table's raw
+    spread key (r13) — previously RoundRobinPartitioning, which these
+    plan-shape counts never included either.  Framework-inserted
+    exchanges (the ones these tests pin) print ``ENSURE_REQUIREMENTS``."""
     return sum(
         1 for ln in plan.splitlines()
         if "Exchange hashpartitioning" in ln
-        and "hashpartitioning(pmod(xxhash64(" not in ln.replace(" ", "")
+        and "REPARTITION_BY_NUM" not in ln
     )
