@@ -279,7 +279,14 @@ def test_html_link_graph_one_exchange_partial_agg(spark):
     from sap_data_pipeline_spark.plans.catalog import QUERIES
 
     plan = _plan(QUERIES["html_link_graph"](spark, "/root/testdata/sf0.001"))
-    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    # exclude the documents scan's doc_id spread-key rebalance
+    # (REPARTITION_BY_NUM origin, r13) — as before, only the
+    # framework-inserted edge-set exchange is pinned
+    framework_ex = [
+        ln for ln in plan.splitlines()
+        if "Arguments: hashpartitioning" in ln and "REPARTITION_BY_NUM" not in ln
+    ]
+    assert len(framework_ex) == 1, plan
     assert "partial_count" in plan, plan
 
 
@@ -294,7 +301,11 @@ def test_snapshot_admission_two_fingerprint_exchanges_anti_join(spark):
     plan = _plan(
         QUERIES["snapshot_dedup_admission"](spark, "/root/testdata/sf0.001")
     )
-    assert plan.count("Arguments: hashpartitioning") == 2, plan
+    framework_ex = [
+        ln for ln in plan.splitlines()
+        if "Arguments: hashpartitioning" in ln and "REPARTITION_BY_NUM" not in ln
+    ]
+    assert len(framework_ex) == 2, plan
     assert "LeftAnti" in plan, plan
 
 
