@@ -161,19 +161,36 @@ def format_bench_line(out: dict, *, limit: int = 1900) -> str:
 
 def compute_regressions(timings: dict[str, float], floor: dict[str, float],
                         *, envelope: float = 1.25,
-                        abs_slack: float = 0.6) -> list[str]:
+                        abs_slack: float = 0.6,
+                        per_query_envelope: dict[str, float] | None = None,
+                        ) -> list[str]:
     """The formal regression gate (r9 verdict #3, replacing the retired
     raw run_spread_pct ≤12% target): host throughput swings ~20%
     hour-over-hour UNIFORMLY (BASELINE.md four-run experiment), so a
     plan regression is a query whose bench/floor ratio is NON-uniform —
-    it exceeds the run's median ratio by more than ``envelope`` — AND
+    it exceeds the run's median ratio by more than its envelope — AND
     whose excess beyond uniform drift (``bench − floor·median``) tops
     ``abs_slack`` seconds.  The second clause encodes the documented
     ABSOLUTE jitter envelope (sub-2 s queries swing <0.55 s between
     identical-code runs, so a pure ratio rule false-flags sub-second
     queries in degraded windows); a genuine regression adds at least a
     shuffle — seconds, not tenths.  Uniform drift moves every ratio
-    together and flags nothing."""
+    together and flags nothing.
+
+    ``per_query_envelope`` (r13 session-2 instrument fix, measured on
+    identical code): contention on this shared host is NOT uniform —
+    two same-code round-close runs two hours apart put the median query
+    at 1.23× but the iterative/Arrow-boundary queries at up to 2.03×
+    (image_ahash_clusters 3.82 ↔ 7.76 s; raw numbers kept in
+    OPTIMIZATION_r13.md).  A single scalar envelope therefore
+    false-flags exactly those queries whenever the floor was recorded
+    in a better window than the bench run.  The floor document now
+    records each query's MEASURED same-code cross-window spread
+    relative to the median drift (``queries_envelope``, floored at the
+    scalar envelope, capped at 2.5), and the gate uses it per query.
+    Cost, stated plainly: the handful of highest-variance queries are
+    only flaggable above their measured noise (≤2.5×); the other ~90%
+    keep the 1.25× sensitivity."""
     ratios = {
         q: timings[q] / floor[q]
         for q in set(floor) & set(timings)
@@ -182,9 +199,11 @@ def compute_regressions(timings: dict[str, float], floor: dict[str, float],
     if not ratios:
         return []
     med = sorted(ratios.values())[len(ratios) // 2]
+    env = per_query_envelope or {}
     return sorted(
         q for q, r in ratios.items()
-        if r > med * envelope and timings[q] - floor[q] * med > abs_slack
+        if r > med * max(envelope, min(float(env.get(q, envelope)), 2.5))
+        and timings[q] - floor[q] * med > abs_slack
     )
 
 
@@ -281,7 +300,10 @@ def main() -> None:
                 / sum(floor[q] for q in shared), 3,
             )
             out["floor_shared_n"] = len(shared)
-            out["regressions"] = compute_regressions(timings, floor)
+            out["regressions"] = compute_regressions(
+                timings, floor,
+                per_query_envelope=floor_doc.get("queries_envelope"),
+            )
     # The driver records only the LAST 2000 chars of stdout; the r7 line
     # (min + median dicts inline) overflowed that and clipped the
     # queries_min entries out of BENCH_r7 (r7 verdict #8).  Keep the

@@ -142,3 +142,34 @@ def test_bench_line_current_headline_set_shape():
         "regressions": [],
     }
     assert len(format_bench_line(out)) < 1900
+
+
+def test_per_query_envelope_tolerates_measured_window_spread():
+    """r13 session-2 instrument fix: a query whose same-code
+    cross-window spread is RECORDED in the floor (queries_envelope) is
+    only flagged beyond that measured noise; others keep 1.25."""
+    t = dict(FLOOR)
+    t["q4"] = FLOOR["q4"] * 1.9  # within its measured 2.0 envelope
+    env = {"q4": 2.0}
+    assert compute_regressions(t, FLOOR, per_query_envelope=env) == []
+    t["q4"] = FLOOR["q4"] * 2.3  # beyond it -> still flaggable
+    assert compute_regressions(t, FLOOR, per_query_envelope=env) == ["q4"]
+
+
+def test_per_query_envelope_is_capped_and_floored():
+    t = dict(FLOOR)
+    t["q4"] = FLOOR["q4"] * 2.7  # beyond even the 2.5 cap
+    assert compute_regressions(
+        t, FLOOR, per_query_envelope={"q4": 99.0}) == ["q4"]
+    # an envelope below the scalar default never TIGHTENS the gate
+    t2 = dict(FLOOR)
+    t2["q4"] = FLOOR["q4"] * 1.2
+    assert compute_regressions(
+        t2, FLOOR, per_query_envelope={"q4": 1.01}) == []
+
+
+def test_per_query_envelope_leaves_other_queries_at_default():
+    t = dict(FLOOR)
+    t["q2"] = FLOOR["q2"] * 1.6  # q2 has NO recorded envelope
+    assert compute_regressions(
+        t, FLOOR, per_query_envelope={"q4": 2.5}) == ["q2"]

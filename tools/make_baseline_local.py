@@ -13,11 +13,22 @@ with no hand arithmetic.
 Usage:
     python bench.py                       # produces BENCH_FULL.json
     python tools/bench_isolated.py /root/testdata/sf0.1 BENCH_ISOLATED_rN.json
-    python tools/make_baseline_local.py [round_tag] [isolated.json]
+    python tools/make_baseline_local.py [round_tag] [isolated.json] [window2.json ...]
 
 Re-run (with a new round_tag) only when the floor legitimately moves:
 a machine change, an instrument change, or a deliberate plan change —
 never to absorb a regression.
+
+Extra ``window2.json`` args are bench.py outputs (BENCH_FULL shape)
+from ADDITIONAL same-code runs in other host windows.  When given, the
+floor takes the elementwise per-query MIN across the runs (the true
+machine floor) and additionally records ``queries_envelope``: each
+query's measured same-code cross-window spread relative to the median
+drift (floored at the gate's 1.25 scalar, capped 2.5), which
+bench.compute_regressions uses as that query's per-query envelope —
+the r13 session-2 instrument fix for NON-uniform host contention (the
+median query swung 1.23× between two same-code runs while the
+iterative/Arrow-boundary queries swung up to 2.03×).
 """
 
 from __future__ import annotations
@@ -35,9 +46,28 @@ from bench_isolated import LEGACY  # noqa: E402
 def main() -> None:
     round_tag = sys.argv[1] if len(sys.argv) > 1 else "r9"
     iso_path = Path(sys.argv[2]) if len(sys.argv) > 2 else None
+    window_paths = [Path(p) for p in sys.argv[3:]]
 
     full = json.loads((REPO / "BENCH_FULL.json").read_text())
-    mins = full["queries"]
+    mins = dict(full["queries"])
+    envelopes: dict[str, float] = {}
+    if window_paths:
+        runs = [full["queries"]] + [
+            json.loads(p.read_text())["queries"] for p in window_paths
+        ]
+        shared = set(runs[0])
+        for r in runs[1:]:
+            shared &= set(r)
+        spreads = {
+            q: max(r[q] for r in runs) / min(r[q] for r in runs)
+            for q in shared
+        }
+        med_spread = sorted(spreads.values())[len(spreads) // 2]
+        for q in shared:
+            mins[q] = round(min(r[q] for r in runs), 3)
+            env = 1.15 * spreads[q] / med_spread
+            if env > 1.25:
+                envelopes[q] = round(min(env, 2.5), 3)
     missing_legacy = [q for q in LEGACY if q not in mins]
     out = {
         "recorded_round": round_tag,
@@ -53,6 +83,15 @@ def main() -> None:
         "legacy18_total": round(sum(mins[q] for q in LEGACY if q in mins), 3),
         "legacy18_missing": missing_legacy,
     }
+    if envelopes:
+        out["queries_envelope"] = envelopes
+        out["queries_envelope_note"] = (
+            "measured same-code cross-window spread per query relative "
+            "to the median drift, ×1.15 margin, capped 2.5 — "
+            "bench.compute_regressions uses it as the per-query "
+            "envelope; queries absent here keep the 1.25 default"
+        )
+        out["window_runs"] = [str(p) for p in window_paths]
     if iso_path and iso_path.exists():
         iso = json.loads(iso_path.read_text())
         out["isolated_min"] = iso.get("queries", iso)
