@@ -1,5 +1,6 @@
-from conftest import count_hash_exchanges
 """Chunking and TF-IDF operator semantics + plan shape."""
+
+from conftest import count_hash_exchanges
 
 import math
 

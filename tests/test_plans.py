@@ -60,9 +60,10 @@ def test_weekly_sales_single_shuffle(spark):
     assert "BroadcastHashJoin" in plan  # calendar dim
     # hashpartitioning exchanges: the groupBy only.  The fact-scan
     # rebalance is excluded whichever form it takes — it was keyless
-    # round-robin (RoundRobinPartitioning) and is now a deterministic
-    # xxhash64 spread key (r13 optimization: no sortBeforeRepartition
-    # tax), which prints as hashpartitioning over pmod(xxhash64(...)).
+    # round-robin (RoundRobinPartitioning) and is now keyed on the RAW
+    # spread column (r13: no sortBeforeRepartition tax, and downstream
+    # ops keyed on that column reuse the exchange), printing as
+    # hashpartitioning(l_orderkey#…, n) with origin REPARTITION_BY_NUM.
     hash_exchanges = count_hash_exchanges(plan)
     assert hash_exchanges == 1, f"expected 1 hash exchange, plan:\n{plan}"
     opt = _optimized(df)

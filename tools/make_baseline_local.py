@@ -55,6 +55,17 @@ def main() -> None:
         runs = [full["queries"]] + [
             json.loads(p.read_text())["queries"] for p in window_paths
         ]
+        # r13 advice: an envelope from only two same-code runs lets ONE
+        # contended sample permanently widen that query's regression gate
+        # (up to 2.5×) until the next deliberate re-record.  Three or
+        # more window runs make a single outlier visible in the spread.
+        if len(runs) < 3:
+            print(
+                f"WARNING: queries_envelope derived from only {len(runs)} "
+                "same-code runs — a single contended sample widens the "
+                "gate; prefer >=3 window runs",
+                file=sys.stderr,
+            )
         shared = set(runs[0])
         for r in runs[1:]:
             shared &= set(r)
@@ -91,6 +102,10 @@ def main() -> None:
             "bench.compute_regressions uses it as the per-query "
             "envelope; queries absent here keep the 1.25 default"
         )
+        # auditability (r13 advice): record how many same-code runs the
+        # envelope was measured over, so the gate's confidence is
+        # checkable from the floor document alone
+        out["queries_envelope_n_runs"] = len(window_paths) + 1
         out["window_runs"] = [str(p) for p in window_paths]
     if iso_path and iso_path.exists():
         iso = json.loads(iso_path.read_text())
