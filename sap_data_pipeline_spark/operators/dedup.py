@@ -713,15 +713,22 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
     if checkpoint_dir is not None:
         ids.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def ckpt(df: DataFrame) -> DataFrame:
+    def ckpt(df: DataFrame, *, lazy: bool = False) -> DataFrame:
+        # ``lazy`` defers materialization to the caller's next action on
+        # the frame (the plan is still truncated to a LogicalRDD
+        # immediately, so self-join disambiguation is unaffected) —
+        # local mode only: a lazy RELIABLE checkpoint recomputes the
+        # frame once for the action and again for the checkpoint write,
+        # so cluster mode keeps eager semantics.
         if checkpoint_dir is not None:
             return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=not lazy)
 
     lbl_type = ids.schema[id_col].dataType
     edges = ckpt(
         pairs.select(F.col("id_a").alias("dst"), F.col("id_b").alias("id"))
-        .unionAll(pairs.select(F.col("id_b").alias("dst"), F.col("id_a").alias("id")))
+        .unionAll(pairs.select(F.col("id_b").alias("dst"), F.col("id_a").alias("id"))),
+        lazy=True,  # right_size's count is the materializing action
     )  # computed once, re-joined every round
     # Every loop frame is bounded by the (now measured) edge list, and
     # the per-round work is light (hash/compare over narrow rows), so
@@ -741,6 +748,7 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
         .select(F.col("id"), F.col("id").alias("lbl"))
     )
     labels: DataFrame | None = None  # round 0 needs no label frame (see below)
+    converged = False
     with shuffle_partitions(ids.sparkSession, eparts):
         for _ in range(max_iter):
             # "own" rows carry the node's current label; propagated rows
@@ -772,7 +780,13 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
             # checkpoint BEFORE the self-join: both join sides then reference
             # one materialized plan — a lazy self-join over deep iterative
             # lineage trips Spark's self-join attribute disambiguation
-            # ("key not found" at optimization time)
+            # ("key not found" at optimization time).  stepped stays EAGER
+            # deliberately: the jump join reads it from TWO sides, and a
+            # lazy checkpoint with two concurrent consumers lets both map
+            # stages race to compute the uncached aggregate — duplicate
+            # work locally, and a real recompute of a corpus-sized frame
+            # at cluster scale (measured in the r14 A/B: the all-lazy
+            # variant was neutral-to-slower).
             stepped = ckpt(
                 own.unionAll(propagated)
                 .groupBy("id")
@@ -791,8 +805,15 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
                         F.col("lbl"), F.coalesce(F.col("_jlbl"), F.col("lbl"))
                     ).alias("lbl"),
                     F.col("prev"),
-                )
+                ),
+                lazy=True,
             )
+            # labels IS lazy: the convergence scalar below is its single
+            # consumer at materialization time (a full-scan aggregate, so
+            # every partition caches inside this one job — no backfill
+            # pass, no concurrent-consumer race), fusing the r13 shape's
+            # separate eager-checkpoint count with the collect — one
+            # fewer job barrier per round (r13 verdict #6)
             n_changed = labels.agg(
                 F.sum(
                     F.when(
@@ -802,18 +823,25 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
             ).collect()[0]["n"]
             labels = labels.select("id", "lbl")
             if not n_changed:  # labels only decrease: a zero-change round is the fixpoint
-                # materialize the result: every downstream consumer of the
-                # labeling (cluster sizes + the size join, the audit
-                # aggregates) reads it at least twice, and the singleton
-                # anti-join would otherwise re-run per consumer
-                return ckpt(
-                    labels.unionAll(singletons).select(
-                        F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
-                    )
-                )
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds — "
-        "pathological graph; raise max_iter or pre-collapse with exact dedup"
+                converged = True
+                break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "pathological graph; raise max_iter or pre-collapse with exact dedup"
+        )
+    # materialize the result: every downstream consumer of the labeling
+    # (cluster sizes + the size join, the audit aggregates) reads it at
+    # least twice, and the singleton anti-join would otherwise re-run per
+    # consumer.  Built OUTSIDE the shuffle-partition pin: the singleton
+    # anti-join and the union scan the full ids frame, which at real
+    # scale is orders of magnitude larger than the edge set — running
+    # that stage at an edge-derived task width is exactly the
+    # under-parallelization the pin elsewhere avoids (r13 advice).
+    return ckpt(
+        labels.unionAll(singletons).select(
+            F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
+        )
     )
 
 

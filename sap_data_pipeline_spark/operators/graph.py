@@ -76,17 +76,22 @@ def pagerank(
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def ckpt(df: DataFrame) -> DataFrame:
+    def ckpt(df: DataFrame, *, lazy: bool = False) -> DataFrame:
+        # lazy = materialized by the next full-scan action on the frame
+        # (plan truncation is immediate either way); reliable checkpoints
+        # stay eager — a lazy one computes the frame twice (see
+        # connected_components.ckpt).
         if checkpoint_dir is not None:
             return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=not lazy)
 
     # Measure the (deduplicated) edge list once, then run the whole
     # iteration at a data-derived task width: per-round joins/aggregates
     # are light per row, so their cost driver is task count — size it
     # from bytes, not cores (functions.sizing docstring; guide §2.2).
     e0 = ckpt(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
+        lazy=True,  # the count below is the materializing action
     )
     m = e0.count()
     eparts = adaptive_partitions(m, e0.schema)
@@ -158,6 +163,12 @@ def _pagerank_rounds(e0: DataFrame, eparts: int, damping: float,
                 )
             )
             if checkpoint_every and (it + 1) % checkpoint_every == 0:
+                # eager deliberately: each round's frame is read by TWO
+                # consumers (the next round's dangling-mass broadcast and
+                # the contribs join) — a lazy checkpoint would let those
+                # concurrent stages race to compute it twice (r14 A/B:
+                # the all-lazy variant measured neutral-to-slower, and
+                # the duplicate compute is corpus-sized at cluster scale)
                 ranks = ckpt(ranks)
         return ranks.select("node", "pr")
     finally:
@@ -204,10 +215,14 @@ def tree_root_depth(
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def ckpt(df: DataFrame) -> DataFrame:
+    def ckpt(df: DataFrame, *, lazy: bool = False) -> DataFrame:
+        # lazy = materialized by the caller's next full-scan action (plan
+        # truncation is immediate either way); reliable checkpoints stay
+        # eager — a lazy one would compute the frame twice (see
+        # connected_components.ckpt).
         if checkpoint_dir is not None:
             return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=not lazy)
 
     e = edges.select(
         F.col(child).alias("node"), F.col(parent).alias("anc")
@@ -229,7 +244,8 @@ def tree_root_depth(
             roots.select(
                 "node", F.col("node").alias("anc"), F.lit(0).cast("long").alias("d")
             )
-        )
+        ),
+        lazy=True,  # right_size's count is the materializing action
     )
     # every round's frames are pointer-frame-sized and the per-row work
     # is a key compare + add — task-count-bound, so size the rounds from
@@ -242,6 +258,13 @@ def tree_root_depth(
                 F.col("node").alias("_n2"), F.col("anc").alias("_a2"),
                 F.col("d").alias("_d2"),
             )
+            # lazy: the convergence probe below is the single consumer at
+            # materialization time — it computes the round's join and the
+            # open-pointer count in one job (the r13 shape paid an eager
+            # checkpoint count plus a limit(1) probe per round).  The
+            # probe is a FULL count, not limit(1): a limit over a lazy
+            # checkpoint would leave unscanned partitions to a backfill
+            # job — same zero/non-zero decision either way.
             stepped = ckpt(
                 ptr.join(nxt, ptr["anc"] == F.col("_n2"))
                 .select(
@@ -249,9 +272,10 @@ def tree_root_depth(
                     F.col("_a2").alias("anc"),
                     (F.col("d") + F.col("_d2")).alias("d"),
                     (F.col("anc") == F.col("_a2")).alias("_settled"),
-                )
+                ),
+                lazy=True,
             )
-            n_open = stepped.filter(~F.col("_settled")).limit(1).count()
+            n_open = stepped.filter(~F.col("_settled")).count()
             ptr = stepped.select("node", "anc", "d")
             if n_open == 0:
                 return ptr.select(
@@ -306,10 +330,12 @@ def label_propagation(
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def ckpt(df: DataFrame) -> DataFrame:
+    def ckpt(df: DataFrame, *, lazy: bool = False) -> DataFrame:
+        # same contract as pagerank's ckpt: lazy defers materialization
+        # to the next full-scan action; reliable checkpoints stay eager
         if checkpoint_dir is not None:
             return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=not lazy)
 
     from pyspark.sql.types import NumericType
 
@@ -324,7 +350,8 @@ def label_propagation(
     e0 = ckpt(
         fwd.unionAll(rev)
         .filter(F.col("src") != F.col("dst"))  # self-loops carry no info
-        .distinct()
+        .distinct(),
+        lazy=True,  # the count below is the materializing action
     )
     eparts = adaptive_partitions(e0.count(), e0.schema)
     with shuffle_partitions(e0.sparkSession, eparts):
@@ -449,7 +476,7 @@ def triangle_counts(
         fwd.unionAll(rev)
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # right_size's count materializes
     )
     # both materialized frames feed light per-row join work — read them
     # back at a data-derived width (functions.sizing; guide §2.2)
@@ -461,7 +488,7 @@ def triangle_counts(
     # the oriented list feeds three join arms — checkpoint it too so
     # the orientation (and its deg join under orient="degree") computes
     # once, edge-sized either way
-    ori, _ = right_size(_orient(und, deg, orient).localCheckpoint(eager=True))
+    ori, _ = right_size(_orient(und, deg, orient).localCheckpoint(eager=False))
 
     wedge = ori.alias("e1").join(
         ori.alias("e2"), F.col("e1.b") == F.col("e2.a")

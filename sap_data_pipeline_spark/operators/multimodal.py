@@ -1413,7 +1413,7 @@ def ahash_near_dup_pairs(hashes: DataFrame, *, max_hamming: int = 3,
     """
     # materialized fingerprints feed light banding/join work — read them
     # back data-sized, not scan-sized (functions.sizing; guide §2.2)
-    hashes, _ = right_size(hashes.localCheckpoint(eager=True))
+    hashes, _ = right_size(hashes.localCheckpoint(eager=False))  # count materializes
     b = [
         (F.shiftright(F.col("hash_hi"), 16) % 65536).alias("b0"),
         (F.col("hash_hi") % 65536).alias("b1"),
@@ -1856,7 +1856,7 @@ def audio_fp_pairs(fps: DataFrame, *, max_hamming: int = 3,
     """
     # data-sized read-back of the materialized fingerprint frame
     # (functions.sizing; guide §2.2)
-    fps, _ = right_size(fps.localCheckpoint(eager=True))
+    fps, _ = right_size(fps.localCheckpoint(eager=False))  # count materializes
     fp = F.col("fingerprint")
     b = [
         ((F.shiftright(fp, 24)) % 256).alias("b0"),

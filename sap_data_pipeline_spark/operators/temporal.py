@@ -430,7 +430,7 @@ def crawl_schedule(history: DataFrame, budget: int, *,
     # so materializing it once is the guide's decide-on-the-small-table
     # shape; on a cluster the blocks sit on executors exactly like the
     # graph operators' per-round checkpoints.
-    rates, _ = right_size(rates.localCheckpoint(eager=True))
+    rates, _ = right_size(rates.localCheckpoint(eager=False))  # count materializes
     mass = (
         rates.groupBy(host_col)
         .agg(
