@@ -1,8 +1,8 @@
-"""Per-query optimization instrument for round 13.
+"""Per-query optimization instrument (rounds 13+).
 
 Times one or more catalog queries with the bench methodology (noop sink,
 N back-to-back runs, min + median of the steady-state tail) and writes
-`.explain("formatted")` to plans/r13/<query>_<tag>.txt so before/after
+`.explain("formatted")` to plans/<round>/<query>_<tag>.txt so before/after
 plan claims are checkable without running Spark.
 
 Usage:
@@ -27,7 +27,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument("--tag", default=None, help="plans/r13/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="plans/<round>/<q>_<tag>.txt")
+    ap.add_argument("--round", default="r14", help="plans/<round>/ output dir")
     ap.add_argument("--no-plan", action="store_true")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
@@ -35,7 +36,7 @@ def main() -> None:
     spark = get_spark("opt-measure")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
-    plans_dir = Path(__file__).resolve().parents[1] / "plans" / "r13"
+    plans_dir = Path(__file__).resolve().parents[1] / "plans" / args.round
     plans_dir.mkdir(parents=True, exist_ok=True)
 
     jvm_gc = spark.sparkContext._jvm.System.gc
@@ -62,7 +63,7 @@ def main() -> None:
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted")
             (plans_dir / f"{name}_{args.tag}.txt").write_text(plan)
-            print(f"  wrote plans/r13/{name}_{args.tag}.txt")
+            print(f"  wrote plans/{args.round}/{name}_{args.tag}.txt")
 
 
 if __name__ == "__main__":
