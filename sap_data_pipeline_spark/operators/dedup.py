@@ -624,6 +624,19 @@ def exact_substring_excise(corpus: DataFrame, *,
         (F.col("w1") - 1).alias("pos"),  # 0-based
         F.md5(F.concat_ws(" ", F.slice("_t", F.col("w1"), width))).alias("fp"),
     )
+    # NOT materialized, by measurement (r13 verdict #5 A/B, r14):
+    # ``wins`` feeds both the duplicate-fp aggregate and the join probe,
+    # so the tokenize + window-md5 chain evaluates twice — but a
+    # fingerprint-only localCheckpoint of the window stream (id, pos,
+    # 32-hex fp; the obvious §8.4-style fix) measured WORSE at both
+    # scales: sf0.1 1.34 → 1.54 s median, and at the sf1 replica the
+    # materialization of ~10M narrow rows was 2.4-10× slower and wildly
+    # unstable (2.68 → 16.5 s median) — the window stream is
+    # corpus-token-sized, so block-manager writes + GC dwarf the
+    # embarrassingly-parallel duplicate scan+hash work, and both forms
+    # shuffle the same narrow rows anyway.  The double evaluation IS the
+    # cheaper plan in both regimes; the r13 'wrong trade at 100 TB'
+    # judgement stands, now with numbers (OPTIMIZATION_r14.md).
     dup_fps = (
         wins.groupBy("fp")
         .agg(
