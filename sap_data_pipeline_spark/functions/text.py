@@ -639,11 +639,23 @@ def canonicalize_url(c: ColumnOrName) -> Column:
     u = F.regexp_replace(u, "[?&]$", "")
     u = F.regexp_replace(u, "(?i)^(http://[^/:]+):80(/|$)", "$1$2")
     u = F.regexp_replace(u, "(?i)^(https://[^/:]+):443(/|$)", "$1$2")
-    head = F.regexp_extract(u, "(?i)^(https?://[^/]+)", 1)
-    u = F.concat(
-        F.lower(head), F.substring(u, F.length(head) + 1, F.lit(1 << 30))
-    )
-    return F.regexp_replace(u, "/$", "")
+
+    # the scheme+authority lowercasing references the replace-chain
+    # prefix (u) twice and the extracted head twice — bind each once per
+    # row (:func:`bind_once`) or the whole 5-regex prefix re-expands per
+    # reference: the executed plan carried 19 regexp_replace instances
+    # per row, ~3 evaluations of the chain, now 7 (r14; same defect
+    # class as ngrams_from)
+    def lower_head(uu: Column) -> Column:
+        return bind_once(
+            F.regexp_extract(uu, "(?i)^(https?://[^/]+)", 1),
+            lambda head: F.concat(
+                F.lower(head),
+                F.substring(uu, F.length(head) + 1, F.lit(1 << 30)),
+            ),
+        )
+
+    return F.regexp_replace(bind_once(u, lower_head), "/$", "")
 
 
 # ---------------------------------------------------------------------------

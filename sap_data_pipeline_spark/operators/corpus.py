@@ -883,17 +883,22 @@ def bigram_logprob(df: DataFrame, *, text_col: str = "text",
     """
     from pyspark.sql.window import Window
 
-    t = X.tokens(text_col)
+    # the token array is referenced four times (two slices × source +
+    # size bound) — bind it once per row or the tokenizer regex chain
+    # evaluates 4× (r14; same defect class as ngrams_from, fixed the
+    # same way; executed plan: 5 split/regexp chains → 2)
+    def _bigrams(tt):
+        n1 = F.greatest(F.size(tt) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(tt, 1, n1),
+            F.slice(tt, 2, n1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+
     pairs = (
         df.select(
             F.col(id_col),
-            F.explode(
-                F.zip_with(
-                    F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-                    F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                )
-            ).alias("bg"),
+            F.explode(X.bind_once(X.tokens(text_col), _bigrams)).alias("bg"),
         )
         .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .groupBy(id_col, "w1", "w2")
