@@ -31,12 +31,16 @@ def double_array_lit(values) -> Column:
     ``D``-suffixed literal parses those digits straight to DOUBLE
     (verified including exponent forms and -0.0).
     """
-    def render(v) -> str:
-        if isinstance(v, (list, tuple)):
-            return "array(" + ",".join(render(x) for x in v) + ")"
-        return repr(float(v)) + "D"
+    return F.expr(double_array_sql(values))
 
-    return F.expr(render(values))
+
+def double_array_sql(values) -> str:
+    """The SQL text behind :func:`double_array_lit` — exposed so callers
+    that already build a larger ``F.expr`` string can embed the literal
+    in the same single parse round-trip."""
+    if isinstance(values, (list, tuple)):
+        return "array(" + ",".join(double_array_sql(x) for x in values) + ")"
+    return repr(float(values)) + "D"
 
 
 def long_array_lit(values) -> Column:
@@ -56,6 +60,17 @@ def long_array_lit(values) -> Column:
 
 
 def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
+    # Plain column names take the parsed-SQL path: each Python-lambda
+    # higher-order build costs ~30 ms of py4j round-trips vs ~0.5 ms for
+    # one F.expr parse (guide §4 — measured r14; the ANN/knn queries
+    # call these dozens of times per construction).  Same Catalyst
+    # expression either way — values are bit-identical (verified).
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with(`{a}`, `{b}`,"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " 0.0D, (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -64,6 +79,11 @@ def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
 
 
 def norm(a: ColumnOrName) -> Column:
+    if isinstance(a, str):
+        return F.expr(
+            f"sqrt(aggregate(`{a}`, 0.0D,"
+            " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
     return F.sqrt(
         F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
@@ -121,6 +141,14 @@ def sign_bits_word(a: ColumnOrName, start: int, width: int = 32) -> Column:
     approximates angular distance — the memory-bound regime's ANN
     representation.
     """
+    if isinstance(a, str):
+        return F.expr(
+            f"aggregate(sequence({start}, {start + width - 1}),"
+            " CAST(0 AS BIGINT),"
+            " (acc, i) -> acc * 2 + CAST(CASE WHEN"
+            f" element_at(`{a}`, CAST(i AS INT)) > 0"
+            " THEN 1 ELSE 0 END AS BIGINT))"
+        )
     idx = F.sequence(F.lit(start), F.lit(start + width - 1))
     return F.aggregate(
         idx,

@@ -241,20 +241,20 @@ def _assign_cells(df: DataFrame, centroids: list[list[float]], *,
     map-side compute — no shuffle, no Python.  The single nested-array
     literal keeps driver-side Column construction O(1) in n_cells.
     """
-    v = F.col(vec_col).cast("array<double>")
-    cells = F.transform(
-        V.double_array_lit([list(map(float, c)) for c in centroids]),
-        lambda cent, i: F.struct(
-            i.cast("int").alias("cell"),
-            F.aggregate(
-                F.zip_with(v, cent, lambda x, m: (x - m) * (x - m)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-        ),
+    # One parsed F.expr for the whole rank-and-slice chain: the nested
+    # Python-lambda higher-order builders cost ~160 ms of py4j time per
+    # call vs ~2 ms parsed (guide §4; r14 — this runs twice per ANN
+    # query construction).  Identical Catalyst expressions either way.
+    cents = V.double_array_sql([list(map(float, c)) for c in centroids])
+    ranked = F.expr(
+        f"slice(array_sort(transform({cents}, (cent, i) -> struct("
+        "CAST(i AS INT) AS cell,"
+        f" aggregate(zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), cent,"
+        " (x, m) -> (x - m) * (x - m)), 0.0D, (acc, x) -> acc + x) AS dist)),"
+        " (a, b) -> CASE WHEN a.dist < b.dist THEN -1"
+        " WHEN a.dist > b.dist THEN 1 ELSE 0 END),"
+        f" 1, {int(nprobe)})"
     )
-    ranked = F.slice(F.array_sort(cells, lambda a, b: F.when(a["dist"] < b["dist"], -1)
-                                  .when(a["dist"] > b["dist"], 1).otherwise(0)), 1, nprobe)
     return df.withColumn("_cells", ranked).withColumn(
         "ivf_cell", F.explode(F.col("_cells")["cell"])
     ).drop("_cells")
@@ -452,6 +452,25 @@ def _sqdist_cols(x, c):
     )
 
 
+def _pq_dtab_sql(codebooks, vec_col: str) -> str:
+    """SQL text of the per-subspace distance table dtab[j][c] =
+    ||v_sub_j − codebook[j][c]||² — the parsed-expr twin of the
+    :func:`_sqdist_cols` math, built in ONE F.expr round-trip (the
+    nested Python-lambda form cost ~50-250 ms per call; guide §4, r14).
+    The slice/zip_with/aggregate text parses to the identical Catalyst
+    expressions, so codes and ADC tables cannot desynchronize."""
+    sub = len(codebooks[0][0])
+    books = V.double_array_sql(
+        [[list(map(float, c)) for c in book] for book in codebooks]
+    )
+    return (
+        f"transform({books}, (book, j) -> transform(book, cent ->"
+        f" aggregate(zip_with(slice(CAST(`{vec_col}` AS ARRAY<DOUBLE>),"
+        f" j * {sub} + 1, {sub}), cent, (a, b) -> (a - b) * (a - b)),"
+        " 0.0D, (acc, v) -> acc + v)))"
+    )
+
+
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]], *,
               vec_col: str = "embedding",
               code_col: str = "pq_code") -> DataFrame:
@@ -463,54 +482,34 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]], *,
     64-dim float32 vector compresses 256→8 bytes (32×); the codes column
     is what a 100 TB ANN scan reads instead of the float embeddings.
     """
-    sub = len(codebooks[0][0])
-    v = F.col(vec_col).cast("array<double>")
-    # One nested-array literal for the whole codebook set (a single
-    # F.expr round-trip — F.lit on a nested list still pays one py4j
-    # call per float) + transform-with-index, instead of 2^nbits
-    # per-centroid expression trees per subspace — per-literal Column
-    # construction was the dominant cost (seconds of driver time).
+    # One parsed F.expr for the codebook literal AND the whole
+    # dtab/argmin chain — the nested-lambda Column form cost ~150-250 ms
+    # of py4j time per call (guide §4, r14).
     # argmin = array_position(dists, array_min(dists)): both sides see
     # the identical computed double, and array_position returns the
     # FIRST match, preserving the lowest-code tie-break of a stable sort.
-    dtab = F.transform(
-        V.double_array_lit([[list(map(float, c)) for c in book] for book in codebooks]),
-        lambda book, j: F.transform(
-            book, lambda cent: _sqdist_cols(F.slice(v, j * sub + 1, sub), cent)
-        ),
-    )
-    codes = F.transform(
-        dtab,
-        lambda dists: (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    codes = F.expr(
+        f"transform({_pq_dtab_sql(codebooks, vec_col)},"
+        " dists -> CAST(array_position(dists, array_min(dists)) - 1 AS INT))"
     )
     return df.withColumn(code_col, codes)
 
 
 def _pq_dtab(codebooks, vec_col: str):
     """Per-query ADC distance table: dtab[j][c] = ||q_sub_j − codebook[j][c]||²
-    — same codebook-literal + _sqdist_cols math as pq_encode so the table
-    can't desynchronize from the codes."""
-    sub = len(codebooks[0][0])
-    v = F.col(vec_col).cast("array<double>")
-    return F.transform(
-        V.double_array_lit([[list(map(float, c)) for c in book] for book in codebooks]),
-        lambda book, j: F.transform(
-            book, lambda cent: _sqdist_cols(F.slice(v, j * sub + 1, sub), cent)
-        ),
-    )
+    — same codebook-literal + distance math as pq_encode (both render
+    :func:`_pq_dtab_sql`) so the table can't desynchronize from the codes."""
+    return F.expr(_pq_dtab_sql(codebooks, vec_col))
 
 
 def _adc_expr():
     """ADC score over a joined (query, code) row: m positional lookups
     summed.  (A function, not a module constant — Column construction
     needs an active session.)"""
-    return F.aggregate(
-        F.zip_with(
-            F.col("_dtab"), F.col("pq_code"),
-            lambda table, code: F.element_at(table, code + F.lit(1)),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    return F.expr(
+        "aggregate(zip_with(_dtab, pq_code,"
+        " (table, code) -> element_at(table, code + 1)),"
+        " 0.0D, (acc, x) -> acc + x)"
     )
 
 
