@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 from sap_data_pipeline_spark.functions import text as X
 from sap_data_pipeline_spark.functions import vectors as V
 from sap_data_pipeline_spark.functions.sizing import right_size, shuffle_partitions
+from sap_data_pipeline_spark.utils import temp_view_name
 
 NUM_PERM = 8  # minhash permutations
 BAND_SIZE = 2  # rows per LSH band → 4 bands
@@ -762,82 +763,92 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
     )
     labels: DataFrame | None = None  # round 0 needs no label frame (see below)
     converged = False
-    with shuffle_partitions(ids.sparkSession, eparts):
-        for _ in range(max_iter):
-            # "own" rows carry the node's current label; propagated rows
-            # carry NULL own — so max(own) in the aggregate recovers the
-            # previous label without a frame-diff join.  Round 0's labels
-            # are the identities, so BOTH inputs are pure projections of the
-            # (checkpointed) edges: own = (id, id, id) — duplicated per edge
-            # row, collapsed by the map-side partial aggregate, max(own)
-            # still the identity — and propagated = (dst, source-id, NULL).
-            # This removes round 0's |E|⋈|V| label join AND the separate
-            # label-frame initialization job entirely (r13 round profile:
-            # round 0 cost 3× the steady rounds).
-            if labels is None:
-                own = edges.select(
-                    "id", F.col("id").alias("lbl"), F.col("id").alias("own")
-                )
-                propagated = edges.select(
-                    F.col("dst").alias("id"),
-                    F.col("id").alias("lbl"),
-                    F.lit(None).cast(lbl_type).alias("own"),
-                )
-            else:
-                own = labels.select("id", "lbl", F.col("lbl").alias("own"))
-                propagated = edges.join(labels, "id").select(
-                    F.col("dst").alias("id"),
-                    F.col("lbl"),
-                    F.lit(None).cast(lbl_type).alias("own"),
-                )
-            # checkpoint BEFORE the self-join: both join sides then reference
-            # one materialized plan — a lazy self-join over deep iterative
-            # lineage trips Spark's self-join attribute disambiguation
-            # ("key not found" at optimization time).  stepped stays EAGER
-            # deliberately: the jump join reads it from TWO sides, and a
-            # lazy checkpoint with two concurrent consumers lets both map
-            # stages race to compute the uncached aggregate — duplicate
-            # work locally, and a real recompute of a corpus-sized frame
-            # at cluster scale (measured in the r14 A/B: the all-lazy
-            # variant was neutral-to-slower).
-            stepped = ckpt(
-                own.unionAll(propagated)
-                .groupBy("id")
-                .agg(F.min("lbl").alias("lbl"), F.max("own").alias("prev"))
-            )
-            # pointer jump: follow lbl -> lbl's OWN label (labels are node
-            # ids, so every lbl resolves; coalesce guards the contract)
-            lookup = stepped.select(
-                F.col("id").alias("_jid"), F.col("lbl").alias("_jlbl")
-            )
-            labels = ckpt(
-                stepped.join(lookup, F.col("lbl") == F.col("_jid"), "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("lbl"), F.coalesce(F.col("_jlbl"), F.col("lbl"))
-                    ).alias("lbl"),
-                    F.col("prev"),
-                ),
-                lazy=True,
-            )
-            # labels IS lazy: the convergence scalar below is its single
-            # consumer at materialization time (a full-scan aggregate, so
-            # every partition caches inside this one job — no backfill
-            # pass, no concurrent-consumer race), fusing the r13 shape's
-            # separate eager-checkpoint count with the collect — one
-            # fewer job barrier per round (r13 verdict #6)
-            n_changed = labels.agg(
-                F.sum(
-                    F.when(
-                        F.col("prev").isNull() | (F.col("lbl") != F.col("prev")), 1
-                    ).otherwise(0)
-                ).alias("n")
-            ).collect()[0]["n"]
-            labels = labels.select("id", "lbl")
-            if not n_changed:  # labels only decrease: a zero-change round is the fixpoint
-                converged = True
-                break
+    # Each round is TWO parsed spark.sql statements over temp views of
+    # the (checkpointed) round frames instead of ~10 DataFrame ops /
+    # ~25 Column builders — the py4j/analysis chatter cost ~0.25 s per
+    # operator invocation on top of the two per-round jobs (guide §4;
+    # r14 isolated A/B on the ahash pair graph: 1.47-1.52 → 1.18-1.44 s
+    # min).  The SQL text parses to the identical Catalyst plans
+    # (exceptAll + oracle verified).
+    spark = ids.sparkSession
+    tsql = lbl_type.simpleString()
+    ev = temp_view_name("cc_e")
+    lv = temp_view_name("cc_l")
+    sv = temp_view_name("cc_s")
+    try:
+        with shuffle_partitions(spark, eparts):
+            edges.createOrReplaceTempView(ev)
+            for _ in range(max_iter):
+                # "own" rows carry the node's current label; propagated
+                # rows carry NULL own — so max(own) in the aggregate
+                # recovers the previous label without a frame-diff join.
+                # Round 0's labels are the identities, so BOTH inputs are
+                # pure projections of the (checkpointed) edges: own =
+                # (id, id, id) — duplicated per edge row, collapsed by the
+                # map-side partial aggregate, max(own) still the identity
+                # — and propagated = (dst, source-id, NULL).  This removes
+                # round 0's |E|⋈|V| label join AND the separate label-
+                # frame initialization job entirely (r13 round profile:
+                # round 0 cost 3× the steady rounds).
+                if labels is None:
+                    inner = (
+                        f"SELECT id, id AS lbl, id AS own FROM {ev}"
+                        f" UNION ALL SELECT dst AS id, id AS lbl,"
+                        f" CAST(NULL AS {tsql}) AS own FROM {ev}"
+                    )
+                else:
+                    labels.createOrReplaceTempView(lv)
+                    inner = (
+                        f"SELECT id, lbl, lbl AS own FROM {lv}"
+                        f" UNION ALL SELECT e.dst AS id, l.lbl,"
+                        f" CAST(NULL AS {tsql}) AS own"
+                        f" FROM {ev} e JOIN {lv} l ON e.id = l.id"
+                    )
+                # checkpoint BEFORE the self-join: both join sides then
+                # reference one materialized plan — a lazy self-join over
+                # deep iterative lineage trips Spark's self-join attribute
+                # disambiguation ("key not found" at optimization time).
+                # stepped stays EAGER deliberately: the jump join reads it
+                # from TWO sides, and a lazy checkpoint with two concurrent
+                # consumers lets both map stages race to compute the
+                # uncached aggregate — duplicate work locally, and a real
+                # recompute of a corpus-sized frame at cluster scale
+                # (measured in the r14 A/B: the all-lazy variant was
+                # neutral-to-slower).
+                stepped = ckpt(spark.sql(
+                    f"SELECT id, min(lbl) AS lbl, max(own) AS prev"
+                    f" FROM ({inner}) GROUP BY id"
+                ))
+                stepped.createOrReplaceTempView(sv)
+                # pointer jump: follow lbl -> lbl's OWN label (labels are
+                # node ids, so every lbl resolves; coalesce guards the
+                # contract)
+                labels = ckpt(spark.sql(
+                    f"SELECT s.id, least(s.lbl, coalesce(j._jlbl, s.lbl))"
+                    f" AS lbl, s.prev FROM {sv} s LEFT JOIN"
+                    f" (SELECT id AS _jid, lbl AS _jlbl FROM {sv}) j"
+                    f" ON s.lbl = j._jid"
+                ), lazy=True)
+                # labels IS lazy: the convergence scalar below is its single
+                # consumer at materialization time (a full-scan aggregate, so
+                # every partition caches inside this one job — no backfill
+                # pass, no concurrent-consumer race), fusing the r13 shape's
+                # separate eager-checkpoint count with the collect — one
+                # fewer job barrier per round (r13 verdict #6)
+                n_changed = labels.agg(F.expr(
+                    "sum(CASE WHEN prev IS NULL OR lbl != prev"
+                    " THEN 1 ELSE 0 END) AS n"
+                )).collect()[0]["n"]
+                labels = labels.select("id", "lbl")
+                if not n_changed:  # labels only decrease: a zero-change round is the fixpoint
+                    converged = True
+                    break
+    finally:
+        for v in (ev, lv, sv):
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "

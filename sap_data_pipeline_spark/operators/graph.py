@@ -31,6 +31,7 @@ from sap_data_pipeline_spark.functions.sizing import (
     right_size,
     shuffle_partitions,
 )
+from sap_data_pipeline_spark.utils import temp_view_name
 
 
 def pagerank(
@@ -130,46 +131,51 @@ def _pagerank_rounds(e0: DataFrame, eparts: int, damping: float,
             .persist()
         )
         ranks = base.select("node", "deg", F.lit(1.0 / n).alias("pr"))
-        for it in range(iterations):
-            # dangling mass: single-row aggregate, broadcast back in —
-            # never leaves the plan
-            dangling = ranks.where(F.col("deg").isNull()).agg(
-                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm")
-            )
-            contribs = (
-                ranks.where(F.col("deg").isNotNull())
-                .join(e, ranks["node"] == e["src"])
-                .select(
-                    F.col("dst").alias("node"),
-                    (F.col("pr") / F.col("deg")).alias("w"),
-                )
-                .groupBy("node")
-                .agg(F.sum("w").alias("in_mass"))
-            )
-            ranks = (
-                base.join(contribs, "node", "left")
-                .crossJoin(F.broadcast(dangling))
-                .select(
-                    "node",
-                    "deg",
-                    (
-                        F.lit((1.0 - damping) / n)
-                        + F.lit(damping)
-                        * (
-                            F.coalesce(F.col("in_mass"), F.lit(0.0))
-                            + F.col("_dm") / F.lit(float(n))
-                        )
-                    ).alias("pr"),
-                )
-            )
-            if checkpoint_every and (it + 1) % checkpoint_every == 0:
-                # eager deliberately: each round's frame is read by TWO
-                # consumers (the next round's dangling-mass broadcast and
-                # the contribs join) — a lazy checkpoint would let those
-                # concurrent stages race to compute it twice (r14 A/B:
-                # the all-lazy variant measured neutral-to-slower, and
-                # the duplicate compute is corpus-sized at cluster scale)
-                ranks = ckpt(ranks)
+        # Each round is ONE parsed spark.sql statement over temp views of
+        # the fixed frames (edges, base) and the previous rank frame —
+        # the Column-chain round paid ~0.2 s of py4j/analysis chatter per
+        # invocation on top of the per-round jobs (guide §4; r14).
+        # Identical plan: dangling mass stays a broadcast one-row
+        # aggregate (hinted), never a driver collect.
+        spark = e0.sparkSession
+        ev = temp_view_name("pr_e")
+        bv = temp_view_name("pr_b")
+        rv = temp_view_name("pr_r")
+        lit_reset = repr((1.0 - damping) / n) + "D"
+        lit_damp = repr(float(damping)) + "D"
+        lit_n = repr(float(n)) + "D"
+        round_sql = (
+            f"SELECT /*+ BROADCAST(dg) */ b.node, b.deg,"
+            f" {lit_reset} + {lit_damp} * (coalesce(c.in_mass, 0.0D)"
+            f" + dg._dm / {lit_n}) AS pr"
+            f" FROM {bv} b LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(w) AS in_mass FROM ("
+            f"SELECT node, pr / deg AS w FROM {rv} WHERE deg IS NOT NULL) r"
+            f" JOIN {ev} e ON r.node = e.src GROUP BY e.dst"
+            f") c ON b.node = c.node CROSS JOIN ("
+            f"SELECT coalesce(sum(pr), 0.0D) AS _dm FROM {rv}"
+            f" WHERE deg IS NULL) dg"
+        )
+        try:
+            e.createOrReplaceTempView(ev)
+            base.createOrReplaceTempView(bv)
+            for it in range(iterations):
+                ranks.createOrReplaceTempView(rv)
+                ranks = spark.sql(round_sql)
+                if checkpoint_every and (it + 1) % checkpoint_every == 0:
+                    # eager deliberately: each round's frame is read by TWO
+                    # consumers (the next round's dangling-mass broadcast and
+                    # the contribs join) — a lazy checkpoint would let those
+                    # concurrent stages race to compute it twice (r14 A/B:
+                    # the all-lazy variant measured neutral-to-slower, and
+                    # the duplicate compute is corpus-sized at cluster scale)
+                    ranks = ckpt(ranks)
+        finally:
+            for v in (ev, bv, rv):
+                try:
+                    spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
         return ranks.select("node", "pr")
     finally:
         e.unpersist()
@@ -251,36 +257,41 @@ def tree_root_depth(
     # is a key compare + add — task-count-bound, so size the rounds from
     # the measured frame (functions.sizing docstring; guide §2.2)
     ptr, pparts = right_size(ptr)
-    with shuffle_partitions(ptr.sparkSession, pparts):
-        for _ in range(max_iter):
-            # a pointer is settled when its ancestor's pointer is a self-loop
-            nxt = ptr.select(
-                F.col("node").alias("_n2"), F.col("anc").alias("_a2"),
-                F.col("d").alias("_d2"),
-            )
-            # lazy: the convergence probe below is the single consumer at
-            # materialization time — it computes the round's join and the
-            # open-pointer count in one job (the r13 shape paid an eager
-            # checkpoint count plus a limit(1) probe per round).  The
-            # probe is a FULL count, not limit(1): a limit over a lazy
-            # checkpoint would leave unscanned partitions to a backfill
-            # job — same zero/non-zero decision either way.
-            stepped = ckpt(
-                ptr.join(nxt, ptr["anc"] == F.col("_n2"))
-                .select(
-                    "node",
-                    F.col("_a2").alias("anc"),
-                    (F.col("d") + F.col("_d2")).alias("d"),
-                    (F.col("anc") == F.col("_a2")).alias("_settled"),
-                ),
-                lazy=True,
-            )
-            n_open = stepped.filter(~F.col("_settled")).count()
-            ptr = stepped.select("node", "anc", "d")
-            if n_open == 0:
-                return ptr.select(
-                    "node", F.col("anc").alias("root"), F.col("d").alias("depth")
-                )
+    # Each round is ONE parsed spark.sql self-join over a temp view of
+    # the previous (checkpointed) pointer frame — the Column-chain round
+    # paid ~0.1-0.2 s of py4j/analysis chatter per invocation on top of
+    # the one per-round job (guide §4; r14).  Identical Catalyst plan.
+    spark = ptr.sparkSession
+    pv = temp_view_name("tree_p")
+    round_sql = (
+        # a pointer is settled when its ancestor's pointer is a self-loop
+        f"SELECT p.node, q.anc AS anc, p.d + q.d AS d,"
+        f" (p.anc = q.anc) AS _settled"
+        f" FROM {pv} p JOIN {pv} q ON p.anc = q.node"
+    )
+    try:
+        with shuffle_partitions(spark, pparts):
+            for _ in range(max_iter):
+                ptr.createOrReplaceTempView(pv)
+                # lazy: the convergence probe below is the single consumer
+                # at materialization time — it computes the round's join
+                # and the open-pointer count in one job (the r13 shape paid
+                # an eager checkpoint count plus a limit(1) probe per
+                # round).  The probe is a FULL count, not limit(1): a limit
+                # over a lazy checkpoint would leave unscanned partitions
+                # to a backfill job — same zero/non-zero decision either way.
+                stepped = ckpt(spark.sql(round_sql), lazy=True)
+                n_open = stepped.filter(~F.col("_settled")).count()
+                ptr = stepped.select("node", "anc", "d")
+                if n_open == 0:
+                    return ptr.select(
+                        "node", F.col("anc").alias("root"), F.col("d").alias("depth")
+                    )
+    finally:
+        try:
+            spark.catalog.dropTempView(pv)
+        except Exception:
+            pass
     raise RuntimeError(
         f"tree_root_depth did not converge in {max_iter} rounds — "
         "the edge set likely contains a cycle"
@@ -369,37 +380,53 @@ def _lpa_rounds(e0: DataFrame, eparts: int, iterations: int,
             .persist()
         )
         labels = nodes.select("node", F.col("node").alias("lbl"))
-        for _ in range(iterations):
-            votes = labels.join(e, labels["node"] == e["src"]).select(
-                F.col("dst").alias("node"), "lbl"
-            ).unionAll(labels)  # the self-vote
-            counts = votes.groupBy("node", "lbl").agg(
-                F.count(F.lit(1)).alias("cnt")
+        # Each round is ONE parsed spark.sql statement over temp views of
+        # the edge layout and the previous (checkpointed) label frame —
+        # the Column-chain round cost ~0.2 s of py4j/analysis chatter per
+        # invocation on top of the per-round jobs (guide §4; r14 A/B).
+        # The SQL parses to the identical Catalyst plan per round.
+        spark = e0.sparkSession
+        ev = temp_view_name("lpa_e")
+        lv = temp_view_name("lpa_l")
+        # votes = neighbor labels along the fixed edge layout + the
+        # self-vote; winner per node: max count, then min label.  The
+        # numeric path rides one lexicographic struct max (negation
+        # inverts the label order inside the struct); non-numeric ids
+        # take the type-agnostic row_number window (rank<=1 collapses
+        # to WindowGroupLimit).  The self-vote puts every labelled node
+        # into the counts, so the winner frame covers exactly the label
+        # node set — it IS the next label frame (no join-back needed).
+        counts_sql = (
+            "SELECT node, lbl, count(1) AS cnt FROM ("
+            f"SELECT e.dst AS node, l.lbl FROM {lv} l"
+            f" JOIN {ev} e ON l.node = e.src"
+            f" UNION ALL SELECT node, lbl FROM {lv}"
+            ") GROUP BY node, lbl"
+        )
+        if numeric_ids:
+            round_sql = (
+                "SELECT node, -(w.neg) AS lbl FROM ("
+                "SELECT node, max(named_struct('cnt', cnt, 'neg', -lbl)) AS w"
+                f" FROM ({counts_sql}) GROUP BY node)"
             )
-            # winner per node: max count, then min label
-            if numeric_ids:
-                # one lexicographic struct max, no window (negation
-                # inverts the label order inside the struct)
-                winner = counts.groupBy("node").agg(
-                    F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg")))
-                    .alias("w")
-                ).select("node", (-F.col("w.neg")).alias("new_lbl"))
-            else:
-                # type-agnostic: rank<=1 collapses to WindowGroupLimit
-                win = Window.partitionBy("node").orderBy(
-                    F.col("cnt").desc(), F.col("lbl").asc()
-                )
-                winner = (
-                    counts.withColumn("_rn", F.row_number().over(win))
-                    .filter(F.col("_rn") == 1)
-                    .select("node", F.col("lbl").alias("new_lbl"))
-                )
-            # the self-vote puts every labelled node into ``counts``,
-            # so ``winner`` covers exactly the label node set — it IS
-            # the next label frame (no join-back needed)
-            labels = ckpt(
-                winner.select("node", F.col("new_lbl").alias("lbl"))
+        else:
+            round_sql = (
+                "SELECT node, lbl FROM ("
+                "SELECT node, lbl, row_number() OVER ("
+                "PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS _rn"
+                f" FROM ({counts_sql})) WHERE _rn = 1"
             )
+        try:
+            e.createOrReplaceTempView(ev)
+            for _ in range(iterations):
+                labels.createOrReplaceTempView(lv)
+                labels = ckpt(spark.sql(round_sql))
+        finally:
+            for v in (ev, lv):
+                try:
+                    spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
         return labels.withColumnRenamed("lbl", "community")
     finally:
         e.unpersist()
