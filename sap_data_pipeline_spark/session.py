@@ -45,6 +45,16 @@ def get_spark(app_name: str = "sap-data-pipeline-spark", *, cpus: str | int | No
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Arrow for pandas_udf / toPandas boundaries.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Spark 4's DataFrame debugging decorates EVERY Python DataFrame/
+        # Column op with error-context capture: a conf RPC, a JVM
+        # PySparkCurrentOrigin set/clear (two extra py4j round-trips) and
+        # a Python stack inspection per call — measured 2-3x on every
+        # driver-side op (select 17->10 ms, when/otherwise 4.6->1.4 ms),
+        # ~5 s across the headline catalog's query construction.  The
+        # feature only enriches error messages with Python line numbers;
+        # plan-building throughput is the production concern at any
+        # cluster size (the driver builds plans identically on 100 TB).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Timestamps in testdata are wall-clock; avoid TZ surprises vs DuckDB.
         .config("spark.sql.session.timeZone", "UTC")
         # Testdata parquet carries TIMESTAMP(NANOS) which the Spark reader
