@@ -1236,34 +1236,28 @@ def seeded_cell_assign(emb: DataFrame, *, id_col: str = "vec_id",
             .limit(0)
         )
     rows.sort(key=lambda r: (r["_r"], r["_cid"]))  # cell i = i-th by (_r, id)
-    # one F.expr round-trip, not one py4j call per float (1.5 s → 5 ms
-    # of driver time at 63×32; bit-exact — see double_array_lit)
-    cents_lit = V.double_array_lit([[float(x) for x in r["cent_vec"]] for r in rows])
-    scored = F.transform(
-        cents_lit,
-        lambda cv, i: F.struct(
-            i.cast("int").alias("cell"),
-            F.aggregate(
-                F.zip_with(v_dbl, cv, lambda x, m: (x - m) * (x - m)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-        ),
-    )
-    # A single linear best/second fold (for nprobe ≤ 2) was tried here
+    # The whole score→sort chain is ONE parsed F.expr with the centroid
+    # matrix embedded in the same text: one py4j round-trip instead of
+    # one per float for the literal (r13) plus ~30 ms per Python-lambda
+    # higher-order builder (r14, guide §4).  Identical Catalyst
+    # expressions — values bit-exact.
+    # (A single linear best/second fold (for nprobe ≤ 2) was tried here
     # in r12 to replace the full array_sort and measured 12% SLOWER in
     # an interleaved same-session A/B at the auto cell count (medians
     # 2.99 s vs 2.66 s, n_cells=63, sf0.1): the distance folds dominate
     # assignment, and the fold's per-step 4-field struct rebuild with
     # nested CASE chains costs more than the sort's comparator.  Keep
-    # the simpler sort.
-    by_dist = F.array_sort(
-        scored,
-        lambda a, b: F.when(a["dist"] < b["dist"], -1)
-        .when(a["dist"] > b["dist"], 1)
-        .when(a["cell"] < b["cell"], -1)
-        .when(a["cell"] > b["cell"], 1)
-        .otherwise(0),
+    # the simpler sort.)
+    cents = V.double_array_sql([[float(x) for x in r["cent_vec"]] for r in rows])
+    by_dist = F.expr(
+        f"array_sort(transform({cents}, (cv, i) -> struct("
+        "CAST(i AS INT) AS cell,"
+        f" aggregate(zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), cv,"
+        " (x, m) -> (x - m) * (x - m)), 0.0D, (acc, x) -> acc + x) AS dist)),"
+        " (a, b) -> CASE WHEN a.dist < b.dist THEN -1"
+        " WHEN a.dist > b.dist THEN 1"
+        " WHEN a.cell < b.cell THEN -1"
+        " WHEN a.cell > b.cell THEN 1 ELSE 0 END)"
     )
     return (
         emb.select(F.col(id_col), F.col(vec_col))

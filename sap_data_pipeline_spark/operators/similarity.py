@@ -795,16 +795,37 @@ def pca_project(df: DataFrame, model: dict, *, vec_col: str = "embedding",
     PQ codebooks; nothing shuffles, nothing is collected.  Rounding at
     the output (default 6 dp) keeps downstream cross-engine/replica
     comparisons off the last-ulp boundary.
+
+    The whole mean-center → k-dot → whiten → round chain is ONE parsed
+    F.expr (model literals embedded in the text): the per-component
+    Column folds cost ~30 ms of py4j each (guide §4, r14), and binding
+    the centered array as a one-element-array lambda variable evaluates
+    the centering once per row instead of once per component
+    (functions.text.bind_once precedent).  Values are identical: the
+    same zip_with/aggregate arithmetic, with sd+1e-12 prebaked into the
+    divisor literal (the identical Python double F.lit produced).
     """
-    proj = _project_cols(F.col(vec_col), model["mean"], model["components"])
+    comps = V.double_array_sql(model["components"])
+    mean = V.double_array_sql(model["mean"])
+    centered = (
+        f"zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), {mean},"
+        " (x, m) -> x - m)"
+    )
+    proj = (
+        f"transform({comps}, comp -> aggregate(zip_with(cv, comp,"
+        " (x, w) -> x * w), 0.0D, (acc, x) -> acc + x))"
+    )
     if whiten:
-        proj = [
-            p / F.lit(sd + 1e-12)
-            for p, sd in zip(proj, model["comp_std"], strict=True)
-        ]
+        stds = "array(" + ",".join(
+            repr(float(sd) + 1e-12) + "D" for sd in model["comp_std"]
+        ) + ")"
+        proj = f"zip_with({proj}, {stds}, (p, sd) -> p / sd)"
     if round_to is not None:
-        proj = [F.round(p, round_to) for p in proj]
-    return df.withColumn(out_col, F.array(*proj))
+        proj = f"transform({proj}, p -> round(p, {int(round_to)}))"
+    return df.withColumn(
+        out_col,
+        F.expr(f"element_at(transform(array({centered}), cv -> {proj}), 1)"),
+    )
 
 
 def knn_graph(emb: DataFrame, k: int = 3, *, id_col: str = "vec_id",
