@@ -808,41 +808,44 @@ def connected_components(ids: DataFrame, pairs: DataFrame, *,
                 # reference one materialized plan — a lazy self-join over
                 # deep iterative lineage trips Spark's self-join attribute
                 # disambiguation ("key not found" at optimization time).
-                # stepped stays EAGER deliberately: the jump join reads it
-                # from TWO sides, and a lazy checkpoint with two concurrent
-                # consumers lets both map stages race to compute the
-                # uncached aggregate — duplicate work locally, and a real
-                # recompute of a corpus-sized frame at cluster scale
-                # (measured in the r14 A/B: the all-lazy variant was
-                # neutral-to-slower).
+                # stepped is LAZY: the convergence scalar below is its
+                # single consumer at materialization time (a full-scan
+                # aggregate — every partition caches inside that one job),
+                # so the round's aggregate and the changed-count are ONE
+                # job; the jump join afterwards reads the already-cached
+                # blocks from its two sides (no concurrent-consumer race:
+                # the agg ran first).
                 stepped = ckpt(spark.sql(
                     f"SELECT id, min(lbl) AS lbl, max(own) AS prev"
                     f" FROM ({inner}) GROUP BY id"
-                ))
+                ), lazy=True)
+                # Convergence is detected on the PRE-jump aggregate: a
+                # zero-change min-propagation round means lbl(v) =
+                # min(lbl(u), u ∈ N[v]) for every v, which forces lbl
+                # equal across every edge, i.e. constant per component —
+                # the global fixpoint — so the pointer jump is provably
+                # the identity there and the final round's jump join is
+                # skipped outright (one fewer job and join per call;
+                # round count is unchanged because any pre-jump change
+                # also changed the post-jump labels).
+                n_changed = stepped.agg(F.expr(
+                    "sum(CASE WHEN prev IS NULL OR lbl != prev"
+                    " THEN 1 ELSE 0 END) AS n"
+                )).collect()[0]["n"]
+                if not n_changed:  # labels only decrease: a zero-change round is the fixpoint
+                    labels = stepped.select("id", "lbl")
+                    converged = True
+                    break
                 stepped.createOrReplaceTempView(sv)
                 # pointer jump: follow lbl -> lbl's OWN label (labels are
                 # node ids, so every lbl resolves; coalesce guards the
                 # contract)
                 labels = ckpt(spark.sql(
                     f"SELECT s.id, least(s.lbl, coalesce(j._jlbl, s.lbl))"
-                    f" AS lbl, s.prev FROM {sv} s LEFT JOIN"
+                    f" AS lbl FROM {sv} s LEFT JOIN"
                     f" (SELECT id AS _jid, lbl AS _jlbl FROM {sv}) j"
                     f" ON s.lbl = j._jid"
-                ), lazy=True)
-                # labels IS lazy: the convergence scalar below is its single
-                # consumer at materialization time (a full-scan aggregate, so
-                # every partition caches inside this one job — no backfill
-                # pass, no concurrent-consumer race), fusing the r13 shape's
-                # separate eager-checkpoint count with the collect — one
-                # fewer job barrier per round (r13 verdict #6)
-                n_changed = labels.agg(F.expr(
-                    "sum(CASE WHEN prev IS NULL OR lbl != prev"
-                    " THEN 1 ELSE 0 END) AS n"
-                )).collect()[0]["n"]
-                labels = labels.select("id", "lbl")
-                if not n_changed:  # labels only decrease: a zero-change round is the fixpoint
-                    converged = True
-                    break
+                ))
     finally:
         for v in (ev, lv, sv):
             try:
