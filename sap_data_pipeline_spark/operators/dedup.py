@@ -1060,32 +1060,38 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
     for w in range(n_words):
         toks = toks.withColumn(f"h{w}", X.hash64(F.col("tok"), seed=w))
-    # The per-bit vote sums and the sketch reassembly are built as SQL
-    # text parsed in ONE py4j round-trip per expression: the Column-op
-    # form (64 × when/otherwise/bitwiseAND chains + a 64-deep Add chain)
-    # cost ~1.05 s of pure driver-side construction per invocation vs
-    # ~0.10 s for the parsed form (guide §4 — the py4j boundary; same
-    # class as the r13 batched-literal fix).  The parsed expressions are
-    # the SAME Catalyst operators, so plans and values are bit-identical
-    # (equality + oracle verified).
-    bit_sums = [
-        F.expr(
-            f"sum(CASE WHEN (h{i // _SIMHASH_WORD}"
-            f" & {1 << (i % _SIMHASH_WORD)}) != 0"
-            f" THEN 1 ELSE -1 END) AS b{i}"
-        )
-        for i in range(bits)
-    ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
-    # shiftleft(1L, i) constant-folds to the exact signed addend of
-    # simhash_bit_value(i) — including bit 63's -2^63 (long min), which
-    # has no direct SQL literal spelling.
+    # The whole vote-sum aggregate + sketch reassembly is ONE parsed
+    # spark.sql statement (aggregates inline in the projection): the
+    # Column-op form (64 × when/otherwise/bitwiseAND chains + a 64-deep
+    # Add chain) cost ~1.05 s of pure driver-side construction per
+    # invocation, the per-expression F.expr form still ~0.25 s (a
+    # 64-column agg analysis + an extra select); the single statement is
+    # ~0.05 s (guide §4 — the py4j boundary; same class as the r13
+    # batched-literal fix).  The parsed text yields the SAME Catalyst
+    # aggregate, so plans and values are bit-identical (equality +
+    # oracle verified).  shiftleft(1L, i) constant-folds to the exact
+    # signed addend of simhash_bit_value(i) — including bit 63's -2^63
+    # (long min), which has no direct SQL literal spelling.
     terms = " + ".join(
-        f"(CASE WHEN b{i} > 0 THEN shiftleft(cast(1 as bigint), {i})"
+        f"(CASE WHEN sum(CASE WHEN (h{i // _SIMHASH_WORD}"
+        f" & {1 << (i % _SIMHASH_WORD)}) != 0 THEN 1 ELSE -1 END) > 0"
+        f" THEN shiftleft(cast(1 as bigint), {i})"
         f" ELSE cast(0 as bigint) END)"
         for i in range(bits)
     )
-    return agg.select(F.col(id_col), F.expr(f"({terms}) AS simhash"))
+    spark = df.sparkSession
+    v = temp_view_name("simhash")
+    toks.createOrReplaceTempView(v)
+    try:
+        return spark.sql(
+            f"SELECT `{id_col}`, ({terms}) AS simhash FROM {v}"
+            f" GROUP BY `{id_col}`"
+        )
+    finally:
+        try:
+            spark.catalog.dropTempView(v)
+        except Exception:
+            pass
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
